@@ -1,13 +1,546 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{LlmUdf, StubBatchClient}
+import graft.multimodal.Multimodal
+import graft.ops._
+import graft.state.Bookkeeping
+
+/** Driver contract (SURVEY.md §2's declared query set + extensions).
+  *
+  * Every oracle-backed query: deterministic (`ORDER BY` on a unique
+  * key, no now()/rand), column names aliased identically on both
+  * sides, sums over doubles routed through DECIMAL so accumulation
+  * order cannot drift, derived ints cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** 2024-01-15T00:00:00Z — mid-range of the events table (Jan 1–30 at
+    * every sf), so the cutoff filter is selective at all scales.
+    */
+  private val CutoffEpoch = 1705276800L
+
+  /** Flagship query on sf=0.001 (SURVEY §3.1 stages a–c as one plan);
+    * driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val items = Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("event_id").as("id"),
+      col("ts").as("timestamp"),
+      col("props").as("summary"),
+      col("event_type").as("title"))
+    Ingest.run(items, cutoffEpochSec = 1704067200L, orderCol = col("id"))
+  }
+
+  // ---- shared fragments -------------------------------------------------
+
+  private def events(s: SparkSession, dir: String)    = Tables.events(s, dir)
+  private def documents(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  private def tsEpochSec: Column =
+    unix_timestamp(date_trunc("second", col("ts")))
+
+  /** `custom_id`-keyed request/response frames derived from events
+    * (the response side drops every 7th row, simulating failures).
+    */
+  private def respondedEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"), col("props"))
+      .withColumn("custom_id",
+        concat(lit("row_"), row_number().over(Window.orderBy(col("event_id")))))
+
+  // ---- the declared queries --------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SRC1+pruning: scan + projection (filters/columns reach the scan)
+    "q_scan_project" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))),
+
+    // T2: flexible timestamp normalization over 5 wire formats
+    "q_ts_normalize" -> ((s, dir) => {
+      val tsSec = date_trunc("second", col("ts"))
+      val epoch = unix_timestamp(tsSec)
+      val m = pmod(col("event_id"), lit(5))
+      val wire = when(m === 0, epoch.cast(StringType))
+        .when(m === 1, (epoch * 1000).cast(StringType))
+        .when(m === 2, date_format(tsSec, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(m === 3, concat(date_format(tsSec, "yyyy-MM-dd HH:mm:ss"), lit(" EST")))
+        .otherwise(concat(date_format(tsSec, "yyyy-MM-dd'T'HH:mm:ss"), lit(" EDT")))
+      events(s, dir)
+        .select(col("event_id"), Timestamps.flexTsEpoch(wire).as("ts_epoch"))
+        .orderBy(col("event_id"))
+    }),
+
+    // T4: temporal cutoff filter on the normalized ts
+    "q_recent_filter" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("ts_epoch", Timestamps.flexTsEpoch(col("ts").cast(StringType)))
+        .filter(Timestamps.recentFilter(col("ts_epoch"), CutoffEpoch))
+        .select(col("event_id"), col("ts_epoch"))
+        .orderBy(col("event_id"))),
+
+    // T3: priority text coalesce with empty-string semantics
+    "q_text_extract" -> ((s, dir) => {
+      val withCands = documents(s, dir).select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(null).cast(StringType))
+          .otherwise(col("text")).as("summary"),
+        col("source").as("title"))
+      TextExtract.withText(withCands, "extracted")
+        .select(col("doc_id"), col("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D1+D2: priority-key first-wins dedup
+    "q_dedup" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("source").as("url"))
+      Dedup.dedupItems(d, col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // T8+T9+W1: request-record projection (flattened for the oracle)
+    "q_payload_build" -> ((s, dir) => {
+      val req = Payload.requests(documents(s, dir), col("text"),
+        Some(col("doc_id")), col("doc_id"))
+      req.select(
+        substring(col("custom_id"), 5, 18).cast(LongType).as("seq"),
+        col("custom_id"), col("method"), col("url"),
+        col("body.model").as("model"),
+        col("body.user").as("user_id"),
+        element_at(col("body.messages"), 2).getField("content").as("content"))
+        .orderBy(col("seq"))
+    }),
+
+    // A1: watermark max
+    "q_watermark_max" -> ((s, dir) =>
+      events(s, dir)
+        .agg(max(Timestamps.flexTsEpoch(col("ts").cast(StringType))).as("max_ts"))),
+
+    // A2: written/skipped-style counts
+    "q_counts" -> ((s, dir) =>
+      documents(s, dir).agg(
+        count(lit(1)).as("total"),
+        count(when(length(trim(col("text"))) > 0, lit(1))).as("written"),
+        countDistinct(col("lang")).as("n_lang"))),
+
+    // grouped aggregation (TPC-H Q1 shape; DECIMAL-routed sums)
+    "q_group_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val dec = DecimalType(18, 2)
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("sum_disc"),
+        count(lit(1)).as("cnt"),
+        (sum(col("l_quantity").cast(dec)).cast(DoubleType) / count(lit(1)))
+          .as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // request↔response equi-join on custom_id (SURVEY §2.5)
+    "q_resp_join" -> ((s, dir) => {
+      val base = respondedEvents(s, dir)
+      val req = base.select(col("custom_id"), col("event_id"))
+      val resp = base.filter(pmod(col("event_id"), lit(7)) =!= 0)
+        .select(col("custom_id"), col("props").as("content"))
+      req.join(resp, Seq("custom_id"))
+        .select(col("event_id"), col("custom_id"), col("content"))
+        .orderBy(col("event_id"))
+    }),
+
+    // X5: keyed upsert as a full-outer merge
+    "q_upsert_merge" -> ((s, dir) => {
+      val cur = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = cur.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"))
+      Bookkeeping.upsertMerge(cur, upd, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P1: envelope parse + status filter + nested content extraction
+    "q_parse_extract" -> ((s, dir) => {
+      val env = events(s, dir).select(to_json(struct(
+        concat(lit("req_"), col("event_id")).as("id"),
+        concat(lit("row_"), col("event_id")).as("custom_id"),
+        struct(
+          when(pmod(col("event_id"), lit(10)) === 0, lit(500)).otherwise(lit(200))
+            .cast(IntegerType).as("status_code"),
+          struct(array(struct(struct(
+            lit("assistant").as("role"), col("props").as("content")
+          ).as("message"))).as("choices")).as("body")
+        ).as("response"))).as("value"))
+      Parse.extractContent(Parse.parseEnvelope(env))
+        .select(
+          substring(col("custom_id"), 5, 18).cast(LongType).as("event_id"),
+          get_json_object(col("content"), "$.k").cast(LongType).as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // P2+P3+P4: fence strip + loose-JSON repair + typed re-parse
+    "q_json_repair" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      val dirty = concat(
+        lit("```json\n{\"vol\": 1,234,567, \"chg\": +"), k.cast(StringType),
+        lit(".25, // comment\n \"tags\": [\"x\",\"y\",], }\n```"))
+      val schema = StructType(Seq(
+        StructField("vol", LongType), StructField("chg", DoubleType),
+        StructField("tags", ArrayType(StringType))))
+      events(s, dir)
+        .withColumn("rec", Parse.repairedJson(dirty, schema))
+        .select(col("event_id"), col("rec.vol").as("vol"),
+          col("rec.chg").as("chg"),
+          size(col("rec.tags")).cast(LongType).as("n_tags"))
+        .orderBy(col("event_id"))
+    }),
+
+    // P5+P6: positional explode with provenance index
+    "q_explode" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(slice(TextStats.tokens(col("text")), 1, 3)).as(Seq("idx", "word")))
+        .select(col("doc_id"), col("idx").cast(LongType).as("idx"), col("word"))
+        .orderBy(col("doc_id"), col("idx"))),
+
+    // E1 exact: content-fingerprint dedup groups
+    "q_text_dedup" -> ((s, dir) =>
+      Dedup.exactTextGroups(documents(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("keep_id"))),
+
+    // E2: brute-force cosine top-k
+    "q_topk_sim" -> ((s, dir) =>
+      Similarity.topKByCosine(Tables.embeddings(s, dir), queryId = 0L, k = 20)
+        .orderBy(col("score").desc, col("vec_id"))),
+
+    // E2: embedding near-dup pairs (label-blocked)
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), col("label"),
+        threshold = 0.30)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // E3: per-language corpus stats
+    "q_text_stats" -> ((s, dir) =>
+      documents(s, dir).groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextStats.tokenCount(col("text"))).as("sum_tokens"),
+        (sum(TextStats.tokenCount(col("text"))).cast(DoubleType) / count(lit(1)))
+          .as("avg_tokens"))
+        .orderBy(col("lang"))),
+
+    // E3: language-ID heuristic
+    "q_lang_id" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextStats.markerCount(TextStats.tokens(lower(col("text"))),
+          TextStats.LangMarkers.head._2).as("en_hits"),
+        TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // E3: token counting (whitespace + BPE-ish regex)
+    "q_token_count" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_ws"),
+        TextStats.bpeishCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // E3: quality scoring
+    "q_quality_score" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // E3: rolling-hash document fingerprint
+    "q_fingerprint" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // E1 near: blocked n-gram Jaccard pairs
+    "q_ngram_jaccard" -> ((s, dir) =>
+      TextStats.jaccardPairs(documents(s, dir), col("text"), col("doc_id"),
+        col("lang"), threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // window functions: per-user running sum in event order
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("running_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // top-k: TakeOrderedAndProject
+    "q_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)),
+
+    // event-time tumbling window aggregation (streaming twin's shape)
+    "q_time_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .select(col("w.start").cast(LongType).as("window_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"))),
+
+    // star-schema join: broadcast dims, single shuffle on the fact
+    "q_star_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_price"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- oracle-omitted (non-SQL-expressible; rows-only check) ----
+
+    // E1 near, scale path: MinHash+LSH banded near-dup detection
+    // (trigram shingles: selective banding — candidate volume tracks
+    // true-duplicate volume, not pair count)
+    "q_minhash_dedup" -> ((s, dir) =>
+      MinHash.nearDupPairs(documents(s, dir), col("doc_id"), col("text"),
+        threshold = 0.3, shingleN = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // E1 near: SimHash chunk-join candidates with Hamming distance
+    "q_simhash_dedup" -> ((s, dir) =>
+      SimHash.candidateDistances(documents(s, dir), col("doc_id"), col("text"))
+        .filter(col("dist") <= 31)
+        .orderBy(col("dist"), col("id_a"), col("id_b"))
+        .limit(100)),
+
+    // E2 scale path: LSH-bucketed approximate top-k
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(Tables.embeddings(s, dir), queryId = 0L, k = 20)),
+
+    // X6: per-row LLM call via mapPartitions (deterministic stub —
+    // zero-egress environment)
+    "q_llm_stub" -> ((s, dir) =>
+      LlmUdf.withCompletions(
+        events(s, dir).select(col("event_id"), col("props")),
+        textCol = "props", outCol = "completion",
+        model = Payload.resolveModel("nano"),
+        systemPrompt = Payload.SystemPrompt,
+        clientFactory = () => new StubBatchClient)
+        .orderBy(col("event_id"))),
+
+    // E4: multimodal binary columns + stubbed decode features
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.withDecodedFeatures(
+        Multimodal.syntheticMedia(documents(s, dir)))
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("byte_len"), col("content_hash"))
+        .orderBy(col("media_id")))
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  private val EnMarkers = "['the','a','and','of','to']"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
+    "q_ts_normalize" ->
+      ("SELECT event_id, epoch(date_trunc('second', ts))::BIGINT + " +
+        "CASE event_id % 5 WHEN 3 THEN 18000 WHEN 4 THEN 14400 ELSE 0 END AS ts_epoch " +
+        "FROM events ORDER BY event_id"),
+
+    "q_recent_filter" ->
+      (s"SELECT event_id, epoch(date_trunc('second', ts))::BIGINT AS ts_epoch FROM events " +
+        s"WHERE epoch(date_trunc('second', ts))::BIGINT >= $CutoffEpoch ORDER BY event_id"),
+
+    "q_text_extract" ->
+      ("SELECT doc_id, COALESCE(" +
+        "NULLIF(TRIM(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE text END), ''), " +
+        "NULLIF(TRIM(source), '')) AS extracted FROM documents ORDER BY doc_id"),
+
+    "q_dedup" ->
+      ("SELECT doc_id, url FROM (SELECT doc_id, source AS url, " +
+        "row_number() OVER (PARTITION BY lower(trim(source)) ORDER BY doc_id) AS rn " +
+        "FROM documents) t WHERE rn = 1 ORDER BY doc_id"),
+
+    "q_payload_build" ->
+      ("SELECT seq, 'row_' || seq AS custom_id, 'POST' AS method, " +
+        "'/v1/chat/completions' AS url, 'gpt-4.1-nano-2025-04-14' AS model, " +
+        "CAST(doc_id AS VARCHAR) AS user_id, text AS content FROM " +
+        "(SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS seq FROM documents) t " +
+        "ORDER BY seq"),
+
+    "q_watermark_max" ->
+      "SELECT max(epoch(date_trunc('second', ts)))::BIGINT AS max_ts FROM events",
+
+    "q_counts" ->
+      ("SELECT count(*) AS total, " +
+        "count(CASE WHEN length(trim(text)) > 0 THEN 1 END) AS written, " +
+        "count(DISTINCT lang) AS n_lang FROM documents"),
+
+    "q_group_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc, " +
+        "count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+
+    "q_resp_join" ->
+      ("WITH base AS (SELECT event_id, props, " +
+        "'row_' || row_number() OVER (ORDER BY event_id) AS custom_id FROM events) " +
+        "SELECT r.event_id, r.custom_id, p.content FROM " +
+        "(SELECT custom_id, event_id FROM base) r JOIN " +
+        "(SELECT custom_id, props AS content FROM base WHERE event_id % 7 <> 0) p " +
+        "USING (custom_id) ORDER BY r.event_id"),
+
+    "q_upsert_merge" ->
+      ("WITH cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "upd AS (SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice " +
+        "FROM cur WHERE o_orderkey % 10 = 0) " +
+        "SELECT COALESCE(c.o_orderkey, u.o_orderkey) AS o_orderkey, " +
+        "COALESCE(u.o_orderstatus, c.o_orderstatus) AS o_orderstatus, " +
+        "COALESCE(u.o_totalprice, c.o_totalprice) AS o_totalprice " +
+        "FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey " +
+        "ORDER BY o_orderkey"),
+
+    "q_parse_extract" ->
+      ("SELECT event_id, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) AS k " +
+        "FROM events WHERE event_id % 10 <> 0 ORDER BY event_id"),
+
+    "q_json_repair" ->
+      ("SELECT event_id, CAST(1234567 AS BIGINT) AS vol, " +
+        "CAST(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) + 0.25 AS DOUBLE) AS chg, " +
+        "CAST(2 AS BIGINT) AS n_tags FROM events ORDER BY event_id"),
+
+    "q_explode" ->
+      ("SELECT doc_id, CAST(idx AS BIGINT) AS idx, parts[idx + 1] AS word FROM " +
+        "(SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d " +
+        "CROSS JOIN (VALUES (0), (1), (2)) t(idx) WHERE idx < len(parts) " +
+        "ORDER BY doc_id, idx"),
+
+    "q_text_dedup" ->
+      ("SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, " +
+        "count(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY keep_id"),
+
+    "q_topk_sim" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT b.vec_id, round(" +
+        "list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))" +
+        ", 6) AS score FROM embeddings b, q WHERE b.vec_id <> 0 " +
+        "ORDER BY score DESC, vec_id LIMIT 20"),
+
+    "q_embed_neardup" ->
+      ("WITH e AS (SELECT vec_id, label, embedding, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm " +
+        "FROM embeddings) " +
+        "SELECT id_a, id_b, score FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) " +
+        "/ (a.nrm * b.nrm), 6) AS score " +
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t " +
+        "WHERE score >= 0.30 ORDER BY id_a, id_b"),
+
+    "q_text_stats" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, " +
+        "CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+
+    "q_lang_id" -> {
+      val markers = Map(
+        "en" -> EnMarkers,
+        "fr" -> "['le','la','et','les','de']",
+        "es" -> "['el','la','y','los','de']",
+        "de" -> "['der','die','und','das','ein']",
+        "zh" -> "['的','是','了','在','我']")
+      val cnts = Seq("en", "fr", "es", "de", "zh").map(l =>
+        s"CAST(len(list_filter(w, x -> list_contains(${markers(l)}, x))) AS BIGINT) AS c_$l")
+        .mkString(", ")
+      "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        s"c AS (SELECT doc_id, $cnts FROM t), " +
+        "b AS (SELECT *, greatest(c_en, c_fr, c_es, c_de, c_zh) AS best FROM c) " +
+        "SELECT doc_id, c_en AS en_hits, CASE WHEN best = 0 THEN 'und' " +
+        "WHEN c_en = best THEN 'en' WHEN c_fr = best THEN 'fr' " +
+        "WHEN c_es = best THEN 'es' WHEN c_de = best THEN 'de' " +
+        "ELSE 'zh' END AS lang_pred FROM b ORDER BY doc_id"
+    },
+
+    "q_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_quality_score" ->
+      ("WITH t AS (SELECT doc_id, text, " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok, " +
+        "CAST(length(text) AS DOUBLE) AS nc, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($EnMarkers, x))) AS DOUBLE) AS nstop " +
+        "FROM documents) " +
+        "SELECT doc_id, least(ntok / 64.0, 1.0) * 0.4 + " +
+        "(1.0 - least(npunct / greatest(nc, 1.0) * 10.0, 1.0)) * 0.3 + " +
+        "least(nstop / greatest(ntok, 1.0) * 5.0, 1.0) * 0.3 AS quality " +
+        "FROM t ORDER BY doc_id"),
+
+    "q_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(text, ' '), w -> CAST(ascii(w) * length(w) AS BIGINT))), " +
+        "(acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_ngram_jaccard" ->
+      ("WITH p AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, " +
+        "string_split(text, ' ')[1] AS tok1, " +
+        "list_distinct(string_split(text, ' ')) AS ws FROM documents) " +
+        "SELECT id_a, id_b, jac FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jac " +
+        "FROM p a JOIN p b ON a.lang = b.lang AND a.ntok = b.ntok " +
+        "AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id) t " +
+        "WHERE jac >= 0.2 ORDER BY id_a, id_b"),
+
+    "q_window" ->
+      ("SELECT event_id, user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value " +
+        "FROM events ORDER BY event_id"),
+
+    "q_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"),
+
+    "q_time_window" ->
+      ("SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    "q_star_join" ->
+      ("SELECT n_name, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name")
+  )
 }

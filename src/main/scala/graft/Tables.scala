@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loaders for the driver-generated star schema
+  * (/root/repo/TESTDATA.md). At production scale these would be
+  * catalog tables / DSv2 sources; the API shape (name -> DataFrame)
+  * is the same either way.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark
+    * has no native type for: read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
+    * microsecond TimestampType with exact integer division (a double
+    * division would lose precision above 2^53 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+}

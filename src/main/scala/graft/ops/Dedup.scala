@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Deduplication (operators D1/D2 and E1-exact in SURVEY.md §2.3/§2.9).
+  *
+  * D1 — priority dedup-key derivation (reference:
+  * batch/dynamo_fetcher.py:332-349): first present url-like key
+  * (`url, link, source_url, guid`; value lower-cased + trimmed, tagged
+  * with a "url:" namespace) else first present id-like key
+  * (`id, pk, record_id, article_id`; stringified, tagged "id:").
+  * Keys are probed case-insensitively (the reference probes exact case
+  * then `Capitalize`d — schema-level case-insensitive resolution
+  * subsumes both probes).
+  *
+  * D2 — first-wins elimination (dynamo_fetcher.py:199-203,352-360).
+  * The reference's "first" is scan order, which Spark does not have;
+  * per SURVEY §7 we impose an explicit total order on a caller-supplied
+  * stable key — the one intentional semantic refinement. Keyless rows
+  * are never deduplicated (dynamo_fetcher.py:349-351): they get a
+  * per-row surrogate key derived from the order column.
+  *
+  * Scale: `dropDuplicates` is order-nondeterministic, so we use
+  * window + row_number — a hash shuffle on the dedup key that spills via
+  * UnsafeExternalSorter; this replaces the reference's unbounded
+  * in-memory Python `set` and is the 100 TB fix (SURVEY §4).
+  */
+object Dedup {
+
+  val UrlKeys: Seq[String] = Seq("url", "link", "source_url", "guid")
+  val IdKeys: Seq[String]  = Seq("id", "pk", "record_id", "article_id")
+
+  private def nonEmpty(c: Column): Column = {
+    val t = trim(c.cast(StringType))
+    when(t === "", lit(null: String)).otherwise(t)
+  }
+
+  /** D1: namespaced priority dedup key; NULL when no candidate present/
+    * non-empty (the reference returns None → row kept un-deduped).
+    */
+  def dedupKey(df: DataFrame): Column = {
+    val byLower = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val urls = UrlKeys.flatMap(byLower.get).map(n =>
+      concat(lit("url:"), lower(nonEmpty(col(n)))))
+    val ids = IdKeys.flatMap(byLower.get).map(n =>
+      concat(lit("id:"), nonEmpty(col(n))))
+    val all = urls ++ ids
+    if (all.isEmpty) lit(null).cast(StringType) else coalesce(all: _*)
+  }
+
+  /** D2: deterministic first-wins dedup on `key`, ordered by `order`
+    * (ascending). Rows with NULL key are always kept.
+    */
+  def firstWins(df: DataFrame, key: Column, order: Column): DataFrame = {
+    val k = when(key.isNull,
+      concat(lit("keyless:"), order.cast(StringType))).otherwise(key)
+    val w = Window.partitionBy(k).orderBy(order.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D1+D2 composed over the priority key vocabulary. */
+  def dedupItems(df: DataFrame, order: Column): DataFrame =
+    firstWins(df, dedupKey(df), order)
+
+  /** E1 exact text dedup at scale: hash-groupBy on a content
+    * fingerprint (sha-free md5 is enough for grouping; collisions at
+    * 100 TB would be verified by a follow-up equality check).
+    * Returns one row per distinct normalized text with the surviving
+    * (minimum) id and the duplicate count — a map-side-combinable
+    * aggregation, no window needed.
+    */
+  def exactTextGroups(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.select(md5(lower(trim(textCol))).as("fp"), idCol.as("id"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** E1 as a filter: keep only the first (min-id) row per normalized
+    * text — the production "drop exact dups from the corpus" shape.
+    * Implemented as an aggregation + semi-join (both map-side
+    * combinable) rather than a window, so AQE can pick a broadcast
+    * semi-join when the survivor set is small.
+    */
+  def exactTextDedup(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val keep = exactTextGroups(df, textCol, idCol).select(col("keep_id"))
+    df.join(keep, idCol === col("keep_id"), "left_semi")
+  }
+}

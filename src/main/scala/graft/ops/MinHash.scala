@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (north-star operator E1-near,
+  * SURVEY.md §2.9) — the scale path for corpus dedup where exact
+  * pairwise Jaccard is quadratic.
+  *
+  * Pipeline: word shingles → per-shingle base hash (xxhash64, reduced
+  * mod 2^31−1) → k universal hashes `(a·h + b) mod p` minimized over
+  * shingles (the MinHash signature) → signature split into bands → rows
+  * sharing any (band, bandHash) bucket become candidate pairs →
+  * candidates verified by exact shingle-set Jaccard.
+  *
+  * Everything up to the bucket join is a narrow map (codegen'd
+  * expressions, no shuffle); the bucket join is ONE shuffle on
+  * (band, bandHash) whose key space is uniform — this is what makes it
+  * hold at 1000 executors: no all-pairs, no skewed key, candidate
+  * volume proportional to true-duplicate volume.
+  */
+object MinHash {
+
+  private val P = 2147483647L // 2^31 − 1; a,b,h < 2^31 keep a·h+b < 2^62
+
+  /** Seed-deterministic universal-hash coefficients. */
+  def coeffs(k: Int, seed: Long = 42L): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    def draw() = (rnd.nextLong().abs % (P - 1)) + 1
+    (Seq.fill(k)(draw()), Seq.fill(k)(draw()))
+  }
+
+  /** MinHash signature (array<long> of length k) of a shingle-array
+    * column. Base hash computed once per shingle, then k permutations
+    * minimized in one pass — a native Catalyst expression
+    * ([[graft.functions.MinHashSig]]); the `transform`+`array_min`
+    * composition it replaces is CodegenFallback and rescans the
+    * shingle array k times per row.
+    */
+  def signature(shinglesCol: Column, k: Int, seed: Long = 42L): Column = {
+    val (as, bs) = coeffs(k, seed)
+    graft.functions.ArrayExprs.minhashSig(shinglesCol, as.toArray, bs.toArray)
+  }
+
+  /** (doc, band, bandHash) index rows — the LSH buckets. */
+  def bandedIndex(docs: DataFrame, idCol: Column, textCol: Column,
+                  shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                  seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sig = signature(TextStats.shingles(textCol, shingleN), k, seed)
+    docs.select(idCol.as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+  }
+
+  /** Candidate near-dup pairs (id_a < id_b), deduplicated across bands. */
+  def candidatePairs(docs: DataFrame, idCol: Column, textCol: Column,
+                     shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                     seed: Long = 42L): DataFrame = {
+    val idx = bandedIndex(docs, idCol, textCol, shingleN, k, bands, seed)
+    val a = idx.toDF("id_a", "band", "bh")
+    val b = idx.toDF("id_b", "band", "bh")
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full near-dup detection: LSH candidates verified by exact
+    * shingle-set Jaccard ≥ threshold. The verify join re-attaches
+    * shingle sets by id — two hash joins, each on a unique key.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                   threshold: Double, shingleN: Int = 3, k: Int = 32,
+                   bands: Int = 8, seed: Long = 42L,
+                   roundTo: Int = 4): DataFrame = {
+    val cands = candidatePairs(docs, idCol, textCol, shingleN, k, bands, seed)
+    val sets = docs.select(idCol.as("sid"),
+      array_distinct(TextStats.shingles(textCol, shingleN)).as("sset"))
+    cands
+      .join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("sset", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("sid", "id_b").withColumnRenamed("sset", "set_b"), Seq("id_b"))
+      .withColumn("jac", round(TextStats.jaccard(col("set_a"), col("set_b")), roundTo))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+}

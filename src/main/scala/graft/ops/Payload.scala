@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Batch request projection + JSONL sink (operators T8/T9/W1/SNK1 in
+  * SURVEY.md §2.2/§2.6; reference: batch/jsonl_formatter.py:24-39,154-188
+  * and batch/models.py:38-87).
+  *
+  * Produces the OpenAI Batch-API request shape:
+  * `{custom_id, method:"POST", url:"/v1/chat/completions",
+  *   body:{messages:[{role:"system",...},{role:"user",...}], model, user?}}`
+  * as a nested StructType; `to_json` + text write = JSONL (one compact
+  * JSON doc per line, matching the reference's
+  * `separators=(",",":"), ensure_ascii=False`).
+  */
+object Payload {
+
+  /** Our own instruction text (functionally equivalent role to
+    * jsonl_formatter.py:17-21's system prompt: force strict-JSON
+    * analytic output so the parse side stays mechanical).
+    */
+  val SystemPrompt: String =
+    "You are an analytics assistant. Read the user item and respond with " +
+      "a single strict JSON object (no prose, no code fences) with keys: " +
+      "topic, sentiment, entities."
+
+  /** Logical model keys → pinned ids (models.py:38-60 pattern: a small
+    * alias map plus a supported-id passthrough; unknown → default).
+    */
+  val ModelMap: Map[String, String] = Map(
+    "nano" -> "gpt-4.1-nano-2025-04-14",
+    "mini" -> "gpt-4.1-mini-2025-04-14",
+    "full" -> "gpt-4.1-2025-04-14")
+
+  val SupportedModels: Set[String] = ModelMap.values.toSet ++ Set(
+    "gpt-4o", "gpt-4o-mini", "o4-mini",
+    "text-embedding-3-small", "text-embedding-3-large")
+
+  val DefaultKey = "nano"
+
+  /** T9: plan-build-time lookup (constant-folds into a literal). */
+  def resolveModel(key: String): String =
+    if (SupportedModels(key)) key
+    else ModelMap.getOrElse(key, ModelMap(DefaultKey))
+
+  /** W1+T8: rows → request records. `custom_id = "row_<n>"`, 1-based
+    * dense numbering in `order` (the reference numbers in write order,
+    * jsonl_formatter.py:169; Spark has no file order so the caller
+    * supplies a stable total order — SURVEY §7 decision).
+    *
+    * NOTE (scale): a single dense global numbering forces one window
+    * partition. Fine for batches up to ~10M rows (the Batch API caps
+    * requests far below that); for larger fan-outs use
+    * [[requestsPartitioned]] which numbers within partitions.
+    */
+  def requests(df: DataFrame, textCol: Column, idCol: Option[Column],
+               orderCol: Column, modelKey: String = DefaultKey): DataFrame = {
+    val rn = row_number().over(Window.orderBy(orderCol.asc))
+    val customId = concat(lit("row_"), rn.cast(StringType))
+    df.select(customId.as("custom_id"), textCol.as("__text"),
+        idCol.getOrElse(lit(null).cast(StringType)).cast(StringType).as("__user"))
+      .select(
+        col("custom_id"),
+        lit("POST").as("method"),
+        lit("/v1/chat/completions").as("url"),
+        struct(
+          array(
+            struct(lit("system").as("role"), lit(SystemPrompt).as("content")),
+            struct(lit("user").as("role"), col("__text").as("content"))
+          ).as("messages"),
+          lit(resolveModel(modelKey)).as("model"),
+          col("__user").as("user")
+        ).as("body"))
+  }
+
+  /** Scale-path numbering: `custom_id = "p<partition>_<n>"` — unique,
+    * ≤64 chars, no global sort/single-partition window. Deterministic
+    * when the input partitioning is (repartitionByRange on the order
+    * column makes it so).
+    */
+  def requestsPartitioned(df: DataFrame, textCol: Column, idCol: Option[Column],
+                          orderCol: Column, modelKey: String = DefaultKey): DataFrame = {
+    val w = Window.partitionBy(spark_partition_id()).orderBy(orderCol.asc)
+    val customId = concat(lit("p"), spark_partition_id().cast(StringType),
+      lit("_"), row_number().over(w).cast(StringType))
+    df.select(customId.as("custom_id"), textCol.as("__text"),
+        idCol.getOrElse(lit(null).cast(StringType)).cast(StringType).as("__user"))
+      .select(
+        col("custom_id"), lit("POST").as("method"),
+        lit("/v1/chat/completions").as("url"),
+        struct(
+          array(
+            struct(lit("system").as("role"), lit(SystemPrompt).as("content")),
+            struct(lit("user").as("role"), col("__text").as("content"))
+          ).as("messages"),
+          lit(resolveModel(modelKey)).as("model"),
+          col("__user").as("user")
+        ).as("body"))
+  }
+
+  /** SNK1: request records → one compact JSON string per row.
+    * `to_json` omits NULL fields, matching the reference's conditional
+    * `user` field (jsonl_formatter.py:170-172).
+    */
+  def toJsonLines(requests: DataFrame): DataFrame =
+    requests.select(to_json(struct(requests.columns.map(col): _*)).as("value"))
+
+  /** Write as JSONL (text sink, one doc per line). Returns the row
+    * count (the reference returns `(path, written)`:
+    * jsonl_formatter.py:77).
+    */
+  def writeJsonl(requests: DataFrame, path: String): Long = {
+    val lines = toJsonLines(requests).cache()
+    val n = lines.count()
+    lines.write.mode("overwrite").text(path)
+    lines.unpersist()
+    n
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `array<float>` embedding column
+  * (north-star operator E2, SURVEY.md §2.9).
+  *
+  * All scalar math is expression-level (`zip_with` + `aggregate` with a
+  * DOUBLE accumulator in array-index order → deterministic, codegen'd,
+  * no UDF). Two physical strategies:
+  *
+  *   - brute force: scan + score + `TakeOrderedAndProject` (orderBy +
+  *     limit). Correct baseline; O(N·d) per query — fine when the
+  *     corpus side is scanned once per small query set.
+  *   - LSH (random hyperplane / SRP): a fixed, seed-deterministic set of
+  *     hyperplanes maps each vector to a signature; candidates share a
+  *     signature band with the query, then exact re-rank within the
+  *     bucket. At 100 TB the bucket join replaces the full scan, and the
+  *     signature groupBy partitions the corpus so each probe touches a
+  *     few partitions instead of all of them.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ accumulated in DOUBLE in index order (deterministic).
+    * Native Catalyst expression ([[graft.functions.DotDouble]]) — the
+    * `aggregate(zip_with(...))` form it replaces is CodegenFallback
+    * (interpreted per element) and allocates the product array.
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayExprs.dotDouble(a, b)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force top-k by cosine against one stored query vector
+    * (`queryId` row of the same table). The query embedding is a
+    * one-row broadcast — never a shuffle of the corpus.
+    * Output: (vec_id, score) with `score` rounded for stable ordering;
+    * ties broken by vec_id.
+    */
+  def topKByCosine(embeddings: DataFrame, queryId: Long, k: Int,
+                   roundTo: Int = 6): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Seed-deterministic random hyperplanes (plan-build constants). */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** SRP signature: one bit per hyperplane (sign of the projection),
+    * packed into a LongType column. bits must be <= 63.
+    */
+  def srpSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = dot(vec, typedLit(p))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via LSH bucketing: candidates = vectors sharing at least one
+    * signature *band* with the query (multi-band OR-amplification),
+    * exactly re-ranked by cosine. `bits` total sign bits split into
+    * `bands` bands. Scale path: the corpus is exploded to (band,
+    * bandKey) — a linear-size index that a 1000-executor cluster
+    * shuffles once and reuses; each query touches only its buckets.
+    */
+  def annTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              dim: Int = 64, bits: Int = 16, bands: Int = 4,
+              seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val planes = hyperplanes(dim, bits, seed)
+    val width = bits / bands
+    val sig = srpSignature(col("embedding"), planes)
+
+    def bandKeys(sigCol: Column): Column = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sigCol, b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }: _*)
+
+    val corpus = embeddings.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), explode(bandKeys(sig)).as("bk"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), explode(bandKeys(sig)).as("bk"))
+
+    corpus.join(broadcast(q), corpus("bk") === q("bk"))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
+      .groupBy(col("vec_id")).agg(max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking column
+    * (e.g. a coarse cluster/label/LSH band). Blocking bounds the
+    * quadratic pair space — the all-pairs crossJoin is intentionally
+    * not offered.
+    */
+  def nearDupPairs(embeddings: DataFrame, blockCol: Column,
+                   threshold: Double, roundTo: Int = 6): DataFrame = {
+    val a = embeddings.select(blockCol.as("blk"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = embeddings.select(blockCol.as("blk"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("emb_a"), col("emb_b")), roundTo))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star operator E3,
+  * SURVEY.md §2.9): tokenization, token counting, language-ID
+  * heuristic, quality scoring, and rolling-hash fingerprinting.
+  * Everything is expression-level (codegen'd); no UDFs.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (single-space corpus convention of the
+    * `documents` table; use [[tokensWs]] for arbitrary whitespace).
+    */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokensWs(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or a
+    * single other non-space char — a cheap, deterministic proxy for a
+    * real tokenizer's token count (useful for budget estimation).
+    */
+  def bpeishCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Language marker vocabularies for the n-gram/stopword heuristic.
+    * Tiny on purpose: the heuristic is the operator; the word lists are
+    * a swappable parameter.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "fr" -> Seq("le", "la", "et", "les", "de"),
+    "es" -> Seq("el", "la", "y", "los", "de"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Count of tokens that appear in `markers` (with duplicates —
+    * `filter` not `array_intersect`, which would dedup).
+    */
+  def markerCount(words: Column, markers: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(markers))).cast("long")
+
+  /** Language-ID: argmax of marker counts; deterministic tie-break =
+    * first language in [[LangMarkers]] order reaching the max; all-zero
+    * → "und" (undetermined).
+    */
+  def langId(textCol: Column): Column = {
+    val w = tokens(lower(textCol))
+    val counts = LangMarkers.map { case (lang, m) => lang -> markerCount(w, m) }
+    val best = greatest(counts.map(_._2): _*)
+    // foldRight nests later languages inside, so the first language in
+    // LangMarkers order is tested first → deterministic tie-break.
+    counts.foldRight(lit("und")) { case ((lang, cnt), rest) =>
+      when(cnt === best && best > 0, lit(lang)).otherwise(rest)
+    }
+  }
+
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[\\p{Punct}]"))).cast("long")
+
+  /** Quality score in [0,1]: length saturation, punctuation sanity,
+    * stopword-ratio band — the standard cheap pre-filter for LLM
+    * training corpora. Deterministic DOUBLE. NOT rounded: the raw
+    * IEEE result is bit-identical across engines evaluating the same
+    * expression order, whereas decimal rounding of near-boundary
+    * doubles is engine-dependent (multiply-vs-BigDecimal rounding).
+    */
+  def qualityScore(textCol: Column): Column = {
+    val nTok = tokenCount(textCol).cast("double")
+    val nChar = length(textCol).cast("double")
+    val lengthPart = least(nTok / lit(64.0), lit(1.0)) * lit(0.4)
+    val punctRatio = punctCount(textCol).cast("double") / greatest(nChar, lit(1.0))
+    val punctPart = (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.3)
+    val stopRatio = markerCount(tokens(lower(textCol)), LangMarkers.head._2)
+      .cast("double") / greatest(nTok, lit(1.0))
+    val stopPart = least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3)
+    lengthPart + punctPart + stopPart
+  }
+
+  /** Rolling polynomial fingerprint over per-token codes
+    * (`ascii(first char) * length` — engine-portable and cheap), folded
+    * left with multiplier 1000003 mod (2^31−1). A document-level
+    * content fingerprint: stable under storage/partitioning, cheap to
+    * compare, usable as a shard key for dedup at scale.
+    */
+  def fingerprint(textCol: Column): Column = {
+    val codes = transform(tokens(textCol),
+      w => (ascii(w) * length(w)).cast("long"))
+    aggregate(codes, lit(0L),
+      (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L)))
+  }
+
+  /** Word n-gram shingles as strings; short docs (<n tokens) produce a
+    * single whole-text shingle so every doc has ≥1.
+    */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val w = tokens(textCol)
+    when(size(w) < n, array(concat_ws(" ", w)))
+      .otherwise(transform(
+        sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Exact n-gram Jaccard similarity between two token-set columns
+    * (distinct semantics on both sides).
+    */
+  def jaccard(aSet: Column, bSet: Column): Column =
+    size(array_intersect(aSet, bSet)).cast("double") /
+      size(array_distinct(concat(aSet, bSet))).cast("double")
+
+  /** N-gram-Jaccard near-dup candidate pairs, blocked to bound the
+    * pair space (see MinHash for the unblocked scale path). Blocks on
+    * (lang, token-count, first token): near-identical docs agree on all
+    * three, and bucket sizes stay tiny at any corpus size.
+    */
+  def jaccardPairs(docs: DataFrame, textCol: Column, idCol: Column,
+                   langCol: Column, threshold: Double): DataFrame = {
+    val prepared = docs.select(
+      idCol.as("id"), langCol.as("lang"),
+      tokenCount(textCol).as("ntok"),
+      element_at(tokens(textCol), 1).as("tok1"),
+      array_distinct(tokens(textCol)).as("wset"))
+    val a = prepared.toDF("id_a", "lang", "ntok", "tok1", "wset_a")
+    val b = prepared.toDF("id_b", "lang", "ntok", "tok1", "wset_b")
+    a.join(b, Seq("lang", "ntok", "tok1"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac", jaccard(col("wset_a"), col("wset_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+}

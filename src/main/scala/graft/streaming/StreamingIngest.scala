@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming twin of the ingest slice (SURVEY.md §7 step 4):
+  * the reference's high-water-mark incremental loop
+  * (batch/main.py:69-84,168-225) IS a streaming watermark — `readStream`
+  * + `withWatermark` + `dropDuplicatesWithinWatermark` replaces the
+  * advisory JSON file with checkpointed state that scales to a real
+  * cluster.
+  *
+  * Capability demo (not oracle-checked): driven synchronously in tests
+  * with a memory sink + `processAllAvailable()`.
+  */
+object StreamingIngest {
+
+  /** Raw parquet schema: the events table stores TIMESTAMP(NANOS)
+    * which Spark reads as a nanos long (see [[graft.Tables.events]]).
+    */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a parquet directory of events; `ts` is
+    * converted to a microsecond TimestampType.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventsSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Incremental dedup: event-time watermark bounds the dedup state
+    * (the streaming D2 — state is evicted once the watermark passes,
+    * so it never grows unboundedly like the reference's in-memory set).
+    */
+  def dedupedStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Windowed aggregation with late-data handling: per event_type
+    * counts and value sums over tumbling 1-hour event-time windows.
+    */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Run a streaming frame to completion against a named memory sink;
+    * returns the materialized result. Test/driver harness only.
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  outputMode: String = "append"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's t2 correctness gate: run each
+oracle SQL from Verify's oracle_sql.json in DuckDB over the same
+parquet tables, and compare with the Spark result parquet
+(columns sorted by name, rows in output order, values stringified).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # shortest repr == bit-exact comparison
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def table_of(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(norm(r[i]) for i in order) for r in rows]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            o = con.sql(sql)
+            o_cols = [c.lower() for c in o.columns]
+            o_rows = o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            fail += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            fail += 1
+            continue
+        s = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        s_cols = [c.lower() for c in s.columns]
+        s_rows = s.fetchall()
+        if sorted(o_cols) != sorted(s_cols):
+            print(f"FAIL {name}: cols oracle={sorted(o_cols)} spark={sorted(s_cols)}")
+            fail += 1
+            continue
+        ot, st = table_of(o_rows, o_cols), table_of(s_rows, s_cols)
+        if len(ot) != len(st):
+            print(f"FAIL {name}: rows oracle={len(ot)} spark={len(st)}")
+            fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(ot, st)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(ot)} rows differ; first row {i}:")
+            print(f"  oracle: {a}\n  spark : {b}")
+            fail += 1
+        else:
+            print(f"OK   {name} ({len(ot)} rows)")
+            ok += 1
+    # rows-only check for oracle-less queries
+    import os
+    declared = set(oracle)
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("q_") and d not in declared:
+            files = glob.glob(f"{out_dir}/{d}/*.parquet")
+            n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+            print(f"{'OK  ' if n > 0 else 'WARN'} {d} rows-only ({n} rows)")
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
