@@ -83,11 +83,16 @@ object Payload {
     */
   def requestsPartitioned(df: DataFrame, textCol: Column, idCol: Option[Column],
                           orderCol: Column, modelKey: String = DefaultKey): DataFrame = {
-    val w = Window.partitionBy(spark_partition_id()).orderBy(orderCol.asc)
-    val customId = concat(lit("p"), spark_partition_id().cast(StringType),
+    // materialize the partition id BEFORE the window shuffle —
+    // spark_partition_id() inside partitionBy would be re-evaluated on
+    // the post-shuffle partitioning and collide
+    val withPid = df.select(textCol.as("__text"),
+      idCol.getOrElse(lit(null).cast(StringType)).cast(StringType).as("__user"),
+      orderCol.as("__ord"), spark_partition_id().as("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__ord").asc)
+    val customId = concat(lit("p"), col("__pid").cast(StringType),
       lit("_"), row_number().over(w).cast(StringType))
-    df.select(customId.as("custom_id"), textCol.as("__text"),
-        idCol.getOrElse(lit(null).cast(StringType)).cast(StringType).as("__user"))
+    withPid.select(customId.as("custom_id"), col("__text"), col("__user"))
       .select(
         col("custom_id"), lit("POST").as("method"),
         lit("/v1/chat/completions").as("url"),

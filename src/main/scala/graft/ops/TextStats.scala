@@ -58,8 +58,9 @@ object TextStats {
     }
   }
 
+  /** Punctuation defined engine-portably as non-alnum-non-space. */
   def punctCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[\\p{Punct}]"))).cast("long")
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   /** Quality score in [0,1]: length saturation, punctuation sanity,
     * stopword-ratio band — the standard cheap pre-filter for LLM

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** D1/D2: priority key namespaces, first-wins determinism, keyless
+  * rows kept (batch/dynamo_fetcher.py:332-360).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("url key beats id key; lower-cased and trimmed") {
+    val df = Seq(
+      (1L, "https://EX.com/1 ", "a"),
+      (2L, "https://ex.com/1", "b"),
+      (3L, null, "c")).toDF("id", "url", "x")
+    val out = Dedup.dedupItems(df, col("id")).orderBy("id")
+    // rows 1,2 share url key (case/trim-normalized) -> first (id=1) wins;
+    // row 3 falls back to id key -> kept
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 3L))
+  }
+  test("keyless rows are never deduplicated") {
+    val df = Seq((10, "a"), (20, "a")).toDF("other", "payload")
+    assert(Dedup.dedupItems(df, col("other")).count() == 2)
+  }
+  test("first-wins is deterministic on the order column") {
+    val df = Seq((5L, "k"), (1L, "k"), (3L, "k")).toDF("id", "url")
+    val kept = Dedup.dedupItems(df, col("id")).select("id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L))
+  }
+  test("dedup is idempotent") {
+    val df = Seq((1L, "u"), (2L, "u"), (3L, "v")).toDF("id", "url")
+    val once = Dedup.dedupItems(df, col("id"))
+    val twice = Dedup.dedupItems(once, col("id"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+  test("exact text dedup groups count duplicates and keep min id") {
+    val df = Seq((1L, "Hello "), (2L, "hello"), (3L, "world"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactTextGroups(df, col("text"), col("doc_id"))
+      .orderBy("keep_id").collect()
+    assert(g.length == 2)
+    assert(g(0).getLong(1) == 1L && g(0).getLong(2) == 2L) // hello x2
+  }
+  test("exact text dedup filter keeps one row per normalized text") {
+    val df = Seq((1L, "A"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val kept = Dedup.exactTextDedup(df, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** E1-near: MinHash+LSH and SimHash detection of planted duplicates. */
+class NearDupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base),                                     // exact dup of 1
+    (3L, base.replace("quick", "swift")),           // near dup of 1
+    (4L, "completely different words about spark catalyst optimizer plans"),
+    (5L, "another unrelated document mentioning embeddings and vectors only"))
+    .toDF("doc_id", "text")
+
+  test("MinHash+LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = MinHash.nearDupPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+  test("MinHash signature is deterministic across evaluations") {
+    val sig = MinHash.signature(TextStats.shingles(col("text"), 2), 16)
+    val a = docs.select(sig).collect().map(_.getSeq[Long](0))
+    val b = docs.select(sig).collect().map(_.getSeq[Long](0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+  test("SimHash: identical texts at distance 0, near dups close, unrelated far") {
+    val sigs = SimHash.signatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(d(1, 2) == 0)
+    assert(d(1, 3) < d(1, 4))
+  }
+  test("SimHash chunk join surfaces the exact-dup pair at distance 0") {
+    val pairs = SimHash.nearDupPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+}

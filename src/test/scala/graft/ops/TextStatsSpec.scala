@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** E3: token counts, lang-id, quality, fingerprint, shingles, jaccard. */
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("whitespace and BPE-ish token counts") {
+    val df = Seq("hello world 42 foo-bar").toDF("t")
+    val r = df.select(
+      TextStats.tokenCount(col("t")),
+      TextStats.bpeishCount(col("t"))).collect()(0)
+    assert(r.getLong(0) == 4)
+    // hello, world, 42, foo, -, bar
+    assert(r.getLong(1) == 6)
+  }
+  test("lang-id picks the language with most marker hits; und when none") {
+    val df = Seq(
+      "the cat and the dog of the town",
+      "le chat et les chiens de la ville",
+      "xyzzy plugh").toDF("t")
+    val got = df.select(TextStats.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "und"))
+  }
+  test("marker counting keeps duplicates (filter, not intersect)") {
+    val df = Seq("the the the").toDF("t")
+    val n = df.select(TextStats.markerCount(TextStats.tokens(col("t")),
+      TextStats.LangMarkers.head._2)).collect()(0).getLong(0)
+    assert(n == 3)
+  }
+  test("quality score is in [0,1] and favors clean prose") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running to the end of the field",
+      "!!! ??? *** ### $$$").toDF("t")
+    val s = df.select(TextStats.qualityScore(col("t"))).as[Double].collect()
+    assert(s.forall(x => x >= 0.0 && x <= 1.0))
+    assert(s(0) > s(1))
+  }
+  test("fingerprint is stable and order-sensitive") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("t")
+    val fps = df.select(TextStats.fingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+  test("shingles: n-grams, or whole text when shorter than n") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val sh = df.select(TextStats.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("a b"))
+  }
+  test("jaccard of identical sets is 1, disjoint is 0") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b"))).toDF("x", "y")
+    val j = df.select(TextStats.jaccard(col("x"), col("y"))).as[Double].collect()
+    assert(j(0) == 1.0 && j(1) == 0.0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Structured-Streaming twin of the ingest slice (SURVEY §7 step 4). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def eventsDir = {
+    // copy sf0.001 events into a dir (streaming sources read directories)
+    val dir = java.nio.file.Files.createTempDirectory("stream_events").toString
+    Tables.events(spark, SparkTestSession.Sf).write.mode("overwrite")
+      .parquet(dir)
+    dir
+  }
+
+  test("streaming dedup passes every unique event exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("se").toString
+    // write events twice -> duplicates across files
+    val ev = Tables.events(spark, SparkTestSession.Sf).limit(200).cache()
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val raw = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(
+        StreamingIngest.EventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+          else f)))
+      .parquet(dir)
+    val deduped = StreamingIngest.dedupedStream(raw)
+    val out = StreamingIngest.runToMemory(spark, deduped, "dedup_out")
+    assert(out.count() == 200)
+    ev.unpersist()
+  }
+
+  test("windowed counts aggregate by event-time hour") {
+    val dir = eventsDir
+    val raw = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(
+        StreamingIngest.EventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+          else f)))
+      .parquet(dir)
+    val agg = StreamingIngest.windowedCounts(raw)
+    val out = StreamingIngest.runToMemory(spark, agg, "win_out",
+      outputMode = "append")
+    // append mode emits only closed windows; with watermark 1h over a
+    // 30-day batch, all but the last window close
+    assert(out.count() > 0)
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total > 0 && total <= 1000)
+  }
+}
