@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints the formatted physical plan for each query
+  * (or a named subset) so scan pruning / pushdown / join strategy /
+  * codegen spans can be reviewed. Usage:
+  *   runMain graft.Explain <sfDir> [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        println(s"\n===== $n =====")
+        fn(spark, sfDir).explain("formatted")
+      }
+    }
+    spark.stop()
+  }
+}

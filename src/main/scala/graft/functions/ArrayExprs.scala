@@ -93,7 +93,26 @@ object kernels {
     }
     acc
   }
+
+  /** One-pass word n-gram shingling (see [[Shingles]]). */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
+
 
 /** 64-bit SimHash of an array<string> column (tokens/shingles). */
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -148,7 +167,25 @@ object ArrayExprs {
     Shim.column(SimHash64(Shim.expression(tokens)))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     Shim.column(MinHashSig(Shim.expression(shingles), as, bs))
+  def shingles(text: Column, n: Int): Column =
+    Shim.column(Shingles(Shim.expression(text), n))
   def dotDouble(a: Column, b: Column): Column =
     Shim.column(DotDouble(
       Shim.expression(a), Shim.expression(b)))
+}
+
+/** Word n-gram shingles of a single-space-tokenized string: one pass,
+  * no regex, no intermediate arrays. Short docs (< n tokens) produce a
+  * single whole-text shingle. Matches the declarative
+  * `transform(sequence(...), slice(split(...)))` form it replaces.
+  */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    kernels.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
 }

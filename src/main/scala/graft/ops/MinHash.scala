@@ -42,17 +42,23 @@ object MinHash {
     graft.functions.ArrayExprs.minhashSig(shinglesCol, as.toArray, bs.toArray)
   }
 
-  /** (doc, band, bandHash) index rows — the LSH buckets. */
+  /** (doc, band, bandHash) index rows — the LSH buckets. The band
+    * array is statically unrolled (`array(...)` of codegen'd
+    * hash/slice) rather than `transform(sequence(...))`, which is
+    * CodegenFallback and would re-evaluate the signature per band.
+    */
   def bandedIndex(docs: DataFrame, idCol: Column, textCol: Column,
                   shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                   seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val sig = signature(TextStats.shingles(textCol, shingleN), k, seed)
+    val bandHashes = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+    }: _*)
     docs.select(idCol.as("id"), sig.as("sig"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+      .select(col("id"), explode(bandHashes).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
   }
 
   /** Candidate near-dup pairs (id_a < id_b), deduplicated across bands. */

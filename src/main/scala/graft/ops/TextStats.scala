@@ -95,15 +95,13 @@ object TextStats {
   }
 
   /** Word n-gram shingles as strings; short docs (<n tokens) produce a
-    * single whole-text shingle so every doc has ≥1.
+    * single whole-text shingle so every doc has ≥1. Native one-pass
+    * expression ([[graft.functions.Shingles]]) — the declarative
+    * `transform(sequence(...), slice(split(...)))` form is
+    * CodegenFallback and re-splits the text per shingle.
     */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val w = tokens(textCol)
-    when(size(w) < n, array(concat_ws(" ", w)))
-      .otherwise(transform(
-        sequence(lit(1), size(w) - lit(n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-  }
+  def shingles(textCol: Column, n: Int = 3): Column =
+    graft.functions.ArrayExprs.shingles(textCol, n)
 
   /** Exact n-gram Jaccard similarity between two token-set columns
     * (distinct semantics on both sides).
