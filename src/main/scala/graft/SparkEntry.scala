@@ -297,6 +297,46 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy(col("window_start"))),
 
+    // gap-based sessionization (lag -> flag -> running sum; one
+    // shuffle on user_id)
+    "q_sessionize" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_epoch", tsEpochSec)
+      Sessionize.sessions(e, col("user_id"), col("ts_epoch"),
+        gapSeconds = 3600L, tieBreak = col("event_id"))
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy(col("event_id"))
+    }),
+
+    // rollup: hierarchical subtotals (decimal-routed sums)
+    "q_rollup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.rollup(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // semi/anti joins (EXISTS / NOT EXISTS)
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // star-schema join: broadcast dims, single shuffle on the fact
     "q_star_join" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -331,6 +371,10 @@ object SparkEntry {
     // E2 scale path: LSH-bucketed approximate top-k
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), queryId = 0L, k = 20)),
+
+    // E2 scale path: IVF cell-probed approximate top-k
+    "q_ivf_ann" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0L, k = 20)),
 
     // X6: per-row LLM call via mapPartitions (deterministic stub —
     // zero-egress environment)
@@ -535,6 +579,33 @@ object SparkEntry {
         "count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+
+    "q_sessionize" ->
+      ("WITH e AS (SELECT event_id, user_id, " +
+        "epoch(date_trunc('second', ts))::BIGINT AS t FROM events), " +
+        "g AS (SELECT event_id, user_id, t, " +
+        "lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e) " +
+        "SELECT event_id, user_id, " +
+        "sum(CASE WHEN prev IS NULL OR t - prev > 3600 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +
+        "FROM g ORDER BY event_id"),
+
+    "q_rollup" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, " +
+        "COALESCE(l_linestatus, 'ALL') AS ls, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS cnt FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls"),
+
+    "q_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders) ORDER BY c_custkey"),
+
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "ORDER BY c_custkey"),
 
     "q_star_join" ->
       ("SELECT n_name, count(*) AS n_orders, " +

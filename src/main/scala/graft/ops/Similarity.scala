@@ -101,6 +101,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN — the second scale path besides SRP-LSH: the corpus
+    * is partitioned into cells by nearest centroid; a query probes only
+    * its `nProbe` closest cells. The cell column doubles as a physical
+    * partitioning key at scale (`repartition(col("cell"))` co-locates
+    * each cell), so a probe touches a bounded slice of a 100 TB corpus.
+    *
+    * Centroids here are seed vectors taken deterministically from the
+    * data (ids < nCentroids); production would plug sampled k-means
+    * centroids into the same API — assignment and probing are
+    * unchanged.
+    */
+  def ivfCentroids(embeddings: DataFrame, nCentroids: Int): Array[Seq[Double]] =
+    embeddings.filter(col("vec_id") < nCentroids)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+
+  /** Cell assignment: argmax of cosine against the (small, broadcast-
+    * as-literals) centroid set. Statically unrolled → codegen'd.
+    */
+  def ivfCell(vec: Column, centroids: Array[Seq[Double]]): Column = {
+    val scores = array(centroids.map(c => cosine(vec, typedLit(c))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              roundTo: Int = 6): DataFrame = {
+    val cents = ivfCentroids(embeddings, nCentroids)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble)
+    val probeCells = cents.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(q).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(c.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum)
+      (i, dot / n)
+    }.sortBy(-_._2).take(nProbe).map(_._1)
+    embeddings.filter(col("vec_id") =!= queryId)
+      .withColumn("cell", ivfCell(col("embedding"), cents))
+      .filter(col("cell").isin(probeCells: _*))
+      .join(broadcast(embeddings.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q_emb"))))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column
     * (e.g. a coarse cluster/label/LSH band). Blocking bounds the
     * quadratic pair space — the all-pairs crossJoin is intentionally
