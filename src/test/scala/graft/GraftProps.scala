@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.ops._
+
+/** Property-based invariants (SURVEY §5.3). Runs under sbt's native
+  * ScalaCheck support alongside the ScalaTest suites.
+  */
+object GraftProps extends Properties("graft") {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- flexTsEpoch round-trips ----
+
+  private val epochGen = Gen.choose(0L, 4102444800L) // 1970..2100
+
+  property("ts: epoch-seconds string round-trips") = forAll(epochGen) { e =>
+    val got = Seq(e.toString).toDF("v")
+      .select(Timestamps.flexTsEpoch(col("v"))).as[Long].head()
+    got == e
+  }
+
+  property("ts: epoch-millis string round-trips (heuristic)") =
+    forAll(Gen.choose(1100000000000L, 4102444800000L)) { ms =>
+      val got = Seq(ms.toString).toDF("v")
+        .select(Timestamps.flexTsEpoch(col("v"))).as[Long].head()
+      got == ms / 1000
+    }
+
+  property("ts: ISO-Z rendering round-trips") = forAll(epochGen) { e =>
+    val iso = java.time.Instant.ofEpochSecond(e).toString // ...Z
+    val got = Seq(iso).toDF("v")
+      .select(Timestamps.flexTsEpoch(col("v"))).as[Long].head()
+    got == e
+  }
+
+  // ---- loosenJson never breaks valid (compact, benign-string) JSON ----
+
+  private val safeStr = Gen.alphaNumStr.map(_.take(12))
+  private val scalarGen: Gen[String] = Gen.oneOf(
+    Gen.choose(-1000000, 1000000).map(_.toString),
+    safeStr.map("\"" + _ + "\""),
+    Gen.oneOf("true", "false", "null"))
+  private val jsonGen: Gen[String] = for {
+    n <- Gen.choose(0, 5)
+    keys <- Gen.listOfN(n, safeStr)
+    vals <- Gen.listOfN(n, Gen.oneOf(scalarGen,
+      Gen.listOf(scalarGen).map(_.take(4).mkString("[", ",", "]"))))
+  } yield keys.distinct.zip(vals)
+    .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  property("loosenJson is identity on already-valid compact JSON") =
+    forAll(jsonGen) { j =>
+      val got = Seq(j).toDF("v").select(Parse.loosenJson(col("v")))
+        .as[String].head()
+      got == j
+    }
+
+  // ---- dedup idempotence + first-wins ----
+
+  // generate only url choices; derive unique ids inside the property so
+  // scalacheck shrinking cannot leave the generator's domain
+  private val rowsGen = Gen.nonEmptyListOf(Gen.choose(0, 4))
+
+  property("dedup is idempotent and keeps min order key per url") =
+    forAll(rowsGen) { picks =>
+      val urls = Array("a", "b", "c", "d", "e")
+      val rows = picks.take(30).zipWithIndex
+        .map { case (u, i) => ((i + 1).toLong, urls(math.abs(u) % 5)) }
+      val df = rows.toDF("id", "url")
+      val once = Dedup.dedupItems(df, col("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val twice = Dedup.dedupItems(Dedup.dedupItems(df, col("id")), col("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val expected = rows.groupBy(_._2)
+        .map { case (u, rs) => (rs.map(_._1).min, u) }.toSet
+      once == twice && once == expected
+    }
+
+  // ---- watermark monotonicity ----
+
+  property("watermark: re-filter at advanced mark yields empty") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 100000L))) { ts =>
+      val df = ts.toDF("t")
+      val mark = Watermark.advance(df, col("t"))
+      Watermark.filterNew(df, col("t"), mark).count() == 0
+    }
+
+  // ---- similarity invariants ----
+
+  private val vecGen = Gen.listOfN(8, Gen.choose(-100, 100).map(_ / 10.0f))
+
+  property("jaccard within [0,1], symmetric") =
+    forAll(Gen.listOf(safeStr).map(_.take(8)), Gen.listOf(safeStr).map(_.take(8))) {
+      (a, b) =>
+        val row = Seq((a.distinct, b.distinct)).toDF("x", "y").select(
+          TextStats.jaccard(col("x"), col("y")),
+          TextStats.jaccard(col("y"), col("x"))).collect()(0)
+        if (row.isNullAt(0) || row.isNullAt(1))
+          row.isNullAt(0) && row.isNullAt(1) // 0/0 on empty union, both sides
+        else {
+          val (j1, j2) = (row.getDouble(0), row.getDouble(1))
+          j1 == j2 && j1 >= 0.0 && j1 <= 1.0
+        }
+    }
+
+  property("simhash self-distance is 0; cosine(v,v) ≈ 1") =
+    forAll(vecGen, Gen.nonEmptyListOf(safeStr).map(_.take(10))) { (v, words) =>
+      val df = Seq((words, v.toArray, v.toArray)).toDF("w", "a", "b")
+      val row = df.select(
+        SimHash.hamming(SimHash.simhash(col("w")), SimHash.simhash(col("w"))),
+        Similarity.cosine(col("a"), col("b"))).collect()(0)
+      val normOk = v.forall(_ == 0.0f) || math.abs(row.getDouble(1) - 1.0) < 1e-9
+      row.getLong(0) == 0L && normOk
+    }
+}
