@@ -77,6 +77,24 @@ object Orchestrator {
   def parseOutputs(spark: SparkSession, pathOrGlob: String): DataFrame =
     Parse.pipeline(spark.read.text(pathOrGlob))
 
+  /** SNK2 (status_checker.py:69-94): download an output file's bytes
+    * to `output/batch_output_<id>.jsonl`-style paths. Driver-side IO
+    * around the pipeline, never inside an operator.
+    */
+  def downloadOutput(client: BatchClient, fileId: String, destPath: String): Long = {
+    val bytes = client.download(fileId)
+    val p = java.nio.file.Paths.get(destPath)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, bytes)
+    bytes.length.toLong
+  }
+
+  /** SNK3 (parse.py:278-285): parsed records aggregated to a single
+    * JSON-lines file (one part, parents created by the committer).
+    */
+  def writeAggregated(parsed: DataFrame, path: String): Unit =
+    parsed.coalesce(1).write.mode("overwrite").json(path)
+
   /** X4 single-pass auto-resume over a bookkeeping frame: one probe
     * per pending batch; running batches stay pending for the next
     * tick.

@@ -18,6 +18,20 @@ object Ingest {
     *                 reference's scan order (SURVEY §7 determinism
     *                 decision).
     */
+  /** T6 (dynamo_fetcher.py:182-185): a non-positive look-back window
+    * short-circuits to an empty relation without touching the source —
+    * Catalyst prunes the scan entirely.
+    */
+  def runWindow(items: DataFrame, nowEpochSec: Long, hours: Double,
+                orderCol: Column, modelKey: String = Payload.DefaultKey,
+                watermark: Option[Long] = None): DataFrame =
+    if (hours <= 0)
+      run(items, Long.MaxValue, orderCol, modelKey, watermark)
+        .limit(0)
+    else
+      run(items, nowEpochSec - (hours * 3600).toLong, orderCol, modelKey,
+        watermark)
+
   def run(items: DataFrame, cutoffEpochSec: Long, orderCol: Column,
           modelKey: String = Payload.DefaultKey,
           watermark: Option[Long] = None): DataFrame = {

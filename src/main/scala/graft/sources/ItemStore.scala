@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 source modeling the reference's paginated row-store scan
+  * (SRC1, batch/dynamo_fetcher.py:281-364): a directory of JSONL
+  * files, each file one scan "page" → one Spark input partition, so a
+  * 1000-page store fans out to 1000 parallel readers instead of the
+  * reference's serial LastEvaluatedKey loop.
+  *
+  * Faithful semantics:
+  *   - schemaless items: every column surfaces as nullable string;
+  *     nested values re-serialize as compact JSON (T3 coercion rules
+  *     happen downstream in [[graft.ops.TextExtract]]);
+  *   - case-insensitive field resolution (T1): keys are matched
+  *     lower-cased, like the reference's lowered dict;
+  *   - malformed/blank lines skipped (SRC3's skip-and-warn);
+  *   - column pruning pushed into the reader (only requested fields
+  *     are materialized);
+  *   - filter pushdown deliberately limited to string equality and
+  *     IsNotNull — the reference REMOVED its server-side numeric
+  *     filter because the store couldn't compare numbers stored as
+  *     strings (dynamo_fetcher.py:23-36); this source reproduces that
+  *     caution in the capability interface: anything else stays a
+  *     post-scan Spark filter.
+  *
+  * Usage: `spark.read.format("graft.sources.ItemStore")
+  *   .option("path", dir).load()`.
+  */
+class ItemStore extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ItemStore.infer(options.get("path"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new ItemStoreTable(schema, properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object ItemStore {
+  private[sources] val mapper = new ObjectMapper()
+
+  /** Union of keys over a bounded sample (up to 100 parseable lines
+    * per page), lower-cased, first-seen order, all nullable strings —
+    * schema-on-read for schemaless items. Rows are free to carry any
+    * subset of the union (the reference discovers fields per row).
+    */
+  def infer(path: String): StructType = {
+    val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    pages(path).foreach { p =>
+      val stream = Files.lines(p, StandardCharsets.UTF_8)
+      try {
+        val it = stream.iterator()
+        var sampled = 0
+        while (it.hasNext && sampled < 100) {
+          val line = it.next().trim
+          if (line.nonEmpty) {
+            try {
+              val node = mapper.readTree(line)
+              if (node != null && node.isObject) {
+                node.fieldNames().asScala.foreach { k =>
+                  val lk = k.toLowerCase
+                  if (!fields.contains(lk))
+                    fields(lk) = StructField(lk, StringType, nullable = true)
+                }
+                sampled += 1
+              }
+            } catch { case _: Exception => () }
+          }
+        }
+      } finally stream.close()
+    }
+    StructType(fields.values.toSeq)
+  }
+
+  def pages(path: String): Seq[java.nio.file.Path] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) Seq(dir)
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".jsonl") || p.toString.endsWith(".json"))
+      .toSeq.sortBy(_.toString) // W2: sorted listing
+  }
+
+  private[sources] def render(node: JsonNode): String =
+    if (node == null || node.isNull) null
+    else if (node.isTextual) node.asText()
+    else node.toString // numbers as-is, nested as compact JSON
+}
+
+class ItemStoreTable(schema: StructType, path: String)
+  extends Table with SupportsRead {
+  override def name(): String = s"itemstore($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ItemStoreScanBuilder(schema, path)
+}
+
+class ItemStoreScanBuilder(fullSchema: StructType, path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept only what the store can answer reliably (see class doc)
+    val (ok, rest) = filters.partition {
+      case EqualTo(_, _: String) => true
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    pushed = ok
+    rest // everything else evaluated by Spark post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ItemStoreScan(required, pushed, path)
+}
+
+class ItemStoreScan(schema: StructType, filters: Array[Filter], path: String)
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    ItemStore.pages(path).map(p =>
+      ItemStorePartition(p.toString): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ItemStoreReaderFactory(schema, filters)
+}
+
+case class ItemStorePartition(file: String) extends InputPartition
+
+class ItemStoreReaderFactory(schema: StructType, filters: Array[Filter])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ItemStoreReader(schema, filters, p.asInstanceOf[ItemStorePartition].file)
+}
+
+class ItemStoreReader(schema: StructType, filters: Array[Filter], file: String)
+  extends PartitionReader[InternalRow] {
+  private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
+  private val it = lines.iterator()
+  private var current: InternalRow = _
+
+  private def matches(get: String => String): Boolean = filters.forall {
+    case EqualTo(a, v: String) => get(a.toLowerCase) == v
+    case IsNotNull(a) => get(a.toLowerCase) != null
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val line = it.next().trim
+      if (line.nonEmpty) {
+        try {
+          val node = ItemStore.mapper.readTree(line)
+          if (node != null && node.isObject) {
+            // T1: case-insensitive field map
+            val lowered = node.properties().asScala
+              .map(e => e.getKey.toLowerCase -> e.getValue).toMap
+            val get = (k: String) => ItemStore.render(lowered.getOrElse(k, null))
+            if (matches(get)) {
+              current = InternalRow.fromSeq(schema.fields.map { f =>
+                val v = get(f.name.toLowerCase)
+                if (v == null) null else UTF8String.fromString(v)
+              }.toSeq)
+              return true
+            }
+          }
+        } catch { case _: Exception => () } // SRC3 skip-and-warn
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

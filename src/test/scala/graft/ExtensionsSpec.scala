@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL registration of the native kernels + the DSv2 item-store
+  * source (SRC1 semantics: paging, pruning, limited pushdown,
+  * case-insensitive fields, malformed-line skip).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("kernels callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Seq(("a b c d", Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("t", "x", "y").createOrReplaceTempView("ext_in")
+    val row = spark.sql(
+      """SELECT simhash64(split(t, ' ')) AS sh,
+        |       size(shingles(t, 2)) AS nsh,
+        |       dot_double(x, y) AS d,
+        |       size(minhash_sig(shingles(t, 2), 8, 42)) AS k
+        |FROM ext_in""".stripMargin).collect()(0)
+    assert(row.getLong(0) != 0L)
+    assert(row.getInt(1) == 3)
+    assert(row.getDouble(2) == 11.0)
+    assert(row.getInt(3) == 8)
+  }
+
+  private def writePages(lines: Seq[Seq[String]]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("pages").toString
+    lines.zipWithIndex.foreach { case (page, i) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$dir/page_$i%03d.jsonl"),
+        page.mkString("", "\n", "\n"))
+    }
+    dir
+  }
+
+  test("item-store source: pages become partitions, schemaless strings") {
+    val dir = writePages(Seq(
+      Seq("""{"id":"a1","Timestamp":1716241234,"summary":"s1"}""",
+        "not json", ""),
+      Seq("""{"id":"a2","timestamp":"2025-05-19T21:20:00Z","extra":{"k":1}}""")))
+    val df = spark.read.format("graft.sources.ItemStore")
+      .option("path", dir).load()
+    assert(df.rdd.getNumPartitions == 2) // one per page
+    assert(df.count() == 2)              // malformed + blank skipped
+    val cols = df.columns.toSet
+    assert(cols.contains("id") && cols.contains("timestamp"))
+    // case-insensitive: Timestamp and timestamp unify; values stringify
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[String]("timestamp") == "1716241234")
+    assert(rows(1).getAs[String]("timestamp") == "2025-05-19T21:20:00Z")
+  }
+
+  test("item-store source: column pruning and string-equality pushdown") {
+    val dir = writePages(Seq(Seq(
+      """{"id":"a1","kind":"news","body":"x"}""",
+      """{"id":"a2","kind":"blog","body":"y"}""")))
+    val df = spark.read.format("graft.sources.ItemStore")
+      .option("path", dir).load()
+      .filter(col("kind") === "news").select("id")
+    assert(df.as[String].collect().toSeq == Seq("a1"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") || plan.contains("RowDataSourceScan")
+      || df.columns.sameElements(Array("id")))
+  }
+
+  test("item-store feeds the ingest pipeline end-to-end") {
+    val dir = writePages(Seq(Seq(
+      """{"id":"a1","timestamp":1716241234,"summary":"epoch row","url":"https://ex.com/1"}""",
+      """{"id":"a2","timestamp":"2025-05-19T21:20:00Z","content":"iso row"}""",
+      """{"id":"a3","timestamp":1716241300,"summary":"dup","url":"https://EX.com/1 "}""",
+      """{"id":"a4","timestamp":1716241234,"irrelevant":"no text"}""")))
+    val items = spark.read.format("graft.sources.ItemStore")
+      .option("path", dir).load()
+    val req = ops.Ingest.run(items, cutoffEpochSec = 1700000000L, col("id"))
+    // a3 dedups against a1 (same url, case/trim-insensitive); a4 has no
+    // usable text -> dropped; a1 + a2 survive
+    assert(req.count() == 2)
+  }
+
+  test("hours<=0 short-circuits to empty without reading") {
+    val items = Tables.events(spark, SparkTestSession.Sf)
+      .select(col("event_id").as("id"), col("ts").as("timestamp"),
+        col("props").as("summary"))
+    assert(ops.Ingest.runWindow(items, 1716241234L, 0, col("id")).count() == 0)
+  }
+}
