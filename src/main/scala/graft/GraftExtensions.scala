@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotDouble, MinHashSig, Shingles, SimHash64}
+import graft.functions.{DotDouble, JaccardSorted, MinHashSig, Shingles, SimHash64}
 import graft.ops.MinHash
 
 /** SQL surface for the native kernels: registers the custom Catalyst
@@ -24,7 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", name)
+    new ExpressionInfo("graft.functions", null, name, usage, "")
 
   /** (name, info, builder) triples shared by both registration paths. */
   val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -37,6 +37,8 @@ object GraftExtensions {
       }),
     ("dot_double", info("dot_double", "dot_double(a, b)"),
       (args: Seq[Expression]) => DotDouble(args.head, args(1))),
+    ("jaccard_sorted", info("jaccard_sorted", "jaccard_sorted(a_sorted_distinct, b_sorted_distinct)"),
+      (args: Seq[Expression]) => JaccardSorted(args.head, args(1))),
     ("minhash_sig", info("minhash_sig", "minhash_sig(shingles, k, seed)"),
       (args: Seq[Expression]) => {
         val k = args(1).eval().asInstanceOf[Number].intValue()

@@ -48,10 +48,14 @@ object SparkEntry {
     * (the response side drops every 7th row, simulating failures).
     */
   private def respondedEvents(s: SparkSession, dir: String): DataFrame =
+    // event_id is dense 0-based in the testdata, so the reference's
+    // "row_<write-order>" numbering is event_id + 1 — computed per-row,
+    // no single-partition window (oracle uses row_number OVER event_id;
+    // values are identical).
     events(s, dir)
       .select(col("event_id"), col("props"))
       .withColumn("custom_id",
-        concat(lit("row_"), row_number().over(Window.orderBy(col("event_id")))))
+        concat(lit("row_"), (col("event_id") + 1).cast(StringType)))
 
   // ---- the declared queries --------------------------------------------
 
@@ -102,10 +106,11 @@ object SparkEntry {
       Dedup.dedupItems(d, col("doc_id")).orderBy(col("doc_id"))
     }),
 
-    // T8+T9+W1: request-record projection (flattened for the oracle)
+    // T8+T9+W1: request-record projection (flattened for the oracle).
+    // doc_id is dense 0-based, so rank = doc_id + 1 — windowless W1.
     "q_payload_build" -> ((s, dir) => {
-      val req = Payload.requests(documents(s, dir), col("text"),
-        Some(col("doc_id")), col("doc_id"))
+      val req = Payload.requestsRanked(documents(s, dir), col("text"),
+        Some(col("doc_id")), col("doc_id") + 1)
       req.select(
         substring(col("custom_id"), 5, 18).cast(LongType).as("seq"),
         col("custom_id"), col("method"), col("url"),
@@ -217,6 +222,15 @@ object SparkEntry {
     "q_topk_sim" -> ((s, dir) =>
       Similarity.topKByCosine(Tables.embeddings(s, dir), queryId = 0L, k = 20)
         .orderBy(col("score").desc, col("vec_id"))),
+
+    // E2: brute-force batch top-k — corpus scanned once per query SET
+    "q_topk_sim_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.topKByCosineBatch(emb, queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // E2: embedding near-dup pairs (label-blocked)
     "q_embed_neardup" -> ((s, dir) =>
@@ -376,6 +390,24 @@ object SparkEntry {
     "q_ivf_ann" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0L, k = 20)),
 
+    // E2 scale path: batch-of-queries ANN — one corpus index pass,
+    // broadcast query set, per-query top-k (the right amortization
+    // when probing a 100 TB corpus with many queries at once)
+    "q_ann_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.annTopKBatch(emb, queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ivf_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopKBatch(emb, queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // X6: per-row LLM call via mapPartitions (deterministic stub —
     // zero-egress environment)
     "q_llm_stub" -> ((s, dir) =>
@@ -386,6 +418,15 @@ object SparkEntry {
         systemPrompt = Payload.SystemPrompt,
         clientFactory = () => new StubBatchClient)
         .orderBy(col("event_id"))),
+
+    // W1 scale path: per-partition custom_id numbering (p<pid>_<n>) —
+    // the Ingest.run default; uniqueness is what matters, not order
+    "q_payload_build_part" -> ((s, dir) => {
+      val req = Payload.requestsPartitioned(documents(s, dir), col("text"),
+        Some(col("doc_id")), col("doc_id"))
+      req.select(col("custom_id"), col("body.model").as("model"),
+        col("body.user").as("user_id"))
+    }),
 
     // E4: multimodal binary columns + stubbed decode features
     "q_multimodal" -> ((s, dir) =>
@@ -494,6 +535,21 @@ object SparkEntry {
         ", 6) AS score FROM embeddings b, q WHERE b.vec_id <> 0 " +
         "ORDER BY score DESC, vec_id LIMIT 20"),
 
+    "q_topk_sim_batch" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4) " +
+        "SELECT query_id, vec_id, score, rank FROM (" +
+        "SELECT q.query_id, b.vec_id, round(" +
+        "list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))" +
+        ", 6) AS score, row_number() OVER (PARTITION BY q.query_id ORDER BY round(" +
+        "list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))" +
+        ", 6) DESC, b.vec_id) AS rank " +
+        "FROM embeddings b, q WHERE b.vec_id <> q.query_id) t " +
+        "WHERE rank <= 10 ORDER BY query_id, rank"),
+
     "q_embed_neardup" ->
       ("WITH e AS (SELECT vec_id, label, embedding, " +
         "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm " +
@@ -586,9 +642,9 @@ object SparkEntry {
         "g AS (SELECT event_id, user_id, t, " +
         "lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e) " +
         "SELECT event_id, user_id, " +
-        "sum(CASE WHEN prev IS NULL OR t - prev > 3600 THEN 1 ELSE 0 END) " +
+        "CAST(sum(CASE WHEN prev IS NULL OR t - prev > 3600 THEN 1 ELSE 0 END) " +
         "OVER (PARTITION BY user_id ORDER BY t, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq " +
         "FROM g ORDER BY event_id"),
 
     "q_rollup" ->

@@ -17,6 +17,13 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** SRC2: list the session catalog's tables (reference
+    * `--list-tables`, main.py:624-634 — there a DynamoDB ListTables
+    * call; here the Spark catalog is the table store).
+    */
+  def listCatalogTables(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark
     * has no native type for: read nanos as long
     * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a

@@ -94,6 +94,87 @@ object kernels {
     acc
   }
 
+  /** Dot of a vector column against one pre-normalized centroid row. */
+  private def dotRow(v: ArrayData, c: Array[Double], isFloat: Boolean): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      acc += x * c(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Argmax over unit-normalized centroids of dot(vec, cᵢ) — equals
+    * argmax of cosine because |vec| is constant across candidates.
+    * First index wins ties (matches `array_position(scores,
+    * array_max(scores))`). One pass per centroid, zero allocation.
+    */
+  def argmaxCosine(vec: ArrayData, cents: Array[Array[Double]], isFloat: Boolean): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val s = dotRow(vec, cents(i), isFloat)
+      if (s > bestScore) { bestScore = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Top-`nProbe` centroid indices by cosine (unit-normalized
+    * centroids), descending score, lower index first on ties — the IVF
+    * probe list. Selection over a centroid count that is small by
+    * construction (≤ a few hundred).
+    */
+  def probeCells(vec: ArrayData, cents: Array[Array[Double]], isFloat: Boolean,
+                 nProbe: Int): ArrayData = {
+    val m = cents.length
+    val scores = new Array[Double](m)
+    var i = 0
+    while (i < m) { scores(i) = dotRow(vec, cents(i), isFloat); i += 1 }
+    val taken = new Array[Boolean](m)
+    val n = math.min(nProbe, m)
+    val out = new Array[Int](n)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < m) {
+        if (!taken(j) && scores(j) > bestScore) { bestScore = scores(j); best = j }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Jaccard of two DISTINCT, ASCENDING-SORTED string arrays: one merge
+    * pass, no intermediate arrays. Equals
+    * `size(array_intersect(a,b)) / size(array_distinct(concat(a,b)))`
+    * on distinct inputs.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** One-pass word n-gram shingling (see [[Shingles]]). */
   def shingles(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
@@ -161,8 +242,71 @@ case class DotDouble(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** IVF cell assignment: index of the centroid with max cosine.
+  * `cents` must be unit-normalized (the wrapper does this).
+  */
+case class ArgMaxCosine(child: Expression, cents: Array[Array[Double]])
+  extends UnaryExpression {
+  require(cents.nonEmpty)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    kernels.argmaxCosine(input.asInstanceOf[ArrayData], cents, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.argmaxCosine($c, $cRef, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxCosine =
+    copy(child = newChild)
+}
+
+/** IVF probe list: top-nProbe centroid indices by cosine. */
+case class ProbeCells(child: Expression, cents: Array[Array[Double]], nProbe: Int)
+  extends UnaryExpression {
+  require(cents.nonEmpty && nProbe >= 1)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    kernels.probeCells(input.asInstanceOf[ArrayData], cents, isFloat, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.probeCells($c, $cRef, $isFloat, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ProbeCells =
+    copy(child = newChild)
+}
+
+/** Merge-pass Jaccard over distinct sorted string arrays. */
+case class JaccardSorted(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.kernels.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API wrappers. */
 object ArrayExprs {
+  private def unitNorm(c: Array[Double]): Array[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) c else c.map(_ / n)
+  }
+  def argmaxCosine(vec: Column, centroids: Array[Array[Double]]): Column =
+    Shim.column(ArgMaxCosine(Shim.expression(vec), centroids.map(unitNorm)))
+  def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    Shim.column(ProbeCells(Shim.expression(vec), centroids.map(unitNorm), nProbe))
+  def jaccardSorted(a: Column, b: Column): Column =
+    Shim.column(JaccardSorted(Shim.expression(a), Shim.expression(b)))
   def simhash64(tokens: Column): Column =
     Shim.column(SimHash64(Shim.expression(tokens)))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =

@@ -24,27 +24,42 @@ object Ingest {
     */
   def runWindow(items: DataFrame, nowEpochSec: Long, hours: Double,
                 orderCol: Column, modelKey: String = Payload.DefaultKey,
-                watermark: Option[Long] = None): DataFrame =
+                watermark: Option[Long] = None,
+                systemPrompt: String = Payload.SystemPrompt): DataFrame =
     if (hours <= 0)
-      run(items, Long.MaxValue, orderCol, modelKey, watermark)
-        .limit(0)
+      run(items, Long.MaxValue, orderCol, modelKey, watermark,
+        systemPrompt = systemPrompt).limit(0)
     else
       run(items, nowEpochSec - (hours * 3600).toLong, orderCol, modelKey,
-        watermark)
+        watermark, systemPrompt = systemPrompt)
 
+  /** @param applyTsFilter false = T5 bypass: no ts normalization, no
+    *                       cutoff, no watermark — every row flows
+    *                       through (tables lacking a timestamp column
+    *                       entirely still work; reference
+    *                       `_NO_TS_FILTER`, dynamo_fetcher.py:44-52).
+    */
   def run(items: DataFrame, cutoffEpochSec: Long, orderCol: Column,
           modelKey: String = Payload.DefaultKey,
-          watermark: Option[Long] = None): DataFrame = {
-    val tsNorm = Timestamps.flexTsEpoch(coalesceTsCandidates(items))
-    val recent = items
-      .withColumn("__ts", tsNorm)
-      .filter(col("__ts").isNotNull &&
-        Timestamps.recentFilter(col("__ts"), cutoffEpochSec))
-    val fresh = Watermark.filterNew(recent, col("__ts"), watermark)
+          watermark: Option[Long] = None,
+          applyTsFilter: Boolean = true,
+          systemPrompt: String = Payload.SystemPrompt): DataFrame = {
+    val fresh = if (!applyTsFilter) items else {
+      val tsNorm = Timestamps.flexTsEpoch(coalesceTsCandidates(items))
+      val recent = items
+        .withColumn("__ts", tsNorm)
+        .filter(col("__ts").isNotNull &&
+          Timestamps.recentFilter(col("__ts"), cutoffEpochSec))
+      Watermark.filterNew(recent, col("__ts"), watermark)
+    }
     val usable = TextExtract.usable(fresh, "__text")
     val deduped = Dedup.dedupItems(usable, orderCol)
-    Payload.requests(deduped, col("__text"),
-      idColOf(deduped), orderCol, modelKey)
+    // Scale default: per-partition numbering (`p<pid>_<n>`), no global
+    // single-partition window. Callers needing the reference's exact
+    // `row_<n>` dense order (a test-scale concern — the Batch API only
+    // requires uniqueness + ≤64 chars) can call Payload.requests directly.
+    Payload.requestsPartitioned(deduped, col("__text"),
+      idColOf(deduped), orderCol, modelKey, systemPrompt)
   }
 
   /** TIMESTAMP_KEYS candidate coalesce (dynamo_fetcher.py:65-84):

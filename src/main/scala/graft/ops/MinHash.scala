@@ -74,20 +74,42 @@ object MinHash {
   }
 
   /** Full near-dup detection: LSH candidates verified by exact
-    * shingle-set Jaccard ≥ threshold. The verify join re-attaches
-    * shingle sets by id — two hash joins, each on a unique key.
+    * shingle-set Jaccard ≥ threshold.
+    *
+    * The corpus is shingled ONCE: `(id, sorted distinct shingles,
+    * signature)` is computed in a single pass and persisted
+    * (MEMORY_AND_DISK — spills, never OOMs), then reused by the banded
+    * index AND both sides of the verify join. (MinHash is
+    * multiplicity-blind, so signing the distinct set equals signing the
+    * raw shingle stream.) Verify Jaccard is a merge pass over the
+    * pre-sorted sets ([[graft.functions.JaccardSorted]]) — no
+    * per-pair array allocation.
     */
   def nearDupPairs(docs: DataFrame, idCol: Column, textCol: Column,
                    threshold: Double, shingleN: Int = 3, k: Int = 32,
                    bands: Int = 8, seed: Long = 42L,
                    roundTo: Int = 4): DataFrame = {
-    val cands = candidatePairs(docs, idCol, textCol, shingleN, k, bands, seed)
-    val sets = docs.select(idCol.as("sid"),
-      array_distinct(TextStats.shingles(textCol, shingleN)).as("sset"))
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val base = docs.select(idCol.as("id"),
+        array_sort(array_distinct(TextStats.shingles(textCol, shingleN))).as("sset"))
+      .withColumn("sig", signature(col("sset"), k, seed))
+      .persist()
+    val bandHashes = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+    }: _*)
+    val idx = base.select(col("id"), explode(bandHashes).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cands = idx.toDF("id_a", "band", "bh")
+      .join(idx.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = base.select(col("id"), col("sset"))
     cands
-      .join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("sset", "set_a"), Seq("id_a"))
-      .join(sets.withColumnRenamed("sid", "id_b").withColumnRenamed("sset", "set_b"), Seq("id_b"))
-      .withColumn("jac", round(TextStats.jaccard(col("set_a"), col("set_b")), roundTo))
+      .join(sets.toDF("id_a", "set_a"), Seq("id_a"))
+      .join(sets.toDF("id_b", "set_b"), Seq("id_b"))
+      .withColumn("jac",
+        round(graft.functions.ArrayExprs.jaccardSorted(col("set_a"), col("set_b")), roundTo))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }

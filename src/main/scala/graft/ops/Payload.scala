@@ -27,24 +27,60 @@ object Payload {
       "a single strict JSON object (no prose, no code fences) with keys: " +
       "topic, sentiment, entities."
 
-  /** Logical model keys → pinned ids (models.py:38-60 pattern: a small
-    * alias map plus a supported-id passthrough; unknown → default).
+  /** Logical model keys → pinned ids (models.py:38-42: logical size
+    * aliases so callers never hard-code concrete ids).
     */
   val ModelMap: Map[String, String] = Map(
     "nano" -> "gpt-4.1-nano-2025-04-14",
     "mini" -> "gpt-4.1-mini-2025-04-14",
     "full" -> "gpt-4.1-2025-04-14")
 
-  val SupportedModels: Set[String] = ModelMap.values.toSet ++ Set(
-    "gpt-4o", "gpt-4o-mini", "o4-mini",
-    "text-embedding-3-small", "text-embedding-3-large")
+  /** Batch-supported chat ids — full reference catalog
+    * (models.py:44-64).
+    */
+  val ChatModels: Seq[String] = Seq(
+    "gpt-4.1-2025-04-14",
+    "gpt-4.1-mini-2025-04-14",
+    "gpt-4.1-nano-2025-04-14",
+    "gpt-4o",
+    "gpt-4o-mini",
+    "gpt-4o-2024-05-13",
+    "gpt-3.5-turbo",
+    "gpt-3.5-turbo-16k",
+    "gpt-4",
+    "gpt-4-32k",
+    "gpt-4-turbo-preview",
+    "gpt-4-vision-preview",
+    "gpt-4-turbo",
+    "gpt-4-0125-preview",
+    "gpt-3.5-turbo-1106",
+    "gpt-4-0314",
+    "gpt-4-turbo-2024-04-09",
+    "gpt-4-32k-0314",
+    "gpt-4-32k-0613")
+
+  /** Batch-supported embedding ids (models.py:66-70). */
+  val EmbeddingModels: Seq[String] = Seq(
+    "text-embedding-3-large",
+    "text-embedding-3-small",
+    "text-embedding-ada-002")
+
+  val SupportedModels: Set[String] = (ChatModels ++ EmbeddingModels).toSet
 
   val DefaultKey = "nano"
 
-  /** T9: plan-build-time lookup (constant-folds into a literal). */
+  /** T9 (models.py:76-87): alias → mapped id; known supported id →
+    * itself; anything else → the nano default. Plan-build-time lookup
+    * (constant-folds into a literal).
+    */
   def resolveModel(key: String): String =
-    if (SupportedModels(key)) key
-    else ModelMap.getOrElse(key, ModelMap(DefaultKey))
+    ModelMap.getOrElse(key,
+      if (SupportedModels(key)) key else ModelMap(DefaultKey))
+
+  /** `--list-models` surface (main.py:635-649). */
+  def listModels: String =
+    (Seq("Chat Models:") ++ ChatModels ++
+      Seq("", "Embedding Models:") ++ EmbeddingModels).mkString("\n")
 
   /** W1+T8: rows → request records. `custom_id = "row_<n>"`, 1-based
     * dense numbering in `order` (the reference numbers in write order,
@@ -57,9 +93,20 @@ object Payload {
     * [[requestsPartitioned]] which numbers within partitions.
     */
   def requests(df: DataFrame, textCol: Column, idCol: Option[Column],
-               orderCol: Column, modelKey: String = DefaultKey): DataFrame = {
-    val rn = row_number().over(Window.orderBy(orderCol.asc))
-    val customId = concat(lit("row_"), rn.cast(StringType))
+               orderCol: Column, modelKey: String = DefaultKey,
+               systemPrompt: String = SystemPrompt): DataFrame =
+    requestsRanked(df, textCol, idCol,
+      row_number().over(Window.orderBy(orderCol.asc)), modelKey, systemPrompt)
+
+  /** W1 without the window: the caller supplies an already-dense 1-based
+    * rank (e.g. `id + 1` when ids are dense, or a precomputed
+    * `zipWithIndex`). No shuffle, no single-partition window — this is
+    * the preferred shape whenever a dense key exists.
+    */
+  def requestsRanked(df: DataFrame, textCol: Column, idCol: Option[Column],
+                     rankCol: Column, modelKey: String = DefaultKey,
+                     systemPrompt: String = SystemPrompt): DataFrame = {
+    val customId = concat(lit("row_"), rankCol.cast(StringType))
     df.select(customId.as("custom_id"), textCol.as("__text"),
         idCol.getOrElse(lit(null).cast(StringType)).cast(StringType).as("__user"))
       .select(
@@ -68,7 +115,7 @@ object Payload {
         lit("/v1/chat/completions").as("url"),
         struct(
           array(
-            struct(lit("system").as("role"), lit(SystemPrompt).as("content")),
+            struct(lit("system").as("role"), lit(systemPrompt).as("content")),
             struct(lit("user").as("role"), col("__text").as("content"))
           ).as("messages"),
           lit(resolveModel(modelKey)).as("model"),
@@ -82,7 +129,8 @@ object Payload {
     * column makes it so).
     */
   def requestsPartitioned(df: DataFrame, textCol: Column, idCol: Option[Column],
-                          orderCol: Column, modelKey: String = DefaultKey): DataFrame = {
+                          orderCol: Column, modelKey: String = DefaultKey,
+                          systemPrompt: String = SystemPrompt): DataFrame = {
     // materialize the partition id BEFORE the window shuffle —
     // spark_partition_id() inside partitionBy would be re-evaluated on
     // the post-shuffle partitioning and collide
@@ -98,7 +146,7 @@ object Payload {
         lit("/v1/chat/completions").as("url"),
         struct(
           array(
-            struct(lit("system").as("role"), lit(SystemPrompt).as("content")),
+            struct(lit("system").as("role"), lit(systemPrompt).as("content")),
             struct(lit("user").as("role"), col("__text").as("content"))
           ).as("messages"),
           lit(resolveModel(modelKey)).as("model"),

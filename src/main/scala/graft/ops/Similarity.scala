@@ -112,42 +112,119 @@ object Similarity {
     * centroids into the same API — assignment and probing are
     * unchanged.
     */
-  def ivfCentroids(embeddings: DataFrame, nCentroids: Int): Array[Seq[Double]] =
+  def ivfCentroids(embeddings: DataFrame, nCentroids: Int): Array[Array[Double]] =
     embeddings.filter(col("vec_id") < nCentroids)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble))
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-  /** Cell assignment: argmax of cosine against the (small, broadcast-
-    * as-literals) centroid set. Statically unrolled → codegen'd.
+  /** Cell assignment: argmax of cosine against the (small, carried as
+    * one codegen reference object) centroid set — a native kernel
+    * ([[graft.functions.ArgMaxCosine]]): one pass per centroid per row.
+    * The unrolled `array(16 × cosine(vec, typedLit))` form it replaces
+    * evaluated the giant score array twice
+    * (`array_position(scores, array_max(scores))`).
     */
-  def ivfCell(vec: Column, centroids: Array[Seq[Double]]): Column = {
-    val scores = array(centroids.map(c => cosine(vec, typedLit(c))): _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
+  def ivfCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.ArrayExprs.argmaxCosine(vec, centroids)
+
+  /** Top-nProbe probe cells for a query vector, as array<int>. */
+  def ivfProbeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    graft.functions.ArrayExprs.probeCells(vec, centroids, nProbe)
 
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               roundTo: Int = 6): DataFrame = {
     val cents = ivfCentroids(embeddings, nCentroids)
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble)
-    val probeCells = cents.zipWithIndex.map { case (c, i) =>
-      val dot = c.zip(q).map { case (x, y) => x * y }.sum
-      val n = math.sqrt(c.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum)
-      (i, dot / n)
-    }.sortBy(-_._2).take(nProbe).map(_._1)
+      .select(col("embedding").as("q_emb"),
+        ivfProbeCells(col("embedding"), cents, nProbe).as("probes"))
     embeddings.filter(col("vec_id") =!= queryId)
       .withColumn("cell", ivfCell(col("embedding"), cents))
-      .filter(col("cell").isin(probeCells: _*))
-      .join(broadcast(embeddings.filter(col("vec_id") === queryId)
-        .select(col("embedding").as("q_emb"))))
+      .join(broadcast(q), array_contains(col("probes"), col("cell")))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Brute-force batch top-k: the corpus is scanned ONCE for the whole
+    * query set (broadcast), scored, and ranked per query — exact, and
+    * the per-query shuffle is keyed by query_id (never global). The
+    * exact baseline the ANN variants approximate.
+    *
+    * @param queries (query_id, embedding), broadcast-sized.
+    */
+  def topKByCosineBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+                        roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Batch ANN (SRP-LSH) over a query TABLE — the right amortization at
+    * scale: ONE banded index pass over the corpus, the (small) query
+    * side broadcast, candidates re-ranked exactly, top-k per query via
+    * a per-query window (shuffle keyed by query_id — never global).
+    *
+    * @param queries (query_id, embedding); must be broadcast-sized
+    *                (typically ≤ millions of rows — it is the probe
+    *                set, not the corpus).
+    */
+  def annTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+                   dim: Int = 64, bits: Int = 16, bands: Int = 4,
+                   seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val planes = hyperplanes(dim, bits, seed)
+    val width = bits / bands
+    def bandKeys(sigCol: Column): Column = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sigCol, b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }: _*)
+    val corpusIdx = corpus.select(col("vec_id"), col("embedding"),
+      explode(bandKeys(srpSignature(col("embedding"), planes))).as("bk"))
+    val queryIdx = queries.select(col("query_id"), col("embedding").as("q_emb"),
+      explode(bandKeys(srpSignature(col("embedding"), planes))).as("qbk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpusIdx.join(broadcast(queryIdx),
+        corpusIdx("bk") === queryIdx("qbk") &&
+          corpusIdx("vec_id") =!= queryIdx("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
+      .groupBy(col("query_id"), col("vec_id")).agg(max(col("score")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Batch ANN (IVF): corpus assigned to cells once; each query probes
+    * its nProbe nearest cells; per-query exact re-rank. The cell column
+    * is the natural physical partitioning key at scale.
+    */
+  def ivfTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+                   nCentroids: Int = 16, nProbe: Int = 4,
+                   roundTo: Int = 6): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids)
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
+      explode(ivfProbeCells(col("embedding"), cents, nProbe)).as("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.withColumn("cell", ivfCell(col("embedding"), cents))
+      .join(broadcast(q),
+        col("cell") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column

@@ -114,6 +114,12 @@ object TextStats {
     * pair space (see MinHash for the unblocked scale path). Blocks on
     * (lang, token-count, first token): near-identical docs agree on all
     * three, and bucket sizes stay tiny at any corpus size.
+    *
+    * Word sets are pre-deduplicated AND pre-sorted once per doc, so the
+    * per-pair verify is one merge pass
+    * ([[graft.functions.JaccardSorted]]) with zero allocation — a hot
+    * block degrades gracefully instead of paying
+    * `array_intersect`+`array_distinct(concat)` churn per pair.
     */
   def jaccardPairs(docs: DataFrame, textCol: Column, idCol: Column,
                    langCol: Column, threshold: Double): DataFrame = {
@@ -121,12 +127,13 @@ object TextStats {
       idCol.as("id"), langCol.as("lang"),
       tokenCount(textCol).as("ntok"),
       element_at(tokens(textCol), 1).as("tok1"),
-      array_distinct(tokens(textCol)).as("wset"))
+      array_sort(array_distinct(tokens(textCol))).as("wset"))
     val a = prepared.toDF("id_a", "lang", "ntok", "tok1", "wset_a")
     val b = prepared.toDF("id_b", "lang", "ntok", "tok1", "wset_b")
     a.join(b, Seq("lang", "ntok", "tok1"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jac", jaccard(col("wset_a"), col("wset_b")))
+      .withColumn("jac",
+        graft.functions.ArrayExprs.jaccardSorted(col("wset_a"), col("wset_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }

@@ -89,9 +89,13 @@ object ItemStore {
   def pages(path: String): Seq[java.nio.file.Path] = {
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) Seq(dir)
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".jsonl") || p.toString.endsWith(".json"))
-      .toSeq.sortBy(_.toString) // W2: sorted listing
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".jsonl") || p.toString.endsWith(".json"))
+        .toSeq.sortBy(_.toString) // W2: sorted listing
+      finally stream.close()
+    }
   }
 
   private[sources] def render(node: JsonNode): String =

@@ -52,4 +52,71 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.30))
   }
+  test("IVF cell kernel matches the unrolled cosine-argmax form") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val cents = Similarity.ivfCentroids(e, 16)
+    // reference semantics: array_position of the max cosine, first wins
+    val scores = array(cents.map(c =>
+      Similarity.cosine(col("embedding"), typedLit(c.toSeq))): _*)
+    val unrolled = (array_position(scores, array_max(scores)) - 1).cast("int")
+    val diff = e.select(
+      Similarity.ivfCell(col("embedding"), cents).as("fast"), unrolled.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+  }
+  test("probe-cells kernel: nProbe cells, best cell first") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val cents = Similarity.ivfCentroids(e, 16)
+    val rows = e.limit(50).select(
+      Similarity.ivfCell(col("embedding"), cents).as("cell"),
+      Similarity.ivfProbeCells(col("embedding"), cents, 4).as("probes"))
+      .collect()
+    rows.foreach { r =>
+      val probes = r.getSeq[Int](1)
+      assert(probes.length == 4 && probes.distinct.length == 4)
+      assert(probes.head == r.getInt(0)) // argmax == first probe
+    }
+  }
+  test("batch ANN (LSH): per-query k rows, rank ordered, self excluded") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val rows = Similarity.annTopKBatch(e, queries, k = 5)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    byQuery.values.foreach { rs =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getInt(3)).toSeq == (1 to rs.length))
+      val scores = rs.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse)
+      assert(!rs.exists(r => r.getLong(1) == r.getLong(0))) // no self-match
+    }
+  }
+  test("batch ANN (IVF) agrees with single-query ivfTopK on its top hit") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val queries = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.ivfTopKBatch(e, queries, k = 5)
+      .orderBy(col("rank")).collect()
+    val single = Similarity.ivfTopK(e, 0L, 5).collect()
+    assert(batch.head.getLong(1) == single.head.getLong(0))
+    assert(batch.head.getDouble(2) == single.head.getDouble(1))
+  }
+  test("jaccardSorted kernel equals declarative intersect/union form") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq("a"), Seq("b")),
+      (Seq[String](), Seq[String]())).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.ArrayExprs.jaccardSorted(col("a"), col("b")).as("fast"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_distinct(concat(col("a"), col("b")))).cast("double")).as("slow"))
+      .collect()
+    assert(rows(0).getDouble(0) == 0.5 && rows(0).getDouble(1) == 0.5)
+    assert(rows(1).getDouble(0) == 1.0)
+    assert(rows(2).getDouble(0) == 0.0)
+    assert(rows(3).getDouble(0) == 0.0) // 0/0 defined as 0, vs NaN declaratively
+  }
 }
