@@ -181,7 +181,9 @@ object SparkEntry {
             lit("assistant").as("role"), col("props").as("content")
           ).as("message"))).as("choices")).as("body")
         ).as("response"))).as("value"))
-      Parse.extractContent(Parse.parseEnvelope(env))
+      // testdata parquet is one row group = one input split; fan the
+      // parse work out (same pattern as gzip JSONL at scale)
+      Parse.extractContent(Parse.parseEnvelope(Parse.fanOut(env)))
         .select(
           substring(col("custom_id"), 5, 18).cast(LongType).as("event_id"),
           get_json_object(col("content"), "$.k").cast(LongType).as("k"))
@@ -197,7 +199,7 @@ object SparkEntry {
       val schema = StructType(Seq(
         StructField("vol", LongType), StructField("chg", DoubleType),
         StructField("tags", ArrayType(StringType))))
-      events(s, dir)
+      Parse.fanOut(events(s, dir).select(col("event_id"), col("props")))
         .withColumn("rec", Parse.repairedJson(dirty, schema))
         .select(col("event_id"), col("rec.vol").as("vol"),
           col("rec.chg").as("chg"),
@@ -349,6 +351,55 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // as-of join: latest mark with ts <= event ts per user (one
+    // shuffle union-and-window plan — no range join)
+    "q_asof_join" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        tsEpochSec.as("ts_epoch"))
+      val marks = e.filter(pmod(col("event_id"), lit(10)) === 0)
+        .groupBy(col("user_id"), col("ts_epoch"))
+        .agg(max(col("event_id")).as("mark_id"))
+      AsOfJoin.asofBackward(e, marks, Seq("user_id"),
+        col("ts_epoch"), col("ts_epoch"), Seq("mark_id"))
+        .select(col("event_id"), col("user_id"), col("mark_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // exact interpolated percentiles (p at exact binary fractions so
+    // interpolation is bit-identical across engines)
+    "q_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.25)").cast(DoubleType).as("p25"),
+        expr("percentile(l_quantity, 0.5)").cast(DoubleType).as("p50"),
+        expr("percentile(l_quantity, 0.75)").cast(DoubleType).as("p75"))
+        .orderBy(col("l_returnflag"))),
+
+    // pivot: one row per group, one column per pivoted key value
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+        .orderBy(col("l_returnflag"))),
+
+    // cube: all grouping-set combinations (decimal-routed sums)
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir).cube(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // set operations: INTERSECT ∘ EXCEPT with distinct semantics
+    "q_setops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val high = o.filter(col("o_totalprice") > 200000.0).select(col("o_custkey"))
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      urgent.intersect(high).except(open).orderBy(col("o_custkey"))
     }),
 
     // star-schema join: broadcast dims, single shuffle on the fact
@@ -662,6 +713,43 @@ object SparkEntry {
       ("SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN " +
         "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "ORDER BY c_custkey"),
+
+    "q_asof_join" ->
+      ("WITH e AS (SELECT event_id, user_id, " +
+        "epoch(date_trunc('second', ts))::BIGINT AS t FROM events), " +
+        "m AS (SELECT user_id, t, max(event_id) AS mark_id FROM e " +
+        "WHERE event_id % 10 = 0 GROUP BY 1, 2) " +
+        "SELECT e.event_id, e.user_id, m.mark_id FROM e " +
+        "ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.t >= m.t " +
+        "ORDER BY e.event_id"),
+
+    "q_percentile" ->
+      ("SELECT l_returnflag, " +
+        "CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25, " +
+        "CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50, " +
+        "CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_pivot" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F, " +
+        "CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_cube" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, " +
+        "COALESCE(l_linestatus, 'ALL') AS ls, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS cnt FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls"),
+
+    "q_setops" ->
+      ("(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE o_totalprice > 200000 " +
+        ") EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "ORDER BY o_custkey"),
 
     "q_star_join" ->
       ("SELECT n_name, count(*) AS n_orders, " +

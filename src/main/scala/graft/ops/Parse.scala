@@ -31,6 +31,17 @@ object Parse {
       StructField("body", StructType(Seq(
         StructField("choices", ArrayType(MessageSchema))))))))))
 
+  /** Fan a narrow/unsplittable source out across the cluster before
+    * per-row parse work. A single-row-group parquet file or a gzip
+    * JSONL is ONE input split no matter how many cores exist — without
+    * this, every Jackson parse downstream runs on one task. One cheap
+    * shuffle of the raw lines buys full parallelism for the (much more
+    * expensive) parse stage. No-op effect on results: callers order
+    * their output explicitly.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** SRC3: JSONL lines → envelope rows. Malformed/blank outer lines
     * yield NULL structs (PERMISSIVE mode ≙ the reference's
     * skip-and-warn, parse.py:58-69) and are dropped.
