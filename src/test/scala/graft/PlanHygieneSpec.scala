@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale-critical queries: these pin
+  * the plan SHAPE (pushdown, pruning, broadcast, single-shuffle,
+  * TakeOrderedAndProject), not just the result values — a correct
+  * query with a quadratic or single-task plan is a regression this
+  * suite must catch before a 100 TB run would.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.Sf
+
+  /** Execute and return the FINAL (post-AQE) physical plan string. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("q_scan_project prunes the scan to only the projected columns") {
+    val plan = finalPlan(q("q_scan_project"))
+    // 3-column projection over the 6-column events table: the scan's
+    // ReadSchema must not include the unreferenced columns
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double>"),
+      s"unpruned scan in:\n$plan")
+  }
+
+  test("filters on raw columns reach the parquet scan as PushedFilters") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = finalPlan(df)
+    assert(plan.contains("GreaterThan(l_quantity"), s"filter not pushed in:\n$plan")
+  }
+
+  test("q_star_join broadcasts both dims — fact table shuffles at most once") {
+    val plan = finalPlan(q("q_star_join"))
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact-side merge join in:\n$plan")
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject, never a global sort") {
+    val plan = finalPlan(q("q_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+  }
+
+  test("q_semi_join and q_anti_join stay semi/anti — no row-multiplying join") {
+    assert(finalPlan(q("q_semi_join")).contains("LeftSemi"))
+    assert(finalPlan(q("q_anti_join")).contains("LeftAnti"))
+  }
+
+  test("q_asof_join shuffles the union exactly once on the join key") {
+    val plan = finalPlan(q("q_asof_join"))
+    // exchange budget: one for the query's own marks groupBy, ONE for
+    // the as-of keyed window, one for the final orderBy's range
+    // partitioning — anything more means the as-of degenerated
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"$exchanges exchanges in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of fell back to a product join:\n$plan")
+    // and the carrying window must be keyed, never global
+    val globalWindow = "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan)
+    assert(globalWindow.isEmpty, s"global window in:\n$plan")
+  }
+
+  test("q_sessionize partitions its windows by user — no global window") {
+    val plan = finalPlan(q("q_sessionize"))
+    // a Window with an empty partition spec funnels ALL rows to 1 task
+    assert(!plan.contains("WindowExec: No Partition Defined"))
+    val globalWindow = "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan)
+    assert(globalWindow.isEmpty, s"global window in:\n$plan")
+  }
+
+  test("partitioned payload numbering plans zero unpartitioned windows") {
+    val plan = finalPlan(q("q_payload_build_part"))
+    // its window is partitioned on __pid; an EMPTY partition spec
+    // (all rows to one task) is the regression this guards against
+    val globalWindow = "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan)
+    assert(globalWindow.isEmpty, s"global window in:\n$plan")
+  }
+
+  test("q_dedup window partitions on the dedup key") {
+    val plan = finalPlan(q("q_dedup"))
+    val globalWindow = "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan)
+    assert(globalWindow.isEmpty, s"global window in:\n$plan")
+  }
+
+  test("q_group_agg does a partial (map-side) aggregate before the shuffle") {
+    val plan = finalPlan(q("q_group_agg"))
+    assert(plan.contains("HashAggregate"), s"no hash agg in:\n$plan")
+    // partial_ functions appear only in the pre-shuffle partial pass
+    assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
+  }
+
+}
