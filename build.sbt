@@ -23,8 +23,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: fixed size + AlwaysPreTouch. This VM's first-touch page
+// faults run at ~0.5 GB/s (20x slower than warm memory), so ANY heap
+// growth mid-query burns kernel time and made identical bench runs
+// swing 1.4s..76s. Pre-touching the whole heap at JVM startup moves
+// that cost out of every timed region; Xms=Xmx prevents regrowth.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )
