@@ -402,6 +402,18 @@ object SparkEntry {
       urgent.intersect(high).except(open).orderBy(col("o_custkey"))
     }),
 
+    // sketch aggregates (rows-only: HLL/KLL values are engine-specific;
+    // ApproxAggSpec pins them against the exact forms within error)
+    "q_approx_distinct" -> ((s, dir) =>
+      ApproxAgg.distinctCounts(Tables.lineitem(s, dir),
+        Seq(col("l_returnflag")), col("l_orderkey"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_approx_percentile" -> ((s, dir) =>
+      ApproxAgg.percentiles(Tables.lineitem(s, dir),
+        Seq(col("l_returnflag")), col("l_quantity"), Seq(0.25, 0.5, 0.75))
+        .orderBy(col("l_returnflag"))),
+
     // bucketed co-located join: both sides written bucketBy+sortBy on
     // the join key once (warmup), then joined with ZERO exchange —
     // the shuffle is paid at write time, amortized over every join

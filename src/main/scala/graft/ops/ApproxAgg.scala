@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregates — the 100 TB substitutes for
+  * operators whose exact forms need a full shuffle of the key space or
+  * a per-group sort:
+  *
+  *  - exact `COUNT(DISTINCT k)` shuffles every distinct key;
+  *    `approx_count_distinct` (HyperLogLog++) carries a fixed-size
+  *    sketch per partition and merges — map-side combinable, constant
+  *    memory, mergeable across days of data.
+  *  - exact `percentile` buffers each group's values;
+  *    `percentile_approx` (KLL-style quantile sketch) is bounded by
+  *    `accuracy`, not group size.
+  *
+  * Sketch outputs are engine-specific (a DuckDB HLL disagrees in the
+  * last ulps), so these queries are rows-only in the oracle harness;
+  * ApproxAggSpec pins them against the exact operators within the
+  * sketch's error bound instead.
+  */
+object ApproxAgg {
+
+  /** Per-group distinct-count estimate, `rsd` relative error. */
+  def distinctCounts(df: DataFrame, groupCols: Seq[Column], countCol: Column,
+                     rsd: Double = 0.02): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(approx_count_distinct(countCol, rsd).as("approx_distinct"))
+
+  /** Per-group quantile estimates at `ps`, sketch `accuracy` (higher =
+    * tighter; memory is O(accuracy)).
+    */
+  def percentiles(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+                  ps: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(percentile_approx(valueCol,
+        array(ps.map(lit): _*), lit(accuracy)).as("approx_ps"))
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Approximate aggregates stay within their declared error of the
+  * exact operators.
+  */
+class ApproxAggSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.Sf
+
+  test("approx distinct within 5% of exact count-distinct per group") {
+    val li = Tables.lineitem(spark, dir)
+    val approx = ApproxAgg.distinctCounts(li, Seq(col("l_returnflag")),
+      col("l_orderkey"), rsd = 0.02)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact"))
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getAs[Long]("approx_distinct").toDouble
+      val e = r.getAs[Long]("exact").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"${r.get(0)}: approx $a vs exact $e")
+    }
+  }
+
+  test("approx median within 10% of exact per group") {
+    val li = Tables.lineitem(spark, dir)
+    val approx = ApproxAgg.percentiles(li, Seq(col("l_returnflag")),
+      col("l_quantity"), Seq(0.5))
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("exact_p50"))
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getAs[Seq[Double]]("approx_ps").head
+      val e = r.getAs[Double]("exact_p50")
+      assert(math.abs(a - e) / math.max(e, 1.0) < 0.10,
+        s"${r.get(0)}: approx $a vs exact $e")
+    }
+  }
+
+  test("approx distinct plans a partial (mergeable sketch) aggregate") {
+    val li = Tables.lineitem(spark, dir)
+    val df = ApproxAgg.distinctCounts(li, Seq(col("l_returnflag")), col("l_orderkey"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"sketch not map-side combined:\n$plan")
+  }
+}
