@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -37,13 +37,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *     strings (dynamo_fetcher.py:23-36); this source reproduces that
   *     caution in the capability interface: anything else stays a
   *     post-scan Spark filter.
+  *   - OPT-IN numeric typing: `option("numericFields", "ts,value")`
+  *     surfaces those fields as DoubleType (unparseable values →
+  *     NULL), which is the Spark analog of the reference's stated
+  *     scale remedy — "a Number-typed GSI + Query instead of Scan"
+  *     (dynamo_fetcher.py:23-36). Once a field is number-typed,
+  *     range predicates (the T4 temporal cutoff) push INTO the store
+  *     reader and skip rows before they ever reach Spark.
   *
   * Usage: `spark.read.format("graft.sources.ItemStore")
   *   .option("path", dir).load()`.
   */
 class ItemStore extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ItemStore.infer(options.get("path"))
+    ItemStore.infer(options.get("path"),
+      ItemStore.numericFields(options.get("numericFields")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new ItemStoreTable(schema, properties.get("path"))
@@ -58,7 +66,13 @@ object ItemStore {
     * schema-on-read for schemaless items. Rows are free to carry any
     * subset of the union (the reference discovers fields per row).
     */
-  def infer(path: String): StructType = {
+  private[sources] def numericFields(opt: String): Set[String] =
+    Option(opt).map(_.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  def infer(path: String): StructType = infer(path, Set.empty)
+
+  def infer(path: String, numeric: Set[String]): StructType = {
     val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
     pages(path).foreach { p =>
       val stream = Files.lines(p, StandardCharsets.UTF_8)
@@ -74,7 +88,9 @@ object ItemStore {
                 node.fieldNames().asScala.foreach { k =>
                   val lk = k.toLowerCase
                   if (!fields.contains(lk))
-                    fields(lk) = StructField(lk, StringType, nullable = true)
+                    fields(lk) = StructField(lk,
+                      if (numeric(lk)) DoubleType else StringType,
+                      nullable = true)
                 }
                 sampled += 1
               }
@@ -124,10 +140,19 @@ class ItemStoreScanBuilder(fullSchema: StructType, path: String)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept only what the store can answer reliably (see class doc)
+    // accept only what the store can answer reliably (see class doc):
+    // string equality, null tests, and — on columns the USER declared
+    // numeric (the "Number-typed GSI" opt-in) — range predicates.
+    // Catalyst only emits numeric-valued Filters against DoubleType
+    // columns, so a Number value here implies the field was declared.
     val (ok, rest) = filters.partition {
       case EqualTo(_, _: String) => true
       case IsNotNull(_) => true
+      case EqualTo(_, _: Number) => true
+      case GreaterThan(_, _: Number) => true
+      case GreaterThanOrEqual(_, _: Number) => true
+      case LessThan(_, _: Number) => true
+      case LessThanOrEqual(_, _: Number) => true
       case _ => false
     }
     pushed = ok
@@ -141,6 +166,10 @@ class ItemStoreScanBuilder(fullSchema: StructType, path: String)
 class ItemStoreScan(schema: StructType, filters: Array[Filter], path: String)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
+  override def description(): String =
+    s"ItemStoreScan path=$path, " +
+      s"ReadSchema: ${schema.simpleString}, " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     ItemStore.pages(path).map(p =>
@@ -162,10 +191,31 @@ class ItemStoreReader(schema: StructType, filters: Array[Filter], file: String)
   private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
   private val it = lines.iterator()
   private var current: InternalRow = _
+  private val numericCols: Set[String] =
+    schema.fields.filter(_.dataType == DoubleType).map(_.name.toLowerCase).toSet
+
+  /** Declared-numeric value: parsed double, NULL when unparseable —
+    * a non-numeric item is simply absent from a Number-typed index.
+    */
+  private def toNum(s: String): java.lang.Double =
+    if (s == null) null
+    else try java.lang.Double.valueOf(s.trim) catch { case _: NumberFormatException => null }
 
   private def matches(get: String => String): Boolean = filters.forall {
     case EqualTo(a, v: String) => get(a.toLowerCase) == v
-    case IsNotNull(a) => get(a.toLowerCase) != null
+    case IsNotNull(a) =>
+      val lk = a.toLowerCase
+      if (numericCols(lk)) toNum(get(lk)) != null else get(lk) != null
+    case EqualTo(a, v: Number) =>
+      val n = toNum(get(a.toLowerCase)); n != null && n == v.doubleValue()
+    case GreaterThan(a, v: Number) =>
+      val n = toNum(get(a.toLowerCase)); n != null && n > v.doubleValue()
+    case GreaterThanOrEqual(a, v: Number) =>
+      val n = toNum(get(a.toLowerCase)); n != null && n >= v.doubleValue()
+    case LessThan(a, v: Number) =>
+      val n = toNum(get(a.toLowerCase)); n != null && n < v.doubleValue()
+    case LessThanOrEqual(a, v: Number) =>
+      val n = toNum(get(a.toLowerCase)); n != null && n <= v.doubleValue()
     case _ => true
   }
 
@@ -183,7 +233,9 @@ class ItemStoreReader(schema: StructType, filters: Array[Filter], file: String)
             if (matches(get)) {
               current = InternalRow.fromSeq(schema.fields.map { f =>
                 val v = get(f.name.toLowerCase)
-                if (v == null) null else UTF8String.fromString(v)
+                if (v == null) null
+                else if (f.dataType == DoubleType) toNum(v)
+                else UTF8String.fromString(v)
               }.toSeq)
               return true
             }

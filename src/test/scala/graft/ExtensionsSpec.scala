@@ -67,6 +67,31 @@ class ExtensionsSpec extends AnyFunSuite {
       || df.columns.sameElements(Array("id")))
   }
 
+  test("item-store numericFields: typed column + range pushdown (the Number-GSI analog)") {
+    val dir = writePages(Seq(Seq(
+      """{"id":"a1","ts":1716241234,"body":"old"}""",
+      """{"id":"a2","ts":1716241300,"body":"new"}""",
+      """{"id":"a3","ts":"not a number","body":"untyped"}""",
+      """{"id":"a4","body":"missing ts"}""")))
+    val df = spark.read.format("graft.sources.ItemStore")
+      .option("path", dir).option("numericFields", "ts").load()
+    // declared field surfaces as double
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // unparseable/missing numeric values -> NULL (absent from the index)
+    assert(df.filter(col("ts").isNull).count() == 2)
+    // range predicate pushes into the source scan
+    val recent = df.filter(col("ts") >= 1716241300d).select("id")
+    assert(recent.as[String].collect().toSeq == Seq("a2"))
+    // fully consumed by the source: no post-scan Filter node remains
+    val plan = recent.queryExecution.executedPlan
+    assert(plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty, s"filter not fully pushed:\n$plan")
+    assert(recent.queryExecution.optimizedPlan.toString.contains("ItemStoreScan") ||
+      plan.toString.contains("BatchScan"))
+  }
+
   test("item-store feeds the ingest pipeline end-to-end") {
     val dir = writePages(Seq(Seq(
       """{"id":"a1","timestamp":1716241234,"summary":"epoch row","url":"https://ex.com/1"}""",
