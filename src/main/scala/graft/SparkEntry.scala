@@ -296,6 +296,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // analytic window functions: lag/lead over a unique order,
+    // rank/dense_rank over a tied order (rank depends only on the sort
+    // key, so ties stay deterministic), ntile over the unique order
+    "q_window_funcs" -> ((s, dir) => {
+      val byId = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val byType = Window.partitionBy(col("user_id")).orderBy(col("event_type"))
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        lag(col("event_id"), 1).over(byId).as("prev_id"),
+        lead(col("event_id"), 1).over(byId).as("next_id"),
+        rank().over(byType).cast(LongType).as("type_rank"),
+        dense_rank().over(byType).cast(LongType).as("type_dense_rank"),
+        ntile(4).over(byId).cast(LongType).as("quartile"))
+        .orderBy(col("event_id"))
+    }),
+
+    // explicit left-outer join: dims with no facts survive with NULLs
+    "q_outer_join" -> ((s, dir) => {
+      val perCust = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // top-k: TakeOrderedAndProject
     "q_topk" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -719,6 +746,21 @@ object SparkEntry {
         "FROM p a JOIN p b ON a.lang = b.lang AND a.ntok = b.ntok " +
         "AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id) t " +
         "WHERE jac >= 0.2 ORDER BY id_a, id_b"),
+
+    "q_window_funcs" ->
+      ("SELECT event_id, user_id, " +
+        "lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id, " +
+        "lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id, " +
+        "CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_rank, " +
+        "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_dense_rank, " +
+        "CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile " +
+        "FROM events ORDER BY event_id"),
+
+    "q_outer_join" ->
+      ("SELECT c_custkey, CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders " +
+        "FROM customer LEFT JOIN " +
+        "(SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o " +
+        "ON c_custkey = o_custkey ORDER BY c_custkey"),
 
     "q_window" ->
       ("SELECT event_id, user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) OVER " +
