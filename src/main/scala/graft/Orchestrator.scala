@@ -212,10 +212,19 @@ object Orchestrator {
   }
 
   /** Parse side (SURVEY §3.3): batch-output JSONL files/globs → flat
-    * records with provenance.
+    * records with provenance. A DIRECTORY argument expands recursively
+    * to every `*.jsonl` under it (SRC4, parse.py:230-241) — note
+    * Hadoop's `**` glob is NOT recursive, so directory recursion must
+    * go through `recursiveFileLookup`.
     */
-  def parseOutputs(spark: SparkSession, pathOrGlob: String): DataFrame =
-    Parse.pipeline(spark.read.text(pathOrGlob))
+  def parseOutputs(spark: SparkSession, pathOrGlob: String): DataFrame = {
+    val reader =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(pathOrGlob)))
+        spark.read.option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.jsonl")
+      else spark.read
+    Parse.pipeline(reader.text(pathOrGlob))
+  }
 
   /** SNK2 (status_checker.py:69-94): download an output file's bytes
     * to `output/batch_output_<id>.jsonl`-style paths. Driver-side IO
