@@ -118,6 +118,39 @@ object Similarity {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
+  /** Lloyd's k-means refinement of the IVF centroids, expressed as
+    * pure DataFrame aggregations: each iteration assigns every vector
+    * to its nearest centroid (the same native `argmaxCosine` kernel
+    * the index uses), then recomputes per-(cell, dimension) means with
+    * ONE groupBy over the posexploded dims. Driver traffic is bounded
+    * at nCentroids x dim rows per iteration (here 16 x 64 = 1024) —
+    * the corpus itself never leaves the cluster, so the loop scales to
+    * any corpus size; iterations, not data, bound the driver.
+    *
+    * Cells that lose all members keep their previous centroid (the
+    * standard empty-cluster fallback).
+    */
+  def kmeansCentroids(embeddings: DataFrame, nCentroids: Int = 16,
+                      iterations: Int = 3): Array[Array[Double]] = {
+    var cents = ivfCentroids(embeddings, nCentroids)
+    var i = 0
+    while (i < iterations) {
+      val dims = embeddings
+        .withColumn("cell", ivfCell(col("embedding"), cents))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      dims.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      cents = next
+      i += 1
+    }
+    cents
+  }
+
   /** Cell assignment: argmax of cosine against the (small, carried as
     * one codegen reference object) centroid set — a native kernel
     * ([[graft.functions.ArgMaxCosine]]): one pass per centroid per row.
@@ -134,8 +167,10 @@ object Similarity {
 
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              roundTo: Int = 6): DataFrame = {
-    val cents = ivfCentroids(embeddings, nCentroids)
+              roundTo: Int = 6, trainIterations: Int = 0): DataFrame = {
+    val cents =
+      if (trainIterations > 0) kmeansCentroids(embeddings, nCentroids, trainIterations)
+      else ivfCentroids(embeddings, nCentroids)
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"),
         ivfProbeCells(col("embedding"), cents, nProbe).as("probes"))
@@ -211,8 +246,10 @@ object Similarity {
     */
   def ivfTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
                    nCentroids: Int = 16, nProbe: Int = 4,
-                   roundTo: Int = 6): DataFrame = {
-    val cents = ivfCentroids(corpus, nCentroids)
+                   roundTo: Int = 6, trainIterations: Int = 0): DataFrame = {
+    val cents =
+      if (trainIterations > 0) kmeansCentroids(corpus, nCentroids, trainIterations)
+      else ivfCentroids(corpus, nCentroids)
     val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
       explode(ivfProbeCells(col("embedding"), cents, nProbe)).as("probe"))
     val w = org.apache.spark.sql.expressions.Window

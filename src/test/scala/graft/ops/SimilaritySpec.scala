@@ -103,6 +103,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(batch.head.getLong(1) == single.head.getLong(0))
     assert(batch.head.getDouble(2) == single.head.getDouble(1))
   }
+  test("kmeans centroids: trained shapes, bounded driver rows, recall holds") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val trained = Similarity.kmeansCentroids(e, nCentroids = 8, iterations = 2)
+    assert(trained.length == 8)
+    assert(trained.forall(c => c.length == trained.head.length &&
+      c.forall(v => !v.isNaN && !v.isInfinite)))
+    // training moved at least one centroid off its sampled seed
+    val seeded = Similarity.ivfCentroids(e, 8)
+    assert(trained.zip(seeded).exists { case (t, s) => !t.sameElements(s) })
+    // ANN over trained centroids still finds the brute-force top hit
+    val exact = Similarity.topKByCosine(e, 3L, 5).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.ivfTopK(e, 3L, 5, nCentroids = 8, nProbe = 4,
+      trainIterations = 2).collect().map(_.getLong(0)).toSet
+    assert(ann.size == 5)
+    assert(ann.intersect(exact).nonEmpty, s"no overlap: ann=$ann exact=$exact")
+  }
+
   test("jaccardSorted kernel equals declarative intersect/union form") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
