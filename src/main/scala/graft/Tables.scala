@@ -17,6 +17,17 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Register every table as a temp view so the whole engine is
+    * reachable from `spark.sql(...)` (with the native kernels via
+    * [[GraftExtensions.register]]). `events` goes through its
+    * nanos-aware loader, not a raw parquet read.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    All.foreach { t =>
+      val df = if (t == "events") events(spark, sfDir) else load(spark, sfDir, t)
+      df.createOrReplaceTempView(t)
+    }
+
   /** SRC2: list the session catalog's tables (reference
     * `--list-tables`, main.py:624-634 — there a DynamoDB ListTables
     * call; here the Spark catalog is the table store).

@@ -37,6 +37,21 @@ class ExtensionsSpec extends AnyFunSuite {
     dir
   }
 
+  test("registerViews exposes all tables + kernels to pure SQL") {
+    GraftExtensions.register(spark)
+    Tables.registerViews(spark, SparkTestSession.Sf)
+    val row = spark.sql(
+      """SELECT count(*) AS n,
+        |       (SELECT count(*) FROM lineitem) AS li,
+        |       (SELECT max(simhash64(split(text, ' '))) FROM documents) AS sh
+        |FROM events""".stripMargin).collect()(0)
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+    assert(row.getLong(2) != 0L)
+    // events view carries the converted microsecond timestamp type
+    assert(spark.sql("SELECT ts FROM events LIMIT 1").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("item-store source: pages become partitions, schemaless strings") {
     val dir = writePages(Seq(
       Seq("""{"id":"a1","Timestamp":1716241234,"summary":"s1"}""",
