@@ -171,19 +171,21 @@ object SparkEntry {
 
     // P1: envelope parse + status filter + nested content extraction
     "q_parse_extract" -> ((s, dir) => {
-      val env = events(s, dir).select(to_json(struct(
-        concat(lit("req_"), col("event_id")).as("id"),
-        concat(lit("row_"), col("event_id")).as("custom_id"),
-        struct(
-          when(pmod(col("event_id"), lit(10)) === 0, lit(500)).otherwise(lit(200))
-            .cast(IntegerType).as("status_code"),
-          struct(array(struct(struct(
-            lit("assistant").as("role"), col("props").as("content")
-          ).as("message"))).as("choices")).as("body")
-        ).as("response"))).as("value"))
       // testdata parquet is one row group = one input split; fan the
-      // parse work out (same pattern as gzip JSONL at scale)
-      Parse.extractContent(Parse.parseEnvelope(Parse.fanOut(env)))
+      // narrow source out FIRST so serialization AND parse run on
+      // every core (same pattern as gzip JSONL at scale)
+      val env = Parse.fanOut(events(s, dir).select(col("event_id"), col("props")))
+        .select(to_json(struct(
+          concat(lit("req_"), col("event_id")).as("id"),
+          concat(lit("row_"), col("event_id")).as("custom_id"),
+          struct(
+            when(pmod(col("event_id"), lit(10)) === 0, lit(500)).otherwise(lit(200))
+              .cast(IntegerType).as("status_code"),
+            struct(array(struct(struct(
+              lit("assistant").as("role"), col("props").as("content")
+            ).as("message"))).as("choices")).as("body")
+          ).as("response"))).as("value"))
+      Parse.extractContent(Parse.parseEnvelope(env))
         .select(
           substring(col("custom_id"), 5, 18).cast(LongType).as("event_id"),
           get_json_object(col("content"), "$.k").cast(LongType).as("k"))
