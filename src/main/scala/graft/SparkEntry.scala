@@ -537,6 +537,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with k-means-trained centroids (rows-only: training means
+    // depend on float summation order in the last ulps)
+    "q_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, queryId = 3L, k = 10, trainIterations = 2)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // X6: per-row LLM call via mapPartitions (deterministic stub —
     // zero-egress environment)
     "q_llm_stub" -> ((s, dir) =>
