@@ -55,8 +55,12 @@ object Orchestrator {
       // SNK1 first, so `--test` can stop right after JSONL generation
       // with nothing external touched and no watermark advanced
       // (reference order: write_jsonl → test_only return → watermark →
-      // submit; main.py:245-278).
-      val jsonlPath = s"$workDir/requests_$table"
+      // submit; main.py:245-278). Dry-run output lives under a separate
+      // jsonl_test/ dir (main.py's jsonl_test isolation) so a later
+      // production run can never re-submit or clobber a test file.
+      val jsonlPath =
+        if (testOnly) s"$workDir/jsonl_test/requests_$table"
+        else s"$workDir/requests_$table"
       Payload.writeJsonl(requests, jsonlPath)
       if (testOnly)
         return Some(BatchRecord("", table, Payload.resolveModel(modelKey),

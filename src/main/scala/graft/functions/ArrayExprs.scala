@@ -140,11 +140,22 @@ object kernels {
     val out = new Array[Int](n)
     var r = 0
     while (r < n) {
+      // NaN scores (a NaN in the embedding makes every dot NaN) compare
+      // false to everything, which would leave best = -1 and crash the
+      // task; rank them last instead of never.
       var best = -1
       var bestScore = Double.NegativeInfinity
       var j = 0
       while (j < m) {
-        if (!taken(j) && scores(j) > bestScore) { bestScore = scores(j); best = j }
+        if (!taken(j)) {
+          val sj = scores(j)
+          val better =
+            if (best < 0) true                      // any untaken cell beats none
+            else if (sj.isNaN) false                // NaN never displaces a candidate
+            else if (bestScore.isNaN) true          // any real score beats NaN
+            else sj > bestScore
+          if (better) { bestScore = sj; best = j }
+        }
         j += 1
       }
       taken(best) = true

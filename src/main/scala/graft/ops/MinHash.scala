@@ -85,6 +85,16 @@ object MinHash {
     * pre-sorted sets ([[graft.functions.JaccardSorted]]) — no
     * per-pair array allocation.
     */
+  /** The previous invocation's cached shingle frame. nearDupPairs
+    * returns a LAZY DataFrame, so it cannot unpersist its own cache
+    * before the caller materializes it; instead each call evicts the
+    * previous call's cache, bounding storage at one shingled corpus per
+    * session instead of growing without bound (warmup + median-of-3 in
+    * the bench alone would otherwise pin 4 copies). Unpersisting a
+    * still-referenced frame is safe — the plan recomputes.
+    */
+  private val lastBase = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def nearDupPairs(docs: DataFrame, idCol: Column, textCol: Column,
                    threshold: Double, shingleN: Int = 3, k: Int = 32,
                    bands: Int = 8, seed: Long = 42L,
@@ -95,6 +105,8 @@ object MinHash {
         array_sort(array_distinct(TextStats.shingles(textCol, shingleN))).as("sset"))
       .withColumn("sig", signature(col("sset"), k, seed))
       .persist()
+    val prev = lastBase.getAndSet(base)
+    if (prev ne null) prev.unpersist(blocking = false)
     val bandHashes = array((0 until bands).map { b =>
       struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bh"))
     }: _*)
