@@ -494,6 +494,81 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // grouping sets: the explicit form rollup/cube desugar to
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // distinct aggregates: Catalyst's Expand-based rewrite, one shuffle
+    "q_distinct_agg" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy(col("o_orderpriority")).agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
+    // statistical aggregates: stddev/correlation/covariance (results
+    // truncated through DECIMAL(18,6) on BOTH sides — the merge order
+    // of distributed moment accumulators differs between engines in
+    // the last ulps)
+    "q_stat_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+        stddev_samp(col("l_quantity")).cast(DecimalType(18, 6))
+          .cast(DoubleType).as("sd_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).cast(DecimalType(18, 6))
+          .cast(DoubleType).as("corr_qty_price"),
+        covar_samp(col("l_quantity"), col("l_discount")).cast(DecimalType(18, 6))
+          .cast(DoubleType).as("covar_qty_disc"))
+        .orderBy(col("l_returnflag"))),
+
+    // ordered list aggregation: collect_list is order-nondeterministic
+    // after a shuffle, so sort INSIDE the aggregate domain (array_sort)
+    // — the only deterministic way to string_agg distributed data
+    "q_listagg" -> ((s, dir) =>
+      Tables.customer(s, dir).groupBy(col("c_nationkey")).agg(
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+        count(lit(1)).as("n_cust"))
+        .orderBy(col("c_nationkey"))),
+
+    // banded range join: interval containment as ONE equi-shuffle
+    // (bucket expansion + residual filter), not a nested-loop product
+    "q_range_join" -> ((s, dir) => {
+      val ranges = Tables.part(s, dir)
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey").as("range_id"),
+          (col("p_partkey") * 50).as("lo"),
+          (col("p_partkey") * 50 + 75).as("hi"))
+      RangeJoin.bucketed(
+        Tables.orders(s, dir).select(col("o_orderkey")), col("o_orderkey"),
+        ranges, "lo", "hi", bucketWidth = 50L)
+        .select(col("o_orderkey"), col("range_id"))
+        .orderBy(col("o_orderkey"), col("range_id"))
+    }),
+
+    // null-safe equi-join (<=>): NULL keys match the dim's NULL row
+    // instead of dropping out; broadcast-able like any equi-join
+    "q_null_safe_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(97)) === 0, lit(null).cast(IntegerType))
+          .otherwise(col("c_nationkey")).as("nk"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+        .unionByName(s.range(1).select(
+          lit(null).cast(IntegerType).as("nk"), lit("UNKNOWN").as("n_name")))
+      c.join(broadcast(n), c("nk") <=> n("nk"))
+        .select(col("c_custkey"), col("n_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- oracle-omitted (non-SQL-expressible; rows-only check) ----
 
     // E1 near, scale path: MinHash+LSH banded near-dup detection
@@ -868,6 +943,46 @@ object SparkEntry {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
-        "GROUP BY n_name ORDER BY n_name")
+        "GROUP BY n_name ORDER BY n_name"),
+
+    "q_grouping_sets" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, " +
+        "COALESCE(l_linestatus, 'ALL') AS ls, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS cnt FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY rf, ls"),
+
+    "q_distinct_agg" ->
+      ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, " +
+        "count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "q_stat_agg" ->
+      ("SELECT l_returnflag, " +
+        "CAST(CAST(stddev_samp(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS sd_qty, " +
+        "CAST(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,6)) AS DOUBLE) AS corr_qty_price, " +
+        "CAST(CAST(covar_samp(l_quantity, l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS covar_qty_disc " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_listagg" ->
+      ("SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names, " +
+        "count(*) AS n_cust FROM customer " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "q_range_join" ->
+      ("SELECT o_orderkey, range_id FROM orders JOIN " +
+        "(SELECT p_partkey AS range_id, p_partkey * 50 AS lo, p_partkey * 50 + 75 AS hi " +
+        "FROM part WHERE p_partkey < 100) r " +
+        "ON o_orderkey >= lo AND o_orderkey <= hi " +
+        "ORDER BY o_orderkey, range_id"),
+
+    "q_null_safe_join" ->
+      ("WITH c AS (SELECT c_custkey, " +
+        "CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_nationkey END AS nk FROM customer), " +
+        "n AS (SELECT n_nationkey AS nk, n_name FROM nation " +
+        "UNION ALL SELECT NULL, 'UNKNOWN') " +
+        "SELECT c_custkey, n_name FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk " +
+        "ORDER BY c_custkey")
   )
 }
