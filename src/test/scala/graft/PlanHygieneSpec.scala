@@ -101,4 +101,22 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
   }
 
+  test("q_range_join is an equi-join on the bucket key, not a product") {
+    val plan = finalPlan(q("q_range_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a product:\n$plan")
+  }
+
+  test("q_null_safe_join broadcasts the dim like any equi-join") {
+    val plan = finalPlan(q("q_null_safe_join"))
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"null-safe comparison fell off the hash-join path:\n$plan")
+  }
+
+  test("q_stat_agg keeps moment aggregates map-side combinable") {
+    val plan = finalPlan(q("q_stat_agg"))
+    assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
+  }
+
 }
