@@ -100,6 +100,13 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
+      // Pay GC BETWEEN queries, not during one: 59 queries accumulate
+      // broadcasts/caches, and whichever query runs when the collector
+      // finally fires absorbs a 5-10x outlier (the rotating slow-query
+      // pattern across otherwise-identical runs). An explicit collect
+      // here also lets the ContextCleaner drop dead broadcast blocks.
+      spark.catalog.clearCache()
+      System.gc()
       val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
       // up to 3 runs, but never start one the global deadline can't absorb
       while (runs.size < 3 && remainingMs > 5000) {
