@@ -569,6 +569,25 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // SQL front door: spark.sql over the registered temp views with a
+    // registered native Catalyst kernel (dot_double) — exercises the
+    // full SQL surface end-to-end, not just the DataFrame API
+    "q_sql_front" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Tables.registerViews(s, dir)
+      s.sql("SELECT vec_id, CAST(round(dot_double(embedding, embedding), 6) AS DOUBLE) AS norm_sq " +
+        "FROM embeddings WHERE vec_id < 100 ORDER BY vec_id")
+    }),
+
+    // dup-cluster derivation: near-dup PAIRS -> connected components
+    // (min-label propagation; DuckDB oracle = recursive-CTE closure)
+    "q_dup_clusters" -> ((s, dir) => {
+      val pairs = Similarity.nearDupPairs(Tables.embeddings(s, dir),
+        col("label"), threshold = 0.30)
+      ConnectedComponents.components(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
     // ---- oracle-omitted (non-SQL-expressible; rows-only check) ----
 
     // E1 near, scale path: MinHash+LSH banded near-dup detection
@@ -983,6 +1002,27 @@ object SparkEntry {
         "n AS (SELECT n_nationkey AS nk, n_name FROM nation " +
         "UNION ALL SELECT NULL, 'UNKNOWN') " +
         "SELECT c_custkey, n_name FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk " +
-        "ORDER BY c_custkey")
+        "ORDER BY c_custkey"),
+
+    "q_sql_front" ->
+      ("SELECT vec_id, round(list_sum(list_transform(range(1, 65), " +
+        "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), 6) AS norm_sq " +
+        "FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"),
+
+    "q_dup_clusters" ->
+      ("WITH RECURSIVE " +
+        "e AS (SELECT vec_id, label, embedding, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm " +
+        "FROM embeddings), " +
+        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id AND " +
+        "round(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) " +
+        "/ (a.nrm * b.nrm), 6) >= 0.30), " +
+        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (" +
+        "SELECT u, u FROM (SELECT DISTINCT u FROM edges) n " +
+        "UNION " +
+        "SELECT reach.id, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u) " +
+        "SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id")
   )
 }

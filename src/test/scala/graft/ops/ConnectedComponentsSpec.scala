@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Min-label propagation: each node's component label must be the
+  * minimum id reachable through the undirected edge set.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("two disjoint components each labeled by their minimum id") {
+    val got = run(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a chain converges to one component (worst-case diameter)") {
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.values.toSet == Set(0L))
+    assert(got.keySet == (0L to 9L).toSet)
+  }
+
+  test("edge direction does not matter") {
+    assert(run(Seq((5L, 1L), (1L, 3L))) == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("a triangle with a bridge merges into one component") {
+    val got = run(Seq((2L, 3L), (3L, 4L), (4L, 2L), (4L, 9L), (9L, 8L)))
+    assert(got.values.toSet == Set(2L))
+  }
+}
