@@ -8,24 +8,24 @@ import org.apache.spark.sql.functions._
   * MinHash/SimHash/embedding blocking) become dup CLUSTERS, and one
   * representative per cluster survives.
   *
-  * Algorithm: min-label propagation. Every node starts labeled with
-  * its own id; each round, every node adopts the minimum label among
-  * itself and its neighbors; at fixpoint each component is labeled by
-  * its minimum member id. The fixpoint is unique and deterministic, so
-  * the result is oracle-comparable (DuckDB: recursive-CTE transitive
-  * closure + GROUP BY min).
+  * Algorithm: min-label propagation with pointer jumping. Every node
+  * starts labeled with its own id; each round a node adopts the
+  * minimum of (its label, its neighbors' labels, its label's label).
+  * The last term — pointer jumping, `comp ← comp[comp]` — halves the
+  * remaining propagation distance every round, so convergence is
+  * O(log diameter) rounds instead of O(diameter) (the doubling trick
+  * of Shiloach–Vishkin / the MapReduce CC literature, e.g. Kiveris et
+  * al., SoCC'14). At fixpoint each component is labeled by its minimum
+  * member id — a unique, deterministic result (oracle-comparable:
+  * DuckDB recursive-CTE transitive closure + GROUP BY min).
   *
-  * Scale shape: each round is one join (edges ⋈ labels, both sides
-  * partitioned on the key) + one min-groupBy — all shuffle-based, no
-  * driver-side graph. Lineage is cut per round (`localCheckpoint`),
-  * otherwise the plan doubles every iteration. Rounds needed = graph
-  * diameter; near-dup clusters are shallow (pairs share a common
-  * center), so convergence is typically 2–4 rounds. For adversarial
-  * diameters (long chains) the known remedy is alternating star
-  * contraction (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14) which converges in O(log n) rounds — the
-  * round-loop below is the same outer shape, so that optimization
-  * swaps in without changing the API.
+  * Scale shape per round: one edges⋈labels join, one labels⋈labels
+  * join (both equi-joins on partitioned keys), one min-groupBy — all
+  * shuffle-based, no driver-side graph state. Convergence detection is
+  * folded into the same aggregate (each node's previous label rides
+  * along; a cache-local emptiness probe afterwards touches no shuffle).
+  * Lineage is cut every round (`localCheckpoint`), otherwise the plan
+  * doubles per iteration.
   */
 object ConnectedComponents {
 
@@ -51,19 +51,26 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val proposals = edges
+      val viaEdges = edges
         .join(labels, edges("u") === labels("id"))
         .select(col("v").as("id"), col("comp"))
-      val next = labels.unionByName(proposals)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      // emptiness probe, not a full count: one changed row is enough
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .limit(1).count()
-      converged = changed == 0L
-      labels = next
+      // pointer jump: every comp is itself a node id, so resolve its
+      // current label and adopt that too
+      val viaJump = labels.as("x")
+        .join(labels.as("y"), col("x.comp") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.comp").as("comp"))
+      // LAZY checkpoint: the convergence probe below is the round's one
+      // and only job — it materializes the checkpoint as it scans, so a
+      // round never pays a separate eager-materialization pass
+      val next = labels.withColumn("__self", lit(1))
+        .unionByName(viaEdges.withColumn("__self", lit(0)))
+        .unionByName(viaJump.withColumn("__self", lit(0)))
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"),
+          max(when(col("__self") === 1, col("comp"))).as("__prev"))
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("comp") =!= col("__prev")).limit(1).count() == 0L
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     edges.unpersist(blocking = false)
