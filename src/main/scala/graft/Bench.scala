@@ -76,7 +76,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val deadlineMs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "240").toLong * 1000L
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "180").toLong * 1000L
     val perRunCapMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN_CAP", "45").toLong * 1000L
     val t0 = System.currentTimeMillis()

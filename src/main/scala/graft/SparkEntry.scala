@@ -532,7 +532,11 @@ object SparkEntry {
 
     // ordered list aggregation: collect_list is order-nondeterministic
     // after a shuffle, so sort INSIDE the aggregate domain (array_sort)
-    // — the only deterministic way to string_agg distributed data
+    // — the only deterministic way to string_agg distributed data.
+    // Scale note: the aggregated string grows with the group; listagg
+    // semantics inherently concentrate a group on one task, so at
+    // 100 TB the group key must be chosen with bounded cardinality
+    // (here: customers-per-nation)
     "q_listagg" -> ((s, dir) =>
       Tables.customer(s, dir).groupBy(col("c_nationkey")).agg(
         array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
@@ -574,7 +578,9 @@ object SparkEntry {
     // full SQL surface end-to-end, not just the DataFrame API
     "q_sql_front" -> ((s, dir) => {
       GraftExtensions.register(s)
-      Tables.registerViews(s, dir)
+      // session-level setup, like q_bucket_join's table ensure: pay the
+      // 10-view registration once per session, not per execution
+      if (!s.catalog.tableExists("embeddings")) Tables.registerViews(s, dir)
       s.sql("SELECT vec_id, CAST(round(dot_double(embedding, embedding), 6) AS DOUBLE) AS norm_sq " +
         "FROM embeddings WHERE vec_id < 100 ORDER BY vec_id")
     }),
