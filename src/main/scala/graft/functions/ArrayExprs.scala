@@ -203,6 +203,31 @@ object kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-marker-set occurrence counts over a token array in ONE pass:
+    * each token is a single hash probe; a token belonging to several
+    * sets increments each. Duplicates count (same semantics as
+    * `size(filter(words, isInCollection(set)))` per set — which walks
+    * the whole token array once PER SET via CodegenFallback lambdas).
+    */
+  def markerCounts(arr: ArrayData,
+                   lookup: java.util.HashMap[UTF8String, Array[Int]],
+                   k: Int): ArrayData = {
+    val counts = new Array[Long](k)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val sets = lookup.get(arr.getUTF8String(i))
+        if (sets != null) {
+          var j = 0
+          while (j < sets.length) { counts(sets(j)) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
 }
 
 
@@ -327,6 +352,37 @@ object ArrayExprs {
   def dotDouble(a: Column, b: Column): Column =
     Shim.column(DotDouble(
       Shim.expression(a), Shim.expression(b)))
+  def markerCounts(words: Column, markerSets: Array[Array[String]]): Column =
+    Shim.column(MarkerCounts(Shim.expression(words), markerSets))
+}
+
+/** Per-marker-set token counts (array<long>, one slot per set) of an
+  * array<string> column — the language-ID / stopword-ratio kernel.
+  */
+case class MarkerCounts(child: Expression, markerSets: Array[Array[String]])
+  extends UnaryExpression {
+  require(markerSets.nonEmpty)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    markerSets.zipWithIndex.foreach { case (set, idx) =>
+      set.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(idx) else prev :+ idx)
+      }
+    }
+    m
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernels.markerCounts(input.asInstanceOf[ArrayData], lookup, markerSets.length)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("lookup", lookup, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.kernels.markerCounts($c, $mRef, ${markerSets.length})")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
+    copy(child = newChild)
 }
 
 /** Word n-gram shingles of a single-space-tokenized string: one pass,

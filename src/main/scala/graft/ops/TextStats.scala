@@ -37,24 +37,31 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "das", "ein"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  /** Count of tokens that appear in `markers` (with duplicates —
-    * `filter` not `array_intersect`, which would dedup).
+  /** Count of tokens that appear in `markers` (with duplicates — the
+    * semantics of `size(filter(words, isInCollection))`, but via the
+    * one-pass native kernel: the HOF `filter` lambda is
+    * CodegenFallback and walks the token array once per marker set).
     */
   def markerCount(words: Column, markers: Seq[String]): Column =
-    size(filter(words, w => w.isInCollection(markers))).cast("long")
+    element_at(
+      graft.functions.ArrayExprs.markerCounts(words, Array(markers.toArray)), 1)
 
   /** Language-ID: argmax of marker counts; deterministic tie-break =
     * first language in [[LangMarkers]] order reaching the max; all-zero
-    * → "und" (undetermined).
+    * → "und" (undetermined). All five vocabularies are counted in ONE
+    * token-array pass ([[graft.functions.MarkerCounts]]); the repeated
+    * `counts` subtree is eliminated by whole-stage codegen CSE.
     */
   def langId(textCol: Column): Column = {
-    val w = tokens(lower(textCol))
-    val counts = LangMarkers.map { case (lang, m) => lang -> markerCount(w, m) }
-    val best = greatest(counts.map(_._2): _*)
+    val counts = graft.functions.ArrayExprs.markerCounts(
+      tokens(lower(textCol)), LangMarkers.map(_._2.toArray).toArray)
+    val best = array_max(counts)
     // foldRight nests later languages inside, so the first language in
     // LangMarkers order is tested first → deterministic tie-break.
-    counts.foldRight(lit("und")) { case ((lang, cnt), rest) =>
-      when(cnt === best && best > 0, lit(lang)).otherwise(rest)
+    LangMarkers.map(_._1).zipWithIndex.foldRight(lit("und")) {
+      case ((lang, i), rest) =>
+        when(element_at(counts, i + 1) === best && best > 0, lit(lang))
+          .otherwise(rest)
     }
   }
 
