@@ -573,6 +573,29 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // scalar subquery: the per-plan singleton broadcast (SubqueryExec)
+    // — the average is computed once, not re-joined per row
+    "q_scalar_subquery" -> ((s, dir) => {
+      val avgPrice = Tables.orders(s, dir)
+        .agg(avg(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType))
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > avgPrice.scalar())
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // RANGE window frame: per-event trailing one-hour sum — the frame
+    // is value-based (ts distance), not row-count-based
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(tsEpochSec)
+        .rangeBetween(-3600L, Window.currentRow)
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("hour_sum"))
+        .orderBy(col("event_id"))
+    }),
+
     // SQL front door: spark.sql over the registered temp views with a
     // registered native Catalyst kernel (dot_double) — exercises the
     // full SQL surface end-to-end, not just the DataFrame API
@@ -1009,6 +1032,17 @@ object SparkEntry {
         "UNION ALL SELECT NULL, 'UNKNOWN') " +
         "SELECT c_custkey, n_name FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk " +
         "ORDER BY c_custkey"),
+
+    "q_scalar_subquery" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders) " +
+        "ORDER BY o_orderkey"),
+
+    "q_range_frame" ->
+      ("SELECT event_id, user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts)) " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum " +
+        "FROM events ORDER BY event_id"),
 
     "q_sql_front" ->
       ("SELECT vec_id, round(list_sum(list_transform(range(1, 65), " +
