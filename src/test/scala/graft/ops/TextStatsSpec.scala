@@ -33,6 +33,22 @@ class TextStatsSpec extends AnyFunSuite {
       TextStats.LangMarkers.head._2)).collect()(0).getLong(0)
     assert(n == 3)
   }
+  test("a marker shared by two vocabularies counts toward both") {
+    // "de" is in both the fr and es marker lists: one token, two slots
+    val counts = Seq("de de").toDF("t").select(
+      graft.functions.ArrayExprs.markerCounts(
+        TextStats.tokens(col("t")),
+        TextStats.LangMarkers.map(_._2.toArray).toArray))
+      .as[Seq[Long]].collect()(0)
+    val byLang = TextStats.LangMarkers.map(_._1).zip(counts).toMap
+    assert(byLang("fr") == 2 && byLang("es") == 2 && byLang("en") == 0)
+  }
+  test("lang-id tie-break is first language in LangMarkers order") {
+    // "la" is in both fr and es lists -> tie; fr is declared first
+    val got = Seq("la la").toDF("t")
+      .select(TextStats.langId(col("t"))).as[String].collect()(0)
+    assert(got == "fr")
+  }
   test("quality score is in [0,1] and favors clean prose") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and keeps running to the end of the field",
