@@ -608,6 +608,19 @@ object SparkEntry {
         "FROM embeddings WHERE vec_id < 100 ORDER BY vec_id")
     }),
 
+    // NOT IN over a subquery on a NULLABLE key: three-valued logic
+    // (NULL key -> UNKNOWN -> dropped) — Spark plans this as the
+    // null-aware anti join, a different operator from NOT EXISTS's
+    // plain LeftAnti (q_anti_join)
+    "q_not_in" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      if (!s.catalog.tableExists("customer")) Tables.registerViews(s, dir)
+      s.sql("SELECT c_custkey FROM " +
+        "(SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k, c_custkey FROM customer) t " +
+        "WHERE k NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "ORDER BY c_custkey")
+    }),
+
     // dup-cluster derivation: near-dup PAIRS -> connected components
     // (min-label propagation; DuckDB oracle = recursive-CTE closure)
     "q_dup_clusters" -> ((s, dir) => {
@@ -1031,6 +1044,12 @@ object SparkEntry {
         "n AS (SELECT n_nationkey AS nk, n_name FROM nation " +
         "UNION ALL SELECT NULL, 'UNKNOWN') " +
         "SELECT c_custkey, n_name FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk " +
+        "ORDER BY c_custkey"),
+
+    "q_not_in" ->
+      ("SELECT c_custkey FROM " +
+        "(SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k, c_custkey FROM customer) t " +
+        "WHERE k NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "ORDER BY c_custkey"),
 
     "q_scalar_subquery" ->
