@@ -439,8 +439,9 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))),
 
     "q_approx_percentile" -> ((s, dir) =>
-      ApproxAgg.percentiles(Tables.lineitem(s, dir),
-        Seq(col("l_returnflag")), col("l_quantity"), Seq(0.25, 0.5, 0.75))
+      ApproxAgg.percentilesScalar(Tables.lineitem(s, dir),
+        Seq(col("l_returnflag")), col("l_quantity"), Seq(0.25, 0.5, 0.75),
+        Seq("p25", "p50", "p75"))
         .orderBy(col("l_returnflag"))),
 
     // bucketed co-located join: both sides written bucketBy+sortBy on
@@ -603,7 +604,7 @@ object SparkEntry {
       GraftExtensions.register(s)
       // session-level setup, like q_bucket_join's table ensure: pay the
       // 10-view registration once per session, not per execution
-      if (!s.catalog.tableExists("embeddings")) Tables.registerViews(s, dir)
+      Tables.ensureViews(s, dir)
       s.sql("SELECT vec_id, CAST(round(dot_double(embedding, embedding), 6) AS DOUBLE) AS norm_sq " +
         "FROM embeddings WHERE vec_id < 100 ORDER BY vec_id")
     }),
@@ -614,7 +615,7 @@ object SparkEntry {
     // plain LeftAnti (q_anti_join)
     "q_not_in" -> ((s, dir) => {
       GraftExtensions.register(s)
-      if (!s.catalog.tableExists("customer")) Tables.registerViews(s, dir)
+      Tables.ensureViews(s, dir)
       s.sql("SELECT c_custkey FROM " +
         "(SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k, c_custkey FROM customer) t " +
         "WHERE k NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +

@@ -28,6 +28,20 @@ object Tables {
       df.createOrReplaceTempView(t)
     }
 
+  /** Idempotent, thread-safe [[registerViews]]. Verify runs queries on
+    * a pool, and a bare `if (!tableExists(x)) registerViews(...)` is
+    * check-then-act: a thread can observe an early view registered
+    * while another is mid-registration and run SQL against a view set
+    * that is still missing its tail. The lock makes the whole view set
+    * appear atomically; the existence probe targets the LAST view
+    * registered so a half-done set never short-circuits.
+    */
+  def ensureViews(spark: SparkSession, sfDir: String): Unit =
+    viewLock.synchronized {
+      if (!spark.catalog.tableExists(All.last)) registerViews(spark, sfDir)
+    }
+  private val viewLock = new Object
+
   /** SRC2: list the session catalog's tables (reference
     * `--list-tables`, main.py:624-634 — there a DynamoDB ListTables
     * call; here the Spark catalog is the table store).

@@ -77,6 +77,23 @@ object Verify {
     try scala.concurrent.Await.ready(
       scala.concurrent.Future.sequence(futures), (deadlineMs + 60000L).millis)
     catch { case _: Throwable => () }
+    // A write in flight when the Await above gives up leaves a
+    // partially-written dir (_temporary, no _SUCCESS) that the driver's
+    // DuckDB compare would read as an empty/truncated RESULT rather
+    // than a skipped query. Remove any query dir without its commit
+    // marker so "killed mid-write" and "genuinely empty" stay
+    // distinguishable.
+    SparkEntry.queries.keys.foreach { name =>
+      val dir = Paths.get(s"$outDir/$name")
+      if (Files.isDirectory(dir) && !Files.exists(dir.resolve("_SUCCESS"))) {
+        System.err.println(s"[verify] $name incomplete (no _SUCCESS): removing")
+        // the abandoned writer may still be creating files under here;
+        // best-effort delete, halt(0) below ends it either way
+        try Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }
+    }
     println(s"[verify] ${done.get()}/${SparkEntry.queries.size} queries dumped to $outDir")
     System.out.flush()
     Runtime.getRuntime.halt(0)

@@ -36,4 +36,23 @@ object ApproxAgg {
     df.groupBy(groupCols: _*)
       .agg(percentile_approx(valueCol,
         array(ps.map(lit): _*), lit(accuracy)).as("approx_ps"))
+
+  /** [[percentiles]] with each quantile projected to its own scalar
+    * column named `names(i)`. Still ONE sketch pass (a single
+    * array-returning agg, then `element_at`); the flat shape is what
+    * downstream row-oriented consumers (and the correctness harness's
+    * cell hasher) can actually digest — an array cell is opaque to
+    * them.
+    */
+  def percentilesScalar(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+                        ps: Seq[Double], names: Seq[String],
+                        accuracy: Int = 10000): DataFrame = {
+    require(ps.size == names.size, "one output name per quantile")
+    val arr = percentiles(df, groupCols, valueCol, ps, accuracy)
+    val keep = arr.columns.filterNot(_ == "approx_ps").map(col).toSeq
+    val flat = names.zipWithIndex.map { case (n, i) =>
+      element_at(col("approx_ps"), i + 1).cast("double").as(n)
+    }
+    arr.select(keep ++ flat: _*)
+  }
 }

@@ -39,7 +39,15 @@ object ConnectedComponents {
     *         nodes are their own singleton component by definition).
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 20): DataFrame =
+    componentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[components]] plus the number of propagation rounds it took —
+    * the observable the O(log diameter) claim rests on (the
+    * convergence-shape spec pins it on a long path graph).
+    */
+  def componentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
+                           maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
@@ -50,6 +58,7 @@ object ConnectedComponents {
       .localCheckpoint()
     var converged = false
     var i = 0
+    var prevLabels: DataFrame = null
     while (!converged && i < maxIter) {
       val viaEdges = edges
         .join(labels, edges("u") === labels("id"))
@@ -70,10 +79,32 @@ object ConnectedComponents {
           max(when(col("__self") === 1, col("comp"))).as("__prev"))
         .localCheckpoint(eager = false)
       converged = next.filter(col("comp") =!= col("__prev")).limit(1).count() == 0L
+      // `next` is materialized by the probe above, so the PREVIOUS
+      // round's checkpoint blocks are dead weight from here on — drop
+      // them, or up to maxIter cached label snapshots pile up in the
+      // block manager for the life of the session (real executor-memory
+      // pressure at dedup scale). The round-1 input (the eager initial
+      // checkpoint) is dropped on the first pass; the final round's
+      // snapshot survives, backing the returned DataFrame. NB: this
+      // must happen at the RDD level — Dataset.unpersist only clears
+      // CacheManager entries, and localCheckpoint blocks live on the
+      // checkpointed RDD itself.
+      if (prevLabels != null) unpersistCheckpoint(prevLabels)
+      prevLabels = labels
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
     edges.unpersist(blocking = false)
-    labels
+    (labels, i)
   }
+
+  /** Drop the MEMORY_AND_DISK blocks behind a `localCheckpoint`ed
+    * DataFrame (or a projection over one). The checkpointed data is an
+    * RDD persist, invisible to `Dataset.unpersist`/CacheManager; find
+    * the `LogicalRDD` leaf and unpersist its RDD directly.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Bucketed (banded) range join — `left.point BETWEEN right.lo AND
   * right.hi` without the nested-loop cross product Spark plans for a
@@ -33,12 +34,36 @@ object RangeJoin {
   def bucketed(left: DataFrame, leftPoint: Column, right: DataFrame,
                loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val l = left.withColumn("__bkt", floor(leftPoint / bucketWidth))
+    val l = left.withColumn("__bkt",
+      bucketId(leftPoint, bucketWidth, integralType(left, leftPoint)))
+    val rIntegral = integralType(right, col(loCol)) && integralType(right, col(hiCol))
     val r = right.withColumn("__bkt",
-      explode(sequence(floor(col(loCol) / bucketWidth),
-                       floor(col(hiCol) / bucketWidth))))
+      explode(sequence(bucketId(col(loCol), bucketWidth, rIntegral),
+                       bucketId(col(hiCol), bucketWidth, rIntegral))))
     l.join(r, Seq("__bkt"))
       .filter(leftPoint >= col(loCol) && leftPoint <= col(hiCol))
       .drop("__bkt")
   }
+
+  /** Exact floor-division bucket id. Column `/` is DOUBLE division, so
+    * `floor(key / w)` on 64-bit keys beyond 2^53 can round the point
+    * and the interval ends to DIFFERENT bucket ids — the equi-join then
+    * silently drops matching rows. For integral keys, compute floorDiv
+    * exactly: `x - pmod(x, w)` is the exact floor multiple (pmod >= 0
+    * handles negatives), and the division runs in DECIMAL arithmetic
+    * (exact for an integral quotient of <= 19 digits; no 2^53 cliff).
+    * Fractional keys keep the double path — their values carry
+    * double precision to begin with.
+    */
+  private def bucketId(c: Column, w: Long, integral: Boolean): Column =
+    if (integral)
+      ((c - pmod(c, lit(w))).cast(DecimalType(38, 0)) /
+        lit(w).cast(DecimalType(38, 0))).cast("long")
+    else floor(c / lit(w.toDouble))
+
+  private def integralType(df: DataFrame, c: Column): Boolean =
+    df.select(c).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
 }

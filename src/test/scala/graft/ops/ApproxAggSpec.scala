@@ -43,6 +43,30 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("percentilesScalar flattens to the named scalar columns, one sketch pass") {
+    val li = Tables.lineitem(spark, dir)
+    val flat = ApproxAgg.percentilesScalar(li, Seq(col("l_returnflag")),
+      col("l_quantity"), Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
+    assert(flat.columns.toSeq == Seq("l_returnflag", "p25", "p50", "p75"))
+    assert(flat.schema.forall(f => f.name == "l_returnflag" ||
+      f.dataType == org.apache.spark.sql.types.DoubleType))
+    // values agree with the array form element-for-element
+    val arr = ApproxAgg.percentiles(li, Seq(col("l_returnflag")),
+      col("l_quantity"), Seq(0.25, 0.5, 0.75))
+    val byFlag = arr.collect()
+      .map(r => r.getString(0) -> r.getAs[collection.Seq[Double]]("approx_ps").toList)
+      .toMap
+    flat.collect().foreach { r =>
+      val ps = byFlag(r.getString(0))
+      assert(List(r.getDouble(1), r.getDouble(2), r.getDouble(3)) == ps)
+    }
+    // still exactly one aggregate over the scan: no second sketch pass
+    val aggs = flat.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected one Aggregate, got ${aggs.size}")
+  }
+
   test("approx distinct plans a partial (mergeable sketch) aggregate") {
     val li = Tables.lineitem(spark, dir)
     val df = ApproxAgg.distinctCounts(li, Seq(col("l_returnflag")), col("l_orderkey"))

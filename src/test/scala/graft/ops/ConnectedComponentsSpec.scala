@@ -35,4 +35,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = run(Seq((2L, 3L), (3L, 4L), (4L, 2L), (4L, 9L), (9L, 8L)))
     assert(got.values.toSet == Set(2L))
   }
+
+  test("pointer jumping converges in O(log diameter) rounds on a 512-node path") {
+    // A path graph is the worst case for plain label propagation
+    // (O(diameter) rounds). Pointer jumping halves the remaining
+    // distance per round, so a diameter-511 path must converge in
+    // ceil(log2(511)) + 2 = 11 rounds — the property the 100 TB-scale
+    // claim rests on. Plain propagation would need 511 rounds and
+    // trip the default maxIter long before finishing.
+    val d = 511
+    val path = (0L until d.toLong).map(i => (i, i + 1))
+    val (labels, rounds) = ConnectedComponents.componentsWithRounds(
+      path.toDF("a", "b"), "a", "b", maxIter = 40)
+    val bound = math.ceil(math.log(d.toDouble) / math.log(2.0)).toInt + 2
+    assert(rounds <= bound, s"took $rounds rounds; log-diameter bound is $bound")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L))
+    assert(got.keySet == (0L to d.toLong).toSet)
+  }
 }

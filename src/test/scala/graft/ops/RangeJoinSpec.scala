@@ -43,6 +43,59 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Seq((55L, 9L)))
   }
 
+  test("64-bit keys beyond 2^53 bucket exactly (no double-rounding)") {
+    // Column `/` is double division: above 2^53 the quotient's ulp
+    // exceeds 1, so double bucketing collapses runs of adjacent true
+    // buckets into one id (ulp(2^60/7) = 64 — ~64 width-7 buckets
+    // merge, a silent skew machine at scale). The integral path must
+    // bucket exactly: distinct far-apart points keep distinct buckets
+    // and the naive-join result is reproduced bit-for-bit.
+    val base = (1L << 60) + 12345L
+    val pts = Seq(base - 8L, base - 1L, base, base + 6L, base + 7L, base + 700L)
+    val rngs = Seq((1L, base - 2L, base + 6L), (2L, base + 7L, base + 13L),
+                   (3L, base + 650L, base + 710L))
+    val exp = (for {
+      p <- pts; (id, lo, hi) <- rngs; if p >= lo && p <= hi
+    } yield (p, id)).toSet
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val got = RangeJoin.bucketed(pts.toDF("p"), col("p"),
+          rngs.toDF("range_id", "lo", "hi"), "lo", "hi", w)
+        .select("p", "range_id").as[(Long, Long)].collect().toSet
+      assert(got == exp, s"bucketWidth=$w")
+    }
+    // bucket-id exactness probe: adjacent points straddling a width-7
+    // boundary must land in DIFFERENT buckets even at 2^60
+    val b0 = base - (base % 7) // width-7 bucket floor
+    val ids = RangeJoin.bucketed(Seq(b0 - 1L, b0).toDF("p"), col("p"),
+        Seq((1L, b0 - 7L, b0 + 7L)).toDF("range_id", "lo", "hi"), "lo", "hi", 7L)
+      .count()
+    assert(ids == 2L)
+  }
+
+  test("negative integral keys floor toward -infinity, not zero") {
+    val pts = Seq(-10L, -3L, -1L, 0L, 3L)
+    val rngs = Seq((1L, -12L, -2L), (2L, -2L, 4L))
+    val exp = (for {
+      p <- pts; (id, lo, hi) <- rngs; if p >= lo && p <= hi
+    } yield (p, id)).toSet
+    val got = RangeJoin.bucketed(pts.toDF("p"), col("p"),
+        rngs.toDF("range_id", "lo", "hi"), "lo", "hi", 3L)
+      .select("p", "range_id").as[(Long, Long)].collect().toSet
+    assert(got == exp)
+  }
+
+  test("fractional point columns still work (double path)") {
+    val pts = Seq(0.5, 5.25, 49.9)
+    val rngs = Seq((1L, 0.0, 5.0), (2L, 5.0, 50.0))
+    val exp = (for {
+      p <- pts; (id, lo, hi) <- rngs; if p >= lo && p <= hi
+    } yield (p, id)).toSet
+    val got = RangeJoin.bucketed(pts.toDF("p"), col("p"),
+        rngs.toDF("range_id", "lo", "hi"), "lo", "hi", 10L)
+      .select("p", "range_id").as[(Double, Long)].collect().toSet
+    assert(got == exp)
+  }
+
   test("plans an equi-join, not a nested-loop product") {
     val l = points.toDF("p")
     val r = ranges.toDF("range_id", "lo", "hi")
