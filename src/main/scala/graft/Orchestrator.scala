@@ -157,13 +157,15 @@ object Orchestrator {
                 noTsFilterTables: Set[String] = Set.empty,
                 wait: Boolean = true,
                 pollEveryMs: Long = 60000,
-                sleep: Long => Unit = Thread.sleep): Seq[BatchRecord] = {
+                sleep: Long => Unit = Thread.sleep,
+                testOnly: Boolean = false): Seq[BatchRecord] = {
     val effWait = wait && tableNames.size <= 1
     tableNames.flatMap { t =>
       tables.get(t).flatMap { df =>
         orchestrate(df, t, cutoffEpochSec, orderCol, modelKey, workDir,
           client, wait = effWait, pollEveryMs, sleep,
-          noTsFilter = noTsFilterTables.contains(t))
+          noTsFilter = noTsFilterTables.contains(t),
+          testOnly = testOnly)
       }
     }
   }
