@@ -708,8 +708,52 @@ object SparkEntry {
         Multimodal.syntheticMedia(documents(s, dir)))
         .select(col("media_id"), col("meta.format").as("format"),
           col("byte_len"), col("content_hash"))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // SRC1 + T4 through the DSv2 store: the temporal cutoff pushed
+    // INTO the paginated reader via the opt-in Number-typed field
+    // (the reference's stated scale remedy, dynamo_fetcher.py:23-36).
+    // Rows are skipped inside the page scan, before Spark sees them —
+    // ItemStorePushdownSpec pins the pushed range filter in the plan.
+    // One-time setup materializes events as an 8-page JSONL store
+    // (like q_bucket_join's amortized bucketed write).
+    "q_itemstore_pushdown" -> ((s, dir) => {
+      val store = itemStorePath(dir)
+      ensureItemStore(s, dir, store)
+      s.read.format("graft.sources.ItemStore")
+        .option("path", store)
+        .option("numericFields", "ts,event_id")
+        .load()
+        .filter(col("ts") >= lit(ItemStoreCutoff.toDouble))
+        .select(col("event_id").cast(LongType).as("event_id"),
+          col("ts"), col("event_type"))
+        .orderBy(col("event_id"))
+    })
   )
+
+  /** 2024-01-16T00:00:00Z — the midpoint of the events table's 30-day
+    * window, so the pushed cutoff skips roughly half the store.
+    */
+  val ItemStoreCutoff: Long = 1705363200L
+
+  def itemStorePath(dir: String): String =
+    s"/tmp/graft_itemstore_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+
+  /** Materialize events as a pages-of-JSONL ItemStore once per data
+    * dir (numbers as epoch seconds — the wire shape a Number-typed
+    * index stores).
+    */
+  def ensureItemStore(s: SparkSession, dir: String, store: String): Unit =
+    itemStoreLock.synchronized {
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(store, "_SUCCESS")))
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts").cast(LongType).as("ts"),
+            col("event_type"), col("value"))
+          .repartition(8)
+          .write.mode("overwrite").json(store)
+    }
+  private val itemStoreLock = new Object
 
   // ---- DuckDB oracles ---------------------------------------------------
 
