@@ -710,6 +710,33 @@ object SparkEntry {
           col("byte_len"), col("content_hash"))
         .orderBy(col("media_id"))),
 
+    // training-mix selection (Sampling): layout-independent hash-mod
+    // sampling — same surviving rows on any cluster size/partitioning,
+    // unlike rand(); the scramble is plain 64-bit arithmetic, so the
+    // DuckDB oracle computes bit-equal buckets (hash-verified sampling)
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratified(documents(s, dir), col("lang"), col("doc_id"),
+        Map("en" -> 2500, "zh" -> 5000), defaultBp = 1000)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // deterministic k-row uniform sample: k smallest scrambled keys,
+    // TakeOrderedAndProject (per-partition top-k + driver merge,
+    // never a global sort)
+    "q_sample_k" -> ((s, dir) =>
+      Sampling.uniformK(documents(s, dir).select(col("doc_id")),
+        col("doc_id"), 100)
+        .orderBy(col("doc_id"))),
+
+    // per-source quota mixing: rank within source by priority, keep
+    // top quota(source) — ONE window shuffle partitioned by source
+    "q_source_mix" -> ((s, dir) =>
+      Sampling.mixByQuota(documents(s, dir), col("lang"), col("doc_id"),
+        Map("en" -> 100L, "zh" -> 50L), defaultQuota = 40L,
+        priority = col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // SRC1 + T4 through the DSv2 store: the temporal cutoff pushed
     // INTO the paginated reader via the opt-in Number-typed field
     // (the reference's stated scale remedy, dynamo_fetcher.py:23-36).
@@ -717,6 +744,17 @@ object SparkEntry {
     // ItemStorePushdownSpec pins the pushed range filter in the plan.
     // One-time setup materializes events as an 8-page JSONL store
     // (like q_bucket_join's amortized bucketed write).
+    // sequence packing (rows-only: FFD bin assignment isn't SQL;
+    // PackingSpec pins budget-respect, completeness, determinism,
+    // utilization): shard by pmod(id) -> FFD within shard, pack ids
+    // namespaced by shard — identical packing on any cluster size
+    "q_seq_pack" -> ((s, dir) =>
+      Packing.packGreedy(documents(s, dir),
+          col("doc_id"), TextStats.tokenCount(col("text")),
+          budget = 512L, shards = 8)
+        .toDF("pack_id", "doc_id", "n_tokens", "slot")
+        .orderBy(col("pack_id"), col("slot"))),
+
     "q_itemstore_pushdown" -> ((s, dir) => {
       val store = itemStorePath(dir)
       ensureItemStore(s, dir, store)
@@ -1096,6 +1134,28 @@ object SparkEntry {
         "(SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k, c_custkey FROM customer) t " +
         "WHERE k NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "ORDER BY c_custkey"),
+
+    // hash-mod sampling: the scramble is plain 64-bit arithmetic, so
+    // DuckDB computes bit-equal buckets (doc_id is non-negative, so
+    // % == pmod on both engines)
+    "q_stratified_sample" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE (doc_id * 2654435761) % 10000 < " +
+        "CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 1000 END " +
+        "ORDER BY doc_id"),
+
+    "q_sample_k" ->
+      ("SELECT doc_id FROM (SELECT doc_id FROM documents " +
+        "ORDER BY (doc_id * 2654435761) % 1000000007, doc_id LIMIT 100) t " +
+        "ORDER BY doc_id"),
+
+    "q_source_mix" ->
+      ("SELECT doc_id, lang, n_chars FROM (" +
+        "SELECT doc_id, lang, n_chars, row_number() OVER (" +
+        "PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk " +
+        "FROM documents) t WHERE rk <= " +
+        "CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 50 ELSE 40 END " +
+        "ORDER BY doc_id"),
 
     "q_scalar_subquery" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the layout stage of an LLM training pipeline:
+  * concatenate variable-length documents into fixed token-budget
+  * "packs" (context windows) so padding waste is bounded (Raffel et
+  * al., JMLR'20 §2.2 pack-and-trim; Krell et al., arXiv:2107.02027
+  * analyze FFD packing at corpus scale).
+  *
+  * Shape for 100 TB: packing is embarrassingly parallel ACROSS packs,
+  * so the distributed form is: deterministically shard documents
+  * (one shuffle), then run first-fit-decreasing WITHIN each shard via
+  * `mapPartitions` — per-task memory is one shard's doc METADATA
+  * (id + token count, not text), and pack ids are namespaced by shard
+  * so the result is globally unique without coordination. Cross-shard
+  * packing would buy ≤ one partially-filled pack per shard in
+  * utilization and cost a global sort; FFD within shards of ≥10k docs
+  * already packs ≥90% full (FFD waste is bounded at 22% worst-case,
+  * ~8% typical at these size distributions).
+  *
+  * Determinism: the shard assignment is a pure function of the id
+  * (hash partitioning on `pmod(id, shards)`), the within-shard order
+  * is a sort on (token count desc, id), and FFD is sequential — so
+  * the same corpus packs identically on any cluster size, which makes
+  * training-data lineage auditable.
+  */
+object Packing {
+
+  /** One packed document slot. `packId` is `"p<shard>_<bin>"`;
+    * `slot` is the document's position inside its pack.
+    */
+  case class Packed(packId: String, docId: Long, nTokens: Long, slot: Int)
+
+  /** First-fit-decreasing over (id, tokens) pairs — pure, sequential,
+    * the unit the distributed path runs per shard. Oversized docs
+    * (tokens > budget) get a singleton pack each (the downstream
+    * truncation stage's problem, not the packer's).
+    */
+  def ffd(docs: Iterator[(Long, Long)], budget: Long,
+          shard: Int): Iterator[Packed] = {
+    val sorted = docs.toArray.sortBy { case (id, n) => (-n, id) }
+    val binRoom = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val binSlots = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Packed]
+    sorted.foreach { case (id, n) =>
+      var b = 0
+      while (b < binRoom.length && binRoom(b) < n) b += 1
+      if (b == binRoom.length) { binRoom += budget; binSlots += 0 }
+      binRoom(b) -= math.min(n, budget) // oversize doc fills its singleton bin
+      out += Packed(s"p${shard}_$b", id, n, binSlots(b))
+      binSlots(b) += 1
+    }
+    out.iterator
+  }
+
+  /** Distributed FFD packing: `df` must carry an integral id and a
+    * token-count column. One shuffle (the shard repartition); packing
+    * itself is narrow.
+    *
+    * @param shards number of independent packing tasks; size it so a
+    *               shard's (id, tokens) pairs fit in task memory —
+    *               16 bytes/doc, so 10M docs/shard ≈ 160 MB.
+    */
+  def packGreedy(df: DataFrame, idCol: Column, tokenCol: Column,
+                 budget: Long, shards: Int): Dataset[Packed] = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(idCol.cast("long").as("id"),
+        tokenCol.cast("long").as("ntok"))
+      .repartition(shards, pmod(col("id"), lit(shards.toLong)))
+      .as[(Long, Long)]
+    pairs.mapPartitions { it =>
+      // Shard id must be a pure function of the DATA (partition
+      // indexes are scheduler-dependent), and hash partitioning may
+      // co-locate several pmod groups in one task — pack each group
+      // independently under its own pmod as the shard key, so the
+      // result is identical however the groups land on tasks.
+      it.toArray.groupBy { case (id, _) => (((id % shards) + shards) % shards).toInt }
+        .toSeq.sortBy(_._1)
+        .iterator
+        .flatMap { case (shard, group) => ffd(group.iterator, budget, shard) }
+    }
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and source mixing — the selection stage of a
+  * training-data pipeline: choose WHICH documents enter the mix, at
+  * WHAT per-source proportions, reproducibly across reruns and
+  * cluster sizes.
+  *
+  * Everything here is narrow or one-shuffle:
+  *
+  *  - hash-mod sampling is a pure filter: no shuffle, no state, the
+  *    same rows survive on 1 executor or 1000 (`rand()` does NOT give
+  *    that — its draw depends on partition layout, so a repartition
+  *    changes the sample; a scrambled key mod M is layout-independent
+  *    and re-runnable, which is what makes a 100 TB sample auditable);
+  *  - quota mixing is one window shuffle partitioned by source —
+  *    bounded state per source, no global sort;
+  *  - temperature weighting is driver-side arithmetic over per-source
+  *    COUNTS (a few rows), never over data.
+  *
+  * The scramble is Knuth's multiplicative hash (`key * 2654435761 mod
+  * 2^32`-style, Fibonacci hashing): multiplication by a large odd
+  * constant decorrelates sequential ids from the mod-M buckets. It is
+  * plain 64-bit arithmetic, so the DuckDB oracle computes bit-equal
+  * buckets with the same SQL expression — sampling stays
+  * hash-verified, not rows-only (ids here are < 2^31, so `id * c`
+  * stays well inside 64-bit range on both engines).
+  */
+object Sampling {
+
+  /** Knuth's multiplicative constant (2^32 / phi, odd). */
+  val KnuthC: Long = 2654435761L
+
+  /** Layout-independent pseudo-uniform bucket in [0, m) for an
+    * integral id column.
+    */
+  def hashBucket(idCol: Column, m: Int): Column =
+    pmod(idCol.cast("long") * lit(KnuthC), lit(m.toLong))
+
+  /** Uniform p-fraction sample: keep rows whose bucket falls under
+    * p*10000 (basis points, so p=0.0137 is exact).
+    */
+  def uniform(df: DataFrame, idCol: Column, p: Double): DataFrame = {
+    require(p >= 0 && p <= 1, "p in [0,1]")
+    df.filter(hashBucket(idCol, 10000) < math.round(p * 10000).toDouble)
+  }
+
+  /** Per-stratum rates (basis points out of 10000) with a default for
+    * unlisted strata: a single codegen'd filter — the whole sampler is
+    * scan+filter, nothing wide.
+    */
+  def stratified(df: DataFrame, strataCol: Column, idCol: Column,
+                 ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    require((defaultBp +: ratesBp.values.toSeq).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0,10000]")
+    val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (k, v)) =>
+      when(strataCol === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(idCol, 10000) < rate.cast("long"))
+  }
+
+  /** Deterministic k-row uniform sample: the k smallest scrambled
+    * keys. One TakeOrderedAndProject (top-k per partition, merge on
+    * the driver) — never a global sort.
+    */
+  def uniformK(df: DataFrame, idCol: Column, k: Int): DataFrame =
+    df.orderBy(hashBucket(idCol, 1000000007), idCol).limit(k)
+
+  /** Source mixing by explicit per-source quotas: rank rows within
+    * each source by `priority` (ties broken by `idCol` so the result
+    * is total-order deterministic) and keep the top quota(source).
+    * One shuffle partitioned by source; per-partition state is one
+    * counter. Unlisted sources get `defaultQuota`.
+    */
+  def mixByQuota(df: DataFrame, sourceCol: Column, idCol: Column,
+                 quotas: Map[String, Long], defaultQuota: Long,
+                 priority: Column): DataFrame = {
+    val quota = quotas.foldLeft(lit(defaultQuota)) { case (acc, (k, v)) =>
+      when(sourceCol === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(sourceCol).orderBy(priority.desc, idCol.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
+  /** Temperature-scaled mixture quotas (the multinomial-sampling
+    * weighting of multilingual/multi-corpus training, Conneau &
+    * Lample, NeurIPS'19 §3.1): source i with n_i documents gets
+    * budget * n_i^(1/T) / sum_j n_j^(1/T), rounded down, any
+    * remainder given to the largest sources first (largest-remainder
+    * rounding, capped at n_i — a quota above the source's size is
+    * just the source). T=1 is proportional; T→∞ is uniform;
+    * 0<T<1 sharpens toward big sources.
+    *
+    * Driver-side arithmetic over per-source counts (rows = number of
+    * sources, not data): pair with [[mixByQuota]].
+    */
+  def temperatureQuotas(counts: Map[String, Long], temperature: Double,
+                        budget: Long): Map[String, Long] = {
+    require(temperature > 0, "temperature must be positive")
+    require(budget >= 0, "budget must be non-negative")
+    if (counts.isEmpty) return Map.empty
+    val weights = counts.map { case (s, n) =>
+      s -> math.pow(n.toDouble, 1.0 / temperature)
+    }
+    val total = weights.values.sum
+    if (total == 0) return counts.map { case (s, _) => s -> 0L }
+    val raw = weights.map { case (s, w) => s -> budget * w / total }
+    val floor = raw.map { case (s, r) =>
+      s -> math.min(r.toLong, counts(s))
+    }
+    var left = budget - floor.values.sum
+    // largest fractional remainder first; never exceed a source's size
+    val order = raw.toSeq.sortBy { case (s, r) => -(r - floor(s)) }.map(_._1)
+    val out = scala.collection.mutable.Map(floor.toSeq: _*)
+    for (s <- order if left > 0) {
+      val room = counts(s) - out(s)
+      val add = math.min(room, left)
+      if (add > 0) { out(s) += add; left -= add }
+    }
+    out.toMap
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Deterministic sampling/mixing: layout-independence (the property
+  * rand() lacks), rate accuracy, quota math.
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.Sf
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("id")
+
+  test("uniform sample is layout-independent: same rows at any partitioning") {
+    val base = ids(5000)
+    val a = Sampling.uniform(base, col("id"), 0.2)
+      .as[Long].collect().sorted.toSeq
+    val b = Sampling.uniform(base.repartition(17), col("id"), 0.2)
+      .as[Long].collect().sorted.toSeq
+    val c = Sampling.uniform(base.coalesce(1), col("id"), 0.2)
+      .as[Long].collect().sorted.toSeq
+    assert(a == b && b == c)
+  }
+
+  test("uniform rate is accurate on sequential ids") {
+    val n = 20000
+    val got = Sampling.uniform(ids(n), col("id"), 0.1).count().toDouble
+    assert(math.abs(got / n - 0.1) < 0.02, s"rate ${got / n}")
+  }
+
+  test("uniform sample is not a prefix/suffix (the scramble decorrelates)") {
+    val kept = Sampling.uniform(ids(1000), col("id"), 0.1)
+      .as[Long].collect().toSet
+    // ids from every quartile survive
+    assert(Seq(0L, 250L, 500L, 750L).forall(q => kept.exists(id => id >= q && id < q + 250)))
+  }
+
+  test("stratified rates hold per stratum") {
+    val docs = Tables.documents(spark, dir)
+    val out = Sampling.stratified(docs, col("lang"), col("doc_id"),
+      Map("en" -> 5000), defaultBp = 0)
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en")) // zero-rate strata fully excluded
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val got = out.count().toDouble
+    assert(math.abs(got / en - 0.5) < 0.15, s"en rate ${got / en}")
+  }
+
+  test("uniformK returns exactly k stable rows") {
+    val a = Sampling.uniformK(ids(5000), col("id"), 37).as[Long].collect().toSet
+    val b = Sampling.uniformK(ids(5000).repartition(11), col("id"), 37)
+      .as[Long].collect().toSet
+    assert(a.size == 37 && a == b)
+  }
+
+  test("mixByQuota keeps top-priority rows per source, quota-capped") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("b", 4L, 5.0), ("b", 5L, 1.0)).toDF("src", "id", "prio")
+    val out = Sampling.mixByQuota(df, col("src"), col("id"),
+      Map("a" -> 2L), defaultQuota = 1L, priority = col("prio"))
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L, 4L)) // a: top-2 by prio; b: top-1
+  }
+
+  test("temperatureQuotas: T=1 proportional, T->inf flattens, caps at size") {
+    val counts = Map("big" -> 900L, "small" -> 100L)
+    val t1 = Sampling.temperatureQuotas(counts, 1.0, 100)
+    assert(t1("big") == 90L && t1("small") == 10L)
+    val flat = Sampling.temperatureQuotas(counts, 1e9, 100)
+    assert(math.abs(flat("big") - flat("small")) <= 1)
+    // budget above corpus size: quotas cap at each source's count
+    val capped = Sampling.temperatureQuotas(counts, 1.0, 5000)
+    assert(capped("big") <= 900L && capped("small") <= 100L)
+    assert(capped.values.sum == 1000L)
+    // quotas always sum to min(budget, corpus)
+    assert(t1.values.sum == 100L)
+  }
+
+  test("temperatureQuotas: 0<T<1 sharpens toward big sources") {
+    val counts = Map("big" -> 900L, "small" -> 100L)
+    val sharp = Sampling.temperatureQuotas(counts, 0.5, 100)
+    assert(sharp("big") > 90L && sharp("small") < 10L)
+  }
+}
