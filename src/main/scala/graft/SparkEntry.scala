@@ -755,6 +755,62 @@ object SparkEntry {
         .toDF("pack_id", "doc_id", "n_tokens", "slot")
         .orderBy(col("pack_id"), col("slot"))),
 
+    // decontamination: distinct word-3-gram overlap of each corpus doc
+    // against a held-out benchmark slice (doc_id % 20 == 0); bench
+    // gram set broadcast, hit count keyed on doc_id
+    "q_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Decontaminate.contamination(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"), n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: deterministic synthetic PII appended (the corpus
+    // itself is clean), then scrubbed + audited — pure regexp
+    // expressions over the scan, zero shuffles
+    "q_pii_redact" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+            col("doc_id").cast(StringType), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast(StringType), lit("."),
+            ((col("doc_id") * 7) % 256).cast(StringType)))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+            .otherwise(lit(""))).as("dirty"))
+        .select(col("doc_id"),
+          Redact.redactPii(col("dirty")).as("clean"),
+          Redact.emailCount(col("dirty")).as("n_emails"),
+          Redact.ipCount(col("dirty")).as("n_ips"),
+          Redact.phoneCount(col("dirty")).as("n_phones"))
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition signals: dup-token fraction (pure
+    // expressions) + top-2-gram share (explode + two doc-keyed aggs)
+    "q_repetition" -> ((s, dir) =>
+      TextStats.repetitionSignals(documents(s, dir),
+        col("doc_id"), col("text"), n = 2)
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), col("n_grams"),
+          col("dup_token_frac"), col("top_gram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // corpus-relative term salience: ln-free tf-idf (tf*N/df — rank-
+    // equivalent, bit-identical across engines), per-doc top-3 via a
+    // doc-keyed window, never a global sort
+    "q_tfidf" -> ((s, dir) =>
+      Tfidf.topTerms(documents(s, dir), col("doc_id"), col("text"), k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("term"))),
+
     "q_itemstore_pushdown" -> ((s, dir) => {
       val store = itemStorePath(dir)
       ensureItemStore(s, dir, store)
@@ -1172,6 +1228,69 @@ object SparkEntry {
       ("SELECT vec_id, round(list_sum(list_transform(range(1, 65), " +
         "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), 6) AS norm_sq " +
         "FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"),
+
+    // grams mirror graft.functions.Shingles: space-joined word
+    // 3-grams, whole text as the single gram for docs < 3 tokens
+    "q_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
+        "grams AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [text] " +
+        "ELSE list_distinct(list_transform(range(1, len(w) - 1), " +
+        "i -> array_to_string(w[i:i+2], ' '))) END AS gs FROM toks), " +
+        "eg AS (SELECT doc_id, unnest(gs) AS g FROM grams), " +
+        "bench AS (SELECT DISTINCT g FROM eg WHERE doc_id % 20 = 0), " +
+        "hits AS (SELECT eg.doc_id, count(*) AS n_hits FROM eg JOIN bench USING (g) " +
+        "WHERE eg.doc_id % 20 <> 0 GROUP BY eg.doc_id), " +
+        "tot AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams FROM grams " +
+        "WHERE doc_id % 20 <> 0) " +
+        "SELECT t.doc_id, t.n_grams, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS contamination " +
+        "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY t.doc_id"),
+
+    // same Java/RE2-shared patterns and injection arithmetic as the
+    // Spark side; 'g' = replace-all (Spark's default)
+    "q_pii_redact" ->
+      ("WITH d AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS dirty " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(dirty, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g') AS clean, " +
+        "CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(dirty, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips, " +
+        "CAST(len(regexp_extract_all(dirty, '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS BIGINT) AS n_phones " +
+        "FROM d ORDER BY doc_id"),
+
+    // 2-grams mirror Shingles(n=2); dup_token_frac's expression order
+    // matches the Spark side exactly (1.0 - distinct/total)
+    "q_repetition" ->
+      ("WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
+        "base AS (SELECT doc_id, w, CASE WHEN len(w) < 2 THEN [text] " +
+        "ELSE list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) END AS grams FROM toks), " +
+        "dup AS (SELECT doc_id, CAST(1.0 AS DOUBLE) - " +
+        "CAST(len(list_distinct(w)) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS dup_token_frac FROM base), " +
+        "gc AS (SELECT doc_id, unnest(grams) AS g FROM base), " +
+        "cnt AS (SELECT doc_id, g, count(*) AS c FROM gc GROUP BY doc_id, g), " +
+        "top AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, " +
+        "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac FROM cnt GROUP BY doc_id) " +
+        "SELECT d.doc_id, t.n_grams, d.dup_token_frac, t.top_gram_frac " +
+        "FROM dup d JOIN top t USING (doc_id) ORDER BY d.doc_id"),
+
+    "q_tfidf" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term), " +
+        "dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term), " +
+        "nn AS (SELECT count(*) AS n FROM documents), " +
+        "s AS (SELECT doc_id, term, tf, df, " +
+        "CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY " +
+        "CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS rk " +
+        "FROM tfc JOIN dfc USING (term) CROSS JOIN nn) " +
+        "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score " +
+        "FROM s WHERE rk <= 3 ORDER BY doc_id, term"),
 
     "q_dup_clusters" ->
       ("WITH RECURSIVE " +

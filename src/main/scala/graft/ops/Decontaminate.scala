@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayExprs
+
+/** Benchmark-contamination detection — the eval-leak check every LLM
+  * training corpus needs before a run (north-star training-pipeline
+  * surface; no reference analog — the reference never compares two
+  * corpora).
+  *
+  * Semantics: a corpus document is contaminated to the degree its
+  * distinct word n-grams also appear in a held-out benchmark set
+  * (the standard 8-to-13-gram overlap test; n is a parameter because
+  * the right value depends on tokenizer granularity).
+  *
+  * Scale shape: the benchmark side is SMALL by construction (eval sets
+  * are 10^4..10^6 grams, the corpus is the 100 TB side), so its
+  * distinct-gram set is broadcast — the corpus never shuffles for the
+  * probe. Corpus grams are shingled in one pass (native
+  * [[graft.functions.Shingles]] kernel), deduplicated per document,
+  * exploded, and hash-joined against the broadcast set; the only
+  * shuffle is the per-document hit count, keyed on the document id.
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams per document: (id, gs, n_grams). Documents
+    * shorter than n tokens contribute their whole text as a single
+    * gram (the [[graft.functions.Shingles]] short-doc convention), so
+    * every document has >= 1 gram and the contamination ratio is
+    * always defined.
+    */
+  def gramSets(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    docs.select(
+      idCol.as("id"),
+      array_distinct(ArrayExprs.shingles(textCol, n)).as("gs"))
+      .withColumn("n_grams", size(col("gs")).cast("long"))
+
+  /** Per-corpus-document contamination against `bench`:
+    * (id, n_grams, n_hits, contamination) with
+    * contamination = n_hits / n_grams in [0, 1].
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+                    idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
+    val corpusGrams = gramSets(corpus, idCol, textCol, n)
+    val benchGrams = bench
+      .select(explode(array_distinct(ArrayExprs.shingles(textCol, n))).as("g"))
+      .distinct()
+    val hits = corpusGrams
+      .select(col("id"), explode(col("gs")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    corpusGrams.select(col("id"), col("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** The decontamination filter itself: corpus rows whose overlap with
+    * the benchmark stays strictly below `maxContamination` survive.
+    * The keep-set is corpus-sized, so this is a semi-join keyed on the
+    * document id (shuffle on id, never broadcast).
+    */
+  def decontaminated(corpus: DataFrame, bench: DataFrame,
+                     idCol: Column, textCol: Column,
+                     n: Int = 3, maxContamination: Double = 0.8): DataFrame = {
+    val keep = contamination(corpus, bench, idCol, textCol, n)
+      .filter(col("contamination") < maxContamination)
+      .select(col("id").as("_keep_id"))
+    corpus.join(keep, idCol === col("_keep_id"), "left_semi")
+  }
+}

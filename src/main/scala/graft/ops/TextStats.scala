@@ -110,6 +110,39 @@ object TextStats {
   def shingles(textCol: Column, n: Int = 3): Column =
     graft.functions.ArrayExprs.shingles(textCol, n)
 
+  /** Repetition quality signals (the Gopher-rules repetition family,
+    * Rae et al. arXiv:2112.11446 §A1.1, adapted to single-line docs):
+    * per document, the fraction of tokens that are repeats
+    * (1 − distinct/total — pure expressions) and the share of all
+    * word 2-grams taken by the most frequent 2-gram (explode →
+    * per-(doc,gram) count → per-doc max/sum; both shuffles are keyed
+    * on the document id, so the op scales linearly and never
+    * concentrates a corpus-wide key).
+    *
+    * High `top_gram_frac` or `dup_token_frac` flags the looping /
+    * boilerplate documents every pre-training filter drops.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: Column, textCol: Column,
+                        n: Int = 2): DataFrame = {
+    val base = docs.select(
+      idCol.as("id"),
+      tokens(textCol).as("toks"),
+      graft.functions.ArrayExprs.shingles(textCol, n).as("grams"))
+    val dup = base.select(
+      col("id"),
+      (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+        greatest(size(col("toks")), lit(1)).cast("double")).as("dup_token_frac"))
+    val top = base
+      .select(col("id"), explode(col("grams")).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id")).agg(
+        max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_grams"))
+      .select(col("id"), col("n_grams"),
+        (col("top_cnt").cast("double") / col("n_grams").cast("double"))
+          .as("top_gram_frac"))
+    dup.join(top, Seq("id"))
+  }
+
   /** Exact n-gram Jaccard similarity between two token-set columns
     * (distinct semantics on both sides).
     */

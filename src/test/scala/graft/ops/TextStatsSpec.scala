@@ -76,4 +76,21 @@ class TextStatsSpec extends AnyFunSuite {
     val j = df.select(TextStats.jaccard(col("x"), col("y"))).as[Double].collect()
     assert(j(0) == 1.0 && j(1) == 0.0)
   }
+  test("repetition signals: looping text maxes out, varied text stays low") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"), // one 2-gram dominates
+      (2L, "a b c d e f g h"),                     // all distinct
+      (3L, "x x x x")).toDF("doc_id", "t")         // fully repeated token
+    val got = TextStats.repetitionSignals(docs, col("doc_id"), col("t"))
+      .orderBy("id")
+      .select("id", "n_grams", "dup_token_frac", "top_gram_frac")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // doc 1: 7 grams = 4x "spam ham" + 3x "ham spam" -> top 4/7;
+    //        8 tokens, 2 distinct -> dup 0.75
+    assert(got(0) == ((1L, 7L, 0.75, 4.0 / 7.0)))
+    // doc 2: all grams unique -> top 1/7; no dup tokens
+    assert(got(1) == ((2L, 7L, 0.0, 1.0 / 7.0)))
+    // doc 3: "x x" 3 times -> top 1.0; dup 0.75
+    assert(got(2) == ((3L, 3L, 0.75, 1.0)))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Salience ranking: rare terms outrank stopwords, scores are exact
+  * rationals (tf*N/df), tie-break is deterministic, k bounds held.
+  */
+class TfidfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat"),        // "the" in every doc, "cat"/"sat" only here
+    (2L, "the dog ran ran"),
+    (3L, "the dog swam")).toDF("doc_id", "text")
+
+  test("rare terms outrank corpus-wide terms; scores exact") {
+    val top1 = Tfidf.topTerms(docs, col("doc_id"), col("text"), k = 1)
+      .select("id", "term", "score")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    // doc 2: "ran" tf=2 df=1 -> 2*3/1 = 6; doc 3: "swam" 1*3/1 = 3
+    assert(top1(1) == ((2L, "ran", 6.0)))
+    assert(top1(2) == ((3L, "swam", 3.0)))
+    // doc 1: cat and sat tie at 3.0; term-asc tie-break -> "cat"
+    assert(top1(0) == ((1L, "cat", 3.0)))
+  }
+
+  test("k bounds the per-doc output; stopword ranks last") {
+    val got = Tfidf.topTerms(docs, col("doc_id"), col("text"), k = 3)
+      .filter(col("id") === 1L)
+      .orderBy(desc("score"), asc("term"))
+      .select("term").as[String].collect().toSeq
+    // "the": tf=1 df=3 -> score 1, strictly below cat/sat (3.0)
+    assert(got == Seq("cat", "sat", "the"))
+  }
+
+  test("df counts documents, not occurrences") {
+    val df2 = Tfidf.topTerms(docs, col("doc_id"), col("text"), k = 10)
+      .filter(col("term") === "ran").select("df").as[Long].head()
+    assert(df2 == 1L) // "ran" twice in one doc -> df 1
+  }
+}
