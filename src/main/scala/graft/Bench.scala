@@ -99,6 +99,7 @@ object Bench {
     val t0 = System.currentTimeMillis()
     def remainingMs: Long = deadlineMs - (System.currentTimeMillis() - t0)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

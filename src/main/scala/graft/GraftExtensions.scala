@@ -15,10 +15,13 @@ import graft.ops.MinHash
   * registry call for an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // fuse size(regexp_extract_all(s, p, 0)) -> native RegexpCount
+    e.injectOptimizerRule(_ => graft.plans.RewriteRegexpCount)
+  }
 }
 
 object GraftExtensions {

@@ -29,6 +29,7 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_DEADLINE", "420").toLong * 1000L
     val t0 = System.currentTimeMillis()
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

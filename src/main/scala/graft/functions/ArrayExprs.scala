@@ -51,6 +51,17 @@ object kernels {
     out
   }
 
+  /** Count regex matches without materializing the match array (the
+    * `size(regexp_extract_all(...))` fusion — same match semantics:
+    * java.util.regex over the string form, counting full matches).
+    */
+  def regexpCount(s: UTF8String, p: java.util.regex.Pattern): Int = {
+    val m = p.matcher(s.toString)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
   private val P = 2147483647L // 2^31 − 1
 
   /** MinHash signature: base hash per shingle (xxhash64 mod P), k
@@ -354,6 +365,48 @@ object ArrayExprs {
       Shim.expression(a), Shim.expression(b)))
   def markerCounts(words: Column, markerSets: Array[Array[String]]): Column =
     Shim.column(MarkerCounts(Shim.expression(words), markerSets))
+}
+
+/** `size(regexp_extract_all(subject, pattern, 0))` fused into one
+  * count: no per-match UTF8String allocation, no ArrayData — the
+  * token-count / punctuation-ratio / PII-audit hot path. The pattern
+  * must be foldable; it is compiled once per plan and shipped as a
+  * codegen reference object. `legacyNull` mirrors the `size` it
+  * replaces: null subject → -1 under legacy sizeOfNull (the
+  * ansi-off default), null otherwise.
+  */
+case class RegexpCount(left: Expression, right: Expression,
+                       legacyNull: Boolean = false)
+  extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = !legacyNull && left.nullable
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      right.eval().asInstanceOf[UTF8String].toString)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = left.eval(input)
+    if (s == null) { if (legacyNull) -1 else null }
+    else kernels.regexpCount(s.asInstanceOf[UTF8String], compiled)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("pattern", compiled, "java.util.regex.Pattern")
+    if (legacyNull) {
+      val l = left.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${l.code}
+          int ${ev.value} = ${l.isNull} ? -1 :
+            graft.functions.kernels.regexpCount(${l.value}, $ref);""",
+        isNull = FalseLiteral)
+    } else {
+      defineCodeGen(ctx, ev, (c, _) => s"graft.functions.kernels.regexpCount($c, $ref)")
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RegexpCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Per-marker-set token counts (array<long>, one slot per set) of an

@@ -57,6 +57,15 @@ object StreamingIngest {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream-static enrichment join: each micro-batch hash-joins
+    * against a static dimension frame. The dim side is small by
+    * definition (a lookup table), so it is broadcast — per-batch cost
+    * is one broadcast probe, no stream-side shuffle and no state
+    * store (unlike stream-stream joins).
+    */
+  def enrichedStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Run a streaming frame to completion against a named memory sink;
     * returns the materialized result. Test/driver harness only.
     */

@@ -27,6 +27,55 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(3) == 8)
   }
 
+  test("optimizer rule fuses size(regexp_extract_all) into RegexpCount") {
+    // SparkTestSession sets spark.sql.extensions=graft.GraftExtensions,
+    // so the injected rule must fire on plain DataFrame code (over a
+    // parquet source — a purely-literal frame constant-folds to a
+    // LocalRelation before the plan is observable)
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val df = docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("regexpcount"),
+      s"rule did not fire:\n${df.queryExecution.optimizedPlan}")
+    // and the fused result matches the unfused semantics (fusion
+    // guard held OFF via a non-foldable idx that still evaluates to 0)
+    val expect = docs.select(col("doc_id"), size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
+      (col("doc_id") * 0).cast("int"))).as("n"))
+    assert(df.orderBy("doc_id").collect().toSeq ==
+      expect.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("RegexpCount agrees with size(regexp_extract_all) across inputs") {
+    val pats = Seq("[0-9]+", "[^A-Za-z0-9\\s]", "ab?c", "\\b\\d{2}\\b")
+    // includes a NULL subject: this session is legacy sizeOfNull
+    // (ansi off), so size(regexp_extract_all(NULL)) = -1 and the
+    // fused form must forward the flag to match
+    val data = Seq("", "abc 12 !? 34ab c", "....", "99 9 99x", "αβ 12γ",
+      "a\nb 77", " 12 345 ", null)
+    for (p <- pats) {
+      val df = data.toDF("t").select(
+        size(regexp_extract_all(col("t"), lit(p), lit(0))).as("expect"),
+        org.apache.spark.sql.graftshim.Shim.column(
+          graft.functions.RegexpCount(
+            org.apache.spark.sql.graftshim.Shim.expression(col("t")),
+            org.apache.spark.sql.catalyst.expressions.Literal(p),
+            legacyNull = true)).as("got"))
+      df.collect().foreach { r =>
+        assert(r.getInt(0) == r.getInt(1), s"pattern $p on row $r")
+      }
+    }
+  }
+
+  test("rule leaves group-extraction (idx != 0) untouched") {
+    val df = Seq("a1 b2").toDF("t")
+      .select(size(regexp_extract_all(col("t"),
+        lit("([a-z])[0-9]"), lit(1))).as("n"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("regexpcount"))
+    assert(df.as[Int].head() == 2)
+  }
+
   private def writePages(lines: Seq[Seq[String]]): String = {
     val dir = java.nio.file.Files.createTempDirectory("pages").toString
     lines.zipWithIndex.foreach { case (page, i) =>

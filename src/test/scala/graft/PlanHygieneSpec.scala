@@ -119,4 +119,34 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
   }
 
+  test("q_pii_redact is expression-only: no join, no agg, fused regex counts") {
+    val plan = finalPlan(q("q_pii_redact"))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"scrub grew a join/agg:\n$plan")
+    // the injected RewriteRegexpCount rule fused the three audit counts
+    assert(plan.contains("regexpcount"), s"audit counts not fused:\n$plan")
+    // the only shuffle is the deterministic output ORDER BY
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle in:\n$plan")
+  }
+
+  test("q_token_count runs the fused RegexpCount kernel") {
+    assert(finalPlan(q("q_token_count")).contains("regexpcount"))
+  }
+
+  test("q_tfidf: per-doc top-k is group-limited; the term-df side broadcasts") {
+    val plan = finalPlan(q("q_tfidf"))
+    // rank<=k pushed into WindowGroupLimit (partial per-partition
+    // top-k before the window shuffle — the 'never a global sort' shape)
+    assert(plan.contains("WindowGroupLimit"), s"no group limit in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"df side not broadcast in:\n$plan")
+  }
+
+  test("q_decontaminate joins grams against a broadcast benchmark set") {
+    val plan = finalPlan(q("q_decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"), s"bench probe not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram probe degenerated:\n$plan")
+  }
+
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")

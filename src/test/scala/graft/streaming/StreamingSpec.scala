@@ -52,4 +52,27 @@ class StreamingSpec extends AnyFunSuite {
     val total = out.agg(sum("n")).collect()(0).getLong(0)
     assert(total > 0 && total <= 1000)
   }
+
+  test("stream-static join enriches every event from the broadcast dim") {
+    val dir = eventsDir
+    val raw = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(
+        StreamingIngest.EventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+          else f)))
+      .parquet(dir)
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.1), ("purchase", 10.0))
+      .toDF("event_type", "weight")
+    val enriched = StreamingIngest.enrichedStream(raw, dim, "event_type")
+      .select(col("event_id"), col("event_type"), col("weight"))
+    val out = StreamingIngest.runToMemory(spark, enriched, "enrich_out")
+    val n = Tables.events(spark, SparkTestSession.Sf).count()
+    assert(out.count() == n) // left join: no event dropped
+    // every known type got its weight; unknown types stay null
+    val matched = out.filter(col("weight").isNotNull).count()
+    val known = Tables.events(spark, SparkTestSession.Sf)
+      .filter(col("event_type").isin("click", "view", "purchase")).count()
+    assert(matched == known)
+  }
 }
