@@ -125,4 +125,41 @@ object GraftProps extends Properties("graft") {
       val normOk = v.forall(_ == 0.0f) || math.abs(row.getDouble(1) - 1.0) < 1e-9
       row.getLong(0) == 0L && normOk
     }
+
+  // ---- round-4 ops ----
+
+  /** Text with no @, no digit runs ≥ 3 grouped like PII — i.e. nothing
+    * the scrub patterns can match.
+    */
+  private val cleanTextGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaStr.map(_.take(8)), Gen.const("x1y")))
+      .map(_.mkString(" ").take(120))
+
+  property("redactPii is identity on PII-free text") =
+    forAll(cleanTextGen) { t =>
+      val row = Seq(t).toDF("t").select(
+        ops.Redact.redactPii(col("t")),
+        ops.Redact.emailCount(col("t")) + ops.Redact.ipCount(col("t")) +
+          ops.Redact.phoneCount(col("t"))).collect()(0)
+      row.getString(0) == t && row.getLong(1) == 0L
+    }
+
+  property("contamination of a doc against itself is 1; bounds hold") =
+    forAll(Gen.nonEmptyListOf(safeStr).map(_.take(12).mkString(" "))) { t =>
+      val d = Seq((1L, t)).toDF("doc_id", "text")
+      val row = ops.Decontaminate.contamination(
+        d, d, col("doc_id"), col("text"), n = 3).collect()(0)
+      val c = row.getAs[Double]("contamination")
+      c == 1.0 && row.getAs[Long]("n_hits") == row.getAs[Long]("n_grams")
+    }
+
+  property("repetition signals stay in [0,1]; single-token docs define both") =
+    forAll(Gen.nonEmptyListOf(safeStr).map(_.take(15).mkString(" "))) { t =>
+      val d = Seq((1L, t)).toDF("doc_id", "text")
+      val row = ops.TextStats.repetitionSignals(d, col("doc_id"), col("text"))
+        .collect()(0)
+      val dup = row.getAs[Double]("dup_token_frac")
+      val top = row.getAs[Double]("top_gram_frac")
+      dup >= 0.0 && dup < 1.0 && top > 0.0 && top <= 1.0
+    }
 }

@@ -53,6 +53,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(total > 0 && total <= 1000)
   }
 
+  test("expression ops (scrub/token-count/quality) run unchanged on a stream") {
+    // the round-4 corpus ops are pure expressions, so the SAME code
+    // runs batch and streaming — results must be bit-equal
+    import graft.ops.{Redact, TextStats}
+    val batch = Tables.documents(spark, SparkTestSession.Sf)
+    val dir = java.nio.file.Files.createTempDirectory("stream_docs").toString
+    batch.write.mode("overwrite").parquet(dir)
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      Redact.redactPii(col("text")).as("clean"),
+      TextStats.tokenCount(col("text")).as("n_tok"),
+      TextStats.qualityScore(col("text")).as("quality"))
+    val streamed = score(
+      spark.readStream.schema(batch.schema).parquet(dir))
+    val out = StreamingIngest.runToMemory(spark, streamed, "expr_out")
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      score(batch).orderBy("doc_id").collect().toSeq)
+  }
+
   test("stream-static join enriches every event from the broadcast dim") {
     val dir = eventsDir
     val raw = spark.readStream.schema(
