@@ -811,6 +811,19 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("term"))),
 
+    // the capstone composition: quality gate → repetition gate →
+    // decontamination → exact dedup → deterministic subsample, ONE
+    // declarative plan (every stage is also oracle-verified alone)
+    "q_curate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Curate.curate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_itemstore_pushdown" -> ((s, dir) => {
       val store = itemStorePath(dir)
       ensureItemStore(s, dir, store)
@@ -1291,6 +1304,41 @@ object SparkEntry {
         "FROM tfc JOIN dfc USING (term) CROSS JOIN nn) " +
         "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score " +
         "FROM s WHERE rk <= 3 ORDER BY doc_id, term"),
+
+    // every stage mirrors its standalone oracle (q_quality_score,
+    // q_repetition, q_decontaminate, q_dedup's first-wins, the
+    // Sampling scramble), composed over the same corpus/bench split
+    "q_curate" ->
+      ("WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0), " +
+        "qq AS (SELECT doc_id, least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4 + " +
+        "(1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / " +
+        "greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3 + " +
+        s"least(CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($EnMarkers, x))) AS DOUBLE) / " +
+        "greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3 AS quality FROM corpus), " +
+        "tr AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus), " +
+        "br AS (SELECT doc_id, CASE WHEN len(w) < 2 THEN [text] " +
+        "ELSE list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) END AS grams FROM tr), " +
+        "gr AS (SELECT doc_id, unnest(grams) AS g FROM br), " +
+        "cr AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g), " +
+        "topr AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac FROM cr GROUP BY doc_id), " +
+        "t3 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
+        "g3 AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [text] " +
+        "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) END AS gs FROM t3), " +
+        "e3 AS (SELECT doc_id, unnest(gs) AS g FROM g3), " +
+        "bset AS (SELECT DISTINCT g FROM e3 WHERE doc_id % 20 = 0), " +
+        "hits AS (SELECT e3.doc_id, count(*) AS n_hits FROM e3 JOIN bset USING (g) " +
+        "WHERE e3.doc_id % 20 <> 0 GROUP BY e3.doc_id), " +
+        "tot AS (SELECT doc_id, len(gs) AS n_grams FROM g3 WHERE doc_id % 20 <> 0), " +
+        "cont AS (SELECT t.doc_id, CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS contamination " +
+        "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id), " +
+        "keep AS (SELECT min(doc_id) AS keep_id FROM corpus GROUP BY text) " +
+        "SELECT qq.doc_id, qq.quality, topr.top_gram_frac, cont.contamination " +
+        "FROM qq JOIN topr USING (doc_id) JOIN cont ON qq.doc_id = cont.doc_id " +
+        "WHERE qq.doc_id IN (SELECT keep_id FROM keep) " +
+        "AND qq.quality >= 0.45 AND topr.top_gram_frac <= 0.6 " +
+        "AND cont.contamination < 0.6 " +
+        "AND (qq.doc_id * 2654435761) % 10000 < 8000 " +
+        "ORDER BY qq.doc_id"),
 
     "q_dup_clusters" ->
       ("WITH RECURSIVE " +
