@@ -109,18 +109,26 @@ object Main {
     * exists ([[Dedup.IdKeys]] probe, case-insensitive), else its first
     * column.
     */
-  private[graft] def orderColOf(df: DataFrame): Column = {
-    val byLower = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
-    Dedup.IdKeys.collectFirst { case k if byLower.contains(k) => col(byLower(k)) }
-      .getOrElse(col(df.schema.fieldNames.head))
-  }
+  private[graft] def orderColOf(df: DataFrame): Column =
+    ops.Ingest.idColOf(df).getOrElse(col(df.schema.fieldNames.head))
 
+  /** Left = human-readable load failure (missing table vs a REAL read
+    * error — a corrupt footer or permission problem must not be
+    * reported as "not found" to the cron operator).
+    */
   private def loadTable(spark: SparkSession, dataDir: String,
-                        name: String): Option[DataFrame] =
+                        name: String): Either[String, DataFrame] =
     try {
-      Some(if (name == "events") Tables.events(spark, dataDir)
-           else Tables.load(spark, dataDir, name))
-    } catch { case _: Exception => None }
+      Right(if (name == "events") Tables.events(spark, dataDir)
+            else Tables.load(spark, dataDir, name))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("Path does not exist") =>
+        Left(s"$name: table not found under $dataDir")
+      case e: Exception =>
+        Left(s"$name: failed to load (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
 
   /** Flag dispatch. Returns a process exit code; `out` receives what
     * the reference prints to stdout.
@@ -174,10 +182,10 @@ object Main {
     var failures = 0
     tableNames.foreach { t =>
       loadTable(spark, args.dataDir, t) match {
-        case None =>
-          out(s"$t: table not found under ${args.dataDir}")
+        case Left(err) =>
+          out(err)
           failures += 1
-        case Some(df) =>
+        case Right(df) =>
           Orchestrator.orchestrate(df, t, cutoff, orderColOf(df), args.model,
             args.workDir, client, wait = wait, sleep = sleep,
             noTsFilter = GraftConfig.bypassTsFilter(args.config, t),

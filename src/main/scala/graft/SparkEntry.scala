@@ -744,9 +744,9 @@ object SparkEntry {
     // ItemStorePushdownSpec pins the pushed range filter in the plan.
     // One-time setup materializes events as an 8-page JSONL store
     // (like q_bucket_join's amortized bucketed write).
-    // sequence packing (rows-only: FFD bin assignment isn't SQL;
+    // sequence packing (rows-only: BFD bin assignment isn't SQL;
     // PackingSpec pins budget-respect, completeness, determinism,
-    // utilization): shard by pmod(id) -> FFD within shard, pack ids
+    // utilization): shard by pmod(id) -> BFD within shard, pack ids
     // namespaced by shard — identical packing on any cluster size
     "q_seq_pack" -> ((s, dir) =>
       Packing.packGreedy(documents(s, dir),

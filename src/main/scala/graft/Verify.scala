@@ -81,18 +81,23 @@ object Verify {
     // A write in flight when the Await above gives up leaves a
     // partially-written dir (_temporary, no _SUCCESS) that the driver's
     // DuckDB compare would read as an empty/truncated RESULT rather
-    // than a skipped query. Remove any query dir without its commit
-    // marker so "killed mid-write" and "genuinely empty" stay
-    // distinguishable.
+    // than a skipped query. Quiesce FIRST — cancel every running job
+    // and give the tasks a moment to die — so no writer can drop a new
+    // part-file between the directory walk and the delete; then remove
+    // any query dir without its commit marker, keeping "killed
+    // mid-write" and "genuinely empty" distinguishable.
+    spark.sparkContext.cancelAllJobs()
+    Thread.sleep(500)
     SparkEntry.queries.keys.foreach { name =>
       val dir = Paths.get(s"$outDir/$name")
       if (Files.isDirectory(dir) && !Files.exists(dir.resolve("_SUCCESS"))) {
         System.err.println(s"[verify] $name incomplete (no _SUCCESS): removing")
-        // the abandoned writer may still be creating files under here;
-        // best-effort delete, halt(0) below ends it either way
-        try Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        catch { case _: Throwable => () }
+        try {
+          val walk = Files.walk(dir) // close: walk holds directory handles
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: Throwable => () }
       }
     }
     println(s"[verify] ${done.get()}/${SparkEntry.queries.size} queries dumped to $outDir")

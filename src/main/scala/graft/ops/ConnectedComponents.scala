@@ -94,6 +94,11 @@ object ConnectedComponents {
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
+    // the loop unpersists round i-2 inside the body, so at exit the
+    // SECOND-TO-LAST round's snapshot is still live — drop it too;
+    // only the final round's snapshot (backing the returned frame)
+    // survives
+    if (prevLabels != null) unpersistCheckpoint(prevLabels)
     edges.unpersist(blocking = false)
     (labels, i)
   }

@@ -40,20 +40,26 @@ object Decontaminate {
   /** Per-corpus-document contamination against `bench`:
     * (id, n_grams, n_hits, contamination) with
     * contamination = n_hits / n_grams in [0, 1].
+    *
+    * ONE corpus pass: grams are exploded and LEFT-joined against the
+    * broadcast benchmark set, so a single doc-keyed aggregation
+    * yields both the gram total (count of exploded rows — grams are
+    * distinct per doc) and the hit count (non-null probe marks).
+    * Joining the hits back to a second corpus scan would double the
+    * dominant cost of the op (shingling the 100 TB side twice).
     */
   def contamination(corpus: DataFrame, bench: DataFrame,
                     idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
-    val corpusGrams = gramSets(corpus, idCol, textCol, n)
     val benchGrams = bench
       .select(explode(array_distinct(ArrayExprs.shingles(textCol, n))).as("g"))
       .distinct()
-    val hits = corpusGrams
+      .withColumn("__hit", lit(1))
+    gramSets(corpus, idCol, textCol, n)
       .select(col("id"), explode(col("gs")).as("g"))
-      .join(broadcast(benchGrams), Seq("g"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
-    corpusGrams.select(col("id"), col("n_grams"))
-      .join(hits, Seq("id"), "left")
-      .na.fill(0L, Seq("n_hits"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_hits"))
       .withColumn("contamination",
         col("n_hits").cast("double") / col("n_grams").cast("double"))
   }

@@ -77,7 +77,11 @@ object Ingest {
     else coalesce(present.map(_.cast("string")): _*)
   }
 
-  private def idColOf(df: DataFrame): Option[Column] = {
+  /** Case-insensitive probe for the table's id-ish column
+    * ([[Dedup.IdKeys]] order). Shared with [[graft.Main]]'s
+    * order-column choice so the two probes can't drift.
+    */
+  private[graft] def idColOf(df: DataFrame): Option[Column] = {
     val byLower = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
     Dedup.IdKeys.collectFirst {
       case k if byLower.contains(k) => col(byLower(k))

@@ -34,12 +34,18 @@ object RangeJoin {
   def bucketed(left: DataFrame, leftPoint: Column, right: DataFrame,
                loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val l = left.withColumn("__bkt",
-      bucketId(leftPoint, bucketWidth, integralType(left, leftPoint)))
-    val rIntegral = integralType(right, col(loCol)) && integralType(right, col(hiCol))
+    // ONE arithmetic mode for all three columns: mixing the exact
+    // integral path on one side with the double path on the other
+    // would let the point and its containing interval round to
+    // DIFFERENT bucket ids near a boundary — the equi-join would then
+    // silently drop matching rows. Exact only when every key column
+    // is integral.
+    val exact = integralType(left, leftPoint) &&
+      integralType(right, col(loCol)) && integralType(right, col(hiCol))
+    val l = left.withColumn("__bkt", bucketId(leftPoint, bucketWidth, exact))
     val r = right.withColumn("__bkt",
-      explode(sequence(bucketId(col(loCol), bucketWidth, rIntegral),
-                       bucketId(col(hiCol), bucketWidth, rIntegral))))
+      explode(sequence(bucketId(col(loCol), bucketWidth, exact),
+                       bucketId(col(hiCol), bucketWidth, exact))))
     l.join(r, Seq("__bkt"))
       .filter(leftPoint >= col(loCol) && leftPoint <= col(hiCol))
       .drop("__bkt")
@@ -64,6 +70,9 @@ object RangeJoin {
   private def integralType(df: DataFrame, c: Column): Boolean =
     df.select(c).schema.head.dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
+      // scale-0 decimals (e.g. DECIMAL(20,0) bigint-ish keys) are
+      // integral too: pmod/decimal division stays exact for them
+      case d: DecimalType if d.scale == 0 => true
       case _ => false
     }
 }

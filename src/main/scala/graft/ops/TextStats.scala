@@ -124,23 +124,22 @@ object TextStats {
     */
   def repetitionSignals(docs: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 2): DataFrame = {
-    val base = docs.select(
+    // ONE corpus pass: dup_token_frac is a per-row expression, so it
+    // rides along as a grouping key (functionally dependent on the
+    // id) instead of joining a second scan of the corpus back in.
+    docs.select(
       idCol.as("id"),
-      tokens(textCol).as("toks"),
-      graft.functions.ArrayExprs.shingles(textCol, n).as("grams"))
-    val dup = base.select(
-      col("id"),
-      (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-        greatest(size(col("toks")), lit(1)).cast("double")).as("dup_token_frac"))
-    val top = base
-      .select(col("id"), explode(col("grams")).as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("id")).agg(
+      (lit(1.0) - size(array_distinct(tokens(textCol))).cast("double") /
+        greatest(size(tokens(textCol)), lit(1)).cast("double"))
+        .as("dup_token_frac"),
+      explode(graft.functions.ArrayExprs.shingles(textCol, n)).as("g"))
+      .groupBy(col("id"), col("dup_token_frac"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"), col("dup_token_frac")).agg(
         max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_grams"))
-      .select(col("id"), col("n_grams"),
+      .select(col("id"), col("dup_token_frac"), col("n_grams"),
         (col("top_cnt").cast("double") / col("n_grams").cast("double"))
           .as("top_gram_frac"))
-    dup.join(top, Seq("id"))
   }
 
   /** Exact n-gram Jaccard similarity between two token-set columns

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkTestSession, Tables}
 
-/** FFD sequence packing: budget respected, every doc packed exactly
+/** BFD sequence packing: budget respected, every doc packed exactly
   * once, deterministic across partitionings, utilization bounded.
   */
 class PackingSpec extends AnyFunSuite {
@@ -57,8 +57,8 @@ class PackingSpec extends AnyFunSuite {
     assert(utilization > 0.5, s"utilization $utilization")
   }
 
-  test("ffd unit: worst-fit order still respects capacity") {
-    val out = Packing.ffd(Iterator((1L, 300L), (2L, 300L), (3L, 200L),
+  test("bfd unit: worst-fit order still respects capacity") {
+    val out = Packing.bfd(Iterator((1L, 300L), (2L, 300L), (3L, 200L),
       (4L, 700L), (5L, 12L)), budget = 512L, shard = 0).toSeq
     // oversize doc 4 is alone in its bin
     val byBin = out.groupBy(_.packId)

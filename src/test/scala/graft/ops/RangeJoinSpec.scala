@@ -96,6 +96,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("mixed-type sides use ONE bucket arithmetic (no boundary drop)") {
+    // long points near 2^60 against DOUBLE bounds: the exact integral
+    // path on the left with the double path on the right can round a
+    // boundary point and its interval to different bucket ids — both
+    // sides must fall back to the double path together
+    val base = 1L << 60
+    val pts = (0L to 6L).map(k => base + k * 64L)
+    val rngs = Seq((1L, base.toDouble, (base + 512L).toDouble))
+    val got = RangeJoin.bucketed(pts.toDF("p"), col("p"),
+        rngs.toDF("range_id", "lo", "hi"), "lo", "hi", 7L)
+      .select("p").as[Long].collect().toSet
+    // every point whose double image sits inside [lo, hi] must appear
+    val exp = pts.filter(p => p >= base && p <= base + 512L).toSet
+    assert(got == exp)
+  }
+
+  test("scale-0 decimal keys ride the exact integral path") {
+    val pts = Seq((1L << 60) + 3L, (1L << 60) + 100L)
+    val l = pts.toDF("p").select(col("p").cast("decimal(20,0)").as("p"))
+    val r = Seq(((1L << 60), (1L << 60) + 50L, 1L)).toDF("lo", "hi", "range_id")
+      .select(col("lo").cast("decimal(20,0)").as("lo"),
+        col("hi").cast("decimal(20,0)").as("hi"), col("range_id"))
+    val got = RangeJoin.bucketed(l, col("p"), r, "lo", "hi", 7L)
+      .select("range_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // only base+3 falls inside; base+100 is out
+  }
+
   test("plans an equi-join, not a nested-loop product") {
     val l = points.toDF("p")
     val r = ranges.toDF("range_id", "lo", "hi")
