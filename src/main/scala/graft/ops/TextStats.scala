@@ -127,12 +127,20 @@ object TextStats {
     // ONE corpus pass: dup_token_frac is a per-row expression, so it
     // rides along as a grouping key (functionally dependent on the
     // id) instead of joining a second scan of the corpus back in.
+    // The doc-level projection MUST be a separate select from the
+    // explode: in one select, ExtractGenerator leaves non-generator
+    // expressions in the Project ABOVE Generate, re-evaluating the
+    // token stats once per GRAM row (~ntok× per doc — measured 3× on
+    // the whole query); as a pre-computed attribute it crosses
+    // Generate for free.
     docs.select(
       idCol.as("id"),
       (lit(1.0) - size(array_distinct(tokens(textCol))).cast("double") /
         greatest(size(tokens(textCol)), lit(1)).cast("double"))
         .as("dup_token_frac"),
-      explode(graft.functions.ArrayExprs.shingles(textCol, n)).as("g"))
+      graft.functions.ArrayExprs.shingles(textCol, n).as("__grams"))
+      .select(col("id"), col("dup_token_frac"),
+        explode(col("__grams")).as("g"))
       .groupBy(col("id"), col("dup_token_frac"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("id"), col("dup_token_frac")).agg(
