@@ -142,6 +142,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"df side not broadcast in:\n$plan")
   }
 
+  test("q_repetition evaluates doc-level stats below the explode") {
+    // ExtractGenerator leaves non-generator expressions in the
+    // Project ABOVE Generate; dup_token_frac must enter Generate as a
+    // pre-computed attribute or the token stats re-run per gram row
+    // (measured 3x on the whole query)
+    val plan = finalPlan(q("q_repetition"))
+    assert(plan.contains("explode(__grams"), s"doc-level projection not below Generate:\n$plan")
+  }
+
   test("q_decontaminate joins grams against a broadcast benchmark set") {
     val plan = finalPlan(q("q_decontaminate"))
     assert(plan.contains("BroadcastHashJoin"), s"bench probe not broadcast in:\n$plan")
