@@ -281,6 +281,12 @@ object SparkEntry {
         col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // E3: fixed token-budget chunking with overlap (narrow, no shuffle)
+    "q_chunk" -> ((s, dir) =>
+      Chunking.chunks(documents(s, dir), col("doc_id"), col("text"),
+        chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // E1 near: blocked n-gram Jaccard pairs
     "q_ngram_jaccard" -> ((s, dir) =>
       TextStats.jaccardPairs(documents(s, dir), col("text"), col("doc_id"),
@@ -1032,6 +1038,17 @@ object SparkEntry {
         "list_transform(string_split(text, ' '), w -> CAST(ascii(w) * length(w) AS BIGINT))), " +
         "(acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp " +
         "FROM documents ORDER BY doc_id"),
+
+    // 64-token chunks, overlap 16 => stride 48; generate_series and
+    // sequence share inclusive-stop semantics, list slicing clamps on
+    // both engines, so the chunk layout is bit-identical.
+    "q_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 48)) AS st FROM t) " +
+        "SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx, " +
+        "CAST(least(64, len(toks) - st) AS BIGINT) AS n_tokens, " +
+        "array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text " +
+        "FROM s ORDER BY doc_id, chunk_idx"),
 
     "q_ngram_jaccard" ->
       ("WITH p AS (SELECT doc_id, lang, " +

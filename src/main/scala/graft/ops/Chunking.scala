@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document chunking — the context-window stage of an LLM training /
+  * RAG-indexing pipeline: split each document into fixed token-budget
+  * chunks with a configurable overlap so no training sequence or
+  * retrieval unit exceeds the model's window (overlap preserves
+  * cross-boundary context; standard sliding-window layout, e.g.
+  * Lewis et al., NeurIPS'20 §2 use 100-word chunks for RAG indexes).
+  *
+  * Scale shape: this is a NARROW transformation — tokenize, generate
+  * the chunk starts per row (`sequence`), `posexplode`, `slice` — so
+  * it costs zero shuffles at any corpus size; output partitioning
+  * follows the input and Catalyst keeps the whole chain inside one
+  * whole-stage-codegen span (no UDF, no CodegenFallback). The fan-out
+  * factor is bounded by ceil(maxTokens/stride) per doc, so skew only
+  * mirrors document-length skew, which the parquet scan already has.
+  *
+  * Determinism: chunk boundaries are a pure function of the token
+  * array and the (chunkTokens, overlap) parameters — the same corpus
+  * chunks identically on any cluster size, and the DuckDB oracle
+  * reproduces it bit-for-bit (q_chunk is hash-verified, not
+  * rows-only).
+  *
+  * Tokenization follows the corpus convention of the `documents`
+  * table (single-space separated; see [[TextStats.tokens]]).
+  */
+object Chunking {
+
+  /** One row per (doc, chunk): `doc_id, chunk_idx, n_tokens,
+    * chunk_text`. Starts advance by `stride = chunkTokens - overlap`;
+    * the final chunk may be shorter than `chunkTokens` (it is
+    * emitted, never dropped — dropping the tail would silently lose
+    * up to stride-1 tokens per document).
+    */
+  def chunks(docs: DataFrame, idCol: Column, textCol: Column,
+             chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs
+      .select(idCol.as("doc_id"), TextStats.tokens(textCol).as("toks"))
+      // sequence(0, n-1, stride): n >= 1 always (split never yields an
+      // empty array), so the bounds are legal and every doc emits at
+      // least one chunk.
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), size(col("toks")) - col("start"))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Chunking invariants: coverage (no token lost), overlap stitching,
+  * boundary shapes, narrowness of the plan.
+  */
+class ChunkingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("id", "text")
+
+  private def chunk(df: org.apache.spark.sql.DataFrame,
+                    size: Int, overlap: Int) =
+    Chunking.chunks(df, col("id"), col("text"), size, overlap)
+      .orderBy("doc_id", "chunk_idx")
+
+  test("no overlap: chunks partition the token stream exactly") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = chunk(docs(1L -> text), 4, 0).collect()
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 2L))
+    // reassembling the chunks reproduces the document
+    assert(out.map(_.getString(3)).mkString(" ") == text)
+  }
+
+  test("overlap: consecutive chunks share exactly `overlap` tokens") {
+    val text = (1 to 9).map(i => s"w$i").mkString(" ")
+    val out = chunk(docs(1L -> text), 4, 2).collect().map(_.getString(3))
+    // stride 2: starts 0,2,4,6,8
+    assert(out.toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9", "w9"))
+    out.sliding(2).foreach { case Array(a, b) =>
+      val at = a.split(" ")
+      assert(at.takeRight(2).sameElements(b.split(" ").take(
+        math.min(2, b.split(" ").length))) || at.length < 4)
+    }
+  }
+
+  test("doc shorter than one chunk yields exactly one full-doc chunk") {
+    val out = chunk(docs(7L -> "a b"), 64, 16).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 2L)
+    assert(out(0).getString(3) == "a b")
+  }
+
+  test("every document emits at least one chunk; ids and idx are dense") {
+    val ds = docs(1L -> "x", 2L -> "a b c d e", 3L -> "q r s t u v w")
+    val out = chunk(ds, 3, 1).collect()
+    assert(out.map(_.getLong(0)).distinct.toSeq == Seq(1L, 2L, 3L))
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).toSeq == rows.indices.map(_.toLong))
+    }
+  }
+
+  test("coverage with overlap: distinct tokens survive in order") {
+    val text = (1 to 23).map(i => s"k$i").mkString(" ")
+    val out = chunk(docs(1L -> text), 5, 2).collect()
+    // walking chunks, appending only tokens past the overlap, rebuilds
+    // the doc: no token lost, none duplicated beyond the overlap
+    val rebuilt = out.zipWithIndex.flatMap { case (r, i) =>
+      val ts = r.getString(3).split(" ")
+      if (i == 0) ts else ts.drop(2)
+    }
+    assert(rebuilt.mkString(" ") == text)
+  }
+
+  test("the plan is narrow: no exchange") {
+    val plan = chunk(docs(1L -> "a b c"), 2, 0)
+      .queryExecution.executedPlan.toString
+    // orderBy adds one exchange; the chunker itself must add none
+    val chunkOnly = Chunking.chunks(docs(1L -> "a b c"),
+      col("id"), col("text"), 2, 0)
+      .queryExecution.executedPlan.toString
+    assert(!chunkOnly.contains("Exchange"), chunkOnly)
+    assert(plan != null)
+  }
+
+  test("parameter validation") {
+    val d = docs(1L -> "a")
+    intercept[IllegalArgumentException] {
+      Chunking.chunks(d, col("id"), col("text"), 0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.chunks(d, col("id"), col("text"), 4, 4)
+    }
+  }
+}
