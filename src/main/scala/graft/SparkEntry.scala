@@ -501,6 +501,22 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // bloom-pruned fact join: the fact side is filtered by a bloom of
+    // the selective dim's keys BEFORE its shuffle; the join clears
+    // false positives, so the result is the plain join bit-for-bit
+    "q_bloom_join" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      BloomJoin.bloomJoin(l, col("l_orderkey"), o, col("o_orderkey"),
+        expectedItems = 100000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // grouping sets: the explicit form rollup/cube desugar to
     "q_grouping_sets" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1174,6 +1190,14 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),
+
+    // oracle is the PLAIN join: the bloom pre-filter keeps a superset
+    // and the join discards the stragglers, so results must agree
+    "q_bloom_join" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "ORDER BY l_orderkey, l_linenumber"),
 
     "q_grouping_sets" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, " +
