@@ -66,6 +66,30 @@ object StreamingIngest {
   def enrichedStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream correlation join — the streaming twin of the
+    * reference's request↔response pairing (batch q_resp_join; the
+    * reference polls and re-reads files, `batch/status_checker.py` +
+    * `batch/batch_parse/parse.py`). Both sides carry an event-time
+    * watermark and the join condition carries a time-range bound, so
+    * the state store retains each side only `within` past its
+    * watermark — bounded state at any stream rate, instead of an
+    * ever-growing buffer of unmatched rows.
+    *
+    * Expects `left` with columns (`key`, `ts`, ...) and `right` with
+    * (`key`, `r_ts`, ...); emits inner matches where the response
+    * arrives in `[request ts, request ts + within]`.
+    */
+  def correlatedStream(left: DataFrame, right: DataFrame, key: String,
+                       within: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", within)
+    val r = right.withWatermark("r_ts", within)
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** Run a streaming frame to completion against a named memory sink;
     * returns the materialized result. Test/driver harness only.
     */

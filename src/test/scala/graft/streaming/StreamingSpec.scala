@@ -72,6 +72,27 @@ class StreamingSpec extends AnyFunSuite {
       score(batch).orderBy("doc_id").collect().toSeq)
   }
 
+  test("stream-stream correlation joins request to response within the bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val reqS = MemoryStream[(Long, java.sql.Timestamp)]
+    val respS = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // requests at 10:00/10:01/10:02; responses: id 1 in-bound (+5 min),
+    // id 2 LATE (+2 h, outside the 1 h bound), id 3 never answered
+    reqS.addData((1L, ts(0)), (2L, ts(1)), (3L, ts(2)))
+    respS.addData((1L, ts(5)),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 12:01:00")))
+    val joined = StreamingIngest.correlatedStream(
+      reqS.toDS().toDF("custom_id", "ts"),
+      respS.toDS().toDF("custom_id", "r_ts"),
+      "custom_id")
+    val out = StreamingIngest.runToMemory(spark, joined, "corr_out")
+    val ids = out.select("custom_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L), s"only the in-bound response should match: $ids")
+  }
+
   test("stream-static join enriches every event from the broadcast dim") {
     val dir = eventsDir
     val raw = spark.readStream.schema(
