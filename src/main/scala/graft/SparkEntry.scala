@@ -275,6 +275,27 @@ object SparkEntry {
         col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // E5 adaptive: per-source relative quality gate (keep top 70% of
+    // EACH source - a global constant would wipe out low-scoring
+    // sources entirely)
+    "q_quality_gate" -> ((s, dir) =>
+      Sampling.topFractionPerGroup(
+        documents(s, dir).select(col("doc_id"), col("source"),
+          TextStats.qualityScore(col("text")).as("quality")),
+        col("source"), col("quality"), col("doc_id"), keepBp = 7000)
+        .orderBy(col("doc_id"))),
+
+    // E1 incremental: new-batch docs not already in the corpus
+    // (odd ids are the "new crawl", even ids the existing corpus)
+    "q_incr_dedup" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.incrementalNew(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0), col("text"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // E3: rolling-hash document fingerprint
     "q_fingerprint" -> ((s, dir) =>
       documents(s, dir).select(
@@ -1048,6 +1069,32 @@ object SparkEntry {
         "(1.0 - least(npunct / greatest(nc, 1.0) * 10.0, 1.0)) * 0.3 + " +
         "least(nstop / greatest(ntok, 1.0) * 5.0, 1.0) * 0.3 AS quality " +
         "FROM t ORDER BY doc_id"),
+
+    // same quality expression as q_quality_score (hash-matched there),
+    // then an exact-integer per-source fraction cut: rn*10000 <= n*7000
+    "q_quality_gate" ->
+      ("WITH t AS (SELECT doc_id, source, text, " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok, " +
+        "CAST(length(text) AS DOUBLE) AS nc, " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($EnMarkers, x))) AS DOUBLE) AS nstop " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, source, least(ntok / 64.0, 1.0) * 0.4 + " +
+        "(1.0 - least(npunct / greatest(nc, 1.0) * 10.0, 1.0)) * 0.3 + " +
+        "least(nstop / greatest(ntok, 1.0) * 5.0, 1.0) * 0.3 AS quality FROM t), " +
+        "g AS (SELECT doc_id, source, quality, " +
+        "row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM q) " +
+        "SELECT doc_id, source, quality FROM g " +
+        "WHERE rn * 10000 <= n * 7000 ORDER BY doc_id"),
+
+    // the PLAIN anti-membership form; Spark side anti-joins on the
+    // md5 fingerprint, equivalent absent collisions
+    "q_incr_dedup" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE doc_id % 2 = 1 AND lower(trim(text)) NOT IN " +
+        "(SELECT lower(trim(text)) FROM documents WHERE doc_id % 2 = 0) " +
+        "ORDER BY doc_id"),
 
     "q_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +

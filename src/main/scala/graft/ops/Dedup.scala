@@ -89,4 +89,24 @@ object Dedup {
     val keep = exactTextGroups(df, textCol, idCol).select(col("keep_id"))
     df.join(keep, idCol === col("keep_id"), "left_semi")
   }
+
+  /** Incremental ingest dedup: rows of `batch` whose normalized text
+    * is NOT already in `corpus` — the "dedup the new crawl against
+    * the existing corpus" shape that incremental pipelines need
+    * (re-deduplicating the full corpus per ingest is O(total), this
+    * is O(batch + corpus-fingerprint scan)).
+    *
+    * Scale shape: a left_anti join on the content fingerprint. Both
+    * sides project to (fp) / (fp, row) before the exchange, so the
+    * shuffled bytes are fingerprints, not documents; when the batch
+    * is small relative to the corpus, AQE turns the batch side into
+    * the broadcast build. The corpus side would normally BE a stored
+    * fingerprint table (exactTextGroups output) maintained across
+    * ingests — passing raw documents works but re-fingerprints.
+    */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame,
+                     textCol: Column): DataFrame = {
+    val seen = corpus.select(md5(lower(trim(textCol))).as("__fp")).distinct()
+    batch.join(seen, md5(lower(trim(textCol))) === col("__fp"), "left_anti")
+  }
 }

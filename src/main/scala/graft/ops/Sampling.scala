@@ -87,6 +87,33 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Adaptive per-group gate: keep the top `keepBp` basis-points
+    * FRACTION of each group by `rankCol` (ties broken by `idCol`, so
+    * the cut is total-order deterministic). The training-data use is
+    * a per-source RELATIVE quality threshold — "drop the worst 30%
+    * of every source" — which, unlike one global constant, doesn't
+    * wipe out sources whose score distribution sits lower overall
+    * (per-source quality percentiles are standard curation practice,
+    * e.g. CCNet's per-language perplexity buckets, Wenzek et al.
+    * LREC'20 §4.3).
+    *
+    * One shuffle: both windows (rank and count) share the same
+    * partitioning, so Catalyst plans a single exchange. The keep
+    * predicate is exact integer arithmetic (`rn·10000 ≤ n·keepBp`,
+    * i.e. keep floor(n·keepBp/10000) rows) — bit-identical in the
+    * DuckDB oracle, no float threshold drift.
+    */
+  def topFractionPerGroup(df: DataFrame, groupCol: Column, rankCol: Column,
+                          idCol: Column, keepBp: Int): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000, "keepBp is basis points in [0,10000]")
+    val w = Window.partitionBy(groupCol).orderBy(rankCol.desc, idCol.asc)
+    val wc = Window.partitionBy(groupCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") * 10000 <= col("__n") * keepBp)
+      .drop("__rn", "__n")
+  }
+
   /** Temperature-scaled mixture quotas (the multinomial-sampling
     * weighting of multilingual/multi-corpus training, Conneau &
     * Lample, NeurIPS'19 §3.1): source i with n_i documents gets

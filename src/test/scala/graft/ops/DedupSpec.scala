@@ -51,4 +51,24 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("incrementalNew drops batch rows already in the corpus (normalized)") {
+    val corpus = Seq((1L, "seen doc"), (2L, "Another One "))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "seen doc"),      // exact dup
+                    (11L, "ANOTHER ONE"),   // dup after lower+trim
+                    (12L, "genuinely new")) // survives
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, corpus, col("text"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(12L))
+  }
+
+  test("incrementalNew keeps within-batch duplicates (dedup batch separately)") {
+    val corpus = Seq((1L, "x")).toDF("doc_id", "text")
+    val batch = Seq((10L, "y"), (11L, "y")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, corpus, col("text"))
+    // both survive: incrementalNew is batch-vs-corpus, not batch-vs-self
+    assert(out.count() == 2)
+  }
 }

@@ -86,4 +86,38 @@ class SamplingSpec extends AnyFunSuite {
     val sharp = Sampling.temperatureQuotas(counts, 0.5, 100)
     assert(sharp("big") > 90L && sharp("small") < 10L)
   }
+
+  test("topFractionPerGroup keeps floor(n*bp/10000) best rows per group") {
+    // group a: 10 rows scored by id; group b: 3 rows
+    val df = ((0L until 10L).map(i => ("a", i, i.toDouble)) ++
+      Seq(("b", 100L, 5.0), ("b", 101L, 1.0), ("b", 102L, 9.0)))
+      .toDF("src", "id", "score")
+    val out = Sampling.topFractionPerGroup(df, col("src"), col("score"),
+      col("id"), keepBp = 7000)
+    val byGroup = out.collect().groupBy(_.getString(0))
+    // a: floor(10*0.7)=7 best scores = ids 3..9; b: floor(3*0.7)=2 -> 102,100
+    assert(byGroup("a").map(_.getLong(1)).sorted.toSeq == (3L to 9L))
+    assert(byGroup("b").map(_.getLong(1)).sorted.toSeq == Seq(100L, 102L))
+  }
+
+  test("topFractionPerGroup: ties cut deterministically by id; 0 and 10000 bp") {
+    val ties = Seq(("s", 1L, 5.0), ("s", 2L, 5.0), ("s", 3L, 5.0),
+      ("s", 4L, 5.0)).toDF("src", "id", "score")
+    val kept = Sampling.topFractionPerGroup(ties, col("src"), col("score"),
+      col("id"), keepBp = 5000).select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L)) // smallest ids win equal scores
+    assert(Sampling.topFractionPerGroup(ties, col("src"), col("score"),
+      col("id"), 0).count() == 0)
+    assert(Sampling.topFractionPerGroup(ties, col("src"), col("score"),
+      col("id"), 10000).count() == 4)
+  }
+
+  test("topFractionPerGroup plans ONE exchange for both windows") {
+    val df = (0L until 100L).map(i => (s"s${i % 3}", i, i * 1.5))
+      .toDF("src", "id", "score")
+    val plan = Sampling.topFractionPerGroup(df, col("src"), col("score"),
+      col("id"), 7000).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"rank+count windows should share one shuffle:\n$plan")
+  }
 }
