@@ -854,6 +854,12 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("term"))),
 
+    // E10: vocabulary coverage curve (top-100 tokens + cumulative
+    // share of all occurrences - the tokenizer-sizing artifact)
+    "q_vocab" -> ((s, dir) =>
+      Tfidf.vocabCoverage(documents(s, dir), col("text"), topK = 100)
+        .orderBy(col("rk"))),
+
     // the capstone composition: quality gate → repetition gate →
     // decontamination → exact dedup → deterministic subsample, ONE
     // declarative plan (every stage is also oracle-verified alone)
@@ -1392,6 +1398,20 @@ object SparkEntry {
         "FROM tfc JOIN dfc USING (term) CROSS JOIN nn) " +
         "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score " +
         "FROM s WHERE rk <= 3 ORDER BY doc_id, term"),
+
+    // cumulative share = exact long sum / one double divide; ties
+    // ranked (cnt desc, token) on both engines
+    "q_vocab" ->
+      ("WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token), " +
+        "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c), " +
+        "r AS (SELECT token, cnt, " +
+        "row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk, " +
+        "sum(cnt) OVER (ORDER BY cnt DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM c) " +
+        "SELECT CAST(rk AS BIGINT) AS rk, token, CAST(cnt AS BIGINT) AS cnt, " +
+        "CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_frac " +
+        "FROM r CROSS JOIN t WHERE rk <= 100 ORDER BY rk"),
 
     // every stage mirrors its standalone oracle (q_quality_score,
     // q_repetition, q_decontaminate, q_dedup's first-wins, the

@@ -42,4 +42,46 @@ object Tfidf {
       .filter(col("rk") <= k)
       .select(col("id"), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Vocabulary coverage table — the vocab-construction artifact of a
+    * training pipeline: the `topK` most frequent tokens with their
+    * occurrence counts and the CUMULATIVE fraction of all token
+    * occurrences they cover (the curve "how much of the corpus does a
+    * V-token vocabulary explain", the sizing input for tokenizer /
+    * OOV decisions).
+    *
+    * Scale shape: the corpus-size explode feeds a map-side-combinable
+    * hash aggregation keyed on token, so the shuffle carries one row
+    * per DISTINCT token, not per occurrence (no hot key: stopword
+    * mass combines locally). The rank/cumulative window is a single
+    * global sort over the VOCABULARY (≪ corpus, bounded further by
+    * pushing only count-bearing rows), and the total is one scalar
+    * aggregate. Determinism: ties rank by (count desc, token asc);
+    * the cumulative fraction is an exact long sum divided once per
+    * row — bit-identical in the DuckDB oracle.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: Column, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    // total occurrences: a direct scalar sum of per-doc token counts —
+    // no explode, no groupBy, one bounded-result job
+    val total = docs.select(sum(size(TextStats.tokens(textCol))))
+      .head().getLong(0)
+    val counts = docs
+      .select(explode(TextStats.tokens(textCol)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // top-K BEFORE any window: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-K, driver merge), so
+    // the only single-partition window below runs over K rows, never
+    // the vocabulary — (cnt desc, token) is a total order, so the cut
+    // is deterministic
+    val byFreq = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(topK)
+      .withColumn("rk", row_number().over(byFreq))
+      .withColumn("cum", sum(col("cnt")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_frac",
+        col("cum").cast("double") / lit(total).cast("double"))
+      .select(col("rk").cast("long").as("rk"), col("token"), col("cnt"),
+        col("cum_frac"))
+  }
 }

@@ -42,4 +42,31 @@ class TfidfSpec extends AnyFunSuite {
       .filter(col("term") === "ran").select("df").as[Long].head()
     assert(df2 == 1L) // "ran" twice in one doc -> df 1
   }
+
+  test("vocabCoverage: ranks by count, cum_frac reaches the exact share") {
+    // 10 tokens total: the x3, ran x2, cat/sat/dog/swam x1 ... wait:
+    // doc texts above: the,cat,sat | the,dog,ran,ran | the,dog,swam
+    val v = Tfidf.vocabCoverage(docs, col("text"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // counts: the=3, dog=2, ran=2, cat=sat=swam=1 (total 10)
+    // rank order: the(3), dog(2 - ties with ran, token asc), ran(2)
+    assert(v == Seq(
+      (1L, "the", 3L, 0.3),
+      (2L, "dog", 2L, 0.5),
+      (3L, "ran", 2L, 0.7)))
+  }
+
+  test("vocabCoverage: topK beyond vocab covers 100%") {
+    val v = Tfidf.vocabCoverage(docs, col("text"), topK = 1000)
+    val last = v.orderBy(desc("rk")).select("cum_frac").as[Double].head()
+    assert(math.abs(last - 1.0) < 1e-12)
+    assert(v.count() == 6)
+  }
+
+  test("vocabCoverage plans a TakeOrderedAndProject, not a global sort") {
+    val plan = Tfidf.vocabCoverage(docs, col("text"), topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
