@@ -153,6 +153,33 @@ object GraftProps extends Properties("graft") {
       c == 1.0 && row.getAs[Long]("n_hits") == row.getAs[Long]("n_grams")
     }
 
+  property("chunking loses no token: stride-stitch rebuilds the doc") =
+    forAll(Gen.nonEmptyListOf(safeStr).map(_.take(60).mkString(" ")),
+      Gen.choose(2, 12), Gen.choose(0, 1)) { (text, size, halfOverlap) =>
+      val overlap = (size / 2) * halfOverlap // 0 or size/2 (< size)
+      val stride = size - overlap
+      val chunks = ops.Chunking.chunks(Seq((1L, text)).toDF("id", "t"),
+        col("id"), col("t"), size, overlap)
+        .orderBy("chunk_idx")
+        .select("chunk_text").as[String].collect()
+      val rebuilt = chunks.zipWithIndex.flatMap { case (c, i) =>
+        val ts = c.split(" ", -1)
+        if (i == 0) ts else ts.drop(overlap)
+      }
+      // split(text,' ') convention: every doc has >= 1 (possibly empty)
+      // token, so reassembly equals the original token stream exactly
+      rebuilt.mkString(" ") == text &&
+        chunks.forall(_.split(" ", -1).length <= size) &&
+        // overlap stitching: consecutive chunks agree on the shared run
+        chunks.sliding(2).forall {
+          case Array(a, b) =>
+            val at = a.split(" ", -1); val bt = b.split(" ", -1)
+            at.length < size || at.drop(stride).sameElements(
+              bt.take(at.length - stride))
+          case _ => true
+        }
+    }
+
   property("repetition signals stay in [0,1]; single-token docs define both") =
     forAll(Gen.nonEmptyListOf(safeStr).map(_.take(15).mkString(" "))) { t =>
       val d = Seq((1L, t)).toDF("doc_id", "text")
