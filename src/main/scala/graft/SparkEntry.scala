@@ -873,6 +873,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the END of the pipeline: curate -> chunk -> pack, corpus to
+    // training sequences in one flow (packing isn't SQL; rows-only,
+    // every stage oracle-/spec-verified standalone)
+    "q_pipeline" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Curate.toSequences(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"),
+        chunkTokens = 64, overlap = 0, packBudget = 256L, shards = 8)
+        .toDF("pack_id", "chunk_id", "n_tokens", "slot")
+        .orderBy(col("pack_id"), col("slot"))
+    }),
+
     "q_itemstore_pushdown" -> ((s, dir) => {
       val store = itemStorePath(dir)
       ensureItemStore(s, dir, store)

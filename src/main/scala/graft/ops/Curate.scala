@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The full pre-training corpus-curation pipeline as ONE declarative
@@ -58,5 +58,38 @@ object Curate {
         Sampling.hashBucket(col("id"), 10000) < sampleBp)
       .select(col("id"), col("quality"), col("top_gram_frac"),
         col("contamination"))
+  }
+
+  /** Raw corpus → packed training sequences, one flow: [[curate]] the
+    * survivors, [[Chunking]] them into context-window chunks, then
+    * [[Packing]] the chunks into fixed token-budget packs. This is
+    * the END of a pre-training data pipeline — what ships to the
+    * trainer — expressed as a single composition whose stages are
+    * each individually oracle-/spec-verified.
+    *
+    * Chunk ids are `doc_id * maxChunksPerDoc + chunk_idx` so packing
+    * keys stay unique longs without coordination; callers must keep
+    * `doc_id < Long.MaxValue / maxChunksPerDoc` (a 100 TB corpus of
+    * 64-bit hashes would pre-map ids to a dense range first — the
+    * id-compaction join is one zipWithIndex-style shuffle).
+    *
+    * Shuffle budget on top of curate's: the chunker is narrow (zero),
+    * the packer adds its one pmod-shard exchange. The curated-id
+    * semi-join prunes documents BEFORE chunking, so the fan-out only
+    * pays for survivors.
+    */
+  def toSequences(corpus: DataFrame, bench: DataFrame,
+                  idCol: Column, textCol: Column,
+                  chunkTokens: Int = 512, overlap: Int = 0,
+                  packBudget: Long = 2048L, shards: Int = 64,
+                  maxChunksPerDoc: Long = 1000000L): Dataset[Packing.Packed] = {
+    val kept = curate(corpus, bench, idCol, textCol).select(col("id"))
+    val docs = corpus.select(idCol.as("id"), textCol.as("text"))
+      .join(kept, Seq("id"), "left_semi")
+    val chunks = Chunking.chunks(docs, col("id"), col("text"),
+      chunkTokens, overlap)
+    Packing.packGreedy(chunks,
+      col("doc_id") * lit(maxChunksPerDoc) + col("chunk_idx"),
+      col("n_tokens"), packBudget, shards)
   }
 }

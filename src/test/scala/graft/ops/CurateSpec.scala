@@ -64,4 +64,31 @@ class CurateSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("toSequences: packs respect the budget and carry every curated token") {
+    val maxChunks = 1000000L
+    val packs = Curate.toSequences(corpus, bench, col("doc_id"), col("text"),
+      chunkTokens = 64, overlap = 0, packBudget = 256L, shards = 8,
+      maxChunksPerDoc = maxChunks).cache()
+    // budget: no pack exceeds 256 tokens (oversized singletons can't
+    // occur: a chunk is <= 64 tokens)
+    val overBudget = packs.groupBy(col("packId"))
+      .agg(sum(col("nTokens")).as("tot"))
+      .filter(col("tot") > 256L).count()
+    assert(overBudget == 0)
+    // completeness: packed token mass == token mass of curated docs
+    val curatedIds = Curate.curate(corpus, bench, col("doc_id"), col("text"))
+      .select(col("id"))
+    val expected = corpus.join(curatedIds,
+        corpus("doc_id") === curatedIds("id"), "left_semi")
+      .select(sum(TextStats.tokenCount(col("text")))).head().getLong(0)
+    val packed = packs.select(sum(col("nTokens"))).head().getLong(0)
+    assert(packed == expected)
+    // chunk ids decode back to curated doc ids only
+    val decoded = packs.select((col("docId") / maxChunks).cast("long"))
+      .distinct().as[Long].collect().toSet
+    val curated = curatedIds.as[Long].collect().toSet
+    assert(decoded == curated)
+    packs.unpersist()
+  }
 }
