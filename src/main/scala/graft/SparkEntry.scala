@@ -854,6 +854,16 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("term"))),
 
+    // corpus drift: top-20 tokens by total-variation contribution
+    // between the even-id and odd-id halves (exact integer numerators,
+    // one double divide - deterministic, so the oracle hash-matches)
+    "q_corpus_drift" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Drift.topDrift(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), col("text"), k = 20)
+        .orderBy(col("drift").desc, col("token").asc)
+    }),
+
     // E10: vocabulary coverage curve (top-100 tokens + cumulative
     // share of all occurrences - the tokenizer-sizing artifact)
     "q_vocab" -> ((s, dir) =>
@@ -1412,6 +1422,25 @@ object SparkEntry {
         "FROM tfc JOIN dfc USING (term) CROSS JOIN nn) " +
         "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score " +
         "FROM s WHERE rk <= 3 ORDER BY doc_id, term"),
+
+    // numerator products are exact doubles (< 2^53), ordered (drift
+    // desc, token) on both engines
+    "q_corpus_drift" ->
+      ("WITH ta AS (SELECT token, count(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY token), " +
+        "tb AS (SELECT token, count(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id % 2 = 1) GROUP BY token), " +
+        "na AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ta), " +
+        "nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tb), " +
+        "j AS (SELECT COALESCE(ta.token, tb.token) AS token, " +
+        "CAST(COALESCE(ta.cnt, 0) AS BIGINT) AS cnt_a, " +
+        "CAST(COALESCE(tb.cnt, 0) AS BIGINT) AS cnt_b " +
+        "FROM ta FULL OUTER JOIN tb ON ta.token = tb.token) " +
+        "SELECT token, cnt_a, cnt_b, " +
+        "abs(CAST(cnt_a AS DOUBLE) * nb.t - CAST(cnt_b AS DOUBLE) * na.t) / " +
+        "(2.0 * na.t * nb.t) AS drift " +
+        "FROM j CROSS JOIN na CROSS JOIN nb " +
+        "ORDER BY drift DESC, token ASC LIMIT 20"),
 
     // cumulative share = exact long sum / one double divide; ties
     // ranked (cnt desc, token) on both engines

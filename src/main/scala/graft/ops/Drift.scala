@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus drift monitoring — compare the token distributions of two
+  * corpora (yesterday's crawl vs today's, corpus vs benchmark, source
+  * A vs source B) and surface the tokens that moved most. The
+  * per-token contribution to total-variation distance is
+  * |p_a − p_b| / 2 = |cnt_a·tot_b − cnt_b·tot_a| / (2·tot_a·tot_b);
+  * summing it over the vocabulary gives TV(A,B) ∈ [0,1].
+  *
+  * Numeric determinism: every product here is exactly representable
+  * in a double at the tested scales (cnt·tot < 2^53), the difference
+  * of exact doubles is exact, and the single division rounds once —
+  * so the oracle hash-matches instead of drifting in the last ulp
+  * (the reason this uses no log: KL's libm dependence cannot
+  * hash-match across engines). At 100 TB (cnt·tot beyond 2^53) the
+  * products upgrade to DECIMAL(38,0) with the same plan shape.
+  *
+  * Scale shape: each corpus collapses to one row per DISTINCT token
+  * (map-side-combinable count), the two freq tables full-outer join
+  * on token (a vocabulary-sized shuffle, ≪ corpus), totals are two
+  * scalar aggregates, and the top movers plan as
+  * TakeOrderedAndProject — no global sort, no corpus-sized shuffle.
+  */
+object Drift {
+
+  private def freq(corpus: DataFrame, textCol: Column): DataFrame =
+    corpus.select(explode(TextStats.tokens(textCol)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  private def total(corpus: DataFrame, textCol: Column): Long = {
+    val r = corpus.select(sum(size(TextStats.tokens(textCol)))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0) // null sum = empty corpus
+  }
+
+  /** Top-`k` drift contributors: `(token, cnt_a, cnt_b, drift)` with
+    * drift = the token's share of TV distance, ordered (drift desc,
+    * token asc). Tokens absent from one corpus count 0 there.
+    */
+  def topDrift(a: DataFrame, b: DataFrame, textCol: Column,
+               k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (totA, totB) = (total(a, textCol), total(b, textCol))
+    require(totA > 0 && totB > 0, "both corpora must contain tokens")
+    freq(a, textCol).withColumnRenamed("cnt", "cnt_a")
+      .join(freq(b, textCol).withColumnRenamed("cnt", "cnt_b"),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .withColumn("drift",
+        abs(col("cnt_a").cast("double") * lit(totB.toDouble) -
+          col("cnt_b").cast("double") * lit(totA.toDouble)) /
+          lit(2.0 * totA.toDouble * totB.toDouble))
+      .orderBy(col("drift").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Total-variation distance between the two token distributions:
+    * one row `(tv)`, tv ∈ [0,1] (0 = identical, 1 = disjoint).
+    * The per-token numerators are exact INTEGERS summed as longs
+    * (order-independent, unlike a float sum), divided ONCE at the
+    * end — so the result is deterministic and oracle-matchable.
+    */
+  def totalVariation(a: DataFrame, b: DataFrame, textCol: Column): DataFrame = {
+    val (totA, totB) = (total(a, textCol), total(b, textCol))
+    require(totA > 0 && totB > 0, "both corpora must contain tokens")
+    freq(a, textCol).withColumnRenamed("cnt", "cnt_a")
+      .join(freq(b, textCol).withColumnRenamed("cnt", "cnt_b"),
+        Seq("token"), "full_outer")
+      .select(
+        abs(coalesce(col("cnt_a"), lit(0L)) * lit(totB) -
+          coalesce(col("cnt_b"), lit(0L)) * lit(totA)).as("num"))
+      .agg((sum(col("num")).cast("double") /
+        lit(2.0 * totA.toDouble * totB.toDouble)).as("tv"))
+  }
+}
