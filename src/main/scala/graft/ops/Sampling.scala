@@ -108,9 +108,11 @@ object Sampling {
     require(keepBp >= 0 && keepBp <= 10000, "keepBp is basis points in [0,10000]")
     val w = Window.partitionBy(groupCol).orderBy(rankCol.desc, idCol.asc)
     val wc = Window.partitionBy(groupCol)
-    df.withColumn("__rn", row_number().over(w))
+    // row_number() is an Int: multiply in LONG, or groups >= 214,749
+    // rows silently wrap the int product in non-ANSI mode
+    df.withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(wc))
-      .filter(col("__rn") * 10000 <= col("__n") * keepBp)
+      .filter(col("__rn") * 10000L <= col("__n") * keepBp)
       .drop("__rn", "__n")
   }
 

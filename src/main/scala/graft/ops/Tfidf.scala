@@ -64,8 +64,9 @@ object Tfidf {
     require(topK > 0, "topK must be positive")
     // total occurrences: a direct scalar sum of per-doc token counts —
     // no explode, no groupBy, one bounded-result job
-    val total = docs.select(sum(size(TextStats.tokens(textCol))))
-      .head().getLong(0)
+    val totalRow = docs.select(sum(size(TextStats.tokens(textCol)))).head()
+    require(!totalRow.isNullAt(0), "corpus is empty") // null sum = no rows
+    val total = totalRow.getLong(0)
     val counts = docs
       .select(explode(TextStats.tokens(textCol)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
