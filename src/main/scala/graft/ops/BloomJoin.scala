@@ -38,19 +38,31 @@ import org.apache.spark.sql.types.BinaryType
 object BloomJoin {
 
   /** Optimal bit count for `n` items at false-positive rate `fpp`
-    * (standard bloom sizing: -n·ln p / ln²2), clamped to [64, 2^26·8]
-    * so a mis-estimated `n` can neither degenerate to a handful of
-    * bits nor balloon past 64 MiB of broadcast.
+    * (standard bloom sizing: -n·ln p / ln²2), clamped to [64,
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`] —
+    * `BloomFilterAggregate` itself silently `min`s against that conf
+    * (default 67,108,864 bits = 8 MiB), so clamping any higher here
+    * would just misreport the bloom actually built. Callers sizing
+    * for dims beyond ~4M items must ALSO raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (same
+    * silent clamp on the estimate), or the realized fpp quietly
+    * exceeds the requested one.
     */
   def optimalNumBits(n: Long, fpp: Double): Long = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
+    val confMax = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        "67108864").toLong
     val bits = math.ceil(-n.toDouble * math.log(fpp) /
       (math.log(2) * math.log(2))).toLong
-    math.max(64L, math.min(bits, 64L * 1024 * 1024 * 8))
+    math.max(64L, math.min(bits, confMax))
   }
 
   /** Serialized bloom filter over `key` of `build` (one aggregation
-    * job; partial blooms merge associatively on the executors).
+    * job; partial blooms merge associatively on the executors). Null
+    * build keys are excluded — under inner/semi semantics they never
+    * match, and inserting them would only burn bits (xxhash64(NULL)
+    * degenerates to the seed).
     */
   def keyBloom(build: DataFrame, key: Column,
                expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
@@ -58,14 +70,15 @@ object BloomJoin {
       new XxHash64(Seq(Shim.expression(key))),
       Literal(expectedItems),
       Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression()
-    val row = build.select(Shim.column(agg)).head()
+    val row = build.filter(key.isNotNull).select(Shim.column(agg)).head()
     // an empty build side yields a null bloom: represent as empty bytes
     if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
   }
 
-  /** `might_contain(bloom, xxhash64(key))` as a Column; null keys
-    * probe to null, i.e. are filtered — consistent with inner/semi
-    * join semantics where null keys never match.
+  /** `might_contain(bloom, xxhash64(key))` as a Column. NB this alone
+    * does NOT filter null keys: `xxhash64(NULL)` evaluates to the hash
+    * seed, not NULL, so a null key probes a constant bit pattern and
+    * may pass — [[prefilter]] adds the explicit `isNotNull` guard.
     */
   def mightContain(bloom: Array[Byte], key: Column): Column =
     Shim.column(BloomFilterMightContain(
@@ -74,14 +87,16 @@ object BloomJoin {
 
   /** `fact` reduced to rows whose key might match `buildKeys`' bloom:
     * a superset of the join-relevant rows (false positives only, never
-    * negatives). An empty build side prunes everything.
+    * negatives). Null fact keys are dropped explicitly (inner/semi
+    * semantics — and the bloom probe alone can't drop them, see
+    * [[mightContain]]). An empty build side prunes everything.
     */
   def prefilter(fact: DataFrame, factKey: Column,
                 build: DataFrame, buildKey: Column,
                 expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     val bloom = keyBloom(build, buildKey, expectedItems, fpp)
     if (bloom.isEmpty) fact.limit(0)
-    else fact.filter(mightContain(bloom, factKey))
+    else fact.filter(factKey.isNotNull && mightContain(bloom, factKey))
   }
 
   /** The exact inner join, with the fact side bloom-pruned before its

@@ -88,8 +88,15 @@ object Curate {
       .join(kept, Seq("id"), "left_semi")
     val chunks = Chunking.chunks(docs, col("id"), col("text"),
       chunkTokens, overlap)
-    Packing.packGreedy(chunks,
-      col("doc_id") * lit(maxChunksPerDoc) + col("chunk_idx"),
+    // a doc with >= maxChunksPerDoc chunks would collide its ids into
+    // the next doc's range — silent lineage corruption; fail loudly
+    // instead (raise_error is a codegen'd per-row guard, no extra pass)
+    val chunkId = when(col("chunk_idx") < maxChunksPerDoc,
+      col("doc_id") * lit(maxChunksPerDoc) + col("chunk_idx"))
+      .otherwise(raise_error(concat(
+        lit(s"doc exceeds maxChunksPerDoc=$maxChunksPerDoc chunks: id "),
+        col("doc_id").cast("string"))))
+    Packing.packGreedy(chunks, chunkId,
       col("n_tokens"), packBudget, shards)
   }
 }

@@ -18,20 +18,28 @@ import org.apache.spark.sql.functions._
   * hash-match across engines). At 100 TB (cnt·tot beyond 2^53) the
   * products upgrade to DECIMAL(38,0) with the same plan shape.
   *
-  * Scale shape: each corpus collapses to one row per DISTINCT token
-  * (map-side-combinable count), the two freq tables full-outer join
-  * on token (a vocabulary-sized shuffle, ≪ corpus), totals are two
-  * scalar aggregates, and the top movers plan as
+  * Scale shape: each corpus is scanned ONCE, collapsing to one row
+  * per DISTINCT token (map-side-combinable count, checkpointed); the
+  * totals are sums over those vocab-sized tables, the full-outer
+  * join shuffles vocabularies (≪ corpus), and the top movers plan as
   * TakeOrderedAndProject — no global sort, no corpus-sized shuffle.
   */
 object Drift {
 
+  /** One row per distinct token, materialized via `localCheckpoint`
+    * so the corpus is scanned ONCE per drift report: the total (a sum
+    * over the vocab-sized table) and the join both read the
+    * checkpoint blocks instead of re-running the corpus explode. The
+    * blocks are vocabulary-sized (≪ corpus) and are reclaimed by the
+    * ContextCleaner once the returned frame is unreachable.
+    */
   private def freq(corpus: DataFrame, textCol: Column): DataFrame =
     corpus.select(explode(TextStats.tokens(textCol)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
 
-  private def total(corpus: DataFrame, textCol: Column): Long = {
-    val r = corpus.select(sum(size(TextStats.tokens(textCol)))).head()
+  private def total(freqTable: DataFrame): Long = {
+    val r = freqTable.agg(sum(col("cnt"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0) // null sum = empty corpus
   }
 
@@ -42,10 +50,11 @@ object Drift {
   def topDrift(a: DataFrame, b: DataFrame, textCol: Column,
                k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val (totA, totB) = (total(a, textCol), total(b, textCol))
+    val (fa, fb) = (freq(a, textCol), freq(b, textCol))
+    val (totA, totB) = (total(fa), total(fb))
     require(totA > 0 && totB > 0, "both corpora must contain tokens")
-    freq(a, textCol).withColumnRenamed("cnt", "cnt_a")
-      .join(freq(b, textCol).withColumnRenamed("cnt", "cnt_b"),
+    fa.withColumnRenamed("cnt", "cnt_a")
+      .join(fb.withColumnRenamed("cnt", "cnt_b"),
         Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
@@ -65,10 +74,11 @@ object Drift {
     * end — so the result is deterministic and oracle-matchable.
     */
   def totalVariation(a: DataFrame, b: DataFrame, textCol: Column): DataFrame = {
-    val (totA, totB) = (total(a, textCol), total(b, textCol))
+    val (fa, fb) = (freq(a, textCol), freq(b, textCol))
+    val (totA, totB) = (total(fa), total(fb))
     require(totA > 0 && totB > 0, "both corpora must contain tokens")
-    freq(a, textCol).withColumnRenamed("cnt", "cnt_a")
-      .join(freq(b, textCol).withColumnRenamed("cnt", "cnt_b"),
+    fa.withColumnRenamed("cnt", "cnt_a")
+      .join(fb.withColumnRenamed("cnt", "cnt_b"),
         Seq("token"), "full_outer")
       .select(
         abs(coalesce(col("cnt_a"), lit(0L)) * lit(totB) -

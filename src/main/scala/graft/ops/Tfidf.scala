@@ -62,14 +62,16 @@ object Tfidf {
     */
   def vocabCoverage(docs: DataFrame, textCol: Column, topK: Int): DataFrame = {
     require(topK > 0, "topK must be positive")
-    // total occurrences: a direct scalar sum of per-doc token counts —
-    // no explode, no groupBy, one bounded-result job
-    val totalRow = docs.select(sum(size(TextStats.tokens(textCol)))).head()
-    require(!totalRow.isNullAt(0), "corpus is empty") // null sum = no rows
-    val total = totalRow.getLong(0)
+    // ONE corpus scan: materialize the vocab-sized count table, then
+    // both the total (sum over it) and the top-K read the checkpoint
+    // blocks instead of re-running the corpus explode
     val counts = docs
       .select(explode(TextStats.tokens(textCol)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totalRow = counts.agg(sum(col("cnt"))).head()
+    require(!totalRow.isNullAt(0), "corpus is empty") // null sum = no rows
+    val total = totalRow.getLong(0)
     // top-K BEFORE any window: orderBy+limit plans as
     // TakeOrderedAndProject (per-partition top-K, driver merge), so
     // the only single-partition window below runs over K rows, never

@@ -53,13 +53,15 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(kept.forall(!_.isNullAt(0)))
   }
 
-  test("optimalNumBits: standard sizing, clamped") {
+  test("optimalNumBits: standard sizing, clamped to Spark's own ceiling") {
     // 1M items at 3% -> ~7.3M bits
     val bits = BloomJoin.optimalNumBits(1000000L, 0.03)
     assert(bits > 7000000L && bits < 7600000L)
     assert(BloomJoin.optimalNumBits(1L, 0.5) >= 64L)
-    assert(BloomJoin.optimalNumBits(Long.MaxValue / 4, 0.0001) ==
-      64L * 1024 * 1024 * 8)
+    // the ceiling matches BloomFilterAggregate's silent internal min
+    // (spark.sql.optimizer.runtime.bloomFilter.maxNumBits, default
+    // 67108864) - clamping higher would misreport the bloom built
+    assert(BloomJoin.optimalNumBits(Long.MaxValue / 4, 0.0001) == 67108864L)
   }
 
   test("the pre-filter sits below the fact-side exchange in the plan") {
