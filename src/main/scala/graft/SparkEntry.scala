@@ -883,6 +883,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // packed sequences materialized as text: pack layout joined back
+    // to documents, members concatenated in slot order (rows-only:
+    // BFD layout isn't SQL; slot-order/token-mass pinned by spec)
+    "q_pack_text" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val packs = Packing.packGreedy(d, col("doc_id"),
+        TextStats.tokenCount(col("text")), budget = 512L, shards = 8)
+      Packing.materialize(packs, d, col("doc_id"), col("text"))
+        .orderBy(col("pack_id"))
+    }),
+
     // the END of the pipeline: curate -> chunk -> pack, corpus to
     // training sequences in one flow (packing isn't SQL; rows-only,
     // every stage oracle-/spec-verified standalone)

@@ -104,4 +104,34 @@ object Packing {
         .flatMap { case (shard, group) => bfd(group.iterator, budget, shard) }
     }
   }
+
+  /** Materialize pack assignments into actual training sequences:
+    * join the (packId, docId, slot) layout back to the document text
+    * and concatenate each pack's members in slot order with `sep` —
+    * the physical artifact the trainer reads.
+    *
+    * Scale shape: one equi-join on the doc id (text moves through the
+    * shuffle exactly once) and one pack-keyed aggregation;
+    * `sort_array(collect_list(struct(slot, ...)))` orders WITHIN each
+    * pack — bounded by the pack's member count, never a global sort.
+    * Output rows are at most `budget` tokens by construction, so
+    * per-group state is capped by the pack budget regardless of
+    * corpus size.
+    */
+  def materialize(packs: Dataset[Packed], texts: DataFrame,
+                  idCol: Column, textCol: Column,
+                  sep: String = "\n"): DataFrame = {
+    val docs = texts.select(idCol.as("__mid"), textCol.as("__mtext"))
+    packs.toDF()
+      .join(docs, col("docId") === col("__mid"))
+      .groupBy(col("packId").as("pack_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nTokens")).as("n_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("slot"), col("__mtext")))),
+            e => e.getField("__mtext")),
+          sep).as("text"))
+  }
 }

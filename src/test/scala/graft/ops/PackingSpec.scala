@@ -69,4 +69,28 @@ class PackingSpec extends AnyFunSuite {
     }
     assert(out.map(_.docId).toSet == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("materialize emits each pack's texts in slot order, token-exact") {
+    import spark.implicits._
+    val texts = Seq((1L, "one two three"), (2L, "four five"),
+      (3L, "six"), (4L, "seven eight nine ten")).toDF("id", "text")
+    val withTok = texts.select(col("id"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val packs = Packing.packGreedy(withTok, col("id"), col("ntok"),
+      budget = 5L, shards = 2)
+    val mat = Packing.materialize(packs, texts, col("id"), col("text"),
+      sep = " | ").collect()
+    val layout = packs.collect().groupBy(_.packId)
+    assert(mat.length == layout.size)
+    mat.foreach { r =>
+      val members = layout(r.getString(0)).sortBy(_.slot)
+      val expectText = members.map(m =>
+        texts.filter(col("id") === m.docId).select("text").as[String].head())
+        .mkString(" | ")
+      assert(r.getString(3) == expectText)
+      assert(r.getLong(1) == members.length.toLong)
+      assert(r.getLong(2) == members.map(_.nTokens).sum)
+      assert(r.getLong(2) <= 5L || members.length == 1)
+    }
+  }
 }
