@@ -1145,10 +1145,14 @@ object SparkEntry {
 
     // 64-token chunks, overlap 16 => stride 48; generate_series and
     // sequence share inclusive-stop semantics, list slicing clamps on
-    // both engines, so the chunk layout is bit-identical.
+    // both engines, so the chunk layout is bit-identical. The
+    // list_filter mirrors the engine's redundant-tail skip (a start
+    // whose tokens all lie in the previous chunk's overlap emits
+    // nothing) - drops are a trailing run, so st // 48 stays dense.
     "q_chunk" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 48)) AS st FROM t) " +
+        "s AS (SELECT doc_id, toks, unnest(list_filter(generate_series(0, len(toks) - 1, 48), " +
+        "st -> st = 0 OR st + 16 < len(toks))) AS st FROM t) " +
         "SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx, " +
         "CAST(least(64, len(toks) - st) AS BIGINT) AS n_tokens, " +
         "array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text " +

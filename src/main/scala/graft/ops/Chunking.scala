@@ -33,7 +33,11 @@ object Chunking {
     * chunk_text`. Starts advance by `stride = chunkTokens - overlap`;
     * the final chunk may be shorter than `chunkTokens` (it is
     * emitted, never dropped — dropping the tail would silently lose
-    * up to stride-1 tokens per document).
+    * up to stride-1 tokens per document). A trailing start whose
+    * remaining tokens all lie inside the PREVIOUS chunk's overlap
+    * (n − start ≤ overlap) is skipped: it would add zero new tokens,
+    * i.e. a fully redundant training sequence — with overlap =
+    * chunkTokens/2 that duplicate would hit ~stride/n of all docs.
     */
   def chunks(docs: DataFrame, idCol: Column, textCol: Column,
              chunkTokens: Int, overlap: Int = 0): DataFrame = {
@@ -45,9 +49,12 @@ object Chunking {
       .select(idCol.as("doc_id"), TextStats.tokens(textCol).as("toks"))
       // sequence(0, n-1, stride): n >= 1 always (split never yields an
       // empty array), so the bounds are legal and every doc emits at
-      // least one chunk.
+      // least one chunk; the filter drops starts that are fully
+      // contained in the previous chunk (start 0 always survives).
       .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+        posexplode(filter(
+          sequence(lit(0), size(col("toks")) - 1, lit(stride)),
+          s => s === 0 || s + lit(overlap) < size(col("toks"))))
           .as(Seq("chunk_idx", "start")))
       .select(
         col("doc_id"),

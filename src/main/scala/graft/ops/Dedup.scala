@@ -52,13 +52,21 @@ object Dedup {
   }
 
   /** D2: deterministic first-wins dedup on `key`, ordered by `order`
-    * (ascending). Rows with NULL key are always kept.
+    * (ascending). Rows with NULL key are ALWAYS kept: they get a
+    * forced rank of 1 instead of competing in a window, so two
+    * keyless rows sharing an `order` value (order is stable, not
+    * unique) can no longer collapse into one. The partition key
+    * namespaces real keys ("k:") apart from the keyless surrogate
+    * ("null:"), so a real key that happens to look like a surrogate
+    * cannot land in a keyless row's partition and lose its rank-1.
     */
   def firstWins(df: DataFrame, key: Column, order: Column): DataFrame = {
     val k = when(key.isNull,
-      concat(lit("keyless:"), order.cast(StringType))).otherwise(key)
+      concat(lit("null:"), order.cast(StringType)))
+      .otherwise(concat(lit("k:"), key))
     val w = Window.partitionBy(k).orderBy(order.asc)
-    df.withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn",
+        when(key.isNull, lit(1)).otherwise(row_number().over(w)))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus drift monitoring — compare the token distributions of two
   * corpora (yesterday's crawl vs today's, corpus vs benchmark, source
@@ -69,21 +70,25 @@ object Drift {
 
   /** Total-variation distance between the two token distributions:
     * one row `(tv)`, tv ∈ [0,1] (0 = identical, 1 = disjoint).
-    * The per-token numerators are exact INTEGERS summed as longs
+    * The per-token numerators are exact INTEGERS summed exactly
     * (order-independent, unlike a float sum), divided ONCE at the
     * end — so the result is deterministic and oracle-matchable.
+    * The products ride DECIMAL(38,0): long `cnt·tot` would wrap
+    * silently past 2^63, which two ~5e9-token corpora already reach —
+    * far below this module's design scale.
     */
   def totalVariation(a: DataFrame, b: DataFrame, textCol: Column): DataFrame = {
     val (fa, fb) = (freq(a, textCol), freq(b, textCol))
     val (totA, totB) = (total(fa), total(fb))
     require(totA > 0 && totB > 0, "both corpora must contain tokens")
+    val dec = DecimalType(38, 0)
     fa.withColumnRenamed("cnt", "cnt_a")
       .join(fb.withColumnRenamed("cnt", "cnt_b"),
         Seq("token"), "full_outer")
       .select(
-        abs(coalesce(col("cnt_a"), lit(0L)) * lit(totB) -
-          coalesce(col("cnt_b"), lit(0L)) * lit(totA)).as("num"))
+        abs(coalesce(col("cnt_a"), lit(0L)).cast(dec) * lit(totB) -
+          coalesce(col("cnt_b"), lit(0L)).cast(dec) * lit(totA)).as("num"))
       .agg((sum(col("num")).cast("double") /
-        lit(2.0 * totA.toDouble * totB.toDouble)).as("tv"))
+        (lit(2.0) * lit(totA.toDouble) * lit(totB.toDouble))).as("tv"))
   }
 }

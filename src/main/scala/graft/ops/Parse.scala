@@ -79,19 +79,32 @@ object Parse {
   }
 
   /** P3: fuzzy JSON repair (`_loosen_json`, parse.py:139-168) — four
-    * regex fixes applied before a re-parse:
+    * regex fixes applied before a re-parse, each COLON-ANCHORED
+    * exactly like the reference's, so a `+` or thousands-comma inside
+    * a QUOTED string value is never touched (a quote sits between the
+    * colon and the digits, so the anchor can't reach it — an earlier
+    * lookaround-only version mutated `"1,234"` to `"1234"` whenever
+    * the strict parse failed for any unrelated reason):
     *   1. strip `//` line comments (lookahead keeps the newline);
-    *   2. drop a leading `+` on numbers (after `:`  `[`  `,` or space);
+    *   2. drop a leading `+` on a number VALUE (after `:`, spacing
+    *      normalized to one space, mirroring the reference's `": \1"`);
     *   3. drop trailing commas before `}` / `]`;
-    *   4. remove thousands separators inside numbers
-    *      (`1,230,456` → `1230456`; zero-width lookaround makes one
-    *      global pass handle every comma).
+    *   4. remove thousands separators inside unquoted number values —
+    *      Java replacements can't strip inner commas in one pass (and
+    *      unbounded lookbehind is illegal), so one colon-anchored
+    *      first-comma removal is applied 5 times: enough for any
+    *      number below 10^18. Deliberate superset vs the reference:
+    *      after merging, a leading group may exceed 3 digits, so
+    *      malformed groupings like `1234,567` also repair (the
+    *      reference leaves them unparseable); quoted values are
+    *      untouched either way.
     */
   def loosenJson(c: Column): Column = {
     val noComments = regexp_replace(c, "//.*?(?=[\\r\\n])", "")
-    val noPlus = regexp_replace(noComments, "(?<=[:\\[,\\s])\\+(?=[0-9.])", "")
-    val noThousands =
-      regexp_replace(noPlus, "(?<=[0-9]),(?=[0-9]{3}(?:[^0-9]|$))", "")
+    val noPlus = regexp_replace(noComments, ":\\s*\\+([0-9.]+)", ": $1")
+    val oneComma = "(:\\s*-?[0-9]{1,3}(?:[0-9]{3})*),(?=[0-9]{3}(?:[^0-9]|$))"
+    val noThousands = (1 to 5).foldLeft(noPlus)((acc, _) =>
+      regexp_replace(acc, oneComma, "$1"))
     regexp_replace(noThousands, ",\\s*(?=[}\\]])", "")
   }
 
@@ -148,19 +161,33 @@ object Parse {
       .withColumn("__arr", arr)
       .withColumn("__obj", objJson)
 
+    // Non-dict values keep the reference's raw_value wrapping
+    // (parse.py:203-208): objects pass through; any other valid JSON
+    // value is spliced as typed JSON (`{"raw_value":42}`); a bare
+    // string element (Spark's parser captures string tokens unquoted)
+    // is re-quoted via to_json. One ambiguity is unavoidable at the
+    // expression level: a source array element that was the QUOTED
+    // string "42" re-captures as the token 42 and wraps as a number.
+    def wrapNonDict(j: Column): Column =
+      when(j.isNull, lit(null).cast(StringType))
+        .when(ltrim(j).startsWith("{"), j)
+        .when(isValidJson(j), concat(lit("{\"raw_value\":"), j, lit("}")))
+        .otherwise(to_json(struct(j.as("raw_value"))))
+
     val arrays = base.filter(col("__isarr"))
       .select(col("custom_id"), posexplode(col("__arr")).as(Seq("idx", "elem")))
       .select(
         col("custom_id").as("_source_custom_id"),
         col("idx").cast(LongType).as("_source_list_index"),
-        col("elem").as("record_json"))
+        coalesce(wrapNonDict(col("elem")),
+          lit("{\"raw_value\":null}")).as("record_json"))
 
     val objects = base.filter(!col("__isarr"))
       .select(
         col("custom_id").as("_source_custom_id"),
         lit(null).cast(LongType).as("_source_list_index"),
         // P4 fallback: unparseable content survives as raw_content
-        coalesce(col("__obj"),
+        coalesce(wrapNonDict(col("__obj")),
           to_json(struct(stripFences(col("content")).as("raw_content"))))
           .as("record_json"))
 

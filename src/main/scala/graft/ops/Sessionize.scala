@@ -66,7 +66,12 @@ object Sessionize {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts_epoch - s.last <= gapSeconds =>
-                  cur = Some(s.copy(last = e.ts_epoch, n = s.n + 1))
+                  // a LATE cross-batch event (ts below the session's
+                  // last, still inside the watermark) must not move the
+                  // session end backward or re-arm the timeout in the
+                  // past — extend the span, never shrink it
+                  cur = Some(SessState(math.min(s.start, e.ts_epoch),
+                    math.max(s.last, e.ts_epoch), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.start, s.last, s.n)
                   cur = Some(SessState(e.ts_epoch, e.ts_epoch, 1))

@@ -42,6 +42,9 @@ object SimHash {
     */
   def candidateDistances(docs: DataFrame, idCol: Column, textCol: Column,
                          chunks: Int = 4): DataFrame = {
+    // chunks <= 0 divides by zero; chunks > 64 makes width 0, every
+    // chunk key degenerates to (i, 0) and the join goes all-pairs
+    require(chunks >= 1 && chunks <= Bits, s"chunks must be in [1, $Bits]")
     val width = Bits / chunks
     val sigs = signatures(docs, idCol, textCol)
     def chunkKeys(sh: Column): Column = array((0 until chunks).map { i =>

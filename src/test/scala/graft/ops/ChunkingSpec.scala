@@ -30,17 +30,33 @@ class ChunkingSpec extends AnyFunSuite {
     assert(out.map(_.getString(3)).mkString(" ") == text)
   }
 
-  test("overlap: consecutive chunks share exactly `overlap` tokens") {
+  test("overlap: consecutive chunks share exactly `overlap` tokens; no redundant tail") {
     val text = (1 to 9).map(i => s"w$i").mkString(" ")
     val out = chunk(docs(1L -> text), 4, 2).collect().map(_.getString(3))
-    // stride 2: starts 0,2,4,6,8
+    // stride 2: starts 0,2,4,6 - start 8's chunk ("w9") lies entirely
+    // inside chunk@6's overlap and is skipped (zero new tokens)
     assert(out.toSeq == Seq(
-      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9", "w9"))
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9"))
     out.sliding(2).foreach { case Array(a, b) =>
       val at = a.split(" ")
       assert(at.takeRight(2).sameElements(b.split(" ").take(
         math.min(2, b.split(" ").length))) || at.length < 4)
     }
+  }
+
+  test("every chunk contributes at least one new token") {
+    // size 10, overlap 8 (stride 2), 13 tokens: naive starts 0,2,...,12
+    // contain a run of tail chunks adding nothing; all must be dropped
+    val text = (1 to 13).map(i => s"t$i").mkString(" ")
+    val out = chunk(docs(1L -> text), 10, 8).collect().map(_.getString(3))
+    var covered = 0
+    out.foreach { c =>
+      val ts = c.split(" ")
+      val last = ts.last.drop(1).toInt
+      assert(last > covered, s"chunk '$c' adds no new token")
+      covered = last
+    }
+    assert(covered == 13) // and nothing was lost
   }
 
   test("doc shorter than one chunk yields exactly one full-doc chunk") {

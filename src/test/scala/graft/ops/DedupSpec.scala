@@ -52,6 +52,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("keyless rows sharing an order value are ALL kept") {
+    // order is stable, not unique (e.g. second-granularity timestamps)
+    val df = Seq((null.asInstanceOf[String], 100L, "a"),
+      (null.asInstanceOf[String], 100L, "b"),
+      ("u1", 100L, "c"), ("u1", 200L, "d"))
+      .toDF("url", "ts", "tag")
+    val kept = Dedup.dedupItems(df, col("ts"))
+      .select("tag").as[String].collect().toSet
+    // both keyless rows survive; u1 dedups to its first row
+    assert(kept == Set("a", "b", "c"))
+  }
+
+  test("a real key shaped like a surrogate cannot collide with keyless rows") {
+    val df = Seq(("null:100", 100L, "real"),
+      (null.asInstanceOf[String], 100L, "keyless"))
+      .toDF("id", "ts", "tag")
+    val kept = Dedup.dedupItems(df, col("ts"))
+      .select("tag").as[String].collect().toSet
+    assert(kept == Set("real", "keyless"))
+  }
+
   test("incrementalNew drops batch rows already in the corpus (normalized)") {
     val corpus = Seq((1L, "seen doc"), (2L, "Another One "))
       .toDF("doc_id", "text")

@@ -27,6 +27,8 @@ class ParseSpec extends AnyFunSuite {
     envelope("row_4", 200, """[{"k":1},{"k":2}]"""),
     envelope("row_5", 500, "ignored"),
     envelope("row_6", 200, "not json at all"),
+    envelope("row_7", 200, "42"),
+    envelope("row_8", 200, """["x", 7]"""),
     "",
     "not-even-json-line")
 
@@ -68,6 +70,23 @@ class ParseSpec extends AnyFunSuite {
     val rs = parsed.filter(_._1 == "row_6")
     assert(rs.size == 1 && rs.head._3 == """{"raw_content":"not json at all"}""")
   }
+  test("scalar content wraps as typed raw_value (parse.py:203-208)") {
+    val rs = parsed.filter(_._1 == "row_7")
+    assert(rs.size == 1 && rs.head._3 == """{"raw_value":42}""")
+  }
+  test("primitive array elements wrap as raw_value, strings re-quoted") {
+    val rs = parsed.filter(_._1 == "row_8").sortBy(_._2)
+    assert(rs.map(_._3) == Seq("""{"raw_value":"x"}""", """{"raw_value":7}"""))
+  }
+  test("loosenJson never mutates quoted string values (colon-anchored)") {
+    // trailing comma forces the loosen path; the quoted "1,234" and
+    // the in-string "+5" and "//" must survive byte-for-byte
+    val dirty = """{"price": "1,234", "note": "+5 // ok", "n": 2,}"""
+    val got = Seq(dirty).toDF("v").select(Parse.loosenJson(col("v")))
+      .as[String].collect()(0)
+    assert(got == """{"price": "1,234", "note": "+5 // ok", "n": 2}""")
+  }
+
   test("loosenJson leaves already-valid JSON intact") {
     val valid = """{"a":1,"b":[1,2],"c":"x, y"}"""
     val got = Seq(valid).toDF("v").select(Parse.loosenJson(col("v")))

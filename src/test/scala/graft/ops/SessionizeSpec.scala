@@ -44,4 +44,32 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out.contains((1L, 100L, 2L)))
     assert(out.contains((2L, 50L, 1L)))
   }
+
+  test("streaming: a late cross-batch event extends the span, never regresses it") {
+    import Sessionize._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val stream = src.toDS()
+      .withColumn("ts", timestamp_seconds(col("ts_epoch")))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+    val q = streamingSessions(stream, gapSeconds = 3600L)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      src.addData(Ev(1L, 1000L, 1L))          // batch 1: state (1000,1000)
+      q.processAllAvailable()
+      src.addData(Ev(1L, 500L, 2L))           // batch 2: LATE event
+      q.processAllAvailable()
+      src.addData(Ev(1L, 999999L, 3L))        // far future: closes session
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess_late")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the closed session must span [500, 1000] with 2 events — the old
+    // code emitted end=500 < start=1000
+    assert(out.contains((1L, 500L, 1000L, 2L)), out.toString)
+  }
 }
