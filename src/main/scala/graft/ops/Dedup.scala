@@ -42,7 +42,7 @@ object Dedup {
     * non-empty (the reference returns None → row kept un-deduped).
     */
   def dedupKey(df: DataFrame): Column = {
-    val byLower = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val byLower = Schemas.byLowerName(df)
     val urls = UrlKeys.flatMap(byLower.get).map(n =>
       concat(lit("url:"), lower(nonEmpty(col(n)))))
     val ids = IdKeys.flatMap(byLower.get).map(n =>

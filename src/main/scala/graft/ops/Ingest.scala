@@ -71,7 +71,7 @@ object Ingest {
     "est_timestamp")
 
   def coalesceTsCandidates(df: DataFrame): Column = {
-    val byLower = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val byLower = Schemas.byLowerName(df)
     val present = TimestampKeys.flatMap(byLower.get).map(col)
     if (present.isEmpty) lit(null).cast("string")
     else coalesce(present.map(_.cast("string")): _*)
@@ -82,7 +82,7 @@ object Ingest {
     * order-column choice so the two probes can't drift.
     */
   private[graft] def idColOf(df: DataFrame): Option[Column] = {
-    val byLower = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val byLower = Schemas.byLowerName(df)
     Dedup.IdKeys.collectFirst {
       case k if byLower.contains(k) => col(byLower(k))
     }

@@ -92,6 +92,16 @@ object MinHash {
     * session instead of growing without bound (warmup + median-of-3 in
     * the bench alone would otherwise pin 4 copies). Unpersisting a
     * still-referenced frame is safe — the plan recomputes.
+    *
+    * Known tradeoff: the eviction slot is JVM-global, so interleaving
+    * actions over nearDupPairs results for TWO corpora thrashes the
+    * cache (each call silently evicts the other's; results stay
+    * correct, the earlier corpus just re-shingles per action). The
+    * alternative — returning the persisted handle for caller-owned
+    * unpersist — trades that for leaked executor memory in every
+    * existing fire-and-forget call site; single-corpus-at-a-time is
+    * the dedup pipeline's actual shape, so the bounded-memory default
+    * wins.
     */
   private val lastBase = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 

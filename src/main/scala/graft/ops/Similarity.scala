@@ -74,6 +74,19 @@ object Similarity {
     * bandKey) — a linear-size index that a 1000-executor cluster
     * shuffles once and reuses; each query touches only its buckets.
     */
+
+  /** Banded LSH keys over an SRP signature: one (band, key) struct per
+    * band, key = that band's bit-slice. Shared by the single-query and
+    * batch ANN paths — the join keys MUST be built identically on both
+    * sides, so this lives in exactly one place.
+    */
+  private def bandKeys(sigCol: Column, bands: Int, width: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sigCol, b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }: _*)
+
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int,
               dim: Int = 64, bits: Int = 16, bands: Int = 4,
               seed: Long = 42L, roundTo: Int = 6): DataFrame = {
@@ -82,16 +95,11 @@ object Similarity {
     val width = bits / bands
     val sig = srpSignature(col("embedding"), planes)
 
-    def bandKeys(sigCol: Column): Column = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(sigCol, b * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("key"))
-    }: _*)
 
     val corpus = embeddings.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), col("embedding"), explode(bandKeys(sig)).as("bk"))
+      .select(col("vec_id"), col("embedding"), explode(bandKeys(sig, bands, width)).as("bk"))
     val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), explode(bandKeys(sig)).as("bk"))
+      .select(col("embedding").as("q_emb"), explode(bandKeys(sig, bands, width)).as("bk"))
 
     corpus.join(broadcast(q), corpus("bk") === q("bk"))
       .select(col("vec_id"),
@@ -218,15 +226,10 @@ object Similarity {
     require(bits % bands == 0, "bits must divide into bands")
     val planes = hyperplanes(dim, bits, seed)
     val width = bits / bands
-    def bandKeys(sigCol: Column): Column = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(sigCol, b * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("key"))
-    }: _*)
     val corpusIdx = corpus.select(col("vec_id"), col("embedding"),
-      explode(bandKeys(srpSignature(col("embedding"), planes))).as("bk"))
+      explode(bandKeys(srpSignature(col("embedding"), planes), bands, width)).as("bk"))
     val queryIdx = queries.select(col("query_id"), col("embedding").as("q_emb"),
-      explode(bandKeys(srpSignature(col("embedding"), planes))).as("qbk"))
+      explode(bandKeys(srpSignature(col("embedding"), planes), bands, width)).as("qbk"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)

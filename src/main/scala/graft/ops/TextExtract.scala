@@ -40,8 +40,7 @@ object TextExtract {
     * in priority order; value-level coercion depends on the column type.
     */
   def candidateCols(df: DataFrame): Seq[Column] = {
-    val byLower: Map[String, StructField] =
-      df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val byLower: Map[String, StructField] = Schemas.fieldsByLowerName(df)
     Candidates.flatMap(byLower.get).map { f =>
       val c = df.col(f.name)
       f.dataType match {
