@@ -864,6 +864,14 @@ object SparkEntry {
         .orderBy(col("drift").desc, col("token").asc)
     }),
 
+    // scalar corpus distance: exact-integer TV numerators summed in
+    // DECIMAL(38,0), one final divide (deterministic double)
+    "q_corpus_tv" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Drift.totalVariation(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), col("text"))
+    }),
+
     // E10: vocabulary coverage curve (top-100 tokens + cumulative
     // share of all occurrences - the tokenizer-sizing artifact)
     "q_vocab" -> ((s, dir) =>
@@ -1456,6 +1464,23 @@ object SparkEntry {
         "(2.0 * na.t * nb.t) AS drift " +
         "FROM j CROSS JOIN na CROSS JOIN nb " +
         "ORDER BY drift DESC, token ASC LIMIT 20"),
+
+    // integer numerators summed exactly (HUGEINT / DECIMAL(38,0)),
+    // divided once - a single deterministic double on both engines
+    "q_corpus_tv" ->
+      ("WITH ta AS (SELECT token, count(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY token), " +
+        "tb AS (SELECT token, count(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id % 2 = 1) GROUP BY token), " +
+        "na AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ta), " +
+        "nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tb), " +
+        "j AS (SELECT COALESCE(ta.token, tb.token) AS token, " +
+        "CAST(COALESCE(ta.cnt, 0) AS HUGEINT) AS cnt_a, " +
+        "CAST(COALESCE(tb.cnt, 0) AS HUGEINT) AS cnt_b " +
+        "FROM ta FULL OUTER JOIN tb ON ta.token = tb.token) " +
+        "SELECT CAST(sum(abs(cnt_a * nb.t - cnt_b * na.t)) AS DOUBLE) / " +
+        "(2.0 * na.t * nb.t) AS tv " +
+        "FROM j CROSS JOIN na CROSS JOIN nb GROUP BY na.t, nb.t"),
 
     // cumulative share = exact long sum / one double divide; ties
     // ranked (cnt desc, token) on both engines
