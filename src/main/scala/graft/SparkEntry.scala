@@ -314,6 +314,18 @@ object SparkEntry {
         col("lang"), threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E1 substring: repeated token spans across documents (Lee et al.
+    // ACL'22 exact-substring dedup, rolling-window form) — spans
+    // shared by >= 2 docs, and the per-doc duplicated-window ratio
+    "q_substr_spans" -> ((s, dir) =>
+      SubstringDedup.repeatedSpans(documents(s, dir), col("doc_id"),
+        col("text"), windowTokens = 8, minDocs = 2)
+        .orderBy(col("n_occ").desc, col("win_text"))),
+    "q_substr_dedup" -> ((s, dir) =>
+      SubstringDedup.spanDupStats(documents(s, dir), col("doc_id"),
+        col("text"), windowTokens = 8)
+        .orderBy(col("doc_id"))),
+
     // window functions: per-user running sum in event order
     "q_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -1165,6 +1177,30 @@ object SparkEntry {
         "CAST(least(64, len(toks) - st) AS BIGINT) AS n_tokens, " +
         "array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text " +
         "FROM s ORDER BY doc_id, chunk_idx"),
+
+    "q_substr_spans" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS i, toks " +
+        "FROM t WHERE len(toks) >= 8), " +
+        "w2 AS (SELECT doc_id, array_to_string(toks[i + 1 : i + 8], ' ') AS win FROM w) " +
+        "SELECT win AS win_text, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_occ FROM w2 GROUP BY win " +
+        "HAVING count(DISTINCT doc_id) >= 2 ORDER BY n_occ DESC, win_text"),
+
+    "q_substr_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS i, toks " +
+        "FROM t WHERE len(toks) >= 8), " +
+        "w2 AS (SELECT doc_id, array_to_string(toks[i + 1 : i + 8], ' ') AS win FROM w), " +
+        "d AS (SELECT win FROM w2 GROUP BY win HAVING count(*) >= 2), " +
+        "p AS (SELECT w2.doc_id, CAST(count(*) AS BIGINT) AS n_windows, " +
+        "CAST(sum(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows " +
+        "FROM w2 LEFT JOIN d ON w2.win = d.win GROUP BY w2.doc_id) " +
+        "SELECT doc.doc_id, coalesce(p.n_windows, 0) AS n_windows, " +
+        "coalesce(p.dup_windows, 0) AS dup_windows, " +
+        "CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0 " +
+        "ELSE CAST(p.dup_windows AS DOUBLE) / p.n_windows END AS dup_ratio " +
+        "FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id ORDER BY doc.doc_id"),
 
     "q_ngram_jaccard" ->
       ("WITH p AS (SELECT doc_id, lang, " +

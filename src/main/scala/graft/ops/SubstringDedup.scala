@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-substring (repeated token-span) deduplication — the corpus
+  * hygiene pass of Lee et al., ACL'22 ("Deduplicating Training Data
+  * Makes Language Models Better"): find token spans that occur more
+  * than once across the corpus, and score each document by how much
+  * of it is duplicated elsewhere. Complements the whole-document
+  * families already in [[Dedup]] (exact), [[MinHash]]/[[SimHash]]
+  * (near-dup) — those miss a unique document that EMBEDS a long span
+  * copied from another document, which is exactly the memorization
+  * vector substring dedup exists to catch.
+  *
+  * Lee et al. build a corpus-wide suffix array; that is a single-node
+  * construction. The Spark-native equivalent is a rolling-window
+  * inventory: every W-token window of every document becomes one row,
+  * and a window whose content occurs >= 2 times anywhere in the corpus
+  * is a duplicated span. A span of length L >= W duplicated between two
+  * documents shows up as L-W+1 consecutive duplicated windows, so
+  * window-level stats recover span-level structure without any global
+  * ordering.
+  *
+  * Scale shape (100 TB):
+  *   - the inventory is a NARROW fan-out (tokenize -> `sequence` ->
+  *     `posexplode`), no shuffle, fan-out factor = tokens/doc;
+  *   - duplicate detection groups by `xxhash64(window)` — an 8-byte
+  *     shuffle key instead of the W-token string (~6x smaller for
+  *     W=8), with map-side partial aggregation. The window TEXT is
+  *     only shuffled for the few hashes that survive the >=2 filter
+  *     (joined back, then min()-reduced) — never for the whole
+  *     inventory;
+  *   - a 64-bit hash collision merges two distinct spans (~n^2/2^65
+  *     for n distinct windows — at 10^12 windows, ~0.03 expected
+  *     collisions); Lee et al.'s own dedup tolerates the same class
+  *     of error. The DuckDB oracle groups by the window text itself,
+  *     so the correctness gate would surface a collision as a
+  *     hash-mismatch rather than silently agreeing.
+  *
+  * Tokenization follows the corpus convention of the `documents`
+  * table (single-space separated; [[TextStats.tokens]]).
+  */
+object SubstringDedup {
+
+  /** One row per W-token rolling window: `(doc_id, pos, win_text, h)`.
+    * Documents shorter than `windowTokens` contribute no windows.
+    * Narrow (no shuffle); stays inside one whole-stage-codegen span.
+    */
+  def windowInventory(docs: DataFrame, idCol: Column, textCol: Column,
+                      windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    docs
+      .select(idCol.as("doc_id"), TextStats.tokens(textCol).as("toks"))
+      // guard BEFORE sequence(): Spark's sequence(0, n) with n < 0
+      // yields a DESCENDING [0, .., n], not an empty array
+      .filter(size(col("toks")) >= windowTokens)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - windowTokens))
+          .as(Seq("pos", "start")))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("toks"), col("start") + 1, lit(windowTokens)), " ")
+          .as("win_text"))
+      .withColumn("h", xxhash64(col("win_text")))
+  }
+
+  /** Spans occurring in >= `minDocs` distinct documents:
+    * `(win_text, n_docs, n_occ)`. Two shuffles: the hash-keyed
+    * count (narrow 8-byte keys), then a text fetch-back restricted
+    * to surviving hashes.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: Column, textCol: Column,
+                    windowTokens: Int, minDocs: Int = 2): DataFrame = {
+    val inv = windowInventory(docs, idCol, textCol, windowTokens)
+    val winners = inv.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+    inv.select(col("h"), col("win_text"))
+      .join(winners, "h")
+      .groupBy(col("h"), col("n_docs"), col("n_occ"))
+      .agg(min(col("win_text")).as("win_text"))
+      .select(col("win_text"), col("n_docs"), col("n_occ"))
+  }
+
+  /** Per-document duplication score: `(doc_id, n_windows, dup_windows,
+    * dup_ratio)` where a window is duplicated iff its content occurs
+    * >= 2 times anywhere in the corpus (other documents or elsewhere
+    * in the same one — self-repetition is duplication too, per Lee et
+    * al. §3). Documents with fewer than `windowTokens` tokens report
+    * `(0, 0, 0.0)` — too short to assess, not dropped.
+    */
+  def spanDupStats(docs: DataFrame, idCol: Column, textCol: Column,
+                   windowTokens: Int): DataFrame = {
+    val inv = windowInventory(docs, idCol, textCol, windowTokens)
+    val dupH = inv.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("h"))
+    val perDoc = inv
+      .join(dupH.withColumn("dup", lit(1)), Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("dup"), lit(0))).as("dup_windows"))
+    docs.select(idCol.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_windows"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .as("dup_ratio"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Exact-substring span dedup (Lee et al. ACL'22, rolling-window
+  * form): inventory shape, cross-doc span detection, self-repetition,
+  * short-doc handling, and the ratio arithmetic.
+  */
+class SubstringDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("id", "text")
+
+  test("window inventory: one window per start position, none for short docs") {
+    val df = docs(
+      1L -> "a b c d e",   // 5 tokens, W=3 -> 3 windows
+      2L -> "x y")         // 2 tokens  -> none
+    val inv = SubstringDedup.windowInventory(df, col("id"), col("text"), 3)
+      .orderBy("doc_id", "pos").collect()
+    assert(inv.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1L, 0, "a b c"), (1L, 1, "b c d"), (1L, 2, "c d e")))
+  }
+
+  test("repeatedSpans finds a span embedded in two otherwise-different docs") {
+    val span = "the quick brown fox"
+    val df = docs(
+      1L -> s"alpha beta $span gamma delta",
+      2L -> s"one two three $span four",
+      3L -> "unrelated words only here now")
+    val spans = SubstringDedup.repeatedSpans(df, col("id"), col("text"),
+      windowTokens = 4, minDocs = 2).collect()
+    // exactly the 4-token windows common to docs 1 and 2: just `span`
+    // itself (its neighbors differ between the docs)
+    assert(spans.map(_.getString(0)).toSeq == Seq(span))
+    assert(spans.head.getLong(1) == 2L) // n_docs
+    assert(spans.head.getLong(2) == 2L) // n_occ
+  }
+
+  test("spanDupStats: cross-doc duplication and the ratio") {
+    val df = docs(
+      1L -> "p q r s t",       // windows: pqr qrs rst
+      2L -> "p q r x y",       // windows: pqr qrx rxy -> shares pqr
+      3L -> "m n o u v")       // all unique
+    val stats = SubstringDedup.spanDupStats(df, col("id"), col("text"), 3)
+      .orderBy("doc_id").collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 0L)))
+    assert(math.abs(stats(0).getDouble(3) - 1.0 / 3.0) < 1e-12)
+    assert(stats(2).getDouble(3) == 0.0)
+  }
+
+  test("self-repetition inside one document counts as duplication") {
+    val df = docs(1L -> "a b a b a b")
+    // W=2 windows: "a b","b a","a b","b a","a b" -> all duplicated
+    val stats = SubstringDedup.spanDupStats(df, col("id"), col("text"), 2)
+      .collect()
+    assert(stats.head.getLong(1) == 5L)
+    assert(stats.head.getLong(2) == 5L)
+    assert(stats.head.getDouble(3) == 1.0)
+  }
+
+  test("documents shorter than the window report (0, 0, 0.0), not dropped") {
+    val df = docs(1L -> "only two", 2L -> "a b c d")
+    val stats = SubstringDedup.spanDupStats(df, col("id"), col("text"), 3)
+      .orderBy("doc_id").collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 0L), (2L, 2L, 0L)))
+    assert(stats(0).getDouble(3) == 0.0)
+  }
+
+  test("a long shared span yields L-W+1 consecutive duplicated windows") {
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6 tokens
+    val df = docs(
+      1L -> s"head1 $shared tail1",
+      2L -> s"head2 $shared tail2")
+    val spans = SubstringDedup.repeatedSpans(df, col("id"), col("text"),
+      windowTokens = 4, minDocs = 2).collect()
+    // windows fully inside the shared span: 6-4+1 = 3
+    assert(spans.length == 3)
+    assert(spans.forall(_.getLong(1) == 2L))
+  }
+
+  test("inventory is narrow: no shuffle before the window rows exist") {
+    val df = docs(1L -> "a b c d e f g h")
+    val plan = SubstringDedup.windowInventory(df, col("id"), col("text"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"window inventory should not shuffle:\n$plan")
+  }
+}
