@@ -737,6 +737,15 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // E2 compressed-index path: product quantization (Jegou et al.
+    // TPAMI'11) — m x 4-bit codes per vector, ADC scan, exact re-rank
+    // (rows-only: k-means training depends on float summation order)
+    "q_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.pqTopK(emb, queryId = 3L, k = 10)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // X6: per-row LLM call via mapPartitions (deterministic stub —
     // zero-egress environment)
     "q_llm_stub" -> ((s, dir) =>

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (Jégou et al., TPAMI'11 "Product
+  * Quantization for Nearest Neighbor Search") — the compressed-index
+  * path of the similarity family: [[Similarity]] already covers exact
+  * brute force, SRP-LSH bucketing, and IVF cell probing; PQ adds the
+  * strategy that shrinks the CORPUS REPRESENTATION itself. Each
+  * d-dim vector is split into `m` subvectors; each subvector is
+  * quantized to one of `ks` per-subspace codebook entries; the stored
+  * index is `m` small ints per vector (m=8, ks=16 -> 8 nibbles vs 64
+  * floats: 64x smaller). At 100 TB that is the difference between an
+  * index that fits in executor memory and one that doesn't — scan the
+  * code table, score against a per-query lookup table, re-rank only
+  * the survivors against the full vectors.
+  *
+  * Spark shape:
+  *   - training is Lloyd's per-subspace spherical k-means expressed as
+  *     DataFrame aggregations — ONE job per iteration covering ALL m
+  *     subspaces (explode to (subspace, code, dim), groupBy avg);
+  *     driver traffic is bounded at m x ks x (d/m) = d x ks doubles
+  *     per iteration (here 64 x 16 = 1024), never corpus rows —
+  *     the same bounded-driver contract as
+  *     [[Similarity.kmeansCentroids]];
+  *   - codebook entries are L2-normalized, so code assignment by the
+  *     native `argmaxCosine` kernel IS the max-dot assignment, and the
+  *     ADC score is a direction-only cosine approximation (subvector
+  *     magnitudes are dropped — the exact re-rank restores them);
+  *   - the asymmetric-distance (ADC) score is a plan-time-unrolled sum
+  *     of `m` `element_at(lut_j, code_j + 1)` lookups against the
+  *     query's literal lookup table — fully codegen'd, no UDF, cost
+  *     O(m) per row instead of O(d);
+  *   - candidates = top `rerank` rows by ADC; the final answer exactly
+  *     re-ranks only those by full cosine. The corpus is scanned once
+  *     for codes (cheap, compressed) and the expensive full-vector
+  *     math touches `rerank` rows, not the corpus.
+  */
+object Pq {
+
+  /** Codebooks `[m][ks][d/m]`, unit-L2 rows. Deterministic seed:
+    * subspace j's code c starts from vec_id == c's j-th subvector
+    * (mirrors [[Similarity.ivfCentroids]]); `iterations` rounds of
+    * spherical k-means refine them. Cells that lose all members keep
+    * their previous entry.
+    */
+  def trainCodebooks(embeddings: DataFrame, dim: Int, m: Int = 8,
+                     ks: Int = 16, iterations: Int = 2): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var books: Array[Array[Array[Double]]] =
+      embeddings.filter(col("vec_id") < ks).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray) match {
+        case seeds =>
+          Array.tabulate(m)(j =>
+            seeds.map(s => normalize(s.slice(j * sub, j * sub + sub))))
+      }
+    var i = 0
+    while (i < iterations) {
+      val b = books
+      // one job: every row contributes (subspace, code, pos, v) for
+      // all m subspaces; groupBy avg is the Lloyd's mean update
+      val contrib = embeddings.select(
+        explode(array((0 until m).map { j =>
+          val sv = slice(col("embedding"), j * sub + 1, sub)
+          struct(lit(j).as("j"),
+            graft.functions.ArrayExprs.argmaxCosine(sv, b(j)).as("code"),
+            sv.as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("pos", "v")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(avg(col("v")).as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      contrib.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("code")))
+        .foreach { case ((j, c), rows) =>
+          val v = next(j)(c)
+          rows.foreach(r => v(r.getAs[Int]("pos")) = r.getAs[Double]("mean"))
+          next(j)(c) = normalize(v)
+        }
+      books = next
+      i += 1
+    }
+    books
+  }
+
+  /** `(vec_id, codes array<int>)` — the compressed index: m codes per
+    * vector, assigned by the native argmax-cosine kernel per subspace.
+    * Narrow (no shuffle).
+    */
+  def encode(embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = books.head.head.length
+    embeddings.select(col("vec_id"),
+      array((0 until m).map { j =>
+        graft.functions.ArrayExprs.argmaxCosine(
+          slice(col("embedding"), j * sub + 1, sub), books(j))
+      }: _*).as("codes"))
+  }
+
+  /** ADC top-k for one stored query (`queryId` row): score the code
+    * table against the query's lookup table, keep the top `rerank`
+    * candidates, exactly re-rank those by full cosine. Output
+    * (vec_id, score) — score is the EXACT cosine of the surviving
+    * candidates, so downstream consumers see true similarities.
+    * The 1-row query collect is bounded driver traffic (same contract
+    * as the watermark max).
+    */
+  def pqTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int = 64,
+             m: Int = 8, ks: Int = 16, iterations: Int = 2,
+             rerank: Int = 100, roundTo: Int = 6): DataFrame = {
+    require(rerank >= k, "rerank pool must be at least k")
+    val sub = dim / m
+    val books = trainCodebooks(embeddings, dim, m, ks, iterations)
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    // per-subspace lookup table: lut(j)(c) = dot(q_j, codebook(j)(c))
+    val lut: Array[Array[Double]] = Array.tabulate(m) { j =>
+      val qj = qVec.slice(j * sub, j * sub + sub)
+      books(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum)
+    }
+    val adc = (0 until m).map { j =>
+      element_at(typedLit(lut(j)), col("codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val candidates = encode(embeddings.filter(col("vec_id") =!= queryId), books)
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(rerank)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.join(candidates, "vec_id")
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), roundTo)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Product-quantization ANN: codebook shapes and normalization, code
+  * range, index narrowness, and recall of the ADC+re-rank pipeline
+  * against the exact brute-force baseline.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val Dim = 64
+
+  test("codebooks: [m][ks][d/m] shape, unit-norm entries, training moves seeds") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val books = Pq.trainCodebooks(e, Dim, m = 8, ks = 16, iterations = 2)
+    assert(books.length == 8)
+    assert(books.forall(_.length == 16))
+    assert(books.forall(_.forall(_.length == Dim / 8)))
+    // spherical k-means: every entry unit-L2 (or an untouched zero seed)
+    books.flatten.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9 || n == 0.0, s"norm $n")
+    }
+    val seeded = Pq.trainCodebooks(e, Dim, m = 8, ks = 16, iterations = 0)
+    assert(books.zip(seeded).exists { case (a, b) =>
+      a.zip(b).exists { case (x, y) => !x.sameElements(y) }
+    })
+  }
+
+  test("encode: m codes per vector, each in [0, ks)") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val books = Pq.trainCodebooks(e, Dim, m = 8, ks = 16, iterations = 1)
+    val codes = Pq.encode(e, books).limit(50).collect()
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8)
+      assert(cs.forall(c => c >= 0 && c < 16))
+    }
+  }
+
+  test("encode is narrow: no shuffle to build the code table") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val books = Pq.trainCodebooks(e, Dim, iterations = 0)
+    val plan = Pq.encode(e, books).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode should be narrow:\n$plan")
+  }
+
+  test("pqTopK recall: the exact top hit survives ADC + re-rank; scores exact") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val exact = Similarity.topKByCosine(e, queryId = 3L, k = 10).collect()
+    val pq = Pq.pqTopK(e, queryId = 3L, k = 10).collect()
+    // re-ranked scores are true cosines, so any overlap matches exactly
+    val exactByid = exact.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pq.foreach { r =>
+      exactByid.get(r.getLong(0)).foreach(s => assert(r.getDouble(1) == s))
+    }
+    // recall@10 vs exact top-10 must clear 0.5 with rerank=100 over
+    // a 200-vector sf0.001 corpus (generous: direction-only ADC)
+    val overlap = pq.map(_.getLong(0)).toSet
+      .intersect(exact.map(_.getLong(0)).toSet).size
+    assert(overlap >= 5, s"recall@10 too low: $overlap/10")
+    // and the single best neighbor is found
+    assert(pq.head.getLong(0) == exact.head.getLong(0))
+  }
+}
