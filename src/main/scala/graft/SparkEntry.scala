@@ -325,6 +325,10 @@ object SparkEntry {
       SubstringDedup.spanDupStats(documents(s, dir), col("doc_id"),
         col("text"), windowTokens = 8)
         .orderBy(col("doc_id"))),
+    "q_substr_scrub" -> ((s, dir) =>
+      SubstringDedup.scrubDuplicatedSpans(documents(s, dir), col("doc_id"),
+        col("text"), windowTokens = 8)
+        .orderBy(col("doc_id"))),
 
     // window functions: per-user running sum in event order
     "q_window" -> ((s, dir) => {
@@ -1210,6 +1214,25 @@ object SparkEntry {
         "CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0 " +
         "ELSE CAST(p.dup_windows AS DOUBLE) / p.n_windows END AS dup_ratio " +
         "FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id ORDER BY doc.doc_id"),
+
+    "q_substr_scrub" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS i, toks " +
+        "FROM t WHERE len(toks) >= 8), " +
+        "w2 AS (SELECT doc_id, i, array_to_string(toks[i + 1 : i + 8], ' ') AS win FROM w), " +
+        "o AS (SELECT doc_id, i FROM (SELECT doc_id, i, " +
+        "row_number() OVER (PARTITION BY win ORDER BY doc_id, i) AS rn, " +
+        "count(*) OVER (PARTITION BY win) AS c FROM w2) WHERE c >= 2 AND rn > 1), " +
+        "m AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS tpos FROM o), " +
+        "tok AS (SELECT doc_id, i AS tpos, toks[i + 1] AS tok FROM t, " +
+        "LATERAL unnest(generate_series(0, len(toks) - 1)) AS u(i)), " +
+        "kept AS (SELECT tok.doc_id, tok.tpos, tok.tok FROM tok " +
+        "LEFT JOIN m ON tok.doc_id = m.doc_id AND tok.tpos = m.tpos WHERE m.tpos IS NULL), " +
+        "r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text, " +
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, " +
+        "CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped " +
+        "FROM t LEFT JOIN r ON t.doc_id = r.doc_id ORDER BY t.doc_id"),
 
     "q_ngram_jaccard" ->
       ("WITH p AS (SELECT doc_id, lang, " +

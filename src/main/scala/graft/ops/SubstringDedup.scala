@@ -83,6 +83,51 @@ object SubstringDedup {
       .select(col("win_text"), col("n_docs"), col("n_occ"))
   }
 
+  /** Scrub: rebuild the corpus with every NON-CANONICAL duplicated
+    * span occurrence removed — the actual dedup action of Lee et al.
+    * ACL'22 (one occurrence of each duplicated substring survives,
+    * corpus-wide). Canonical = the first occurrence in (doc_id, pos)
+    * order; the token positions covered by every other occurrence are
+    * dropped and the document re-joined from the survivors. Output:
+    * `(doc_id, clean_text, n_dropped)` for EVERY input document
+    * (untouched docs pass through with n_dropped = 0).
+    *
+    * Scale shape: the corpus itself never shuffles. The only shuffled
+    * data are window hashes (dup detection) and the drop-position
+    * sets — bounded by duplicated-occurrence count x W, a tiny
+    * fraction of the corpus. The rebuilt text is a narrow indexed
+    * `filter` over the token array against the (broadcast) drop set;
+    * the two-arg lambda is CodegenFallback but runs once per
+    * TOUCHED document, not per token of the corpus.
+    */
+  def scrubDuplicatedSpans(docs: DataFrame, idCol: Column, textCol: Column,
+                           windowTokens: Int): DataFrame = {
+    val inv = windowInventory(docs, idCol, textCol, windowTokens)
+    val dupFirst = inv.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("occ") >= 2)
+    val dropPos = inv.join(dupFirst, "h")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + windowTokens - 1))
+          .as("tpos"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("tpos"))).as("drop_pos"))
+    docs.select(idCol.as("doc_id"), TextStats.tokens(textCol).as("toks"))
+      .join(broadcast(dropPos), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("drop_pos").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(
+            filter(col("toks"),
+              (_, i) => !array_contains(col("drop_pos"), i)), " "))
+          .as("clean_text"),
+        // size(NULL) is -1 under legacy semantics — branch, don't coalesce
+        when(col("drop_pos").isNull, lit(0L))
+          .otherwise(size(col("drop_pos")).cast("long")).as("n_dropped"))
+  }
+
   /** Per-document duplication score: `(doc_id, n_windows, dup_windows,
     * dup_ratio)` where a window is duplicated iff its content occurs
     * >= 2 times anywhere in the corpus (other documents or elsewhere

@@ -85,6 +85,40 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(spans.forall(_.getLong(1) == 2L))
   }
 
+  test("scrub removes the non-canonical occurrence, keeps the first") {
+    val span = "the quick brown fox jumps"
+    val df = docs(
+      1L -> s"alpha $span omega",
+      2L -> s"one two $span three")
+    val out = SubstringDedup.scrubDuplicatedSpans(df, col("id"), col("text"), 5)
+      .orderBy("doc_id").collect()
+    // doc 1 holds the canonical occurrence: untouched
+    assert(out(0).getString(1) == s"alpha $span omega")
+    assert(out(0).getLong(2) == 0L)
+    // doc 2 loses exactly the 5 span tokens
+    assert(out(1).getString(1) == "one two three")
+    assert(out(1).getLong(2) == 5L)
+  }
+
+  test("scrub collapses self-repetition to one occurrence") {
+    val df = docs(1L -> "x y x y x y")
+    // W=2 duplicated windows: every occurrence after the canonical
+    // "x y"@0 / "y x"@1 is dropped -> tokens 2..5 go
+    val out = SubstringDedup.scrubDuplicatedSpans(df, col("id"), col("text"), 2)
+      .collect()
+    assert(out.head.getString(1) == "x y")
+    assert(out.head.getLong(2) == 4L)
+  }
+
+  test("scrub passes short and untouched docs through verbatim") {
+    val df = docs(1L -> "tiny", 2L -> "all words here are unique tokens now")
+    val out = SubstringDedup.scrubDuplicatedSpans(df, col("id"), col("text"), 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("tiny", "all words here are unique tokens now"))
+    assert(out.forall(_.getLong(2) == 0L))
+  }
+
   test("inventory is narrow: no shuffle before the window rows exist") {
     val df = docs(1L -> "a b c d e f g h")
     val plan = SubstringDedup.windowInventory(df, col("id"), col("text"), 3)
