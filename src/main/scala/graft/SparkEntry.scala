@@ -749,6 +749,13 @@ object SparkEntry {
       Pq.pqTopK(emb, queryId = 3L, k = 10)
         .orderBy(col("score").desc, col("vec_id"))
     }),
+    // E2: IVF-PQ composition (FAISS IVFx,PQy shape) — probe cells
+    // restrict the scan, PQ codes are what gets scored inside them
+    "q_ivfpq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.ivfPqTopK(emb, queryId = 3L, k = 10)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
 
     // X6: per-row LLM call via mapPartitions (deterministic stub —
     // zero-egress environment)

@@ -133,6 +133,59 @@ object Pq {
       .select(col("vec_id"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(rerank)
+    rerankExact(embeddings, candidates, queryId, k, roundTo)
+  }
+
+  /** IVF-PQ (the composition FAISS ships as `IVFx,PQy`): the coarse
+    * IVF quantizer restricts the scan to the query's `nProbe` cells,
+    * and the PQ code table is all that is scored inside them — at
+    * scale the two multiply: touch 1/nCells of the corpus, at 1/64th
+    * the bytes per row. We quantize the raw vector, not the
+    * IVF residual (residuals aren't unit-scale, which would break the
+    * spherical codebooks; the exact re-rank restores any lost
+    * precision). Probe selection runs on the driver against the same
+    * centroid array the cell assignment uses — no extra job.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int = 64,
+                m: Int = 8, ks: Int = 16, iterations: Int = 2,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                rerank: Int = 100, roundTo: Int = 6): DataFrame = {
+    require(rerank >= k, "rerank pool must be at least k")
+    val sub = dim / m
+    val cents = Similarity.ivfCentroids(embeddings, nCentroids)
+    val books = trainCodebooks(embeddings, dim, m, ks, iterations)
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val probes = cents.zipWithIndex
+      .sortBy { case (c, i) => (-cos(qVec, c), i) }
+      .take(nProbe).map(_._2)
+    val lut: Array[Array[Double]] = Array.tabulate(m) { j =>
+      val qj = qVec.slice(j * sub, j * sub + sub)
+      books(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum)
+    }
+    val adc = (0 until m).map { j =>
+      element_at(typedLit(lut(j)), col("codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val cellCorpus = embeddings.filter(col("vec_id") =!= queryId)
+      .filter(Similarity.ivfCell(col("embedding"), cents).isin(probes.toSeq: _*))
+    val candidates = encode(cellCorpus, books)
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(rerank)
+    rerankExact(embeddings, candidates, queryId, k, roundTo)
+  }
+
+  /** Exact cosine re-rank of an ANN candidate pool against the full
+    * vectors — candidates are a (vec_id)-keyed slice, the query a
+    * 1-row broadcast.
+    */
+  private def rerankExact(embeddings: DataFrame, candidates: DataFrame,
+                          queryId: Long, k: Int, roundTo: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     embeddings.join(candidates, "vec_id")

@@ -66,4 +66,19 @@ class PqSpec extends AnyFunSuite {
     // and the single best neighbor is found
     assert(pq.head.getLong(0) == exact.head.getLong(0))
   }
+
+  test("ivfPqTopK: cell restriction still recovers the exact top hit") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val exact = Similarity.topKByCosine(e, queryId = 3L, k = 10).collect()
+    val ivfpq = Pq.ivfPqTopK(e, queryId = 3L, k = 10).collect()
+    assert(ivfpq.nonEmpty)
+    // scores of surviving candidates are exact cosines
+    val exactById = exact.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivfpq.foreach { r =>
+      exactById.get(r.getLong(0)).foreach(s => assert(r.getDouble(1) == s))
+    }
+    // with 4/16 cells probed the true nearest neighbor must land in a
+    // probed cell for this query (pinned by seed-determinism)
+    assert(ivfpq.head.getLong(0) == exact.head.getLong(0))
+  }
 }
