@@ -242,6 +242,14 @@ object SparkEntry {
         threshold = 0.30)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E2/SemDeDup: cluster-blocked semantic dedup on an UNLABELED
+    // corpus — the blocking cell is derived from the embeddings
+    // (Abbas et al. 2023), not from a pre-existing label
+    "q_semdedup" -> ((s, dir) =>
+      SemDedup.duplicates(Tables.embeddings(s, dir), nCells = 16,
+        threshold = 0.30)
+        .orderBy(col("vec_id"))),
+
     // E3: per-language corpus stats
     "q_text_stats" -> ((s, dir) =>
       documents(s, dir).groupBy(col("lang")).agg(
@@ -1108,6 +1116,29 @@ object SparkEntry {
         "/ (a.nrm * b.nrm), 6) AS score " +
         "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t " +
         "WHERE score >= 0.30 ORDER BY id_a, id_b"),
+
+    // mirrors SemDedup.duplicates: cell = argmax over the first-16
+    // seed centroids of dot(v, c) (ties -> lowest c_id, as the native
+    // kernel keeps the first strict max), pairs blocked by cell,
+    // round-to-6 BEFORE threshold, dup_of = smallest-id neighbor
+    "q_semdedup" ->
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm " +
+        "FROM embeddings), " +
+        "c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 16), " +
+        "a AS (SELECT vec_id, cell FROM (" +
+        "SELECT e.vec_id, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) DESC, c.c_id) AS rn " +
+        "FROM e, c) t WHERE rn = 1), " +
+        "ea AS (SELECT e.vec_id, e.embedding, e.nrm, a.cell FROM e JOIN a USING (vec_id)), " +
+        "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
+        "round(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) " +
+        "/ (x.nrm * y.nrm), 6) AS score " +
+        "FROM ea x JOIN ea y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
+        "d AS (SELECT id_b AS vec_id, id_a, score, " +
+        "row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn " +
+        "FROM p WHERE score >= 0.30) " +
+        "SELECT vec_id, id_a AS dup_of, score FROM d WHERE rn = 1 ORDER BY vec_id"),
 
     "q_text_stats" ->
       ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +

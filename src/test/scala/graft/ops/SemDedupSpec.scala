@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** SemDeDup: cluster-blocked semantic dedup on an unlabeled corpus. */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+
+  test("dropped rows reference a smaller-id neighbor above threshold") {
+    val rows = SemDedup.duplicates(emb, nCells = 16, threshold = 0.30).collect()
+    assert(rows.nonEmpty, "sf0.001 embeddings contain planted near-dups")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"),
+        "canonical representative is the lowest id")
+      assert(r.getAs[Double]("score") >= 0.30)
+    }
+    // one verdict per dropped vector
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+  }
+
+  test("kept + dropped partition the corpus; kept contains no in-cell dup") {
+    val total = emb.count()
+    val dropped = SemDedup.duplicates(emb, nCells = 16, threshold = 0.30)
+    val kept = SemDedup.deduplicated(emb, nCells = 16, threshold = 0.30)
+    assert(kept.count() + dropped.count() == total)
+    // re-running SemDeDup on the kept set with the ORIGINAL centroids
+    // finds nothing: every surviving vector is its group's lowest id,
+    // so no kept vector has a smaller-id >=t neighbor in its cell
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val residual = SemDedup.duplicates(kept, nCells = 16, threshold = 0.30,
+      centroids = Some(cents))
+    assert(residual.count() == 0L)
+  }
+
+  test("blocking bounds the pair space: fewer verdicts than all-pairs at a loose threshold") {
+    // with one cell the operator degenerates to all-pairs; with 16
+    // cells a cross-cell near-dup pair is (correctly) not considered.
+    val cents1 = Similarity.ivfCentroids(emb, 1)
+    val allPairs = SemDedup.duplicates(emb, threshold = 0.05,
+      centroids = Some(cents1)).count()
+    val blocked = SemDedup.duplicates(emb, nCells = 16, threshold = 0.05).count()
+    assert(blocked <= allPairs)
+    assert(allPairs > 0)
+  }
+}
