@@ -65,6 +65,14 @@ object SparkEntry {
       events(s, dir).select(col("event_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))),
 
+    // layout: Morton z-value over (custkey, orderkey) — the exact
+    // ZORDER-style interleave the write layout clusters by
+    "q_zorder" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        ZOrder.zValue2(col("o_custkey") % 1024, col("o_orderkey") % 1024,
+          bits = 10).as("zval"))
+        .orderBy(col("o_orderkey"))),
+
     // T2: flexible timestamp normalization over 5 wire formats
     "q_ts_normalize" -> ((s, dir) => {
       val tsSec = date_trunc("second", col("ts"))
@@ -1001,6 +1009,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
+    // same bit weave: bit i of x -> 2i, of y -> 2i+1, low 10 bits
+    "q_zorder" ->
+      ("SELECT o_orderkey, CAST(list_sum(list_transform(range(0, 10), i -> " +
+        "((((o_custkey % 1024) >> i) & 1) << (2 * i)) + " +
+        "((((o_orderkey % 1024) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval " +
+        "FROM orders ORDER BY o_orderkey"),
 
     "q_ts_normalize" ->
       ("SELECT event_id, epoch(date_trunc('second', ts))::BIGINT + " +
