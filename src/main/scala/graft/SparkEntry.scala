@@ -902,6 +902,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("term"))),
 
+    // inverted-index sparse similarity: postings self-join on the
+    // TERM (pair space = per-term df_top^2, never corpus^2),
+    // integer-exact scoring
+    "q_sparse_sim" -> ((s, dir) =>
+      Tfidf.sharedSalientPairs(documents(s, dir), col("doc_id"), col("text"),
+        k = 5, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // corpus drift: top-20 tokens by total-variation contribution
     // between the even-id and odd-id halves (exact integer numerators,
     // one double divide - deterministic, so the oracle hash-matches)
@@ -1566,6 +1574,26 @@ object SparkEntry {
         "FROM tfc JOIN dfc USING (term) CROSS JOIN nn) " +
         "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score " +
         "FROM s WHERE rk <= 3 ORDER BY doc_id, term"),
+
+    // same top-k tf-idf postings (k=5), inverted-index self-join,
+    // exact integer count/sum(min(tf)) — no float summation
+    "q_sparse_sim" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term), " +
+        "dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term), " +
+        "nn AS (SELECT count(*) AS n FROM documents), " +
+        "s AS (SELECT doc_id, term, tf, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY " +
+        "CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS rk " +
+        "FROM tfc JOIN dfc USING (term) CROSS JOIN nn), " +
+        "p AS (SELECT doc_id, term, tf FROM s WHERE rk <= 5), " +
+        "cap AS (SELECT term FROM p GROUP BY term HAVING count(*) <= 1000), " +
+        "pc AS (SELECT p.doc_id, p.term, p.tf FROM p JOIN cap USING (term)), " +
+        "pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, least(x.tf, y.tf) AS m " +
+        "FROM pc x JOIN pc y ON x.term = y.term AND x.doc_id < y.doc_id) " +
+        "SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared, " +
+        "CAST(sum(m) AS BIGINT) AS overlap FROM pr GROUP BY id_a, id_b " +
+        "HAVING count(*) >= 2 ORDER BY id_a, id_b"),
 
     // numerator products are exact doubles (< 2^53), ordered (drift
     // desc, token) on both engines

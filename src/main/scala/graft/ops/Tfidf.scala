@@ -87,4 +87,42 @@ object Tfidf {
       .select(col("rk").cast("long").as("rk"), col("token"), col("cnt"),
         col("cum_frac"))
   }
+
+  /** Sparse document-similarity pairs via an INVERTED INDEX over each
+    * document's top-k salient terms — the third member of the
+    * similarity family: dense-vector ANN ([[Similarity]]) needs
+    * embeddings, shingle MinHash ([[MinHash]]) needs near-verbatim
+    * text; the inverted index catches TOPICAL pairs from plain text.
+    * Output: `(id_a, id_b, n_shared, overlap)` for pairs sharing at
+    * least `minShared` salient terms, where `overlap` is the exact
+    * integer Σ min(tf_a, tf_b) over the shared terms.
+    *
+    * Scale shape: the join key is the TERM (the inverted index), so
+    * the pair space is Σ_term df_top(term)², where df_top counts only
+    * documents whose TOP-K includes the term — stopwords have huge df
+    * but tiny tf·idf, so they don't reach anyone's top-k and the
+    * index is naturally skew-resistant; `maxPostings` hard-caps the
+    * residual hot terms (dropping a term that a large fraction of the
+    * corpus shares is standard practice — it carries no pairwise
+    * signal). Scoring is exact integer arithmetic, so the DuckDB
+    * oracle is bit-identical; a tf·idf-weighted cosine is a one-line
+    * swap on the same postings join but would hand the gate a
+    * float-summation ordering hazard.
+    */
+  def sharedSalientPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                         k: Int = 5, minShared: Int = 2,
+                         maxPostings: Int = 1000): DataFrame = {
+    val postings = topTerms(docs, idCol, textCol, k)
+    val capped = postings
+      .withColumn("df_top", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("df_top") <= maxPostings)
+    val a = capped.select(col("term"), col("id").as("id_a"), col("tf").as("tf_a"))
+    val b = capped.select(col("term"), col("id").as("id_b"), col("tf").as("tf_b"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(least(col("tf_a"), col("tf_b"))).as("overlap"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -69,4 +69,42 @@ class TfidfSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("sharedSalientPairs: topical pair found, overlap is exact sum(min(tf))") {
+    val corpus = Seq(
+      (1L, "quark lepton quark boson field"),
+      (2L, "quark lepton gluon boson mass"),  // shares quark/lepton/boson with 1
+      (3L, "poem verse stanza rhyme meter"),
+      (4L, "verse poem sonnet couplet line")) // shares poem/verse with 3
+      .toDF("doc_id", "text")
+    val pairs = Tfidf.sharedSalientPairs(corpus, col("doc_id"), col("text"),
+      k = 5, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (3L, 4L)))
+    val p12 = pairs.head
+    assert(p12._3 == 3L, s"docs 1-2 share quark/lepton/boson: $p12")
+    // each shared term has tf=1 on at least one side except quark
+    // (tf 2 in doc 1, 1 in doc 2 -> min 1): overlap = 3
+    assert(p12._4 == 3L)
+  }
+
+  test("sharedSalientPairs: id_a < id_b and no self pairs") {
+    val pairs = Tfidf.sharedSalientPairs(docs, col("doc_id"), col("text"),
+      k = 3, minShared = 1).collect()
+    pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("sharedSalientPairs: maxPostings drops corpus-wide hot terms") {
+    // every doc's text is identical -> every term is in every top-k;
+    // a cap of 2 postings drops all terms across 3 docs -> no pairs
+    val same = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val capped = Tfidf.sharedSalientPairs(same, col("doc_id"), col("text"),
+      k = 2, minShared = 1, maxPostings = 2)
+    assert(capped.count() == 0L)
+    val uncapped = Tfidf.sharedSalientPairs(same, col("doc_id"), col("text"),
+      k = 2, minShared = 1)
+    assert(uncapped.count() == 3L) // all three pairs
+  }
 }
