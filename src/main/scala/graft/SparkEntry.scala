@@ -411,6 +411,17 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // SCD2 history: consecutive same-attr runs -> versioned validity
+    // intervals; ONE shuffle on the key, all windows share it
+    "q_scd2" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_epoch", tsEpochSec)
+      Scd2.history(e, col("user_id"), col("event_type"), col("ts_epoch"),
+        col("event_id"))
+        .withColumnRenamed("key", "user_id")
+        .withColumnRenamed("attr", "event_type")
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // rollup: hierarchical subtotals (decimal-routed sums)
     "q_rollup" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1348,6 +1359,26 @@ object SparkEntry {
         "OVER (PARTITION BY user_id ORDER BY t, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq " +
         "FROM g ORDER BY event_id"),
+
+    // run starts ordered by version == (t, event_id) order, so the
+    // lead() interval close is deterministic
+    "q_scd2" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "epoch(date_trunc('second', ts))::BIGINT AS t, event_id FROM events), " +
+        "f AS (SELECT *, CASE WHEN lag(event_id) OVER w IS NULL " +
+        "OR event_type IS DISTINCT FROM lag(event_type) OVER w " +
+        "THEN 1 ELSE 0 END AS chg FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS version FROM f), " +
+        "r AS (SELECT user_id, event_type, version, t AS valid_from " +
+        "FROM v WHERE chg = 1) " +
+        "SELECT user_id, event_type, version, valid_from, " +
+        "lead(valid_from) OVER pv AS valid_to, " +
+        "(lead(valid_from) OVER pv IS NULL) AS is_current " +
+        "FROM r WINDOW pv AS (PARTITION BY user_id ORDER BY version) " +
+        "ORDER BY user_id, version"),
 
     "q_rollup" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, " +
