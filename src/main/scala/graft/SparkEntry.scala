@@ -422,6 +422,21 @@ object SparkEntry {
         .orderBy(col("user_id"), col("version"))
     }),
 
+    // point-in-time enrichment: each event picks the SCD2 version in
+    // effect at its timestamp — Scd2.history consumed by AsOfJoin
+    // (union + one keyed window carry; no interval nested-loop)
+    "q_pit_join" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_epoch", tsEpochSec)
+      val hist = Scd2.history(e, col("user_id"), col("event_type"),
+        col("ts_epoch"), col("event_id"))
+        .select(col("key").as("user_id"), col("version"),
+          col("attr").as("cur_type"), col("valid_from"))
+      val probes = e.select(col("event_id"), col("user_id"), col("ts_epoch"))
+      AsOfJoin.asofBackward(probes, hist, Seq("user_id"),
+        col("ts_epoch"), col("valid_from"), Seq("version", "cur_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // rollup: hierarchical subtotals (decimal-routed sums)
     "q_rollup" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1379,6 +1394,28 @@ object SparkEntry {
         "(lead(valid_from) OVER pv IS NULL) AS is_current " +
         "FROM r WINDOW pv AS (PARTITION BY user_id ORDER BY version) " +
         "ORDER BY user_id, version"),
+
+    // among versions with valid_from <= t, the max version is the one
+    // in effect (versions are (t, event_id)-ordered) — mirrors the
+    // as-of struct carry, which orders ties by (version, cur_type)
+    "q_pit_join" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "epoch(date_trunc('second', ts))::BIGINT AS t, event_id FROM events), " +
+        "f AS (SELECT *, CASE WHEN lag(event_id) OVER w IS NULL " +
+        "OR event_type IS DISTINCT FROM lag(event_type) OVER w " +
+        "THEN 1 ELSE 0 END AS chg FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS version FROM f), " +
+        "h AS (SELECT user_id, event_type AS cur_type, version, " +
+        "t AS valid_from FROM v WHERE chg = 1), " +
+        "sel AS (SELECT e.event_id, e.user_id, e.t AS ts_epoch, " +
+        "h.version, h.cur_type, " +
+        "row_number() OVER (PARTITION BY e.event_id ORDER BY h.version DESC) AS rn " +
+        "FROM e JOIN h ON e.user_id = h.user_id AND h.valid_from <= e.t) " +
+        "SELECT event_id, user_id, ts_epoch, version, cur_type " +
+        "FROM sel WHERE rn = 1 ORDER BY event_id"),
 
     "q_rollup" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, " +

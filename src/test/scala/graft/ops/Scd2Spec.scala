@@ -58,6 +58,24 @@ class Scd2Spec extends AnyFunSuite {
       Seq((1L, "A"), (2L, "X")))
   }
 
+  test("point-in-time: as-of against history picks each probe's run version") {
+    val hist = Scd2.history(obs, col("k"), col("a"), col("t"), col("o"))
+      .select(col("key").as("k"), col("version"), col("attr").as("cur"),
+        col("valid_from"))
+    val probes = Seq((1L, 15L, 100L), (1L, 30L, 101L), (1L, 99L, 102L),
+      (2L, 60L, 103L)).toDF("k", "pt", "probe_id")
+    val got = AsOfJoin.asofBackward(probes, hist, Seq("k"),
+      col("pt"), col("valid_from"), Seq("version", "cur"))
+      .orderBy(col("probe_id"))
+      .select(col("probe_id"), col("version"), col("cur"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (100L, 1L, "A"),  // t=15 inside the first A run
+      (101L, 2L, "B"),  // boundary: version starting AT t applies
+      (102L, 3L, "A"),  // after the last change -> current version
+      (103L, 1L, "X")))
+  }
+
   test("plan has a single exchange: all windows reuse the key shuffle") {
     val plan = Scd2.history(obs, col("k"), col("a"), col("t"), col("o"))
       .queryExecution.executedPlan.toString
