@@ -422,6 +422,18 @@ object SparkEntry {
         .orderBy(col("user_id"), col("version"))
     }),
 
+    // sweep-line concurrency: session intervals -> endpoint deltas ->
+    // distributed two-pass prefix sum (never a one-task global window)
+    "q_concurrency" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_epoch", tsEpochSec)
+      val sess = Sessionize.sessions(e, col("user_id"), col("ts_epoch"),
+        gapSeconds = 3600L, tieBreak = col("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_epoch")).as("lo"), max(col("ts_epoch")).as("hi"))
+      Sweep.concurrency(sess, col("lo"), col("hi"))
+        .orderBy(col("t"))
+    }),
+
     // point-in-time enrichment: each event picks the SCD2 version in
     // effect at its timestamp — Scd2.history consumed by AsOfJoin
     // (union + one keyed window carry; no interval nested-loop)
@@ -1374,6 +1386,26 @@ object SparkEntry {
         "OVER (PARTITION BY user_id ORDER BY t, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq " +
         "FROM g ORDER BY event_id"),
+
+    // endpoint deltas (+1 at lo, -1 at hi+1) -> per-instant net ->
+    // running sum; all integer-exact
+    "q_concurrency" ->
+      ("WITH e AS (SELECT event_id, user_id, " +
+        "epoch(date_trunc('second', ts))::BIGINT AS t FROM events), " +
+        "g AS (SELECT event_id, user_id, t, " +
+        "lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e), " +
+        "sess AS (SELECT user_id, t, " +
+        "sum(CASE WHEN prev IS NULL OR t - prev > 3600 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM g), " +
+        "iv AS (SELECT user_id, seq, min(t) AS lo, max(t) AS hi " +
+        "FROM sess GROUP BY user_id, seq), " +
+        "d AS (SELECT lo AS t, 1 AS dd FROM iv " +
+        "UNION ALL SELECT hi + 1 AS t, -1 AS dd FROM iv), " +
+        "n AS (SELECT t, CAST(sum(dd) AS BIGINT) AS net FROM d GROUP BY t) " +
+        "SELECT t, net, CAST(sum(net) OVER (ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent " +
+        "FROM n ORDER BY t"),
 
     // run starts ordered by version == (t, event_id) order, so the
     // lead() interval close is deterministic
