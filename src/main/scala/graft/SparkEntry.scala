@@ -422,6 +422,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("version"))
     }),
 
+    // cohort retention: first-active day x activity offset matrix
+    // (two user-keyed aggs + one co-partitioned join; exact day math)
+    "q_retention" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_epoch", tsEpochSec)
+      Retention.cohortMatrix(e, col("user_id"),
+        floor(col("ts_epoch") / lit(86400)).cast("long"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // ordered funnel: view -> click -> purchase, order enforced by
+    // chained running-min windows over ONE user shuffle
+    "q_funnel" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_epoch", tsEpochSec)
+      Funnel.firstCompletion(e, col("user_id"), col("event_type"),
+        col("ts_epoch"), col("event_id"), Seq("view", "click", "purchase"))
+        .withColumnRenamed("u", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
     // sweep-line concurrency: session intervals -> endpoint deltas ->
     // distributed two-pass prefix sum (never a one-task global window)
     "q_concurrency" -> ((s, dir) => {
@@ -1386,6 +1405,37 @@ object SparkEntry {
         "OVER (PARTITION BY user_id ORDER BY t, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq " +
         "FROM g ORDER BY event_id"),
+
+    // exact integer day arithmetic on both sides (floor of a double
+    // quotient of exact ints is boundary-safe: multiples divide
+    // exactly, non-multiples sit >= 1/86400 from the next integer)
+    "q_retention" ->
+      ("WITH e AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(floor(epoch(date_trunc('second', ts))::BIGINT / 86400) AS BIGINT) AS day " +
+        "FROM events), " +
+        "c AS (SELECT u, min(day) AS cohort_day FROM e GROUP BY u) " +
+        "SELECT cohort_day, day - cohort_day AS day_offset, " +
+        "CAST(count(DISTINCT u) AS BIGINT) AS n_users " +
+        "FROM e JOIN c USING (u) GROUP BY cohort_day, day - cohort_day " +
+        "ORDER BY cohort_day, day_offset"),
+
+    // running-min prerequisite chain: a stage event qualifies iff the
+    // previous stage's qualified running min is non-null at its row
+    "q_funnel" ->
+      ("WITH e AS (SELECT user_id AS u, event_type AS et, " +
+        "epoch(date_trunc('second', ts))::BIGINT AS t, event_id AS o FROM events), " +
+        "s1 AS (SELECT *, CASE WHEN et = 'view' THEN t END AS q0 FROM e), " +
+        "s2 AS (SELECT *, CASE WHEN et = 'click' AND min(q0) OVER w IS NOT NULL " +
+        "THEN t END AS q1 FROM s1 WINDOW w AS (PARTITION BY u ORDER BY t, o " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "s3 AS (SELECT *, CASE WHEN et = 'purchase' AND min(q1) OVER w IS NOT NULL " +
+        "THEN t END AS q2 FROM s2 WINDOW w AS (PARTITION BY u ORDER BY t, o " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT u AS user_id, min(q0) AS stage1_t, min(q1) AS stage2_t, " +
+        "min(q2) AS stage3_t, CAST(CASE WHEN min(q2) IS NOT NULL THEN 3 " +
+        "WHEN min(q1) IS NOT NULL THEN 2 WHEN min(q0) IS NOT NULL THEN 1 " +
+        "ELSE 0 END AS BIGINT) AS stage_reached " +
+        "FROM s3 GROUP BY u ORDER BY user_id"),
 
     // endpoint deltas (+1 at lo, -1 at hi+1) -> per-instant net ->
     // running sum; all integer-exact
