@@ -158,4 +158,28 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"gram probe degenerated:\n$plan")
   }
 
+  test("q_semdedup pair join is cell-keyed equi, never a product") {
+    val plan = finalPlan(q("q_semdedup"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell blocking degenerated:\n$plan")
+  }
+
+  test("q_sparse_sim postings join is term-keyed equi, never a product") {
+    val plan = finalPlan(q("q_sparse_sim"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"inverted index degenerated:\n$plan")
+  }
+
+  test("q_pit_join stays a union+window carry — no interval nested-loop") {
+    val plan = finalPlan(q("q_pit_join"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of carry degenerated:\n$plan")
+  }
+
+  test("q_zorder is a pure narrow projection over the scan") {
+    val plan = finalPlan(q("q_zorder"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"z-value needs no hash shuffle:\n$plan")
+  }
+
 }
