@@ -85,38 +85,24 @@ object MinHash {
     * pre-sorted sets ([[graft.functions.JaccardSorted]]) — no
     * per-pair array allocation.
     */
-  /** The previous invocation's cached shingle frame. nearDupPairs
-    * returns a LAZY DataFrame, so it cannot unpersist its own cache
-    * before the caller materializes it; instead each call evicts the
-    * previous call's cache, bounding storage at one shingled corpus per
-    * session instead of growing without bound (warmup + median-of-3 in
-    * the bench alone would otherwise pin 4 copies). Unpersisting a
-    * still-referenced frame is safe — the plan recomputes.
-    *
-    * Known tradeoff: the eviction slot is JVM-global, so interleaving
-    * actions over nearDupPairs results for TWO corpora thrashes the
-    * cache (each call silently evicts the other's; results stay
-    * correct, the earlier corpus just re-shingles per action). The
-    * alternative — returning the persisted handle for caller-owned
-    * unpersist — trades that for leaked executor memory in every
-    * existing fire-and-forget call site; single-corpus-at-a-time is
-    * the dedup pipeline's actual shape, so the bounded-memory default
-    * wins.
-    */
-  private val lastBase = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   def nearDupPairs(docs: DataFrame, idCol: Column, textCol: Column,
                    threshold: Double, shingleN: Int = 3, k: Int = 32,
                    bands: Int = 8, seed: Long = 42L,
                    roundTo: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
+    // lazy localCheckpoint scopes the shingled corpus to THIS call:
+    // the first action materializes it once (MEMORY_AND_DISK — spills,
+    // never OOMs), the banded index and both verify-join sides read
+    // the blocks, and the ContextCleaner reclaims them when the
+    // returned frame becomes unreachable. No JVM-global eviction slot
+    // (a previous round's AtomicReference cache let one call unpersist
+    // a concurrent caller's base mid-query — correct but re-shingling;
+    // per-call scoping removes the shared mutable state entirely).
     val base = docs.select(idCol.as("id"),
         array_sort(array_distinct(TextStats.shingles(textCol, shingleN))).as("sset"))
       .withColumn("sig", signature(col("sset"), k, seed))
-      .persist()
-    val prev = lastBase.getAndSet(base)
-    if (prev ne null) prev.unpersist(blocking = false)
+      .localCheckpoint(eager = false)
     val bandHashes = array((0 until bands).map { b =>
       struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bh"))
     }: _*)

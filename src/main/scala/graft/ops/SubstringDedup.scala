@@ -92,13 +92,17 @@ object SubstringDedup {
     * `(doc_id, clean_text, n_dropped)` for EVERY input document
     * (untouched docs pass through with n_dropped = 0).
     *
-    * Scale shape: the corpus itself never shuffles. The only shuffled
-    * data are window hashes (dup detection) and the drop-position
-    * sets — bounded by duplicated-occurrence count x W, a tiny
-    * fraction of the corpus. The rebuilt text is a narrow indexed
-    * `filter` over the token array against the (broadcast) drop set;
-    * the two-arg lambda is CodegenFallback but runs once per
-    * TOUCHED document, not per token of the corpus.
+    * Scale shape: the corpus itself never shuffles for dup DETECTION
+    * (window hashes only); the drop-position sets come back to their
+    * documents via a plain equi-join on doc_id — no forced broadcast
+    * (the drop-set volume is proportional to the corpus's duplication
+    * rate, which is unbounded: Lee et al. report >= 3% on web crawls,
+    * far past any broadcast ceiling at 100 TB; AQE still picks a
+    * broadcast build when the set is genuinely small). The rebuild
+    * keeps positions via `array_except` (hash-set difference, O(n+m)
+    * per touched document) + an indexed `transform` — not a per-token
+    * `array_contains` scan, whose O(n*m) blows up on a pathological
+    * dup-saturated document.
     */
   def scrubDuplicatedSpans(docs: DataFrame, idCol: Column, textCol: Column,
                            windowTokens: Int): DataFrame = {
@@ -116,12 +120,18 @@ object SubstringDedup {
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("tpos"))).as("drop_pos"))
     docs.select(idCol.as("doc_id"), TextStats.tokens(textCol).as("toks"))
-      .join(broadcast(dropPos), Seq("doc_id"), "left_outer")
+      .join(dropPos, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         when(col("drop_pos").isNull, array_join(col("toks"), " "))
+          // drop_pos non-null => doc had >= windowTokens tokens, so
+          // sequence(0, size-1) is a well-formed ascending range;
+          // array_except preserves first-array order, so the kept
+          // positions stay sorted and the join re-assembles in place
           .otherwise(array_join(
-            filter(col("toks"),
-              (_, i) => !array_contains(col("drop_pos"), i)), " "))
+            transform(
+              array_except(sequence(lit(0), size(col("toks")) - 1),
+                col("drop_pos")),
+              i => element_at(col("toks"), i + 1)), " "))
           .as("clean_text"),
         // size(NULL) is -1 under legacy semantics — branch, don't coalesce
         when(col("drop_pos").isNull, lit(0L))

@@ -112,10 +112,19 @@ object Tfidf {
   def sharedSalientPairs(docs: DataFrame, idCol: Column, textCol: Column,
                          k: Int = 5, minShared: Int = 2,
                          maxPostings: Int = 1000): DataFrame = {
-    val postings = topTerms(docs, idCol, textCol, k)
-    val capped = postings
-      .withColumn("df_top", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // postings are consumed three times (df_top count + both join
+    // sides): checkpoint the k-per-doc table (bounded at k rows/doc)
+    // so the tf/window pipeline runs once
+    val postings = topTerms(docs, idCol, textCol, k).localCheckpoint()
+    // hot-term cap as an aggregate + semi-join, NOT a count-window:
+    // the groupBy collapses map-side to one row per term, and AQE
+    // broadcasts the surviving term list; a window would re-shuffle
+    // and re-sort the full postings table just to annotate df_top
+    val okTerms = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_top"))
       .filter(col("df_top") <= maxPostings)
+      .select(col("term"))
+    val capped = postings.join(okTerms, Seq("term"), "left_semi")
     val a = capped.select(col("term"), col("id").as("id_a"), col("tf").as("tf_a"))
     val b = capped.select(col("term"), col("id").as("id_b"), col("tf").as("tf_b"))
     a.join(b, Seq("term"))

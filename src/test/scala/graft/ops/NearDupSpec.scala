@@ -41,6 +41,26 @@ class NearDupSpec extends AnyFunSuite {
     assert(d(1, 2) == 0)
     assert(d(1, 3) < d(1, 4))
   }
+  test("concurrent nearDupPairs calls over two corpora stay independent") {
+    // regression: a JVM-global cache slot let call B unpersist call A's
+    // shingled base mid-query; per-call localCheckpoint scoping must
+    // keep interleaved actions over both results stable
+    val other = Seq(
+      (10L, "mary had a little lamb whose fleece was white as snow"),
+      (11L, "mary had a little lamb whose fleece was white as milk"),
+      (12L, "rockets and planets and orbits in the night sky above"))
+      .toDF("doc_id", "text")
+    val pa = MinHash.nearDupPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5, shingleN = 2)
+    val pb = MinHash.nearDupPairs(other, col("doc_id"), col("text"),
+      threshold = 0.5, shingleN = 2)
+    val a1 = pa.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = pb.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a2 = pa.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a1 == a2, "first corpus result changed after the second call ran")
+    assert(a1.contains((1L, 2L)) && b1.contains((10L, 11L)))
+    assert(!b1.exists(p => p._1 == 12L || p._2 == 12L))
+  }
   test("SimHash chunk join surfaces the exact-dup pair at distance 0") {
     val pairs = SimHash.nearDupPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -119,6 +119,32 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) == 0L))
   }
 
+  test("scrub plan has no mandatory broadcast on the drop-set side") {
+    // the drop-set volume scales with the corpus duplication rate
+    // (unbounded); a forced broadcast hint would OOM a dup-heavy
+    // corpus at scale. AQE may still CHOOSE broadcast when small —
+    // what must be absent is the mandatory hint in the logical plan.
+    val df = docs(1L -> "a b c d e f", 2L -> "a b c d x y")
+    val analyzed = SubstringDedup.scrubDuplicatedSpans(
+      df, col("id"), col("text"), 3).queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"forced join-strategy hint present:\n$analyzed")
+  }
+
+  test("scrub rebuild survives a heavily duplicated document") {
+    // every window duplicated: the drop set covers most of the doc;
+    // the array_except mask must drop exactly the non-canonical span
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = docs(1L -> span, 2L -> span, 3L -> span)
+    val out = SubstringDedup.scrubDuplicatedSpans(df, col("id"), col("text"), 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == span && out(0).getLong(2) == 0L)
+    assert(out(1).getString(1) == "" && out(1).getLong(2) == 10L)
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 10L)
+  }
+
   test("inventory is narrow: no shuffle before the window rows exist") {
     val df = docs(1L -> "a b c d e f g h")
     val plan = SubstringDedup.windowInventory(df, col("id"), col("text"), 3)
