@@ -1,8 +1,11 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main. Prints ONE JSON line:
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+/** Benchmark main. Prints the full per-query JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * BRACKETED by a compact `{"metric":"total",...,"top":{20 slowest}}`
+  * record printed first and last, so a head- or tail-truncated log
+  * capture still contains one complete parseable line.
   *
   * Methodology (round-4: breadth-first — BENCH_r03 measured only 13 of
   * 64 queries because depth-first median-of-3 + per-query GC blew the
@@ -150,7 +153,23 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    val measured = results.values.count(_ >= 0)
+    // The driver stores only the TAIL of stdout (observed: last 2000
+    // chars), and the full per-query line for ~100 queries is ~4KB —
+    // BENCH_r04's capture cut the line's FRONT, losing the total and
+    // leaving unparseable JSON. Defense: a compact self-contained
+    // record (total + the slowest queries, well under the window)
+    // printed FIRST (head captures / humans) and again LAST, so
+    // whichever end survives, one complete JSON line parses. The full
+    // per-query line stays in the middle for local runs.
+    val top = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${ordered.size},"measured":$measured,"top":$top,"sf":"$sfDir"}"""
+    println(compact)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(compact)
     System.out.flush()
     // halt, don't stop(): shutdown-hook log lines after the JSON are what
     // made BENCH_r01 unparseable for the driver.

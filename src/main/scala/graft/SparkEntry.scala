@@ -1198,17 +1198,23 @@ object SparkEntry {
         "WHERE score >= 0.30 ORDER BY id_a, id_b"),
 
     // mirrors SemDedup.duplicates: cell = argmax over the first-16
-    // seed centroids of dot(v, c) (ties -> lowest c_id, as the native
-    // kernel keeps the first strict max), pairs blocked by cell,
-    // round-to-6 BEFORE threshold, dup_of = smallest-id neighbor
+    // seed centroids of dot(v, c)/|c| (the native kernel unit-
+    // normalizes centroids — dividing by |c| here keeps the oracle
+    // faithful even for non-unit-norm embeddings; |v| is common to
+    // every candidate so it cannot change the argmax; ties -> lowest
+    // c_id, as the kernel keeps the first strict max), pairs blocked
+    // by cell, round-to-6 BEFORE threshold, dup_of = smallest-id
+    // neighbor
     "q_semdedup" ->
       ("WITH e AS (SELECT vec_id, embedding, " +
         "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm " +
         "FROM embeddings), " +
-        "c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 16), " +
+        "c AS (SELECT vec_id AS c_id, embedding AS ce, " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnrm " +
+        "FROM embeddings WHERE vec_id < 16), " +
         "a AS (SELECT vec_id, cell FROM (" +
         "SELECT e.vec_id, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) DESC, c.c_id) AS rn " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / c.cnrm DESC, c.c_id) AS rn " +
         "FROM e, c) t WHERE rn = 1), " +
         "ea AS (SELECT e.vec_id, e.embedding, e.nrm, a.cell FROM e JOIN a USING (vec_id)), " +
         "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
@@ -1281,11 +1287,16 @@ object SparkEntry {
         "WHERE rn * 10000 <= n * 7000 ORDER BY doc_id"),
 
     // the PLAIN anti-membership form; Spark side anti-joins on the
-    // md5 fingerprint, equivalent absent collisions
+    // md5 fingerprint, equivalent absent collisions. NULL text is
+    // handled explicitly on BOTH sides (batch NULLs are vacuously
+    // new; corpus NULLs mark nothing seen) so the oracle cannot
+    // fall into NOT IN's three-valued-logic trap on a NULL-bearing
+    // corpus
     "q_incr_dedup" ->
       ("SELECT doc_id, source FROM documents " +
-        "WHERE doc_id % 2 = 1 AND lower(trim(text)) NOT IN " +
-        "(SELECT lower(trim(text)) FROM documents WHERE doc_id % 2 = 0) " +
+        "WHERE doc_id % 2 = 1 AND (text IS NULL OR lower(trim(text)) NOT IN " +
+        "(SELECT lower(trim(text)) FROM documents " +
+        "WHERE doc_id % 2 = 0 AND text IS NOT NULL)) " +
         "ORDER BY doc_id"),
 
     "q_fingerprint" ->

@@ -111,10 +111,22 @@ object Dedup {
     * the broadcast build. The corpus side would normally BE a stored
     * fingerprint table (exactTextGroups output) maintained across
     * ingests — passing raw documents works but re-fingerprints.
+    *
+    * NULL text: a NULL-text batch row is vacuously new (kept — its
+    * fingerprint is NULL and a NULL key never matches in left_anti),
+    * and NULL-text corpus rows are excluded from the seen set
+    * EXPLICITLY so the semantics don't ride on join null-handling
+    * (a SQL `NOT IN` with a NULL in the subquery would instead
+    * return nothing — the classic three-valued-logic trap).
+    * Fingerprint collisions: md5 grouping tolerates ~n²/2^129
+    * false merges — zero in practice; a colliding pair would drop a
+    * genuinely new document, the same tolerance class as the
+    * xxhash64 windows in [[SubstringDedup]].
     */
   def incrementalNew(batch: DataFrame, corpus: DataFrame,
                      textCol: Column): DataFrame = {
-    val seen = corpus.select(md5(lower(trim(textCol))).as("__fp")).distinct()
+    val seen = corpus.filter(textCol.isNotNull)
+      .select(md5(lower(trim(textCol))).as("__fp")).distinct()
     batch.join(seen, md5(lower(trim(textCol))) === col("__fp"), "left_anti")
   }
 }

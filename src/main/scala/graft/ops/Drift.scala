@@ -11,13 +11,13 @@ import org.apache.spark.sql.types.DecimalType
   * |p_a − p_b| / 2 = |cnt_a·tot_b − cnt_b·tot_a| / (2·tot_a·tot_b);
   * summing it over the vocabulary gives TV(A,B) ∈ [0,1].
   *
-  * Numeric determinism: every product here is exactly representable
-  * in a double at the tested scales (cnt·tot < 2^53), the difference
-  * of exact doubles is exact, and the single division rounds once —
-  * so the oracle hash-matches instead of drifting in the last ulp
-  * (the reason this uses no log: KL's libm dependence cannot
-  * hash-match across engines). At 100 TB (cnt·tot beyond 2^53) the
-  * products upgrade to DECIMAL(38,0) with the same plan shape.
+  * Numeric determinism: the cnt·tot products ride DECIMAL(38,0) in
+  * BOTH entry points — exact at any corpus size (a double product
+  * silently loses ulps past 2^53, which two ~10^9-token corpora
+  * already reach; a long product wraps past 2^63) — then one cast
+  * and one division round once, so the oracle hash-matches instead
+  * of drifting in the last ulp (the reason this uses no log: KL's
+  * libm dependence cannot hash-match across engines).
   *
   * Scale shape: each corpus is scanned ONCE, collapsing to one row
   * per DISTINCT token (map-side-combinable count, checkpointed); the
@@ -47,6 +47,10 @@ object Drift {
   /** Top-`k` drift contributors: `(token, cnt_a, cnt_b, drift)` with
     * drift = the token's share of TV distance, ordered (drift desc,
     * token asc). Tokens absent from one corpus count 0 there.
+    * The |cnt_a·tot_b − cnt_b·tot_a| numerator is exact DECIMAL(38,0)
+    * arithmetic (same as [[totalVariation]]) cast to double once —
+    * below 2^53 bit-identical to the double path the oracle runs,
+    * beyond it still exact where doubles would reorder the top-k.
     */
   def topDrift(a: DataFrame, b: DataFrame, textCol: Column,
                k: Int): DataFrame = {
@@ -54,6 +58,7 @@ object Drift {
     val (fa, fb) = (freq(a, textCol), freq(b, textCol))
     val (totA, totB) = (total(fa), total(fb))
     require(totA > 0 && totB > 0, "both corpora must contain tokens")
+    val dec = DecimalType(38, 0)
     fa.withColumnRenamed("cnt", "cnt_a")
       .join(fb.withColumnRenamed("cnt", "cnt_b"),
         Seq("token"), "full_outer")
@@ -61,8 +66,8 @@ object Drift {
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
       .withColumn("drift",
-        abs(col("cnt_a").cast("double") * lit(totB.toDouble) -
-          col("cnt_b").cast("double") * lit(totA.toDouble)) /
+        abs(col("cnt_a").cast(dec) * lit(totB) -
+          col("cnt_b").cast(dec) * lit(totA)).cast("double") /
           lit(2.0 * totA.toDouble * totB.toDouble))
       .orderBy(col("drift").desc, col("token").asc)
       .limit(k)

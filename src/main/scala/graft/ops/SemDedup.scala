@@ -33,18 +33,37 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Task-sized cell count for a corpus of `n` vectors:
+    * ceil(n / targetPerCell), minimum 1. The Abbas et al. recipe keeps
+    * cells small enough that the in-cell pairwise pass is one task's
+    * work (|cell|² comparisons); deriving nCells linearly from the
+    * corpus count keeps that invariant at ANY scale — a fixed nCells
+    * would silently re-quadratize as the corpus grows.
+    */
+  def autoCells(n: Long, targetPerCell: Long = 4096L): Int = {
+    require(targetPerCell > 0, "targetPerCell must be positive")
+    math.max(1L, (n + targetPerCell - 1) / targetPerCell)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** Dropped vectors: `(vec_id, dup_of, score)` — `dup_of` is the
     * smallest-id same-cell neighbor with cosine >= threshold, `score`
     * that pair's cosine (rounded to `roundTo` BEFORE thresholding,
     * the [[Similarity.nearDupPairs]] convention). Pass pre-trained
     * `centroids` (e.g. [[Similarity.kmeansCentroids]]) to reuse an
     * index; defaults to the deterministic seed centroids so results
-    * are reproducible cross-engine.
+    * are reproducible cross-engine. `nCells <= 0` (the default)
+    * derives a task-sized cell count from the corpus via
+    * [[autoCells]] (one bounded count() action); pass an explicit
+    * nCells for a pinned, oracle-reproducible layout.
     */
-  def duplicates(embeddings: DataFrame, nCells: Int = 16,
+  def duplicates(embeddings: DataFrame, nCells: Int = 0,
                  threshold: Double = 0.30, roundTo: Int = 6,
                  centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val cents = centroids.getOrElse(Similarity.ivfCentroids(embeddings, nCells))
+    val cents = centroids.getOrElse {
+      val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+      Similarity.ivfCentroids(embeddings, cells)
+    }
     val celled = embeddings.withColumn(
       "cell", Similarity.ivfCell(col("embedding"), cents))
     val pairs = Similarity.nearDupPairs(celled, col("cell"), threshold, roundTo)
@@ -58,7 +77,7 @@ object SemDedup {
   /** The kept corpus: input rows minus [[duplicates]] (left-anti on
     * vec_id). Same schema as the input.
     */
-  def deduplicated(embeddings: DataFrame, nCells: Int = 16,
+  def deduplicated(embeddings: DataFrame, nCells: Int = 0,
                    threshold: Double = 0.30, roundTo: Int = 6,
                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val dropped = duplicates(embeddings, nCells, threshold, roundTo, centroids)

@@ -90,6 +90,26 @@ object StreamingIngest {
       .drop(r(key))
   }
 
+  /** Streaming twin of the PARSE slice (SURVEY §3.3): the batch-output
+    * JSONL directory consumed as a text file stream, the P1–P6
+    * pipeline applied as-is (every Parse stage is stateless expression
+    * work, so the streaming plan is the batch plan per micro-batch),
+    * and re-delivered records — a re-uploaded/re-listed output file,
+    * the reference's retry case — collapsed by
+    * `dropDuplicatesWithinWatermark` on the record identity
+    * (custom_id, list index). The watermark bounds the dedup state:
+    * re-deliveries arrive within minutes in practice, so state is
+    * evicted after `watermarkDelay` instead of growing with the
+    * corpus the way a global `distinct` over all history would.
+    */
+  def parsedStream(lines: DataFrame,
+                   watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.ops.Parse.pipeline(lines)
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("_source_custom_id", "_source_list_index"))
+      .drop("ingest_ts")
+
   /** Run a streaming frame to completion against a named memory sink;
     * returns the materialized result. Test/driver harness only.
     */

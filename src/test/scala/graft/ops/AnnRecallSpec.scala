@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Recall gate for every ANN variant against the exact brute-force
+  * ground truth ([[Similarity.topKByCosine]], the q_topk_sim oracle
+  * surface) — the correctness net for the index family: the ANN
+  * queries are oracle-omitted by design (float-order), so an index
+  * regression that silently drops recall would otherwise pass the
+  * rows-only driver check. Measured recalls on the seed-deterministic
+  * sf0.001 corpus: LSH 21/40, IVF/IVF-trained/IVF-PQ 35/40, PQ 34/40;
+  * the bounds below sit far enough under those to absorb noise-free
+  * determinism (there is none — all variants are seed-pinned) while
+  * catching any structural drop.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val K = 10
+  private val Qids = Seq(0L, 1L, 2L, 3L)
+
+  private lazy val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+  private lazy val exact: Map[Long, Set[Long]] = Qids.map { q =>
+    q -> Similarity.topKByCosine(emb, q, K).collect().map(_.getLong(0)).toSet
+  }.toMap
+
+  private def totalRecall(got: Map[Long, Set[Long]]): (Int, Seq[Int]) = {
+    val per = Qids.map(q => got.getOrElse(q, Set.empty).intersect(exact(q)).size)
+    (per.sum, per)
+  }
+
+  private def queries =
+    emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+  test("SRP-LSH recall@10 >= 16/40 overall, >= 2 per query") {
+    val got = Qids.map(q =>
+      q -> Similarity.annTopK(emb, q, K).collect().map(_.getLong(0)).toSet).toMap
+    val (tot, per) = totalRecall(got)
+    assert(tot >= 16 && per.forall(_ >= 2), s"LSH recall dropped: $per")
+  }
+
+  test("IVF recall@10 >= 30/40 overall, >= 6 per query") {
+    val got = Qids.map(q =>
+      q -> Similarity.ivfTopK(emb, q, K).collect().map(_.getLong(0)).toSet).toMap
+    val (tot, per) = totalRecall(got)
+    assert(tot >= 30 && per.forall(_ >= 6), s"IVF recall dropped: $per")
+  }
+
+  test("IVF-trained recall@10 >= 30/40 (training must not hurt)") {
+    val got = Qids.map(q =>
+      q -> Similarity.ivfTopK(emb, q, K, trainIterations = 2)
+        .collect().map(_.getLong(0)).toSet).toMap
+    val (tot, per) = totalRecall(got)
+    assert(tot >= 30 && per.forall(_ >= 6), s"trained-IVF recall dropped: $per")
+  }
+
+  test("PQ recall@10 >= 28/40; IVF-PQ >= 28/40") {
+    val pq = Qids.map(q =>
+      q -> Pq.pqTopK(emb, q, K).collect().map(_.getLong(0)).toSet).toMap
+    val (pt, pp) = totalRecall(pq)
+    assert(pt >= 28 && pp.forall(_ >= 5), s"PQ recall dropped: $pp")
+    val ivfpq = Qids.map(q =>
+      q -> Pq.ivfPqTopK(emb, q, K).collect().map(_.getLong(0)).toSet).toMap
+    val (it, ip) = totalRecall(ivfpq)
+    assert(it >= 28 && ip.forall(_ >= 5), s"IVF-PQ recall dropped: $ip")
+  }
+
+  test("batch LSH returns the same neighbor sets as single-query LSH") {
+    val batch = Similarity.annTopKBatch(emb, queries, K).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    Qids.foreach { q =>
+      val single = Similarity.annTopK(emb, q, K).collect().map(_.getLong(0)).toSet
+      assert(batch.getOrElse(q, Set.empty) == single,
+        s"batch/single LSH diverged for query $q")
+    }
+  }
+
+  test("batch IVF returns the same neighbor sets as single-query IVF") {
+    val batch = Similarity.ivfTopKBatch(emb, queries, K).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    Qids.foreach { q =>
+      val single = Similarity.ivfTopK(emb, q, K).collect().map(_.getLong(0)).toSet
+      assert(batch.getOrElse(q, Set.empty) == single,
+        s"batch/single IVF diverged for query $q")
+    }
+  }
+}

@@ -85,6 +85,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq(12L))
   }
 
+  test("incrementalNew: NULL text is vacuously new and marks nothing seen") {
+    val corpus = Seq((1L, "seen doc"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, null.asInstanceOf[String]), // vacuously new
+                    (11L, "seen doc"),                // dropped
+                    (12L, "fresh"))                   // survives
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, corpus, col("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(10L, 12L))
+  }
+
   test("incrementalNew keeps within-batch duplicates (dedup batch separately)") {
     val corpus = Seq((1L, "x")).toDF("doc_id", "text")
     val batch = Seq((10L, "y"), (11L, "y")).toDF("doc_id", "text")

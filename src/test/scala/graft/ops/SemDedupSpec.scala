@@ -37,6 +37,45 @@ class SemDedupSpec extends AnyFunSuite {
     assert(residual.count() == 0L)
   }
 
+  test("autoCells keeps cells task-sized: ceil(n / target), min 1") {
+    assert(SemDedup.autoCells(0L) == 1)
+    assert(SemDedup.autoCells(1L) == 1)
+    assert(SemDedup.autoCells(4096L) == 1)
+    assert(SemDedup.autoCells(4097L) == 2)
+    assert(SemDedup.autoCells(1000000L) == 245) // ceil(1e6/4096)
+    assert(SemDedup.autoCells(100L, targetPerCell = 10L) == 10)
+    // linear growth: 100x the corpus -> 100x the cells (task size constant)
+    assert(SemDedup.autoCells(409600000L) == 100 * SemDedup.autoCells(4096000L))
+  }
+
+  test("nCells <= 0 auto-derives the cell count from the corpus") {
+    // sf0.001 corpus is < 4096 vectors -> auto collapses to one cell,
+    // which equals the explicit centroids=first-1 layout
+    val auto = SemDedup.duplicates(emb, threshold = 0.30).collect()
+    val one = SemDedup.duplicates(emb, threshold = 0.30,
+      centroids = Some(Similarity.ivfCentroids(emb, 1))).collect()
+    assert(auto.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      one.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(auto.nonEmpty)
+  }
+
+  test("k-means-trained centroids plug into the same dedup path") {
+    val trained = Similarity.kmeansCentroids(emb, nCentroids = 16, iterations = 2)
+    val rows = SemDedup.duplicates(emb, threshold = 0.30,
+      centroids = Some(trained)).collect()
+    assert(rows.nonEmpty, "planted near-dups survive under trained cells")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("score") >= 0.30)
+    }
+    // deterministic: the training loop is seed-free (first-k init +
+    // fixed iterations), so a second run is bit-identical
+    val again = SemDedup.duplicates(emb, threshold = 0.30,
+      centroids = Some(Similarity.kmeansCentroids(emb, 16, 2))).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("blocking bounds the pair space: fewer verdicts than all-pairs at a loose threshold") {
     // with one cell the operator degenerates to all-pairs; with 16
     // cells a cross-cell near-dup pair is (correctly) not considered.
