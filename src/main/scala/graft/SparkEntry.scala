@@ -1040,6 +1040,70 @@ object SparkEntry {
         .select(col("event_id").cast(LongType).as("event_id"),
           col("ts"), col("event_type"))
         .orderBy(col("event_id"))
+    }),
+
+    // fixed-bin histogram: width_bucket over a constant range, counts
+    // per (event_type, bucket) - integer-exact, map-side combinable
+    "q_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          width_bucket(col("value"), lit(0.0d), lit(350.0d), lit(14))
+            .as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))),
+
+    // per-group z-score outliers: DECIMAL moment sums (exact, order-
+    // independent), then one shared double expression tree with the
+    // oracle - bit-identical z
+    "q_outliers" -> ((s, dir) =>
+      RobustStats.zOutliers(events(s, dir), col("event_type"), col("value"),
+        col("event_id"), threshold = 2.0)
+        .select(col("id").as("event_id"), col("grp").as("event_type"),
+          col("value"), col("z"))
+        .orderBy(col("event_id"))),
+
+    // per-group winsorization: discrete p5/p95 by integer position
+    // (never interpolated), clipped sum as exact DECIMAL
+    "q_winsorize" -> ((s, dir) =>
+      RobustStats.winsorize(events(s, dir), col("event_type"), col("value"),
+        col("event_id"), loBp = 500, hiBp = 9500)
+        .select(col("grp").as("event_type"), col("p_lo"), col("p_hi"),
+          col("n"), col("n_clipped"), col("sum_clipped"))
+        .orderBy(col("event_type"))),
+
+    // PageRank over the event-type transition graph (per-user lag
+    // builds the weighted edges), 3 fixed-point integer iterations -
+    // bit-identical on any engine/partitioning
+    "q_pagerank" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val edges = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type").as("dst"))
+        .withColumn("src", lag(col("dst"), 1).over(byUser))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      PageRank.ranks(edges, iterations = 3)
+        .orderBy(col("node"))
+    }),
+
+    // E1-near, edit-distance flavor: levenshtein verify inside the
+    // same (lang, ntok, tok1) blocks the n-gram Jaccard pass uses -
+    // integer distances, no all-pairs product
+    "q_lev_neardup" -> ((s, dir) => {
+      val prepared = documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextStats.tokenCount(col("text")).as("ntok"),
+        element_at(TextStats.tokens(col("text")), 1).as("tok1"),
+        col("text"))
+      val a = prepared.toDF("id_a", "lang", "ntok", "tok1", "text_a")
+      val b = prepared.toDF("id_b", "lang", "ntok", "tok1", "text_b")
+      a.join(b, Seq("lang", "ntok", "tok1"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast(LongType))
+        .filter(col("lev") <= 50)
+        .select(col("id_a"), col("id_b"), col("lev"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1855,6 +1919,85 @@ object SparkEntry {
         "SELECT u, u FROM (SELECT DISTINCT u FROM edges) n " +
         "UNION " +
         "SELECT reach.id, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u) " +
-        "SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id")
+        "SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"),
+
+    // width_bucket(v, 0, 350, 14) with an exact 25.0 bucket width:
+    // floor(v/25)+1 inside the range, 0 / 15 outside — the same
+    // IEEE division Spark's WidthBucket evaluates
+    "q_histogram" ->
+      ("SELECT event_type, CAST(CASE WHEN value < 0 THEN 0 " +
+        "WHEN value >= 350 THEN 15 ELSE floor(value / 25.0) + 1 END AS BIGINT) AS bucket, " +
+        "count(*) AS n FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"),
+
+    // moment sums ride DECIMAL(18,2) (exact, order-independent); the
+    // double pipeline (mean = s1/n, var = s2/n - mean*mean, z) is the
+    // SAME expression tree the engine evaluates - bit-identical
+    "q_outliers" ->
+      ("WITH m AS (SELECT event_type, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS s1, " +
+        "sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2 " +
+        "FROM events GROUP BY event_type), " +
+        "st AS (SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean, " +
+        "sqrt(CAST(s2 AS DOUBLE) / n - " +
+        "(CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sigma FROM m) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        "(e.value - st.mean) / st.sigma AS z " +
+        "FROM events e JOIN st USING (event_type) " +
+        "WHERE st.sigma > 0 AND abs((e.value - st.mean) / st.sigma) > 2.0 " +
+        "ORDER BY event_id"),
+
+    // discrete percentiles by integer position ceil(bp*n/10000) under
+    // the (value, id) total order - a present value, no interpolation;
+    // clipped sum rides DECIMAL(18,2)
+    "q_winsorize" ->
+      ("WITH r AS (SELECT event_type, value, event_id, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events), " +
+        "b AS (SELECT event_type, " +
+        "max(CASE WHEN rn = greatest(1, (500 * n + 9999) // 10000) THEN value END) AS p_lo, " +
+        "max(CASE WHEN rn = greatest(1, (9500 * n + 9999) // 10000) THEN value END) AS p_hi " +
+        "FROM r GROUP BY event_type) " +
+        "SELECT r.event_type, b.p_lo, b.p_hi, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN least(greatest(r.value, b.p_lo), b.p_hi) <> r.value " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped, " +
+        "CAST(sum(CAST(least(greatest(r.value, b.p_lo), b.p_hi) AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped " +
+        "FROM r JOIN b USING (event_type) " +
+        "GROUP BY r.event_type, b.p_lo, b.p_hi ORDER BY r.event_type"),
+
+    // 3 fixed-point iterations unrolled as CTEs; every division is an
+    // integer floor (//), so ranks are exact integers on both engines
+    "q_pagerank" -> {
+      def iter(prev: String, out: String) =
+        s"$out AS (SELECT nd.node, (1000000000000 * 15) // (100 * nn.n) + " +
+          s"(85 * COALESCE(s.infl, 0)) // 100 AS rank " +
+          "FROM nd CROSS JOIN nn LEFT JOIN " +
+          s"(SELECT e.dst, sum((p.rank * e.w) // o.out_w) AS infl " +
+          s"FROM e JOIN $prev p ON e.src = p.node JOIN o ON e.src = o.src " +
+          "GROUP BY e.dst) s ON nd.node = s.dst)"
+      "WITH seq AS (SELECT user_id, event_id, event_type AS dst, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS src " +
+        "FROM events), " +
+        "e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM seq " +
+        "WHERE src IS NOT NULL GROUP BY src, dst), " +
+        "nd AS (SELECT DISTINCT node FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd), " +
+        "o AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src), " +
+        "r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nd CROSS JOIN nn), " +
+        iter("r0", "r1") + ", " + iter("r1", "r2") + ", " + iter("r2", "r3") + " " +
+        "SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node"
+    },
+
+    // same (lang, ntok, tok1) blocking as q_ngram_jaccard; classic
+    // unit-cost edit distance is integer-exact on both engines
+    "q_lev_neardup" ->
+      ("WITH p AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, " +
+        "string_split(text, ' ')[1] AS tok1, text FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev " +
+        "FROM p a JOIN p b ON a.lang = b.lang AND a.ntok = b.ntok " +
+        "AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.text, b.text) <= 50 ORDER BY id_a, id_b")
   )
 }

@@ -42,6 +42,28 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThan(l_quantity"), s"filter not pushed in:\n$plan")
   }
 
+  test("q_lev_neardup pair join is block-keyed equi, never a product") {
+    val plan = finalPlan(q("q_lev_neardup"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"levenshtein blocking degenerated:\n$plan")
+  }
+
+  test("q_histogram is one map-side-combinable aggregation, no window") {
+    val plan = finalPlan(q("q_histogram"))
+    assert(plan.contains("HashAggregate") || plan.contains("partial"),
+      s"no partial aggregation in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
+  test("q_pagerank per-iteration joins are equi-joins over checkpointed ranks") {
+    val plan = finalPlan(q("q_pagerank"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"PR iteration degenerated to a product:\n$plan")
+    // lineage is cut: the rank side scans checkpointed RDDs, not a
+    // 3-iteration re-derivation of the events table
+    assert(plan.contains("Scan ExistingRDD"), s"no checkpoint scan in:\n$plan")
+  }
+
   test("q_star_join broadcasts both dims — fact table shuffles at most once") {
     val plan = finalPlan(q("q_star_join"))
     assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast in:\n$plan")
