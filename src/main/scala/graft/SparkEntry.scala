@@ -1087,19 +1087,23 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
-    // E1-near, edit-distance flavor: levenshtein verify inside the
-    // same (lang, ntok, tok1) blocks the n-gram Jaccard pass uses -
-    // integer distances, no all-pairs product
+    // E1-near, edit-distance flavor: levenshtein verify inside
+    // (lang, tok1) equi-blocks with a ±2 token-count band (exact
+    // same-length blocking is vacuous on this corpus — near-dups
+    // drift by a word or two). The band rides as a residual filter
+    // on the (lang, tok1) hash join - integer distances, no
+    // all-pairs product
     "q_lev_neardup" -> ((s, dir) => {
       val prepared = documents(s, dir).select(
         col("doc_id"), col("lang"),
         TextStats.tokenCount(col("text")).as("ntok"),
         element_at(TextStats.tokens(col("text")), 1).as("tok1"),
         col("text"))
-      val a = prepared.toDF("id_a", "lang", "ntok", "tok1", "text_a")
-      val b = prepared.toDF("id_b", "lang", "ntok", "tok1", "text_b")
-      a.join(b, Seq("lang", "ntok", "tok1"))
-        .filter(col("id_a") < col("id_b"))
+      val a = prepared.toDF("id_a", "lang", "ntok_a", "tok1", "text_a")
+      val b = prepared.toDF("id_b", "lang", "ntok_b", "tok1", "text_b")
+      a.join(b, Seq("lang", "tok1"))
+        .filter(col("id_a") < col("id_b") &&
+          col("ntok_b").between(col("ntok_a") - 2, col("ntok_a") + 2))
         .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast(LongType))
         .filter(col("lev") <= 50)
         .select(col("id_a"), col("id_b"), col("lev"))
@@ -1988,16 +1992,17 @@ object SparkEntry {
         "SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node"
     },
 
-    // same (lang, ntok, tok1) blocking as q_ngram_jaccard; classic
-    // unit-cost edit distance is integer-exact on both engines
+    // (lang, tok1) equi-blocks + ±2 ntok band; classic unit-cost
+    // edit distance is integer-exact on both engines
     "q_lev_neardup" ->
       ("WITH p AS (SELECT doc_id, lang, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, " +
         "string_split(text, ' ')[1] AS tok1, text FROM documents) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev " +
-        "FROM p a JOIN p b ON a.lang = b.lang AND a.ntok = b.ntok " +
+        "FROM p a JOIN p b ON a.lang = b.lang " +
         "AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id " +
+        "AND b.ntok BETWEEN a.ntok - 2 AND a.ntok + 2 " +
         "WHERE levenshtein(a.text, b.text) <= 50 ORDER BY id_a, id_b")
   )
 }
