@@ -1108,7 +1108,69 @@ object SparkEntry {
         .filter(col("lev") <= 50)
         .select(col("id_a"), col("id_b"), col("lev"))
         .orderBy(col("id_a"), col("id_b"))
-    })
+    }),
+
+    // E1-similarity-join: prefix-filtered EXACT Jaccard self-join over
+    // trigram shingle sets (AllPairs/PPJoin candidates — rarest-first
+    // prefixes bound the pair space, never corpus²); integer filters,
+    // one final divide
+    "q_setsim_join" -> ((s, dir) =>
+      SetSim.jaccardJoin(documents(s, dir), col("doc_id"), col("text"),
+        shingleN = 3, tauNum = 1, tauDen = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // corpus collocations: bigram lift (exp-PMI) from exact integer
+    // counts — bigram/unigram count shuffles are word-keyed, totals
+    // ride one broadcast row, top-50 is TakeOrderedAndProject
+    "q_pmi" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val uni = d.select(explode(TextStats.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val big = d.select(explode(TextStats.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+        .withColumn("w1", split(col("g"), " ").getItem(0))
+        .withColumn("w2", split(col("g"), " ").getItem(1))
+      val totals = d.select(
+        TextStats.tokenCount(col("text")).as("ntok"))
+        .agg(sum(col("ntok")).as("nu"),
+          sum(greatest(col("ntok") - 1L, lit(1L))).as("nb"))
+      big.join(uni.toDF("w1", "c_a"), "w1")
+        .join(uni.toDF("w2", "c_b"), "w2")
+        .crossJoin(broadcast(totals))
+        .withColumn("lift", col("c_ab").cast(DoubleType) * col("nu") * col("nu") /
+          (col("nb").cast(DoubleType) * col("c_a") * col("c_b")))
+        .select(col("g"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+        .orderBy(col("lift").desc, col("g").asc)
+        .limit(50)
+    }),
+
+    // time-series gap-fill: per-user daily counts resampled to a dense
+    // calendar (sequence-explode over each user's span; the join and
+    // both aggs are keyed on user — calendar fan-out is bounded by
+    // days, not rows)
+    "q_resample" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val span = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = span
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // 2-D Pareto frontier over (second, value): per-instant max is a
+    // map-side-combinable agg; the running max is Skyline's two-pass
+    // distributed prefix scan (driver traffic = numRanges rows)
+    "q_skyline" -> ((s, dir) =>
+      Skyline.frontier(events(s, dir), tsEpochSec, col("value"))
+        .toDF("t", "v")
+        .orderBy(col("t")))
   )
 
   /** 2024-01-16T00:00:00Z — the midpoint of the events table's 30-day
@@ -2003,6 +2065,63 @@ object SparkEntry {
         "FROM p a JOIN p b ON a.lang = b.lang " +
         "AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id " +
         "AND b.ntok BETWEEN a.ntok - 2 AND a.ntok + 2 " +
-        "WHERE levenshtein(a.text, b.text) <= 50 ORDER BY id_a, id_b")
+        "WHERE levenshtein(a.text, b.text) <= 50 ORDER BY id_a, id_b"),
+
+    // exact Jaccard ≥ 1/2 over trigram shingle SETS; intersection via
+    // postings self-join (exact), integer threshold, one final divide
+    "q_setsim_join" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 " +
+        "THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM w), " +
+        "n AS (SELECT doc_id, len(s) AS n FROM sh), " +
+        "tk AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM tk a JOIN tk b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, " +
+        "CAST(na.n + nb.n - inter AS BIGINT) AS uni FROM pr " +
+        "JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b) " +
+        "SELECT id_a, id_b, inter, uni, " +
+        "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard " +
+        "FROM j WHERE inter * 2 >= uni * 1 ORDER BY id_a, id_b"),
+
+    // bigram lift from exact integer counts; the one double divide is
+    // written with identical association on both engines
+    "q_pmi" ->
+      ("WITH w AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) END) AS g FROM w), " +
+        "cb AS (SELECT g, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY g), " +
+        "un AS (SELECT unnest(w) AS tok FROM w), " +
+        "cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM un GROUP BY tok), " +
+        "tt AS (SELECT CAST(sum(len(w)) AS BIGINT) AS nu, " +
+        "CAST(sum(greatest(len(w) - 1, 1)) AS BIGINT) AS nb FROM w) " +
+        "SELECT g, c_ab, ca.c AS c_a, cbb.c AS c_b, " +
+        "CAST(c_ab AS DOUBLE) * nu * nu / (CAST(nb AS DOUBLE) * ca.c * cbb.c) AS lift " +
+        "FROM cb JOIN cu ca ON ca.tok = string_split(g, ' ')[1] " +
+        "JOIN cu cbb ON cbb.tok = string_split(g, ' ')[2] " +
+        "CROSS JOIN tt WHERE c_ab >= 3 " +
+        "ORDER BY lift DESC, g ASC LIMIT 50"),
+
+    // dense per-user daily calendar with zero-filled gaps; pure
+    // integer/date arithmetic
+    "q_resample" ->
+      ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1), " +
+        "g AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), " +
+        "CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM s) " +
+        "SELECT g.user_id, g.day, coalesce(d.n_events, 0) AS n_events " +
+        "FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day " +
+        "ORDER BY g.user_id, g.day"),
+
+    // frontier = per-second maxima that beat every later second's max;
+    // values are pass-through doubles (max, no arithmetic)
+    "q_skyline" ->
+      ("WITH p AS (SELECT epoch(date_trunc('second', ts))::BIGINT AS t, " +
+        "max(value) AS v FROM events GROUP BY 1), " +
+        "r AS (SELECT t, v, max(v) OVER (ORDER BY t DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev FROM p) " +
+        "SELECT t, v FROM r WHERE mprev IS NULL OR v > mprev ORDER BY t")
   )
 }

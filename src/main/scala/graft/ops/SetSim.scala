@@ -42,7 +42,6 @@ object SetSim {
   def jaccardJoin(docs: DataFrame, idCol: Column, textCol: Column,
                   shingleN: Int = 3, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum, "need 0 < tau <= 1")
-    val spark = docs.sparkSession
 
     // (id, sorted-distinct shingle set, set size) — one narrow pass
     val sets = docs.select(
@@ -57,15 +56,16 @@ object SetSim {
 
     // global order = (df asc, tok asc); the ℓ-prefix of each set under
     // that order. ℓ = n − ⌈τ·n⌉ + 1, integer-exact:
-    // ⌈τ·n⌉ = (tauNum·n + tauDen − 1) div tauDen.
-    val ceilTauN = (col("n") * tauNum + tauDen - 1).cast("long") / lit(tauDen.toLong)
+    // ⌈τ·n⌉ = (tauNum·n + tauDen − 1) div tauDen (`div`, not `/` —
+    // Spark's `/` on longs is double division).
     val prefix = postings
       .join(dfreq, "tok") // shuffle keyed on tok
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("id"))
           .orderBy(col("df").asc, col("tok").asc)))
-      .withColumn("l", (col("n") - ceilTauN.cast("long") + 1L))
+      .withColumn("l",
+        expr(s"n - ((n * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
       .filter(col("rk") <= col("l"))
       .select(col("id"), col("n"), col("tok"))
 

@@ -48,6 +48,18 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"levenshtein blocking degenerated:\n$plan")
   }
 
+  test("q_pmi top-50 is TakeOrderedAndProject over broadcast totals, no product beyond the 1-row cross") {
+    val plan = finalPlan(q("q_pmi"))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
+  }
+
+  test("q_resample calendar join is equi-keyed on (user, day), no product") {
+    val plan = finalPlan(q("q_resample"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"product in:\n$plan")
+  }
+
   test("q_histogram is one map-side-combinable aggregation, no window") {
     val plan = finalPlan(q("q_histogram"))
     assert(plan.contains("HashAggregate") || plan.contains("partial"),
