@@ -1103,9 +1103,15 @@ object SparkEntry {
       val b = prepared.toDF("id_b", "lang", "ntok_b", "tok1", "text_b")
       a.join(b, Seq("lang", "tok1"))
         .filter(col("id_a") < col("id_b") &&
-          col("ntok_b").between(col("ntok_a") - 2, col("ntok_a") + 2))
-        .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast(LongType))
-        .filter(col("lev") <= 50)
+          col("ntok_b").between(col("ntok_a") - 2, col("ntok_a") + 2) &&
+          // |len(a)−len(b)| ≤ 50 is implied by lev ≤ 50 — a free prune
+          // before the O(len·threshold) distance
+          abs(length(col("text_a")) - length(col("text_b"))) <= 50)
+        // threshold form runs the banded O(len·k) algorithm and
+        // returns −1 past the bound — same kept rows, ~6x cheaper
+        .withColumn("lev",
+          levenshtein(col("text_a"), col("text_b"), 50).cast(LongType))
+        .filter(col("lev").between(0, 50))
         .select(col("id_a"), col("id_b"), col("lev"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1116,7 +1122,7 @@ object SparkEntry {
     // one final divide
     "q_setsim_join" -> ((s, dir) =>
       SetSim.jaccardJoin(documents(s, dir), col("doc_id"), col("text"),
-        shingleN = 3, tauNum = 1, tauDen = 2)
+        shingleN = 3, tauNum = 7, tauDen = 10)
         .orderBy(col("id_a"), col("id_b"))),
 
     // corpus collocations: bigram lift (exp-PMI) from exact integer
@@ -1170,7 +1176,31 @@ object SparkEntry {
     "q_skyline" -> ((s, dir) =>
       Skyline.frontier(events(s, dir), tsEpochSec, col("value"))
         .toDF("t", "v")
-        .orderBy(col("t")))
+        .orderBy(col("t"))),
+
+    // exact global rank() + equi-depth buckets WITHOUT a global
+    // window: Rank's two-pass prefix-sum over per-value multiplicities
+    // (rank = rows strictly below + 1; bucket = ((rnk-1)·k) div n + 1,
+    // all integer arithmetic)
+    "q_global_rank" -> ((s, dir) =>
+      Rank.valueRanks(events(s, dir), col("value"), k = 8)
+        .orderBy(col("v"))),
+
+    // EWMA (α=1/2) per user: per-key ordered fold over a bounded
+    // collected sequence — (acc+x)/2 is the same IEEE op sequence on
+    // both engines, so the final double hash-matches
+    "q_ewma" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("t", tsEpochSec)
+      e.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("t"), col("event_id"), col("value")))).as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).cast(LongType).as("n"),
+          aggregate(col("seq"), lit(null).cast(DoubleType),
+            (acc, x) => when(acc.isNull, x.getField("value"))
+              .otherwise((acc + x.getField("value")) / lit(2.0))).as("ewma"))
+        .orderBy(col("user_id"))
+    })
   )
 
   /** 2024-01-16T00:00:00Z — the midpoint of the events table's 30-day
@@ -2083,7 +2113,7 @@ object SparkEntry {
         "JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b) " +
         "SELECT id_a, id_b, inter, uni, " +
         "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard " +
-        "FROM j WHERE inter * 2 >= uni * 1 ORDER BY id_a, id_b"),
+        "FROM j WHERE inter * 10 >= uni * 7 ORDER BY id_a, id_b"),
 
     // bigram lift from exact integer counts; the one double divide is
     // written with identical association on both engines
@@ -2122,6 +2152,28 @@ object SparkEntry {
         "max(value) AS v FROM events GROUP BY 1), " +
         "r AS (SELECT t, v, max(v) OVER (ORDER BY t DESC " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev FROM p) " +
-        "SELECT t, v FROM r WHERE mprev IS NULL OR v > mprev ORDER BY t")
+        "SELECT t, v FROM r WHERE mprev IS NULL OR v > mprev ORDER BY t"),
+
+    // rank = rows strictly below + 1 (per distinct value); bucket is
+    // pure integer arithmetic — both engines agree bit-for-bit
+    "q_global_rank" ->
+      ("WITH c AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM events GROUP BY 1), " +
+        "n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c), " +
+        "r AS (SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rnk " +
+        "FROM c) " +
+        "SELECT v, cnt, rnk, CAST((rnk - 1) * 8 // n + 1 AS BIGINT) AS bucket " +
+        "FROM r CROSS JOIN n ORDER BY v"),
+
+    // same (acc+x)/2 fold over the same (t, event_id)-ordered values;
+    // list_reduce seeds with the first element, mirroring the
+    // null-seeded Spark fold
+    "q_ewma" ->
+      ("WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+        "list(value ORDER BY epoch(date_trunc('second', ts)), event_id) AS vs " +
+        "FROM events GROUP BY 1) " +
+        "SELECT user_id, n, list_reduce(vs, (a, b) -> (a + b) / 2) AS ewma " +
+        "FROM l ORDER BY user_id")
   )
 }

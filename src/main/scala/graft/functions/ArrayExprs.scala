@@ -197,6 +197,24 @@ object kernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Intersection count of two DISTINCT, ASCENDING-SORTED string
+    * arrays: one merge pass (see [[jaccardSorted]]).
+    */
+  def interCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** One-pass word n-gram shingling (see [[Shingles]]). */
   def shingles(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
@@ -342,6 +360,22 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Merge-pass intersection COUNT over distinct sorted string arrays —
+  * `size(array_intersect(a, b))` without building the intermediate
+  * array or its hash set.
+  */
+case class InterCountSorted(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernels.interCountSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.kernels.interCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): InterCountSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API wrappers. */
 object ArrayExprs {
   private def unitNorm(c: Array[Double]): Array[Double] = {
@@ -354,6 +388,8 @@ object ArrayExprs {
     Shim.column(ProbeCells(Shim.expression(vec), centroids.map(unitNorm), nProbe))
   def jaccardSorted(a: Column, b: Column): Column =
     Shim.column(JaccardSorted(Shim.expression(a), Shim.expression(b)))
+  def interCountSorted(a: Column, b: Column): Column =
+    Shim.column(InterCountSorted(Shim.expression(a), Shim.expression(b)))
   def simhash64(tokens: Column): Column =
     Shim.column(SimHash64(Shim.expression(tokens)))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =

@@ -80,13 +80,14 @@ object SetSim {
       .select(col("id_a"), col("id_b")).distinct()
 
     // verify: exact merge-pass intersection over the pre-sorted sets
+    // (native codegen kernel — no intermediate array / hash set per pair)
     val setsA = sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
       col("n").as("n_a"))
     val setsB = sets.select(col("id").as("id_b"), col("toks").as("toks_b"),
       col("n").as("n_b"))
     cand.join(setsA, "id_a").join(setsB, "id_b")
       .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+        graft.functions.ArrayExprs.interCountSorted(col("toks_a"), col("toks_b")))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .filter(col("inter") * tauDen >= col("uni") * tauNum)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),

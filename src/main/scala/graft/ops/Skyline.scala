@@ -41,23 +41,13 @@ object Skyline {
       .sortWithinPartitions(col("x").desc)
       .as[(Long, Double)]
       .localCheckpoint()
-    // pass A: per-partition maxima -> driver prefix-max (numRanges rows)
-    val tops = perX.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var m = Double.NegativeInfinity
-        it.foreach(r => m = math.max(m, r._2))
-        Iterator.single((pid, m))
-      }.collect().sortBy(_._1).map(_._2)
-    // bases(pid) = max of all partitions strictly before pid (larger x)
-    val bases = tops.scanLeft(Double.NegativeInfinity)(math.max)
-    val basesB = spark.sparkContext.broadcast(bases)
-    // pass B: one streaming pass per partition from its base
-    perX.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var acc = basesB.value(pid)
-      it.flatMap { case (x, y) =>
-        if (y > acc) { acc = y; Iterator.single((x, y)) } else Iterator.empty
+    // running max = PrefixScan with (max, -inf); a row is on the
+    // frontier iff it beats the EXCLUSIVE prefix (every larger x)
+    PrefixScan.scan(perX, Double.NegativeInfinity)(
+      (a, r) => math.max(a, r._2))(math.max)
+      .flatMap { case ((x, y), before, _) =>
+        if (y > before) Iterator.single((x, y)) else Iterator.empty
       }
-    }.toDF("x", "y")
+      .toDF("x", "y")
   }
 }

@@ -51,18 +51,10 @@ object Sweep {
       .sortWithinPartitions(col("t"))
       .select(col("t"), col("net")).as[(Long, Long)]
       .localCheckpoint()
-    // pass A: per-partition totals -> driver prefix sum (numRanges rows)
-    val totals = deltas.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator.single((pid, s))
-      }.collect().sortBy(_._1).map(_._2)
-    val bases = totals.scanLeft(0L)(_ + _) // bases(pid) = sum of earlier parts
-    val basesB = spark.sparkContext.broadcast(bases)
-    // pass B: one streaming pass per partition from its base offset
-    deltas.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var acc = basesB.value(pid)
-      it.map { case (t, net) => acc += net; (t, net, acc) }
-    }.toDF("t", "net", "concurrent")
+    // running sum = PrefixScan with (+, 0) (pass A: numRanges rows to
+    // the driver; pass B: one streaming pass per partition)
+    PrefixScan.scan(deltas, 0L)((a, r) => a + r._2)(_ + _)
+      .map { case ((t, net), _, acc) => (t, net, acc) }
+      .toDF("t", "net", "concurrent")
   }
 }
