@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON records (the full per-query line).
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [ratio_gate]
+Prints per-query ratios for queries present in both (sorted worst
+first), new/removed queries, and totals. Exit 1 if any common query
+regressed past the gate (default 2.0x) with an absolute delta > 0.2s
+(sub-noise times can't "regress").
+"""
+import sys, json
+
+
+def load(p):
+    for line in open(p):
+        i = line.find('{"metric"')
+        if i >= 0 and '"queries"' in line:
+            return json.loads(line[i:].strip())
+    raise SystemExit(f"no full record in {p}")
+
+
+old, new = load(sys.argv[1]), load(sys.argv[2])
+gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+oq = {k: v for k, v in old["queries"].items() if v >= 0}
+nq = {k: v for k, v in new["queries"].items() if v >= 0}
+common = sorted(set(oq) & set(nq),
+                key=lambda k: -(nq[k] / oq[k] if oq[k] > 0 else 1))
+bad = []
+print(f"old total {old['value']:.1f}s/{len(oq)}q   "
+      f"new total {new['value']:.1f}s/{len(nq)}q")
+for k in common[:15]:
+    r = nq[k] / oq[k] if oq[k] > 0 else float("inf")
+    flag = ""
+    if r > gate and nq[k] - oq[k] > 0.2:
+        bad.append(k)
+        flag = "  <-- REGRESSION"
+    print(f"{k:28s} {oq[k]:7.2f} -> {nq[k]:7.2f}  {r:5.2f}x{flag}")
+ratios = sorted(nq[k] / oq[k] for k in common if oq[k] > 0)
+if ratios:
+    print(f"median ratio over {len(common)} common: "
+          f"{ratios[len(ratios)//2]:.2f}x")
+print("new-only:", " ".join(sorted(set(nq) - set(oq))) or "-")
+print("removed:", " ".join(sorted(set(oq) - set(nq))) or "-")
+sys.exit(1 if bad else 0)
