@@ -189,4 +189,37 @@ object GraftProps extends Properties("graft") {
       val top = row.getAs[Double]("top_gram_frac")
       dup >= 0.0 && dup < 1.0 && top > 0.0 && top <= 1.0
     }
+
+  // ---- SetSim prefix filter never loses a qualifying pair ----
+
+  // small vocab + short docs => dense overlap, the adversarial regime
+  // for a candidate-pruning bug (the answer set is large relative to
+  // the corpus, so a lost pair is likely to be detected)
+  private val tinyDoc: Gen[String] =
+    Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))
+
+  property("setsim: prefix-filtered join == brute force at several taus") =
+    forAll(Gen.listOfN(6, tinyDoc), Gen.oneOf((1, 2), (7, 10), (1, 3))) {
+      (texts, tau) =>
+        val (tn, td) = tau
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = SetSim.jaccardJoin(docs, col("doc_id"), col("text"),
+          shingleN = 3, tauNum = tn, tauDen = td)
+          .select("id_a", "id_b", "inter", "uni")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        def sh(t: String): Set[String] = {
+          val w = t.split(" ", -1)
+          if (w.length < 3) Set(w.mkString(" "))
+          else w.sliding(3).map(_.mkString(" ")).toSet
+        }
+        val sets = texts.zipWithIndex.map { case (t, i) => (i.toLong, sh(t)) }
+        val want = (for {
+          (a, sa) <- sets; (b, sb) <- sets if a < b
+          inter = (sa intersect sb).size.toLong
+          uni = (sa union sb).size.toLong
+          if inter * td >= uni * tn
+        } yield (a, b, inter, uni)).toSet
+        got == want
+    }
 }

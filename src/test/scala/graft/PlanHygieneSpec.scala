@@ -60,6 +60,25 @@ class PlanHygieneSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"product in:\n$plan")
   }
 
+  test("q_skyline has NO window operator - the running max is the two-pass scan") {
+    val plan = finalPlan(q("q_skyline"))
+    assert(!plan.contains("Window"), s"global window crept back in:\n$plan")
+  }
+
+  test("q_global_rank has NO window operator - rank comes from the prefix-sum") {
+    val plan = finalPlan(q("q_global_rank"))
+    assert(!plan.contains("Window"), s"global window crept back in:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("partial"),
+      s"per-value multiplicities not map-side combined:\n$plan")
+  }
+
+  test("q_ewma folds inside one user-keyed aggregation, no window no product") {
+    val plan = finalPlan(q("q_ewma"))
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"product in:\n$plan")
+  }
+
   test("q_histogram is one map-side-combinable aggregation, no window") {
     val plan = finalPlan(q("q_histogram"))
     assert(plan.contains("HashAggregate") || plan.contains("partial"),
