@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops._
+
+/** Scale-curve harness: runs the scale-sensitive operator family on
+  * synthetically inflated corpora (×1, ×4, ×16) and prints seconds +
+  * output rows per factor, plus the fitted power-law exponent
+  * log(t_16/t_1)/log 16 — ≈1.0 means the operator's work grows
+  * linearly with the corpus, which is the claim the 100 TB design
+  * rests on (bucketed candidate generation, never corpus²).
+  *
+  * Inflation construction: replica r rewrites every token to
+  * `tok_r`, so replicas have DISJOINT vocabularies — corpus size
+  * multiplies by F while per-token document frequencies, block
+  * sizes, and the per-replica answer set stay constant (output
+  * scales ×F, work should too). Inflating by plain duplication would
+  * instead make every copy a near-dup of every other and grow the
+  * TRUE answer quadratically — measuring output volume, not
+  * operator efficiency.
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [sfDir] [maxFactor]
+  */
+object ScaleSmoke {
+
+  private def inflateDocs(docs: DataFrame, f: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("text"),
+      explode(sequence(lit(0), lit(f - 1))).as("r"))
+      .select(
+        (col("doc_id") * f + col("r")).as("doc_id"),
+        col("lang"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("r"))), " ").as("text"))
+
+  private def inflateEvents(ev: DataFrame, f: Int): DataFrame =
+    ev.select(col("event_id"), col("user_id"), col("value"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("t"),
+      explode(sequence(lit(0), lit(f - 1))).as("r"))
+      .select(
+        (col("event_id") * f + col("r")).as("event_id"),
+        (col("user_id") * f + col("r")).as("user_id"),
+        (col("value") + col("r") * 1e6).as("value"),
+        (col("t") + col("r") * 86400L * 40L).as("t"))
+
+  private def time(fn: => DataFrame): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val df = fn
+    val rows = df.queryExecution.toRdd.mapPartitions { it =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single(n)
+    }.fold(0L)(_ + _)
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxF = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val factors = Iterator.iterate(1)(_ * 4).takeWhile(_ <= maxF).toSeq
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "setsim_join" -> { f =>
+        SetSim.jaccardJoin(inflateDocs(Tables.documents(spark, sfDir), f),
+          col("doc_id"), col("text"), shingleN = 3, tauNum = 7, tauDen = 10)
+      },
+      "minhash_neardup" -> { f =>
+        MinHash.nearDupPairs(inflateDocs(Tables.documents(spark, sfDir), f),
+          col("doc_id"), col("text"), threshold = 0.7)
+      },
+      "sparse_sim" -> { f =>
+        Tfidf.sharedSalientPairs(inflateDocs(Tables.documents(spark, sfDir), f),
+          col("doc_id"), col("text"), k = 5, minShared = 2)
+      },
+      "dup_clusters" -> { f =>
+        val d = inflateDocs(Tables.documents(spark, sfDir), f)
+        ConnectedComponents.components(
+          MinHash.candidatePairs(d, col("doc_id"), col("text")), "id_a", "id_b")
+      },
+      "global_rank" -> { f =>
+        Rank.valueRanks(inflateEvents(Tables.events(spark, sfDir), f),
+          col("value"), k = 8)
+      },
+      "skyline" -> { f =>
+        Skyline.frontier(inflateEvents(Tables.events(spark, sfDir), f),
+          col("t"), col("value"))
+      })
+
+    // warm each op once at factor 1 (codegen/JIT), then measure
+    println(f"${"op"}%-16s factor  seconds      rows   exp(t)")
+    val results = ops.map { case (name, build) =>
+      time(build(1))
+      val times = factors.map { f =>
+        val (sec, rows) = time(build(f))
+        (f, sec, rows)
+      }
+      val (f1, t1, _) = times.head
+      val (fN, tN, _) = times.last
+      val exp =
+        if (fN > f1 && t1 > 0) math.log(tN / t1) / math.log(fN.toDouble / f1)
+        else Double.NaN
+      times.foreach { case (f, sec, rows) =>
+        println(f"$name%-16s x$f%-5d  $sec%7.2f  $rows%8d   ${if (f == fN) f"$exp%.2f" else ""}")
+      }
+      (name, exp)
+    }
+    println()
+    results.foreach { case (n, e) => println(f"SCALE $n%-16s exponent=$e%.2f") }
+    Runtime.getRuntime.halt(0)
+  }
+}
