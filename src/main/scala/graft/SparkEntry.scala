@@ -1372,9 +1372,12 @@ object SparkEntry {
         "c AS (SELECT vec_id AS c_id, embedding AS ce, " +
         "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnrm " +
         "FROM embeddings WHERE vec_id < 16), " +
+        // per-component centroid normalization BEFORE the products —
+        // the same IEEE op order as the kernel's unitNorm, so a
+        // near-tied cell assignment cannot flip between engines
         "a AS (SELECT vec_id, cell FROM (" +
         "SELECT e.vec_id, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / c.cnrm DESC, c.c_id) AS rn " +
+        "list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * (c.ce[i]::DOUBLE / c.cnrm))) DESC, c.c_id) AS rn " +
         "FROM e, c) t WHERE rn = 1), " +
         "ea AS (SELECT e.vec_id, e.embedding, e.nrm, a.cell FROM e JOIN a USING (vec_id)), " +
         "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
@@ -2034,8 +2037,8 @@ object SparkEntry {
         "sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2 " +
         "FROM events GROUP BY event_type), " +
         "st AS (SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean, " +
-        "sqrt(CAST(s2 AS DOUBLE) / n - " +
-        "(CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sigma FROM m) " +
+        "sqrt(greatest(CAST(s2 AS DOUBLE) / n - " +
+        "(CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sigma FROM m) " +
         "SELECT e.event_id, e.event_type, e.value, " +
         "(e.value - st.mean) / st.sigma AS z " +
         "FROM events e JOIN st USING (event_type) " +
@@ -2158,7 +2161,7 @@ object SparkEntry {
     // pure integer arithmetic — both engines agree bit-for-bit
     "q_global_rank" ->
       ("WITH c AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS cnt " +
-        "FROM events GROUP BY 1), " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
         "n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c), " +
         "r AS (SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rnk " +

@@ -30,7 +30,11 @@ object Rank {
                  numRanges: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NULLs are excluded (SQL rank() would order them, but the tuple
+    // encoder below is non-nullable; callers wanting NULL semantics
+    // filter/replace first — mirrored by the oracle's WHERE)
     val counts = df.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .repartitionByRange(numRanges, col("v"))
       .sortWithinPartitions(col("v"))

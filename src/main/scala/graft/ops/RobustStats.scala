@@ -32,7 +32,13 @@ object RobustStats {
   /** Rows whose value sits more than `threshold` population standard
     * deviations from their group's mean:
     * `(id, grp, value, z)`, z = (value − mean) / σ.
-    * Groups with σ = 0 (constant value) flag nothing.
+    * Groups with σ = 0 (constant value) flag nothing — the variance
+    * is clamped at 0 before the sqrt because s2/n − mean² in doubles
+    * can land a few ulps NEGATIVE for a constant group whose value
+    * isn't exactly representable (e.g. 17 rows of 140.70 →
+    * −3.6e-12); without the clamp Spark's sqrt yields NaN (and NaN
+    * compares greater-than, flagging the whole group) while DuckDB
+    * throws outright.
     */
   def zOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
                 idCol: Column, threshold: Double = 2.0): DataFrame = {
@@ -43,12 +49,12 @@ object RobustStats {
         sum(col("v")).as("s1"),
         sum(col("v") * col("v")).as("s2"))
       // the whole double pipeline below MUST mirror the oracle SQL
-      // term for term: mean = s1/n, var = s2/n - mean*mean
+      // term for term: mean = s1/n, var = max(s2/n - mean*mean, 0)
       .select(col("grp"),
         (col("s1").cast(DoubleType) / col("n")).as("mean"),
-        sqrt(col("s2").cast(DoubleType) / col("n") -
+        sqrt(greatest(col("s2").cast(DoubleType) / col("n") -
           (col("s1").cast(DoubleType) / col("n")) *
-            (col("s1").cast(DoubleType) / col("n"))).as("sigma"))
+            (col("s1").cast(DoubleType) / col("n")), lit(0.0))).as("sigma"))
     df.select(idCol.as("id"), groupCol.as("grp"), valueCol.as("value"))
       .join(moments, Seq("grp"))
       .filter(col("sigma") > 0.0)

@@ -43,12 +43,17 @@ object SetSim {
                   shingleN: Int = 3, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum, "need 0 < tau <= 1")
 
-    // (id, sorted-distinct shingle set, set size) — one narrow pass
+    // (id, sorted-distinct shingle set, set size) — one narrow pass,
+    // PINNED: this frame is consumed four times (df counting, prefix
+    // postings, both verify sides); without the checkpoint the corpus
+    // would re-tokenize + re-sort per consumer (lazy: the first
+    // consumer materializes, bounded at one row per doc)
     val sets = docs.select(
       idCol.as("id"),
       array_sort(array_distinct(
         graft.ops.TextStats.shingles(textCol, shingleN))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint(eager = false)
 
     // document frequency per shingle (distinct semantics: sets, not bags)
     val postings = sets.select(col("id"), col("n"), explode(col("toks")).as("tok"))

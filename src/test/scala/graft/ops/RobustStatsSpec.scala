@@ -26,6 +26,15 @@ class RobustStatsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("non-representable constant group (fp variance < 0) flags nothing") {
+    // 17 rows of 140.70: s2/n - mean^2 lands a few ulps NEGATIVE in
+    // doubles; without the variance clamp sigma = sqrt(-3.6e-12) = NaN
+    // and Spark's NaN-greater-than-all ordering flags EVERY row
+    val df = (1L to 17L).map(i => (i, "c", 140.70)).toDF("id", "grp", "value")
+    assert(RobustStats.zOutliers(df, col("grp"), col("value"), col("id"))
+      .count() == 0L)
+  }
+
   test("winsorize picks present values at the exact ceil positions") {
     // n = 20, values 1..20: lo pos = ceil(0.05*20) = 1 -> 1.0,
     // hi pos = ceil(0.95*20) = 19 -> 19.0; 20.0 clips to 19.0

@@ -66,8 +66,12 @@ class SetSimSpec extends AnyFunSuite {
     }
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"product in:\n$plan")
-    // the row_number window must be keyed on the doc id, never global
-    assert(!plan.contains("Window [") ||
-      !plan.contains("windowspecdefinition()"), s"global window in:\n$plan")
+    // the row_number window must be keyed on the doc id, never global:
+    // every windowspecdefinition in the plan must open with the id
+    // partition column (a global window prints the order spec first)
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("id#")),
+      s"window not partitioned on id ($specs) in:\n$plan")
   }
 }

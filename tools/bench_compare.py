@@ -24,15 +24,17 @@ oq = {k: v for k, v in old["queries"].items() if v >= 0}
 nq = {k: v for k, v in new["queries"].items() if v >= 0}
 common = sorted(set(oq) & set(nq),
                 key=lambda k: -(nq[k] / oq[k] if oq[k] > 0 else 1))
-bad = []
+# gate over ALL common queries (truncating here would let a large
+# absolute regression hide behind 15 sub-noise high-ratio queries)
+bad = [k for k in common
+       if (nq[k] / oq[k] if oq[k] > 0 else float("inf")) > gate
+       and nq[k] - oq[k] > 0.2]
 print(f"old total {old['value']:.1f}s/{len(oq)}q   "
       f"new total {new['value']:.1f}s/{len(nq)}q")
-for k in common[:15]:
+for k in [k for k in common if k in bad] + \
+         [k for k in common if k not in bad][:15]:
     r = nq[k] / oq[k] if oq[k] > 0 else float("inf")
-    flag = ""
-    if r > gate and nq[k] - oq[k] > 0.2:
-        bad.append(k)
-        flag = "  <-- REGRESSION"
+    flag = "  <-- REGRESSION" if k in bad else ""
     print(f"{k:28s} {oq[k]:7.2f} -> {nq[k]:7.2f}  {r:5.2f}x{flag}")
 ratios = sorted(nq[k] / oq[k] for k in common if oq[k] > 0)
 if ratios:

@@ -14,7 +14,8 @@ out = json.load(open(f"{sys.argv[2]}/oracle_sql.json"))
 sub = {k: v for k, v in out.items() if k in names}
 json.dump(sub, open(f"{sys.argv[2]}/oracle_sql.json", "w"))
 try:
-    subprocess.run([sys.executable, "tools/check_oracle.py",
-                    sys.argv[1], sys.argv[2]])
+    rc = subprocess.run([sys.executable, "tools/check_oracle.py",
+                         sys.argv[1], sys.argv[2]]).returncode
 finally:
     json.dump(out, open(f"{sys.argv[2]}/oracle_sql.json", "w"), indent=1)
+sys.exit(rc)
