@@ -1178,6 +1178,18 @@ object SparkEntry {
         .toDF("t", "v")
         .orderBy(col("t"))),
 
+    // approximate heavy hitters (DataSketches frequent-items via
+    // approx_top_k): fixed-memory, map-side-combinable, mergeable —
+    // the 100 TB substitute for count-shuffle + global sort. Sketch
+    // internals are engine-specific -> rows-only; ApproxAggSpec pins
+    // sketch == exact in the under-capacity regime
+    "q_approx_topk" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("lang"), explode(TextStats.tokens(col("text"))).as("tok"))
+      ApproxAgg.topKItems(toks, col("lang"), col("tok"), k = 5)
+        .orderBy(col("grp"), col("rk"))
+    }),
+
     // exact global rank() + equi-depth buckets WITHOUT a global
     // window: Rank's two-pass prefix-sum over per-value multiplicities
     // (rank = rows strictly below + 1; bucket = ((rnk-1)·k) div n + 1,

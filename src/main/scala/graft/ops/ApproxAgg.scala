@@ -37,6 +37,34 @@ object ApproxAgg {
       .agg(percentile_approx(valueCol,
         array(ps.map(lit): _*), lit(accuracy)).as("approx_ps"))
 
+  /** Approximate heavy hitters (frequent items): the top-k most
+    * frequent values of `itemCol` per group via Spark 4.1's
+    * `approx_top_k` (an Apache DataSketches frequent-items sketch —
+    * fixed memory `maxItemsTracked`, map-side combinable, mergeable;
+    * the exact form is a full count shuffle of the key space plus a
+    * global sort). Estimates are exact whenever the distinct-item
+    * count stays under `maxItemsTracked` — the spec pins that regime
+    * against the exact counts; the sketch output shape is
+    * engine-specific, so the query is rows-only for the oracle.
+    *
+    * Output: one row per (group, item): `(…group, item, est, rk)`,
+    * rk 1..k by (est desc, item asc) — flattened from the sketch's
+    * struct array because an array cell is opaque to row-oriented
+    * consumers (same rationale as [[percentilesScalar]]).
+    */
+  def topKItems(df: DataFrame, groupCol: Column, itemCol: Column,
+                k: Int = 10, maxItemsTracked: Int = 10000): DataFrame =
+    df.select(groupCol.as("grp"), itemCol.as("item"))
+      .groupBy(col("grp"))
+      .agg(expr(s"approx_top_k(item, $k, $maxItemsTracked)").as("tk"))
+      .select(col("grp"), explode(col("tk")).as("e"))
+      .select(col("grp"), col("e.item").as("item"),
+        col("e.count").cast("long").as("est"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp"))
+          .orderBy(col("est").desc, col("item").asc)))
+
   /** [[percentiles]] with each quantile projected to its own scalar
     * column named `names(i)`. Still ONE sketch pass (a single
     * array-returning agg, then `element_at`); the flat shape is what

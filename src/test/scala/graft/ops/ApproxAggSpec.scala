@@ -67,6 +67,24 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(aggs.size == 1, s"expected one Aggregate, got ${aggs.size}")
   }
 
+  test("topKItems equals exact top-k while distinct items fit the sketch") {
+    // vocab ~31 << maxItemsTracked, so the frequent-items sketch is
+    // EXACT here; any estimation drift in this regime is a regression
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val got = ApproxAgg.topKItems(toks, col("lang"), col("tok"), k = 3)
+      .select("grp", "item", "est").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val exact = toks.groupBy(col("lang"), col("tok")).count()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("count").desc, col("tok").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("tok"), col("count")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exact, s"sketch drifted: got=$got exact=$exact")
+  }
+
   test("approx distinct plans a partial (mergeable sketch) aggregate") {
     val li = Tables.lineitem(spark, dir)
     val df = ApproxAgg.distinctCounts(li, Seq(col("l_returnflag")), col("l_orderkey"))
