@@ -397,7 +397,7 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
-        .select(col("w.start").cast(LongType).as("window_start"),
+        .select(unix_timestamp(col("w.start")).as("window_start"),
           col("n"), col("sum_value"))
         .orderBy(col("window_start"))),
 
@@ -1280,7 +1280,7 @@ object SparkEntry {
       if (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(store, "_SUCCESS")))
         Tables.events(s, dir)
-          .select(col("event_id"), col("ts").cast(LongType).as("ts"),
+          .select(col("event_id"), unix_timestamp(col("ts")).as("ts"),
             col("event_type"), col("value"))
           .repartition(8)
           .write.mode("overwrite").json(store)

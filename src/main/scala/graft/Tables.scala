@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated star schema
   * (/root/repo/TESTDATA.md). At production scale these would be
@@ -49,19 +49,39 @@ object Tables {
   def listCatalogTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq.sorted
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark
-    * has no native type for: read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
-    * microsecond TimestampType with exact integer division (a double
-    * division would lose precision above 2^53 ns).
+  /** The events table's `ts` column has shipped under three physical
+    * parquet encodings across driver testdata generations, and the
+    * engine must read all of them into one logical TimestampType:
+    *
+    *  - TIMESTAMP(NANOS): Spark has no native nanos type, so read
+    *    nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and
+    *    convert with exact integer division (a double division would
+    *    lose precision above 2^53 ns);
+    *  - timestamp[us] WITHOUT isAdjustedToUTC: Spark reads this as
+    *    TIMESTAMP_NTZ. The session TZ is pinned UTC (build.sbt), so
+    *    casting NTZ -> TimestampType reinterprets the same wall-clock
+    *    instant losslessly;
+    *  - timestamp[us] UTC-adjusted: already TimestampType, pass through.
+    *
+    * TimestampContractSpec pins all three arms.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(raw)
   }
+
+  /** Normalize a `ts` column of any supported physical encoding
+    * (int64 nanos, TIMESTAMP_NTZ, TimestampType) to TimestampType.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
