@@ -56,6 +56,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full declared-query manifest, written up-front like the oracle
+    // SQL: the checker diffs output dirs against THIS list so a query
+    // that errors out can never silently vanish from the correctness
+    // report (round 5 lost two queries that way).
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContext =

@@ -80,6 +80,22 @@ def main():
             files = glob.glob(f"{out_dir}/{d}/*.parquet")
             n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
             print(f"{'OK  ' if n > 0 else 'WARN'} {d} rows-only ({n} rows)")
+    # parity gate: every declared query must have produced an output dir.
+    # Round 5 lost two broken queries SILENTLY (they errored during the
+    # Spark run, left no dir, and the report looked green); diff against
+    # the manifest so absence is a hard failure, not a blind spot.
+    manifest = f"{out_dir}/declared_queries.json"
+    if os.path.exists(manifest):
+        all_declared = set(json.load(open(manifest)))
+        absent = sorted(n for n in all_declared
+                        if not glob.glob(f"{out_dir}/{n}/*.parquet"))
+        if absent:
+            print(f"FAIL parity: {len(absent)} declared queries produced no "
+                  f"output: {absent}")
+            fail += len(absent)
+    else:
+        print("WARN parity: no declared_queries.json manifest "
+              "(re-run Verify to generate it)")
     print(f"\n{ok} ok, {fail} fail")
     sys.exit(1 if fail else 0)
 
