@@ -119,6 +119,27 @@ object Bench {
         df.count()
       } catch { case _: Throwable => () }
     }
+    // Untimed JIT/codegen warmup: one pass each through the hash-agg,
+    // shuffle-join, and window machinery. Driver single-runs charged
+    // first-query compilation to real queries (BENCH_r05: q_group_agg
+    // 37.3s vs a flat 1.32s local median — 28x, all cold-start). Each
+    // warmup runs under its own cancellable cap so a pathological
+    // environment can't eat the timed budget.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val warmCap = math.max(1000L, math.min(60000L, remainingMs / 6))
+      def li = Tables.lineitem(spark, sfDir)
+      timeOnce(spark, li.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n")), warmCap)
+      timeOnce(spark, li.join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count(), warmCap)
+      timeOnce(spark, li.select(col("l_orderkey"),
+        sum(col("l_quantity")).over(
+          Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey")))
+          .as("running")), warmCap)
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val runs = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
