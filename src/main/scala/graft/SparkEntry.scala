@@ -858,6 +858,17 @@ object SparkEntry {
           col("byte_len"), col("content_hash"))
         .orderBy(col("media_id"))),
 
+    // E4: REAL codec round-trip — encode BMP/PPM/WAV payloads from
+    // deterministic pixel/sample formulas, decode them back on the
+    // executors, emit exact integer feature sums. The DuckDB oracle
+    // recomputes the sums from the generating formulas, so a codec
+    // bug (stride, padding, channel order, chunk walk) breaks the
+    // hash-match even though DuckDB can't read the containers.
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.withMediaFeatures(
+        Multimodal.realMedia(documents(s, dir)))
+        .orderBy(col("media_id"))),
+
     // training-mix selection (Sampling): layout-independent hash-mod
     // sampling — same surviving rows on any cluster size/partitioning,
     // unlike rand(); the scramble is plain 64-bit arithmetic, so the
@@ -1857,6 +1868,41 @@ object SparkEntry {
         "(SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k, c_custkey FROM customer) t " +
         "WHERE k NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "ORDER BY c_custkey"),
+
+    // codec round-trip: the oracle recomputes the decoded-feature sums
+    // from the pixel/sample generating formulas (ints only, bit-exact);
+    // it cannot decode BMP/PPM/WAV itself, so a match proves the Spark
+    // side's encode->decode->aggregate chain reproduced every byte
+    "q_media_decode" ->
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS fk, " +
+        "CAST(8 + (doc_id % 4) * 4 AS INT) AS w, " +
+        "CAST(6 + (doc_id % 5) * 2 AS INT) AS h, " +
+        "CAST(64 + (doc_id % 16) * 16 AS INT) AS n FROM documents), " +
+        "img AS (SELECT m.media_id, " +
+        "CASE m.fk WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format, " +
+        "m.w AS width, m.h AS height, " +
+        "CAST(SUM((m.media_id*7 + a.range*3 + b.range*5) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(SUM((m.media_id*11 + a.range + b.range*2) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(SUM((m.media_id*13 + a.range*2 + b.range) % 256) AS BIGINT) AS sum_b " +
+        "FROM m, range(20) a, range(14) b " +
+        "WHERE a.range < m.w AND b.range < m.h AND m.fk < 2 " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "aud AS (SELECT m.media_id, 'wav' AS format, " +
+        "CAST(8000 AS INT) AS sample_rate, m.n AS n_samples, " +
+        "CAST(SUM(((m.media_id*31 + i.range*17) % 2048 - 1024) * " +
+        "((m.media_id*31 + i.range*17) % 2048 - 1024)) AS BIGINT) AS sum_sq, " +
+        "CAST(MAX(ABS((m.media_id*31 + i.range*17) % 2048 - 1024)) AS BIGINT) AS peak " +
+        "FROM m, range(304) i WHERE i.range < m.n AND m.fk = 2 " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT media_id, format, width, height, sum_r, sum_g, sum_b, " +
+        "CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples, " +
+        "CAST(NULL AS BIGINT) AS sum_sq, CAST(NULL AS BIGINT) AS peak FROM img " +
+        "UNION ALL " +
+        "SELECT media_id, format, CAST(NULL AS INT) AS width, " +
+        "CAST(NULL AS INT) AS height, CAST(NULL AS BIGINT) AS sum_r, " +
+        "CAST(NULL AS BIGINT) AS sum_g, CAST(NULL AS BIGINT) AS sum_b, " +
+        "sample_rate, n_samples, sum_sq, peak FROM aud " +
+        "ORDER BY media_id"),
 
     // hash-mod sampling: the scramble is plain 64-bit arithmetic, so
     // DuckDB computes bit-equal buckets (doc_id is non-negative, so

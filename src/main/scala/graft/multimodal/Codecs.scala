@@ -1,0 +1,229 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM codecs for the multimodal column family (E4): 24-bit
+  * uncompressed BMP, binary PPM (P6), and PCM16 WAV. No external
+  * libraries — these are the formats simple enough to en/decode
+  * correctly from their public specs, which makes the decode path of
+  * the media pipeline end-to-end real instead of a stub.
+  *
+  * Decoders are strict on the envelope they support and throw
+  * `IllegalArgumentException` on anything else; callers surface that
+  * as a NULL feature row (corrupt media must not kill a 100 TB job).
+  */
+object Codecs {
+
+  /** Packed 0xRRGGBB per pixel, row-major top-down. */
+  final case class Image(width: Int, height: Int, pixels: Array[Int]) {
+    require(pixels.length == width * height, "pixel count != w*h")
+  }
+
+  /** Mono/interleaved PCM16 samples. */
+  final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  // ---- BMP (Windows BITMAPINFOHEADER, 24 bpp, BI_RGB) -------------------
+
+  def encodeBmp(img: Image): Array[Byte] = {
+    val rowBytes = img.width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * img.height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(img.width).putInt(img.height) // +h = bottom-up
+    buf.putShort(1).putShort(24).putInt(0).putInt(dataSize)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = img.height - 1 // bottom row first
+    while (y >= 0) {
+      var x = 0
+      while (x < img.width) {
+        val p = img.pixels(y * img.width + x)
+        buf.put((p & 0xff).toByte)         // B
+        buf.put(((p >> 8) & 0xff).toByte)  // G
+        buf.put(((p >> 16) & 0xff).toByte) // R
+        x += 1
+      }
+      var i = 0
+      while (i < pad) { buf.put(0.toByte); i += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val headerSize = buf.getInt(14)
+    require(headerSize >= 40, s"unsupported DIB header size $headerSize")
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"only 24bpp BI_RGB supported (got bpp=$bpp comp=$compression)")
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0, "degenerate dimensions")
+    val rowBytes = width * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    require(bytes.length >= dataOffset + stride.toLong * height,
+      "truncated pixel data")
+    val pixels = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      var x = 0
+      val base = dataOffset + srcRow * stride
+      while (x < width) {
+        val b = bytes(base + x * 3) & 0xff
+        val g = bytes(base + x * 3 + 1) & 0xff
+        val r = bytes(base + x * 3 + 2) & 0xff
+        pixels(y * width + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, pixels)
+  }
+
+  // ---- PPM (P6 binary, maxval 255) --------------------------------------
+
+  def encodePpm(img: Image): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.pixels.length * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < img.pixels.length) {
+      val p = img.pixels(i)
+      out(header.length + i * 3) = ((p >> 16) & 0xff).toByte
+      out(header.length + i * 3 + 1) = ((p >> 8) & 0xff).toByte
+      out(header.length + i * 3 + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def decodePpm(bytes: Array[Byte]): Image = {
+    // header: "P6" ws width ws height ws maxval single-ws, then binary
+    var pos = 0
+    def skipWs(): Unit = {
+      var inComment = false
+      while (pos < bytes.length &&
+             (inComment || bytes(pos) == ' ' || bytes(pos) == '\n' ||
+              bytes(pos) == '\r' || bytes(pos) == '\t' || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') inComment = true
+        else if (bytes(pos) == '\n') inComment = false
+        pos += 1
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, "bad PPM header int")
+      v
+    }
+    require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6', "not P6")
+    pos = 2
+    val width = readInt()
+    val height = readInt()
+    val maxval = readInt()
+    require(maxval == 255, s"only maxval 255 supported (got $maxval)")
+    pos += 1 // the single whitespace after maxval
+    require(bytes.length - pos >= width.toLong * height * 3, "truncated PPM")
+    val pixels = new Array[Int](width * height)
+    var i = 0
+    while (i < pixels.length) {
+      val r = bytes(pos + i * 3) & 0xff
+      val g = bytes(pos + i * 3 + 1) & 0xff
+      val b = bytes(pos + i * 3 + 2) & 0xff
+      pixels(i) = (r << 16) | (g << 8) | b
+      i += 1
+    }
+    Image(width, height, pixels)
+  }
+
+  // ---- WAV (RIFF, PCM 16-bit) -------------------------------------------
+
+  def encodeWav(a: Audio): Array[Byte] = {
+    val dataSize = a.samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(a.channels.toShort)
+    buf.putInt(a.sampleRate)
+    buf.putInt(a.sampleRate * a.channels * 2) // byte rate
+    buf.putShort((a.channels * 2).toShort)    // block align
+    buf.putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    a.samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Chunk-walking decoder: tolerates extra chunks (LIST, fact, ...)
+    * between fmt and data, as real-world WAV files carry.
+    */
+  def decodeWav(bytes: Array[Byte]): Audio = {
+    require(bytes.length >= 44, "truncated WAV")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a RIFF/WAVE")
+    var pos = 12
+    var sampleRate = -1
+    var channels = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
+      val id = fourcc(pos)
+      val size = buf.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"bad chunk size $size at $pos")
+      id match {
+        case "fmt " =>
+          require(buf.getShort(pos + 8) == 1, "only PCM supported")
+          channels = buf.getShort(pos + 10).toInt
+          sampleRate = buf.getInt(pos + 12)
+          require(buf.getShort(pos + 22) == 16, "only 16-bit supported")
+        case "data" =>
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = buf.getShort(pos + 8 + i * 2); i += 1
+          }
+        case _ => () // skip unknown chunk
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    Audio(sampleRate, channels, samples)
+  }
+
+  // ---- transforms --------------------------------------------------------
+
+  /** Nearest-neighbor resize — the real pixel operation behind the
+    * resize API (no external imaging library needed).
+    */
+  def resizeNearest(img: Image, w: Int, h: Int): Image = {
+    require(w > 0 && h > 0, "degenerate target")
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.height / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.width / w).toInt
+        out(y * w + x) = img.pixels(sy * img.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, out)
+  }
+}

@@ -9,12 +9,19 @@ import org.apache.spark.sql.types._
   * a typed metadata struct; decode / feature-extract / resize /
   * frame-sample are per-partition transforms over the binary column.
   *
-  * The Spark-side plumbing here — schema, partitioning, batch shape,
-  * null handling — is real and tested. The actual codec step is a
-  * clearly-marked STUB (this container has no image/audio libraries):
-  * `decodeStub` derives deterministic fake features from the bytes so
-  * tests are stable; production swaps `decodeStub` for a real codec
-  * with the same signature.
+  * The decode path is REAL for three formats via the pure-JVM
+  * [[Codecs]] (24bpp BMP, P6 PPM, PCM16 WAV): [[realMedia]] generates
+  * actual encoded bytes, [[withMediaFeatures]] decodes pixels/samples
+  * on the executors and emits exact integer features (so the DuckDB
+  * oracle can recompute them from the generating formula — the codec
+  * round-trip is oracle-verified end-to-end). Formats outside that
+  * set (png/jpeg/mp4 need external libraries this container lacks)
+  * fall back to the byte-level features of [[withDecodedFeatures]],
+  * which also remains the schema-stable surface for opaque payloads.
+  *
+  * Scale: decode is per-row CPU work with no shuffle — embarrassingly
+  * parallel across executors; corrupt bytes yield a NULL feature row
+  * instead of failing the job.
   */
 object Multimodal {
 
@@ -43,11 +50,10 @@ object Multimodal {
         (pmod(col("doc_id"), lit(30)) + 1).cast(IntegerType).as("n_frames")
       ).as("meta"))
 
-  /** STUB decode: deterministic per-row "features" from the raw bytes
-    * (length, xxhash64, a fake 8-bin byte histogram). Real
-    * implementation would decode pixels/samples here; everything
-    * around it (schema, codegen-friendly expressions, partition
-    * independence) is the production shape.
+  /** Byte-level features (length, xxhash64, hash histogram) — the
+    * container-agnostic path for formats [[Codecs]] can't decode
+    * (png/jpeg/mp4 need external libraries). For bmp/ppm/wav use
+    * [[withMediaFeatures]], which decodes actual pixels/samples.
     */
   def withDecodedFeatures(media: DataFrame): DataFrame =
     media
@@ -67,11 +73,144 @@ object Multimodal {
         i => pmod(i, lit(everyN)) === 0))
 
   /** Resize request: pure metadata transform (target dims recorded;
-    * the pixel work belongs to the decode stub's production swap-in).
+    * see [[resizeImages]] for the real pixel operation).
     */
   def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta",
       struct(col("meta.format").as("format"),
         lit(w).as("width"), lit(h).as("height"),
         col("meta.n_frames").as("n_frames")))
+
+  // ---- real codec path (BMP / PPM / WAV via Codecs) ---------------------
+
+  /** Deterministic media generators: the pixel/sample values are simple
+    * integer formulas of (media_id, x, y) / (media_id, i), chosen so an
+    * SQL oracle can recompute the decoded-feature sums exactly without
+    * being able to decode the container formats itself.
+    */
+  private[multimodal] def genImage(id: Long): Codecs.Image = {
+    val w = (8 + (id % 4) * 4).toInt
+    val h = (6 + (id % 5) * 2).toInt
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((id * 11 + x + y * 2) % 256).toInt
+        val b = ((id * 13 + x * 2 + y) % 256).toInt
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.Image(w, h, px)
+  }
+
+  private[multimodal] def genAudio(id: Long): Codecs.Audio = {
+    val n = (64 + (id % 16) * 16).toInt
+    val s = Array.tabulate(n)(i => (((id * 31 + i * 17) % 2048) - 1024).toShort)
+    Codecs.Audio(8000, 1, s)
+  }
+
+  private val encodeMediaUdf = udf((id: Long) => (id % 3) match {
+    case 0 => Codecs.encodeBmp(genImage(id))
+    case 1 => Codecs.encodePpm(genImage(id))
+    case _ => Codecs.encodeWav(genAudio(id))
+  })
+
+  /** Media table with REAL encoded payloads: BMP/PPM/WAV bytes built
+    * by [[Codecs]] from deterministic pixel/sample formulas.
+    */
+  def realMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      encodeMediaUdf(col("doc_id")).as("content"),
+      struct(
+        element_at(typedLit(Seq("bmp", "ppm", "wav")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("format"),
+        (pmod(col("doc_id"), lit(4)) * 4 + 8).cast(IntegerType).as("width"),
+        (pmod(col("doc_id"), lit(5)) * 2 + 6).cast(IntegerType).as("height"),
+        lit(1).as("n_frames")).as("meta"))
+
+  /** Exact integer features of a decoded payload. Image rows carry the
+    * per-channel pixel sums; audio rows the PCM sample count, energy
+    * (sum of squares) and peak amplitude. Integers, not means: bit-
+    * exact across engines, so the oracle compare is strict equality.
+    */
+  private case class MediaFeatures(
+      width: Option[Int], height: Option[Int],
+      sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
+      sample_rate: Option[Int], n_samples: Option[Int],
+      sum_sq: Option[Long], peak: Option[Long])
+
+  private val decodeUdf = udf((format: String, content: Array[Byte]) =>
+    try {
+      format match {
+        case "bmp" | "ppm" =>
+          val img =
+            if (format == "bmp") Codecs.decodeBmp(content)
+            else Codecs.decodePpm(content)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val p = img.pixels(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          MediaFeatures(Some(img.width), Some(img.height),
+            Some(sr), Some(sg), Some(sb), None, None, None, None)
+        case "wav" =>
+          val a = Codecs.decodeWav(content)
+          var sq = 0L; var peak = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val s = a.samples(i).toLong
+            sq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          MediaFeatures(None, None, None, None, None,
+            Some(a.sampleRate), Some(a.samples.length), Some(sq), Some(peak))
+        case _ => null // undecodable format: NULL feature row
+      }
+    } catch { case _: IllegalArgumentException => null })
+
+  /** Decode every payload on the executors and emit the exact-integer
+    * feature columns (NULLs for the other modality / corrupt bytes).
+    */
+  def withMediaFeatures(media: DataFrame): DataFrame =
+    media
+      .withColumn("f", decodeUdf(col("meta.format"), col("content")))
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"),
+        col("f.sample_rate").as("sample_rate"),
+        col("f.n_samples").as("n_samples"),
+        col("f.sum_sq").as("sum_sq"), col("f.peak").as("peak"))
+
+  private val resizeUdf = udf((format: String, content: Array[Byte], w: Int, h: Int) =>
+    try {
+      format match {
+        case "bmp" => Codecs.encodeBmp(Codecs.resizeNearest(Codecs.decodeBmp(content), w, h))
+        case "ppm" => Codecs.encodePpm(Codecs.resizeNearest(Codecs.decodePpm(content), w, h))
+        case _     => content // non-image payloads pass through
+      }
+    } catch { case _: IllegalArgumentException => null })
+
+  /** Real resize: decode -> nearest-neighbor resample -> re-encode in
+    * the same container format, updating meta dims to match.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame =
+    media
+      .withColumn("content",
+        resizeUdf(col("meta.format"), col("content"), lit(w), lit(h)))
+      .withColumn("meta",
+        struct(col("meta.format").as("format"),
+          when(col("meta.format").isin("bmp", "ppm"), lit(w))
+            .otherwise(col("meta.width")).as("width"),
+          when(col("meta.format").isin("bmp", "ppm"), lit(h))
+            .otherwise(col("meta.height")).as("height"),
+          col("meta.n_frames").as("n_frames")))
 }

@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-file and round-trip tests for the pure-JVM codecs. The
+  * golden byte arrays are hand-assembled from the public format specs
+  * (BMP: BITMAPFILEHEADER+BITMAPINFOHEADER; PPM: netpbm P6; WAV:
+  * RIFF/fmt/data), so a decoder that merely inverts its own encoder's
+  * mistakes still fails here.
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  // ---- golden BMP: 2x2, 24bpp, bottom-up, rows padded to 4 bytes ----
+  // pixels (top-down): (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+  private val goldenBmp: Array[Byte] = {
+    val header = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0, // DIB: 2x2, 24bpp
+      0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0)
+    // bottom row first, BGR order, 2 pad bytes per row (2*3=6 -> 8)
+    val pix = Array[Int](
+      255, 0, 0, /*blue*/ 255, 255, 255, /*white*/ 0, 0,
+      0, 0, 255, /*red*/ 0, 255, 0, /*green*/ 0, 0)
+    (header ++ pix).map(_.toByte)
+  }
+
+  test("golden BMP decodes: dims, channel order, bottom-up, padding") {
+    val img = Codecs.decodeBmp(goldenBmp)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq ==
+      Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+  }
+
+  test("golden PPM decodes (header parse incl. whitespace)") {
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val pix = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte)
+    val img = Codecs.decodePpm(header ++ pix)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq ==
+      Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+  }
+
+  test("PPM comment lines in the header are skipped") {
+    val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+    val pix = Array[Int](1, 2, 3, 4, 5, 6).map(_.toByte)
+    val img = Codecs.decodePpm(header ++ pix)
+    assert(img.width == 2 && img.height == 1)
+    assert(img.pixels.toSeq == Seq(0x010203, 0x040506))
+  }
+
+  // ---- golden WAV: 8000 Hz mono PCM16, 4 samples ----
+  private val goldenWav: Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(52)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2)
+    b.putShort(16)
+    b.put("data".getBytes).putInt(8)
+    Seq(0, 1000, -1000, 32767).foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  test("golden WAV decodes: rate, channels, LE samples") {
+    val a = Codecs.decodeWav(goldenWav)
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.toSeq == Seq[Short](0, 1000, -1000, 32767))
+  }
+
+  test("WAV decoder skips unknown chunks between fmt and data") {
+    // splice a 6-byte "LIST" chunk (word-aligned) before data
+    val b = java.nio.ByteBuffer.allocate(52 + 14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(goldenWav, 0, 36)               // RIFF..fmt chunk end
+    b.put("LIST".getBytes).putInt(5).put(Array[Byte](1, 2, 3, 4, 5, 0))
+    b.put(goldenWav, 36, 16)              // data chunk
+    val a = Codecs.decodeWav(b.array())
+    assert(a.samples.toSeq == Seq[Short](0, 1000, -1000, 32767))
+  }
+
+  test("encode/decode round-trips are identity (BMP incl. odd widths)") {
+    // width 3 exercises row padding (9 bytes -> 12)
+    for (w <- Seq(1, 3, 7, 16); h <- Seq(1, 2, 5)) {
+      val px = Array.tabulate(w * h)(i => (i * 2654435761L & 0xffffff).toInt)
+      val img = Codecs.Image(w, h, px)
+      assert(Codecs.decodeBmp(Codecs.encodeBmp(img)).pixels.toSeq == px.toSeq,
+        s"bmp $w x $h")
+      assert(Codecs.decodePpm(Codecs.encodePpm(img)).pixels.toSeq == px.toSeq,
+        s"ppm $w x $h")
+    }
+    val a = Codecs.Audio(44100, 2,
+      Array.tabulate(777)(i => ((i * 31) % 65536 - 32768).toShort))
+    val back = Codecs.decodeWav(Codecs.encodeWav(a))
+    assert(back.sampleRate == 44100 && back.channels == 2)
+    assert(back.samples.toSeq == a.samples.toSeq)
+  }
+
+  test("corrupt inputs are rejected, not misread") {
+    intercept[IllegalArgumentException](Codecs.decodeBmp("nope".getBytes))
+    intercept[IllegalArgumentException](
+      Codecs.decodeBmp(goldenBmp.take(40))) // truncated
+    intercept[IllegalArgumentException](Codecs.decodePpm("P5\n".getBytes))
+    intercept[IllegalArgumentException](Codecs.decodeWav(goldenWav.take(20)))
+  }
+
+  test("nearest resize: exact on integer scale, dims on fractional") {
+    val img = Codecs.Image(2, 2, Array(1, 2, 3, 4))
+    val up = Codecs.resizeNearest(img, 4, 4)
+    assert(up.pixels.toSeq ==
+      Seq(1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+    val down = Codecs.resizeNearest(up, 2, 2)
+    assert(down.pixels.toSeq == img.pixels.toSeq)
+    val odd = Codecs.resizeNearest(img, 3, 1)
+    assert(odd.width == 3 && odd.height == 1)
+  }
+}

@@ -43,4 +43,64 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("meta.width"), col("meta.height")).distinct().collect()
     assert(r.length == 1 && r(0).getInt(0) == 224 && r(0).getInt(1) == 224)
   }
+
+  // ---- real codec path: bytes -> pixels/samples through Spark ----------
+
+  private lazy val real =
+    Multimodal.realMedia(Tables.documents(spark, SparkTestSession.Sf))
+
+  test("real media decodes through Spark: pixel sums match the generators") {
+    val rows = Multimodal.withMediaFeatures(real)
+      .orderBy(col("media_id")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("media_id"))
+      r.getString(r.fieldIndex("format")) match {
+        case "bmp" | "ppm" =>
+          val img = Multimodal.genImage(id)
+          val (er, eg, eb) = img.pixels.foldLeft((0L, 0L, 0L)) {
+            case ((a, b, c), p) =>
+              (a + ((p >> 16) & 0xff), b + ((p >> 8) & 0xff), c + (p & 0xff))
+          }
+          assert(r.getInt(r.fieldIndex("width")) == img.width)
+          assert(r.getInt(r.fieldIndex("height")) == img.height)
+          assert(r.getLong(r.fieldIndex("sum_r")) == er, s"id=$id sum_r")
+          assert(r.getLong(r.fieldIndex("sum_g")) == eg, s"id=$id sum_g")
+          assert(r.getLong(r.fieldIndex("sum_b")) == eb, s"id=$id sum_b")
+          assert(r.isNullAt(r.fieldIndex("n_samples")))
+        case "wav" =>
+          val aud = Multimodal.genAudio(id)
+          val esq = aud.samples.foldLeft(0L)((a, s) => a + s.toLong * s)
+          assert(r.getInt(r.fieldIndex("sample_rate")) == 8000)
+          assert(r.getInt(r.fieldIndex("n_samples")) == aud.samples.length)
+          assert(r.getLong(r.fieldIndex("sum_sq")) == esq, s"id=$id sum_sq")
+          assert(r.isNullAt(r.fieldIndex("sum_r")))
+        case f => fail(s"unexpected format $f")
+      }
+    }
+  }
+
+  test("corrupt payloads yield NULL feature rows, not failures") {
+    val corrupt = real.withColumn("content",
+      expr("substring(content, 1, 10)")) // truncate every payload
+    val rows = Multimodal.withMediaFeatures(corrupt).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.isNullAt(r.fieldIndex("sum_r")) && r.isNullAt(r.fieldIndex("sum_sq"))))
+  }
+
+  test("real resize re-encodes image payloads at the target dims") {
+    val resized = Multimodal.resizeImages(real, 4, 3)
+    val rows = Multimodal.withMediaFeatures(resized)
+      .where(col("format").isin("bmp", "ppm")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("width")) == 4)
+      assert(r.getInt(r.fieldIndex("height")) == 3)
+    }
+    // audio passes through untouched
+    val wav = Multimodal.withMediaFeatures(resized)
+      .where(col("format") === "wav").collect()
+    assert(wav.forall(!_.isNullAt(wav.head.fieldIndex("n_samples"))))
+  }
 }
