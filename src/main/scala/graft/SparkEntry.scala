@@ -1199,22 +1199,9 @@ object SparkEntry {
     // identical recursion with the derivation inlined
     "q_recursive" -> ((s, dir) => {
       Tables.ensureViews(s, dir)
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type").as("dst"))
-        .withColumn("src", lag(col("dst"), 1).over(byUser))
-        .filter(col("src").isNotNull)
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("dst"))))
-        .filter(col("rk") === 1).select(col("src"), col("dst"))
-        .localCheckpoint()
-        .createOrReplaceTempView("transition_top")
-      s.sql("WITH RECURSIVE r(node, d) AS (SELECT 'click', 0 UNION ALL " +
-        "SELECT g.dst, r.d + 1 FROM r JOIN transition_top g ON g.src = r.node " +
-        "WHERE r.d < 4) " +
-        "SELECT node, CAST(min(d) AS BIGINT) AS depth FROM r " +
-        "GROUP BY node ORDER BY node")
+      val edges = TransitionGraph.topEdges(events(s, dir),
+        col("user_id"), col("event_id"), col("event_type"), k = 3)
+      TransitionGraph.reachable(s, edges, start = "click", maxDepth = 4)
     }),
 
     // approximate heavy hitters (DataSketches frequent-items via
@@ -1269,7 +1256,7 @@ object SparkEntry {
       "FROM e WHERE prev IS NOT NULL GROUP BY 1, 2), " +
       "g AS (SELECT src, dst FROM (SELECT src, dst, " +
       "row_number() OVER (PARTITION BY src ORDER BY cnt DESC, dst) AS rk FROM c) t " +
-      "WHERE rk = 1), " +
+      "WHERE rk <= 3), " +
       "r(node, d) AS (SELECT 'click', 0 UNION ALL " +
       "SELECT g.dst, r.d + 1 FROM r JOIN g ON g.src = r.node WHERE r.d < 4) " +
       "SELECT node, CAST(min(d) AS BIGINT) AS depth FROM r GROUP BY node ORDER BY node"

@@ -22,7 +22,8 @@ import graft.ops._
   * TRUE answer quadratically — measuring output volume, not
   * operator efficiency.
   *
-  * Usage: runMain graft.tools.ScaleSmoke [sfDir] [maxFactor]
+  * Usage: runMain graft.tools.ScaleSmoke [sfDir] [maxFactor] [opFilter]
+  * (opFilter: comma-separated op names; default all)
   */
 object ScaleSmoke {
 
@@ -44,6 +45,20 @@ object ScaleSmoke {
         (col("user_id") * f + col("r")).as("user_id"),
         (col("value") + col("r") * 1e6).as("value"),
         (col("t") + col("r") * 86400L * 40L).as("t"))
+
+  /** Like [[inflateEvents]] but keeps event_type: replicas get
+    * disjoint user_ids, so per-user transition sequences (and thus
+    * the aggregated graph's edge set) are preserved while transition
+    * counts multiply by F — the edge-derivation work grows linearly,
+    * the recursion input stays constant-size.
+    */
+  private def inflateTypedEvents(ev: DataFrame, f: Int): DataFrame =
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
+      explode(sequence(lit(0), lit(f - 1))).as("r"))
+      .select(
+        (col("event_id") * f + col("r")).as("event_id"),
+        (col("user_id") * f + col("r")).as("user_id"),
+        col("event_type"))
 
   private def time(fn: => DataFrame): (Double, Long) = {
     val t0 = System.nanoTime()
@@ -94,11 +109,20 @@ object ScaleSmoke {
       "skyline" -> { f =>
         Skyline.frontier(inflateEvents(Tables.events(spark, sfDir), f),
           col("t"), col("value"))
+      },
+      "recursive_reach" -> { f =>
+        val edges = TransitionGraph.topEdges(
+          inflateTypedEvents(Tables.events(spark, sfDir), f),
+          col("user_id"), col("event_id"), col("event_type"), k = 3)
+        TransitionGraph.reachable(spark, edges, start = "click",
+          maxDepth = 4, viewName = s"smoke_edges_x$f")
       })
 
+    val opFilter = args.lift(2).map(_.split(",").toSet)
+    val selected = ops.filter { case (n, _) => opFilter.forall(_.contains(n)) }
     // warm each op once at factor 1 (codegen/JIT), then measure
     println(f"${"op"}%-16s factor  seconds      rows   exp(t)")
-    val results = ops.map { case (name, build) =>
+    val results = selected.map { case (name, build) =>
       time(build(1))
       val times = factors.map { f =>
         val (sec, rows) = time(build(f))
