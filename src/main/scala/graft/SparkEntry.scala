@@ -978,6 +978,15 @@ object SparkEntry {
         k = 5, minShared = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // per-doc top-k neighbor projection over the same postings join:
+    // output bounded at topK rows/doc however dense the pair graph is;
+    // the rank filter plans as WindowGroupLimit (per-partition top-k
+    // before the window sort), pinned by PlanHygieneSpec
+    "q_sparse_topk" -> ((s, dir) =>
+      Tfidf.topNeighbors(documents(s, dir), col("doc_id"), col("text"),
+        k = 5, minShared = 2, topK = 3)
+        .orderBy(col("id"), col("rk"))),
+
     // corpus drift: top-20 tokens by total-variation contribution
     // between the even-id and odd-id halves (exact integer numerators,
     // one double divide - deterministic, so the oracle hash-matches)
@@ -2011,6 +2020,31 @@ object SparkEntry {
         "SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared, " +
         "CAST(sum(m) AS BIGINT) AS overlap FROM pr GROUP BY id_a, id_b " +
         "HAVING count(*) >= 2 ORDER BY id_a, id_b"),
+
+    // same postings chain, then symmetrize + per-doc top-3 by
+    // (overlap desc, n_shared desc, nbr asc) — total order, exact cut
+    "q_sparse_topk" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term), " +
+        "dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term), " +
+        "nn AS (SELECT count(*) AS n FROM documents), " +
+        "s AS (SELECT doc_id, term, tf, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY " +
+        "CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS rk " +
+        "FROM tfc JOIN dfc USING (term) CROSS JOIN nn), " +
+        "p AS (SELECT doc_id, term, tf FROM s WHERE rk <= 5), " +
+        "cap AS (SELECT term FROM p GROUP BY term HAVING count(*) <= 1000), " +
+        "pc AS (SELECT p.doc_id, p.term, p.tf FROM p JOIN cap USING (term)), " +
+        "pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, least(x.tf, y.tf) AS m " +
+        "FROM pc x JOIN pc y ON x.term = y.term AND x.doc_id < y.doc_id), " +
+        "pairs AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared, " +
+        "CAST(sum(m) AS BIGINT) AS overlap FROM pr GROUP BY id_a, id_b " +
+        "HAVING count(*) >= 2), " +
+        "sym AS (SELECT id_a AS id, id_b AS nbr, n_shared, overlap FROM pairs " +
+        "UNION ALL SELECT id_b AS id, id_a AS nbr, n_shared, overlap FROM pairs) " +
+        "SELECT id, nbr, n_shared, overlap, rk FROM (SELECT id, nbr, n_shared, overlap, " +
+        "CAST(row_number() OVER (PARTITION BY id ORDER BY overlap DESC, n_shared DESC, nbr ASC) AS BIGINT) AS rk " +
+        "FROM sym) t WHERE rk <= 3 ORDER BY id, rk"),
 
     // numerator products are exact doubles (< 2^53), ordered (drift
     // desc, token) on both engines

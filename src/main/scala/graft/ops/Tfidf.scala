@@ -134,4 +134,34 @@ object Tfidf {
         sum(least(col("tf_a"), col("tf_b"))).as("overlap"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Per-document top-`topK` most-similar neighbors — the user-facing
+    * default over [[sharedSalientPairs]]: the full pair table's output
+    * volume grows with pair density (877k rows at sf0.1), while this
+    * projection is bounded at topK rows per document regardless of how
+    * dense the similarity graph gets.
+    *
+    * Scale shape: symmetrize the (id_a < id_b) pairs with a cheap
+    * union (no extra join), then rank per document. The rank filter is
+    * `row_number() <= topK`, which Spark plans as WindowGroupLimit —
+    * a per-partition top-k push-down ahead of the window sort, so no
+    * partition ever fully sorts its neighbor list. Tie-break
+    * (overlap desc, n_shared desc, neighbor asc) is a total order, so
+    * the cut is deterministic and oracle-matchable.
+    */
+  def topNeighbors(docs: DataFrame, idCol: Column, textCol: Column,
+                   k: Int = 5, minShared: Int = 2, maxPostings: Int = 1000,
+                   topK: Int = 3): DataFrame = {
+    val pairs = sharedSalientPairs(docs, idCol, textCol, k, minShared, maxPostings)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"),
+        col("n_shared"), col("overlap"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"),
+        col("n_shared"), col("overlap")))
+    val byScore = Window.partitionBy(col("id"))
+      .orderBy(col("overlap").desc, col("n_shared").desc, col("nbr").asc)
+    sym.withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") <= topK)
+      .select(col("id"), col("nbr"), col("n_shared"), col("overlap"),
+        col("rk").cast("long").as("rk"))
+  }
 }

@@ -235,4 +235,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"z-value needs no hash shuffle:\n$plan")
   }
 
+  test("q_sparse_topk rank filter plans as WindowGroupLimit, no full sort") {
+    val plan = finalPlan(q("q_sparse_topk"))
+    assert(plan.contains("WindowGroupLimit"), s"no group limit in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
+  }
+
 }
