@@ -15,6 +15,14 @@ def load(p):
         i = line.find('{"metric"')
         if i >= 0 and '"queries"' in line:
             return json.loads(line[i:].strip())
+    # pretty-printed record (the saved BENCH_r*_local.json files)
+    with open(p) as f:
+        try:
+            d = json.load(f)
+            if "queries" in d:
+                return d
+        except json.JSONDecodeError:
+            pass
     raise SystemExit(f"no full record in {p}")
 
 
