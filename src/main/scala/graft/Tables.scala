@@ -14,8 +14,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Every load normalizes TIMESTAMP_NTZ columns to TimestampType
+    * (the session TZ is pinned UTC, so the cast is a lossless
+    * reinterpretation): the driver's parquet writes timestamps
+    * without the UTC-adjusted flag (orders.o_orderdate,
+    * lineitem.l_shipdate, events.ts all read as NTZ), and one
+    * un-normalized column is a latent CAST_WITHOUT_SUGGESTION /
+    * type-mismatch trap for every future query touching it.
+    * TableContractSpec pins the post-load logical schema of all ten
+    * tables.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(raw)((df, f) =>
+        df.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
 
   /** Register every table as a temp view so the whole engine is
     * reachable from `spark.sql(...)` (with the native kernels via

@@ -110,6 +110,10 @@ object ScaleSmoke {
         Skyline.frontier(inflateEvents(Tables.events(spark, sfDir), f),
           col("t"), col("value"))
       },
+      "sparse_topk" -> { f =>
+        Tfidf.topNeighbors(inflateDocs(Tables.documents(spark, sfDir), f),
+          col("doc_id"), col("text"), k = 5, minShared = 2, topK = 3)
+      },
       "recursive_reach" -> { f =>
         val edges = TransitionGraph.topEdges(
           inflateTypedEvents(Tables.events(spark, sfDir), f),
