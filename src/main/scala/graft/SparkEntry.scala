@@ -1145,6 +1145,20 @@ object SparkEntry {
         shingleN = 3, tauNum = 7, tauDen = 10)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // cross-corpus near-dup decontamination: training docs (even ids)
+    // that are fuzzy copies of benchmark docs (odd ids) — bipartite
+    // prefix-filtered exact Jaccard, pair space bounded per token,
+    // never |A|x|B|
+    "q_cross_neardup" -> ((s, dir) => {
+      val d = documents(s, dir)
+      SetSim.crossJaccardJoin(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        col("doc_id"), col("text"),
+        shingleN = 3, tauNum = 7, tauDen = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // corpus collocations: bigram lift (exp-PMI) from exact integer
     // counts — bigram/unigram count shuffles are word-keyed, totals
     // ride one broadcast row, top-50 is TakeOrderedAndProject
@@ -2238,6 +2252,26 @@ object SparkEntry {
         "tk AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
         "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
         "FROM tk a JOIN tk b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, " +
+        "CAST(na.n + nb.n - inter AS BIGINT) AS uni FROM pr " +
+        "JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b) " +
+        "SELECT id_a, id_b, inter, uni, " +
+        "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard " +
+        "FROM j WHERE inter * 10 >= uni * 7 ORDER BY id_a, id_b"),
+
+    // bipartite variant: even-id docs vs odd-id docs, exact postings
+    // join on the shingle (the oracle needs no prefix filter — it
+    // computes the exact answer the filtered Spark plan must equal)
+    "q_cross_neardup" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 " +
+        "THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM w), " +
+        "n AS (SELECT doc_id, len(s) AS n FROM sh), " +
+        "tk AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM tk a JOIN tk b ON a.g = b.g AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 " +
+        "GROUP BY 1, 2), " +
         "j AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, " +
         "CAST(na.n + nb.n - inter AS BIGINT) AS uni FROM pr " +
         "JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b) " +

@@ -98,4 +98,68 @@ object SetSim {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
   }
+
+  /** Bipartite (cross-corpus) variant: all pairs (a ∈ docsA, b ∈ docsB)
+    * with shingle-set Jaccard ≥ τ — the NEAR-DUP form of benchmark
+    * decontamination (the exact n-gram form is `Decontaminate`): find
+    * training documents that are fuzzy copies of eval/benchmark
+    * documents, where token-level edits defeat exact n-gram overlap.
+    *
+    * Same prefix-filter principle as [[jaccardJoin]]; the global token
+    * order comes from document frequency over the UNION of both
+    * corpora (any one consistent total order keeps the filter exact —
+    * df-ascending keeps prefix buckets rare by construction). The
+    * candidate join is A-prefix × B-prefix on the token, so the pair
+    * space is Σ_tok dfA_prefix(tok)·dfB_prefix(tok), never |A|·|B|.
+    */
+  def crossJaccardJoin(docsA: DataFrame, docsB: DataFrame,
+                       idCol: Column, textCol: Column,
+                       shingleN: Int = 3, tauNum: Int = 1, tauDen: Int = 2)
+      : DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum, "need 0 < tau <= 1")
+
+    def sets(docs: DataFrame): DataFrame = docs.select(
+      idCol.as("id"),
+      array_sort(array_distinct(
+        graft.ops.TextStats.shingles(textCol, shingleN))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint(eager = false)
+
+    val setsA = sets(docsA)
+    val setsB = sets(docsB)
+    val postA = setsA.select(col("id"), col("n"), explode(col("toks")).as("tok"))
+    val postB = setsB.select(col("id"), col("n"), explode(col("toks")).as("tok"))
+    val dfreq = postA.select(col("tok")).unionAll(postB.select(col("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    def prefix(post: DataFrame): DataFrame = post
+      .join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))
+          .orderBy(col("df").asc, col("tok").asc)))
+      .withColumn("l",
+        expr(s"n - ((n * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
+      .filter(col("rk") <= col("l"))
+      .select(col("id"), col("n"), col("tok"))
+
+    val a = prefix(postA).toDF("id_a", "n_a", "tok")
+    val b = prefix(postB).toDF("id_b", "n_b", "tok")
+    val cand = a.join(b, "tok")
+      .filter(greatest(col("n_a"), col("n_b")) * tauNum <=
+        least(col("n_a"), col("n_b")) * tauDen)
+      .select(col("id_a"), col("id_b")).distinct()
+
+    val fullA = setsA.select(col("id").as("id_a"), col("toks").as("toks_a"),
+      col("n").as("n_a"))
+    val fullB = setsB.select(col("id").as("id_b"), col("toks").as("toks_b"),
+      col("n").as("n_b"))
+    cand.join(fullA, "id_a").join(fullB, "id_b")
+      .withColumn("inter",
+        graft.functions.ArrayExprs.interCountSorted(col("toks_a"), col("toks_b")))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+  }
 }

@@ -74,4 +74,54 @@ class SetSimSpec extends AnyFunSuite {
     assert(specs.nonEmpty && specs.forall(_.startsWith("id#")),
       s"window not partitioned on id ($specs) in:\n$plan")
   }
+
+  test("crossJaccardJoin equals brute force over A x B, no same-side pairs") {
+    val a = docs(
+      2 -> "a b c d e f g h",
+      4 -> "p q r s t u v w",
+      6 -> "m n o p q r s t")
+    val b = docs(
+      1 -> "a b c d e f g x", // near-dup of A:2
+      3 -> "p q r s t u v w", // exact dup of A:4
+      5 -> "z z z z z z z z")
+    val got = SetSim.crossJaccardJoin(a, b, col("doc_id"), col("text"),
+      shingleN = 3, tauNum = 1, tauDen = 2)
+      .select("id_a", "id_b").as[(Int, Int)].collect().toSet
+
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val ma = Map(2 -> sh("a b c d e f g h"), 4 -> sh("p q r s t u v w"),
+      6 -> sh("m n o p q r s t"))
+    val mb = Map(1 -> sh("a b c d e f g x"), 3 -> sh("p q r s t u v w"),
+      5 -> sh("z z z z z z z z"))
+    val want = (for {
+      x <- ma.keys; y <- mb.keys
+      inter = (ma(x) intersect mb(y)).size
+      uni = (ma(x) union mb(y)).size
+      if inter * 2 >= uni
+    } yield (x, y)).toSet
+    assert(got == want)
+    assert(want.contains((2, 1)) && want.contains((4, 3)))
+    // ids from A only on the left, from B only on the right
+    assert(got.forall { case (x, y) => ma.contains(x) && mb.contains(y) })
+  }
+
+  test("crossJaccardJoin plan: equi-keyed joins, id-partitioned windows") {
+    val d = graft.Tables.documents(spark, SparkTestSession.Sf)
+    val df = SetSim.crossJaccardJoin(
+      d.filter(pmod(col("doc_id"), lit(2)) === 0),
+      d.filter(pmod(col("doc_id"), lit(2)) === 1),
+      col("doc_id"), col("text"), shingleN = 3, tauNum = 7, tauDen = 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"product in:\n$plan")
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("id#")),
+      s"window not partitioned on id ($specs) in:\n$plan")
+  }
 }
