@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   */
 object StreamingIngest {
 
-  /** Raw parquet schema: the events table stores TIMESTAMP(NANOS)
-    * which Spark reads as a nanos long (see [[graft.Tables.events]]).
+  /** Raw parquet schema of the events table with `ts` as the nanos
+    * long of the original TIMESTAMP(NANOS) encoding (see
+    * [[graft.Tables.events]]); kept for tests that synthesize that
+    * encoding. [[readEvents]] no longer assumes it.
     */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -27,16 +29,23 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a parquet directory of events; `ts` is
-    * converted to a microsecond TimestampType.
+  /** Streaming source over a parquet directory of events. Streaming
+    * sources need an explicit schema, so peek at the directory's
+    * actual parquet footer with a static read (one metadata
+    * operation), then normalize whatever physical `ts` encoding is
+    * present — int64 nanos, timestamp[us] NTZ, or UTC-adjusted — to
+    * TimestampType via the same [[graft.Tables.normalizeTs]] contract
+    * as the batch loader (the driver has regenerated the encoding
+    * once already; the streaming twin must not hardcode one).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventsSchema)
-      .option("maxFilesPerTrigger", "4")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(physical)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(dir))
   }
 
   /** Incremental dedup: event-time watermark bounds the dedup state
@@ -109,6 +118,35 @@ object StreamingIngest {
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("_source_custom_id", "_source_list_index"))
       .drop("ingest_ts")
+
+  /** Streaming twin of benchmark decontamination: documents arrive as
+    * a stream and each micro-batch runs the SAME batch operator
+    * ([[graft.ops.Decontaminate.decontaminated]]) against the static
+    * benchmark corpus. This is exact, not approximate: a document's
+    * grams are wholly contained in its own row, so no cross-batch
+    * state is needed — the per-batch plan is the batch plan, with the
+    * benchmark gram set broadcast once per micro-batch. foreachBatch
+    * is the right harness for an operator that ends in a per-batch
+    * aggregation (a plain streaming groupBy would accrete doc-keyed
+    * state the query never needs).
+    */
+  def decontaminatedBatches(docs: DataFrame, bench: DataFrame,
+                            n: Int, maxContamination: Double,
+                            outDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Decontaminate
+          .decontaminated(batch, bench, col("doc_id"), col("text"),
+            n, maxContamination)
+          .write.mode("append").parquet(outDir)
+        () // Scala 2.13 needs the unit for the (DataFrame, Long) => Unit overload
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("decontam_ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 
   /** Run a streaming frame to completion against a named memory sink;
     * returns the materialized result. Test/driver harness only.

@@ -8,6 +8,7 @@ import graft.{SparkTestSession, Tables}
 /** Structured-Streaming twin of the ingest slice (SURVEY §7 step 4). */
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
 
   private def eventsDir = {
     // copy sf0.001 events into a dir (streaming sources read directories)
@@ -15,6 +16,45 @@ class StreamingSpec extends AnyFunSuite {
     Tables.events(spark, SparkTestSession.Sf).write.mode("overwrite")
       .parquet(dir)
     dir
+  }
+
+  test("readEvents streams the REAL testdata encoding (ts normalized)") {
+    // the driver regenerated events.parquet as timestamp[us] NTZ once
+    // already — the streaming source must read whatever encoding the
+    // directory actually carries, not a hardcoded one
+    val dir = java.nio.file.Files.createTempDirectory("se_real").toString
+    // the driver writes events.parquet as a single pyarrow file
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.Sf}/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = StreamingIngest.readEvents(spark, dir)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val out = StreamingIngest.runToMemory(spark,
+      StreamingIngest.dedupedStream(stream), "real_enc_out")
+    assert(out.count() == Tables.events(spark, SparkTestSession.Sf).count())
+  }
+
+  test("streaming decontamination equals the batch operator") {
+    import graft.ops.Decontaminate
+    val docs = Tables.documents(spark, SparkTestSession.Sf).limit(300).cache()
+    val bench = Tables.documents(spark, SparkTestSession.Sf)
+      .filter(col("doc_id") % 7 === 0).limit(40).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("sd_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sd_out").toString
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.decontaminatedBatches(stream, bench,
+      n = 3, maxContamination = 0.5, outDir = outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    val batch = Decontaminate.decontaminated(docs, bench,
+      col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(batch.size < 300) // the benchmark docs themselves got dropped
+    docs.unpersist(); bench.unpersist()
   }
 
   test("streaming dedup passes every unique event exactly once") {
