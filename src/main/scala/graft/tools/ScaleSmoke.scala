@@ -110,6 +110,17 @@ object ScaleSmoke {
         Skyline.frontier(inflateEvents(Tables.events(spark, sfDir), f),
           col("t"), col("value"))
       },
+      "cross_neardup" -> { f =>
+        // split on the ORIGINAL doc id ((id div f) keeps each
+        // replica's even/odd halves intact — raw inflated-id parity
+        // would pit disjoint-vocabulary replicas against each other
+        // and measure an empty join)
+        val d = inflateDocs(Tables.documents(spark, sfDir), f)
+        SetSim.crossJaccardJoin(
+          d.filter(expr(s"(doc_id div $f) % 2 = 0")),
+          d.filter(expr(s"(doc_id div $f) % 2 = 1")),
+          col("doc_id"), col("text"), shingleN = 3, tauNum = 7, tauDen = 10)
+      },
       "sparse_topk" -> { f =>
         Tfidf.topNeighbors(inflateDocs(Tables.documents(spark, sfDir), f),
           col("doc_id"), col("text"), k = 5, minShared = 2, topK = 3)
