@@ -987,6 +987,14 @@ object SparkEntry {
         k = 5, minShared = 2, topK = 3)
         .orderBy(col("id"), col("rk"))),
 
+    // balanced training-shard assignment: equi-depth weight strata
+    // (two-pass prefix scan, no global window) x hash round-robin
+    // within stratum — deterministic, layout-independent shard mass
+    "q_shard_assign" -> ((s, dir) =>
+      Sharding.assign(documents(s, dir), col("doc_id"), col("n_chars"),
+        nShards = 16, strata = 8)
+        .orderBy(col("id"))),
+
     // corpus drift: top-20 tokens by total-variation contribution
     // between the even-id and odd-id halves (exact integer numerators,
     // one double divide - deterministic, so the oracle hash-matches)
@@ -1913,6 +1921,23 @@ object SparkEntry {
         "CAST(NULL AS BIGINT) AS sum_g, CAST(NULL AS BIGINT) AS sum_b, " +
         "sample_rate, n_samples, sum_sq, peak FROM aud " +
         "ORDER BY media_id"),
+
+    // equi-depth strata via the q_global_rank prefix-sum pattern over
+    // n_chars, then the oracle-matched multiplicative scramble mod
+    // nShards — all exact integer arithmetic
+    "q_shard_assign" ->
+      ("WITH c AS (SELECT CAST(n_chars AS DOUBLE) AS v, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c), " +
+        "r AS (SELECT v, CAST(coalesce(sum(cnt) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rnk " +
+        "FROM c), " +
+        "b AS (SELECT v, CAST((rnk - 1) * 8 // n + 1 AS BIGINT) AS bucket " +
+        "FROM r CROSS JOIN nn) " +
+        "SELECT doc_id AS id, n_chars AS weight, bucket, " +
+        "CAST((doc_id * 2654435761) % 16 AS BIGINT) AS shard " +
+        "FROM documents JOIN b ON CAST(n_chars AS DOUBLE) = b.v " +
+        "ORDER BY id"),
 
     // hash-mod sampling: the scramble is plain 64-bit arithmetic, so
     // DuckDB computes bit-equal buckets (doc_id is non-negative, so
