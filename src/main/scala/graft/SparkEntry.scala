@@ -869,6 +869,20 @@ object SparkEntry {
         Multimodal.realMedia(documents(s, dir)))
         .orderBy(col("media_id"))),
 
+    // E4: the real RESIZE path — decode, nearest-neighbor resample to
+    // 4x3, re-encode in the same container, decode again. The oracle
+    // recomputes the resized sums from the pixel formula + the same
+    // floor source-index map (sx = x*w div 4), so a stride/rounding
+    // bug anywhere in the chain breaks the hash-match
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.withMediaFeatures(
+        Multimodal.resizeImages(
+          Multimodal.realMedia(documents(s, dir)), 4, 3))
+        .where(col("format").isin("bmp", "ppm"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("media_id"))),
+
     // training-mix selection (Sampling): layout-independent hash-mod
     // sampling — same surviving rows on any cluster size/partitioning,
     // unlike rand(); the scramble is plain 64-bit arithmetic, so the
@@ -1938,6 +1952,19 @@ object SparkEntry {
         "CAST((doc_id * 2654435761) % 16 AS BIGINT) AS shard " +
         "FROM documents JOIN b ON CAST(n_chars AS DOUBLE) = b.v " +
         "ORDER BY id"),
+
+    // resized sums: same pixel formulas sampled through the floor
+    // source-index map of nearest-neighbor resampling
+    "q_media_resize" ->
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS fk, " +
+        "8 + (doc_id % 4) * 4 AS w, 6 + (doc_id % 5) * 2 AS h FROM documents) " +
+        "SELECT m.media_id, CASE m.fk WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format, " +
+        "CAST(4 AS INT) AS width, CAST(3 AS INT) AS height, " +
+        "CAST(SUM((m.media_id*7 + ((a.range * m.w) // 4)*3 + ((b.range * m.h) // 3)*5) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(SUM((m.media_id*11 + ((a.range * m.w) // 4) + ((b.range * m.h) // 3)*2) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(SUM((m.media_id*13 + ((a.range * m.w) // 4)*2 + ((b.range * m.h) // 3)) % 256) AS BIGINT) AS sum_b " +
+        "FROM m, range(4) a, range(3) b WHERE m.fk < 2 " +
+        "GROUP BY 1, 2, 3, 4 ORDER BY media_id"),
 
     // hash-mod sampling: the scramble is plain 64-bit arithmetic, so
     // DuckDB computes bit-equal buckets (doc_id is non-negative, so
