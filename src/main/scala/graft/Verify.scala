@@ -67,7 +67,13 @@ object Verify {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration subset: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b runs just
+    // those queries (pairs with tools/run_subset.py on the check side).
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         if (System.currentTimeMillis() - t0 < deadlineMs) {
           try {

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types._
@@ -22,11 +22,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * keeps the rest of the stage fused.
   *
   * Semantics exactly match the declarative forms they replace
-  * (xxhash64 with seed 42; double accumulation in index order).
+  * (engine-portable polynomial hashes — see [[kernels.polyHash]];
+  * double accumulation in index order).
   */
 object kernels {
 
-  /** Single pass SimHash: per-token xxhash64, ±1 votes per bit, sign
+  /** Engine-portable rolling hash: h = (h·mult + codepoint) mod P over
+    * the string's unicode codepoints in order. Defined by pure 64-bit
+    * integer arithmetic, so ANY engine (DuckDB, Trino, a Python
+    * checker) recomputes it bit-for-bit — signatures written to a lake
+    * stay verifiable outside Spark, and the correctness oracle can
+    * hash-match the LSH dedup family instead of trusting spec pins.
+    * mult ≤ 131 keeps every step below 2^39 (no overflow, no wrap).
+    */
+  def polyHash(s: UTF8String, mult: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * mult + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Single pass SimHash: per-token 62-bit portable hash (two
+    * independent [[polyHash]] streams, multipliers 31 and 131, packed
+    * as h₁·2³¹ + h₂ — bits 62/63 are always 0), ±1 votes per bit, sign
     * of the vote is the signature bit.
     */
   def simhash64(arr: ArrayData): Long = {
@@ -36,7 +59,17 @@ object kernels {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val str = s.toString
+        var h1 = 0L
+        var h2 = 0L
+        var ci = 0
+        while (ci < str.length) {
+          val cp = str.codePointAt(ci)
+          h1 = (h1 * 31L + cp) % P
+          h2 = (h2 * 131L + cp) % P
+          ci += Character.charCount(cp)
+        }
+        val h = (h1 << 31) + h2
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -64,8 +97,9 @@ object kernels {
 
   private val P = 2147483647L // 2^31 − 1
 
-  /** MinHash signature: base hash per shingle (xxhash64 mod P), k
-    * universal permutations (a·h + b mod P) minimized over shingles.
+  /** MinHash signature: base hash per shingle (portable [[polyHash]]
+    * mod P, multiplier 31), k universal permutations (a·h + b mod P)
+    * minimized over shingles.
     */
   def minhashSig(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val k = as.length
@@ -75,8 +109,7 @@ object kernels {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val raw = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        val h = ((raw % P) + P) % P
+        val h = polyHash(s, 31L)
         var j = 0
         while (j < k) {
           val v = (as(j) * h + bs(j)) % P

@@ -3,10 +3,10 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JVM codecs for the multimodal column family (E4): 24-bit
-  * uncompressed BMP, binary PPM (P6), and PCM16 WAV. No external
-  * libraries — these are the formats simple enough to en/decode
-  * correctly from their public specs, which makes the decode path of
-  * the media pipeline end-to-end real instead of a stub.
+  * uncompressed BMP, binary PPM (P6), compressed QOI, and PCM16 WAV.
+  * No external libraries — these are the formats simple enough to
+  * en/decode correctly from their public specs, which makes the decode
+  * path of the media pipeline end-to-end real instead of a stub.
   *
   * Decoders are strict on the envelope they support and throw
   * `IllegalArgumentException` on anything else; callers surface that
@@ -67,6 +67,11 @@ object Codecs {
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
     require(width > 0 && height > 0, "degenerate dimensions")
+    // dataOffset is attacker-controlled: a negative value passes the
+    // truncation check below (negative + positive <= length) and then
+    // indexes at a negative base — reject it outright
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bad pixel data offset $dataOffset")
     val rowBytes = width * 3
     val stride = rowBytes + (4 - rowBytes % 4) % 4
     require(bytes.length >= dataOffset + stride.toLong * height,
@@ -149,6 +154,125 @@ object Codecs {
     Image(width, height, pixels)
   }
 
+  // ---- QOI (Quite OK Image, qoiformat.org 1-page public spec) -----------
+  // The compressed container of the family: run-length, 64-slot seen-
+  // pixel index, 2-bit diffs and luma diffs — so the corrupt-payload
+  // NULL path gets exercised by real bitstream errors, not just bad
+  // headers. RGB only (channels=3); decode accepts 3 or 4 channels and
+  // drops alpha (it still participates in the index hash, per spec).
+
+  private def qoiHash(r: Int, g: Int, b: Int, a: Int): Int =
+    (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+  def encodeQoi(img: Image): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(14 + img.pixels.length + 8)
+    val hdr = ByteBuffer.allocate(14)
+    hdr.put('q'.toByte).put('o'.toByte).put('i'.toByte).put('f'.toByte)
+    hdr.putInt(img.width).putInt(img.height) // big-endian, spec order
+    hdr.put(3.toByte).put(0.toByte)          // RGB, sRGB-linear-alpha flag 0
+    out.write(hdr.array())
+    val index = new Array[Int](64) // packed 0xAARRGGBB, zero-initialized
+    var pr = 0; var pg = 0; var pb = 0 // previous pixel starts (0,0,0,255)
+    var run = 0
+    var i = 0
+    while (i < img.pixels.length) {
+      val p = img.pixels(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      if (r == pr && g == pg && b == pb) {
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val packed = (0xff << 24) | (r << 16) | (g << 8) | b
+        val h = qoiHash(r, g, b, 255)
+        if (index(h) == packed) out.write(h) // QOI_OP_INDEX
+        else {
+          index(h) = packed
+          val dr = r - pr; val dg = g - pg; val db = b - pb
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1) {
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          } else {
+            val drdg = dr - dg; val dbdg = db - dg
+            if (dg >= -32 && dg <= 31 && drdg >= -8 && drdg <= 7 &&
+                dbdg >= -8 && dbdg <= 7) {
+              out.write(0x80 | (dg + 32))
+              out.write(((drdg + 8) << 4) | (dbdg + 8))
+            } else {
+              out.write(0xfe); out.write(r); out.write(g); out.write(b)
+            }
+          }
+        }
+        pr = r; pg = g; pb = b
+      }
+      i += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    out.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 1), 0, 8) // end marker
+    out.toByteArray
+  }
+
+  def decodeQoi(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 22, "truncated QOI") // 14 header + 8 end marker
+    require(bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' &&
+      bytes(3) == 'f', "not a QOI")
+    val buf = ByteBuffer.wrap(bytes) // big-endian by default, spec order
+    val width = buf.getInt(4)
+    val height = buf.getInt(8)
+    val channels = bytes(12).toInt
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= 64L * 1024 * 1024, "degenerate dimensions")
+    require(channels == 3 || channels == 4, s"bad channel count $channels")
+    val n = width * height
+    val pixels = new Array[Int](n)
+    val index = new Array[Int](64)
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var pos = 14
+    val end = bytes.length - 8 // chunks stop before the end marker
+    var i = 0
+    while (i < n) {
+      require(pos < end, "truncated QOI chunk stream")
+      val tag = bytes(pos) & 0xff
+      pos += 1
+      if (tag == 0xfe) { // QOI_OP_RGB
+        require(pos + 3 <= end, "truncated RGB chunk")
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff
+        b = bytes(pos + 2) & 0xff; pos += 3
+      } else if (tag == 0xff) { // QOI_OP_RGBA
+        require(pos + 4 <= end, "truncated RGBA chunk")
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff
+        b = bytes(pos + 2) & 0xff; a = bytes(pos + 3) & 0xff; pos += 4
+      } else (tag >> 6) match {
+        case 0 => // QOI_OP_INDEX
+          val v = index(tag & 0x3f)
+          a = (v >>> 24) & 0xff; r = (v >> 16) & 0xff
+          g = (v >> 8) & 0xff; b = v & 0xff
+        case 1 => // QOI_OP_DIFF, bias 2
+          r = (r + ((tag >> 4) & 3) - 2) & 0xff
+          g = (g + ((tag >> 2) & 3) - 2) & 0xff
+          b = (b + (tag & 3) - 2) & 0xff
+        case 2 => // QOI_OP_LUMA, bias 32 / 8
+          require(pos + 1 <= end, "truncated LUMA chunk")
+          val dg = (tag & 0x3f) - 32
+          val second = bytes(pos) & 0xff; pos += 1
+          r = (r + dg + ((second >> 4) & 0xf) - 8) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg + (second & 0xf) - 8) & 0xff
+        case _ => // QOI_OP_RUN, bias -1 (0xfe/0xff handled above)
+          val run = (tag & 0x3f) + 1
+          require(i + run <= n, s"run overruns pixel count at $i")
+          val px = (r << 16) | (g << 8) | b
+          var k = 0
+          while (k < run - 1) { pixels(i) = px; i += 1; k += 1 }
+          // the run's last pixel falls through to the shared store below
+      }
+      val px = (r << 16) | (g << 8) | b
+      index(qoiHash(r, g, b, a)) = (a << 24) | px
+      pixels(i) = px
+      i += 1
+    }
+    Image(width, height, pixels)
+  }
+
   // ---- WAV (RIFF, PCM 16-bit) -------------------------------------------
 
   def encodeWav(a: Audio): Array[Byte] = {
@@ -187,6 +311,9 @@ object Codecs {
         s"bad chunk size $size at $pos")
       id match {
         case "fmt " =>
+          // the fields read below extend 16 bytes into the chunk; a
+          // shorter declared size at end-of-buffer would read past it
+          require(size >= 16, s"fmt chunk too short ($size)")
           require(buf.getShort(pos + 8) == 1, "only PCM supported")
           channels = buf.getShort(pos + 10).toInt
           sampleRate = buf.getInt(pos + 12)

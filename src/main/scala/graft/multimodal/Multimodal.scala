@@ -113,22 +113,25 @@ object Multimodal {
     Codecs.Audio(8000, 1, s)
   }
 
-  private val encodeMediaUdf = udf((id: Long) => (id % 3) match {
+  private val encodeMediaUdf = udf((id: Long) => (id % 4) match {
     case 0 => Codecs.encodeBmp(genImage(id))
     case 1 => Codecs.encodePpm(genImage(id))
-    case _ => Codecs.encodeWav(genAudio(id))
+    case 2 => Codecs.encodeWav(genAudio(id))
+    case _ => Codecs.encodeQoi(genImage(id))
   })
 
-  /** Media table with REAL encoded payloads: BMP/PPM/WAV bytes built
-    * by [[Codecs]] from deterministic pixel/sample formulas.
+  /** Media table with REAL encoded payloads: BMP/PPM/QOI/WAV bytes
+    * built by [[Codecs]] from deterministic pixel/sample formulas —
+    * QOI adds a COMPRESSED container, so the decode path covers a real
+    * bitstream (runs, diffs, index hits), not just fixed-layout pixels.
     */
   def realMedia(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id").as("media_id"),
       encodeMediaUdf(col("doc_id")).as("content"),
       struct(
-        element_at(typedLit(Seq("bmp", "ppm", "wav")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("format"),
+        element_at(typedLit(Seq("bmp", "ppm", "wav", "qoi")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast(IntegerType)).as("format"),
         (pmod(col("doc_id"), lit(4)) * 4 + 8).cast(IntegerType).as("width"),
         (pmod(col("doc_id"), lit(5)) * 2 + 6).cast(IntegerType).as("height"),
         lit(1).as("n_frames")).as("meta"))
@@ -147,10 +150,12 @@ object Multimodal {
   private val decodeUdf = udf((format: String, content: Array[Byte]) =>
     try {
       format match {
-        case "bmp" | "ppm" =>
-          val img =
-            if (format == "bmp") Codecs.decodeBmp(content)
-            else Codecs.decodePpm(content)
+        case "bmp" | "ppm" | "qoi" =>
+          val img = format match {
+            case "bmp" => Codecs.decodeBmp(content)
+            case "ppm" => Codecs.decodePpm(content)
+            case _     => Codecs.decodeQoi(content)
+          }
           var sr = 0L; var sg = 0L; var sb = 0L
           var i = 0
           while (i < img.pixels.length) {
@@ -174,7 +179,7 @@ object Multimodal {
             Some(a.sampleRate), Some(a.samples.length), Some(sq), Some(peak))
         case _ => null // undecodable format: NULL feature row
       }
-    } catch { case _: IllegalArgumentException => null })
+    } catch { case scala.util.control.NonFatal(_) => null })
 
   /** Decode every payload on the executors and emit the exact-integer
     * feature columns (NULLs for the other modality / corrupt bytes).
@@ -195,9 +200,10 @@ object Multimodal {
       format match {
         case "bmp" => Codecs.encodeBmp(Codecs.resizeNearest(Codecs.decodeBmp(content), w, h))
         case "ppm" => Codecs.encodePpm(Codecs.resizeNearest(Codecs.decodePpm(content), w, h))
+        case "qoi" => Codecs.encodeQoi(Codecs.resizeNearest(Codecs.decodeQoi(content), w, h))
         case _     => content // non-image payloads pass through
       }
-    } catch { case _: IllegalArgumentException => null })
+    } catch { case scala.util.control.NonFatal(_) => null })
 
   /** Real resize: decode -> nearest-neighbor resample -> re-encode in
     * the same container format, updating meta dims to match.
@@ -208,9 +214,9 @@ object Multimodal {
         resizeUdf(col("meta.format"), col("content"), lit(w), lit(h)))
       .withColumn("meta",
         struct(col("meta.format").as("format"),
-          when(col("meta.format").isin("bmp", "ppm"), lit(w))
+          when(col("meta.format").isin("bmp", "ppm", "qoi"), lit(w))
             .otherwise(col("meta.width")).as("width"),
-          when(col("meta.format").isin("bmp", "ppm"), lit(h))
+          when(col("meta.format").isin("bmp", "ppm", "qoi"), lit(h))
             .otherwise(col("meta.height")).as("height"),
           col("meta.n_frames").as("n_frames")))
 }

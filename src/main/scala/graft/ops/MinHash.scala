@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * SURVEY.md §2.9) — the scale path for corpus dedup where exact
   * pairwise Jaccard is quadratic.
   *
-  * Pipeline: word shingles → per-shingle base hash (xxhash64, reduced
-  * mod 2^31−1) → k universal hashes `(a·h + b) mod p` minimized over
-  * shingles (the MinHash signature) → signature split into bands → rows
-  * sharing any (band, bandHash) bucket become candidate pairs →
-  * candidates verified by exact shingle-set Jaccard.
+  * Pipeline: word shingles → per-shingle base hash (engine-portable
+  * polynomial hash mod 2^31−1, [[graft.functions.kernels.polyHash]]) →
+  * k universal hashes `(a·h + b) mod p` minimized over shingles (the
+  * MinHash signature) → signature split into bands → rows sharing any
+  * (band, bandKey) bucket become candidate pairs → candidates verified
+  * by exact shingle-set Jaccard. Every stage is pure 64-bit integer
+  * arithmetic, so an independent engine (the DuckDB oracle) recomputes
+  * the exact candidate set and output.
   *
   * Everything up to the bucket join is a narrow map (codegen'd
   * expressions, no shuffle); the bucket join is ONE shuffle on
@@ -21,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  private val P = 2147483647L // 2^31 − 1; a,b,h < 2^31 keep a·h+b < 2^62
+  private[graft] val P = 2147483647L // 2^31 − 1; a,b,h < 2^31 keep a·h+b < 2^62
 
   /** Seed-deterministic universal-hash coefficients. */
   def coeffs(k: Int, seed: Long = 42L): (Seq[Long], Seq[Long]) = {
@@ -29,6 +32,19 @@ object MinHash {
     def draw() = (rnd.nextLong().abs % (P - 1)) + 1
     (Seq.fill(k)(draw()), Seq.fill(k)(draw()))
   }
+
+  /** Portable band key: fold of one band's signature rows,
+    * acc ← (acc·31 + sᵢ) mod P — pure codegen'd integer arithmetic
+    * (`element_at`/`pmod`, no murmur3), so any engine can recompute the
+    * bucket assignment and the correctness oracle replicates the
+    * candidate set exactly. Each step stays below 2^36 (acc < P,
+    * sᵢ < P). Key is one long — same shuffle width as the hash it
+    * replaces.
+    */
+  private[graft] def bandKey(sig: Column, start: Int, rows: Int): Column =
+    (0 until rows).foldLeft(lit(0L): Column) { (acc, j) =>
+      pmod(acc * lit(31L) + element_at(sig, start + j + 1), lit(P))
+    }
 
   /** MinHash signature (array<long> of length k) of a shingle-array
     * column. Base hash computed once per shingle, then k permutations
@@ -54,7 +70,7 @@ object MinHash {
     val rows = k / bands
     val sig = signature(TextStats.shingles(textCol, shingleN), k, seed)
     val bandHashes = array((0 until bands).map { b =>
-      struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      struct(lit(b).as("band"), bandKey(col("sig"), b * rows, rows).as("bh"))
     }: _*)
     docs.select(idCol.as("id"), sig.as("sig"))
       .select(col("id"), explode(bandHashes).as("bk"))
@@ -104,7 +120,7 @@ object MinHash {
       .withColumn("sig", signature(col("sset"), k, seed))
       .localCheckpoint(eager = false)
     val bandHashes = array((0 until bands).map { b =>
-      struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      struct(lit(b).as("band"), bandKey(col("sig"), b * rows, rows).as("bh"))
     }: _*)
     val idx = base.select(col("id"), explode(bandHashes).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))

@@ -1,47 +1,72 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Balanced training-shard assignment — the "materialize the corpus
   * as N shard files a trainer can stream" step of a data pipeline.
   * Plain hash-mod balances COUNTS but not token mass when document
-  * lengths are skewed; sorting by weight and dealing round-robin
-  * balances mass but needs a global sort. This operator composes two
-  * existing exact primitives instead:
+  * lengths are skewed; a global sort-and-deal balances mass but is a
+  * single-task window at cluster scale. This operator gets the
+  * sort-and-deal guarantee from the repo's exact distributed
+  * primitives:
   *
-  *   1. equi-depth weight strata from [[Rank.valueRanks]] (two-pass
-  *      prefix scan — no global window, driver traffic bounded by
-  *      numRanges accumulators);
-  *   2. the layout-independent multiplicative-hash scramble (the same
-  *      one [[Sampling]] uses, oracle-verified) round-robins documents
-  *      to shards WITHIN each stratum.
+  *   1. a doc-level GLOBAL index from [[PrefixScan]] over the total
+  *      order (weight DESC, scrambled-id, id) — range-partitioned, so
+  *      no single task ever holds the corpus;
+  *   2. the deal: `shard = globalIdx mod nShards` hands consecutive
+  *      near-equal-weight documents to consecutive shards. Dealing in
+  *      DESCENDING weight order is the LPT trick: the one partial
+  *      final round holds the LIGHTEST documents, so the count
+  *      imbalance costs at most one minimal weight;
+  *   3. equi-depth weight strata from [[Rank.valueRanks]] as a
+  *      reported analysis column. Strata are contiguous in the deal
+  *      order, so each inherits the exact ≤1 per-shard count spread.
   *
-  * Every shard then draws near-uniformly from every weight stratum,
-  * so shard mass converges to corpus_mass/nShards with variance
-  * bounded by the per-stratum weight spread (k strata of n/k docs
-  * each) — while staying fully deterministic, layout-independent, and
-  * SQL-oracle-matchable (exact integer arithmetic end to end).
+  * Every shard receives every nShards-th document in weight order, so
+  * shard mass deviates from corpus_mass/nShards by at most the summed
+  * within-round weight spreads (adjacent sorted docs — telescoping to
+  * ≤ one max-min weight gap overall) — a deterministic bound, not an
+  * expected-value one. Fully deterministic, layout-independent (the
+  * scrambled-id tie-break is computed from values, never partition
+  * layout), and SQL-oracle-matchable (exact integer arithmetic).
   */
 object Sharding {
 
   /** Per-document assignment: (id, weight, bucket, shard). `bucket` is
     * the 1-based equi-depth weight stratum (k = `strata`); `shard` the
-    * 0-based target shard.
+    * 0-based target shard. `id` must be a non-negative long below
+    * 2^32 (the Knuth scramble multiplies by a 32-bit constant; larger
+    * id spaces would need a wider-modulus scramble).
     */
   def assign(docs: DataFrame, idCol: Column, weightCol: Column,
-             nShards: Int, strata: Int = 8): DataFrame = {
+             nShards: Int, strata: Int = 8, numRanges: Int = 32): DataFrame = {
     require(nShards > 0 && strata > 0, "need positive shard/strata counts")
+    val spark = docs.sparkSession
     // one row per distinct weight, with its stratum — small relative
     // to the corpus (bounded by distinct weight values), broadcast to
     // avoid shuffling the corpus for the stratum lookup
-    val buckets = Rank.valueRanks(docs.select(weightCol.as("w0")),
+    val vr = Rank.valueRanks(docs.select(weightCol.as("w0")),
       col("w0"), k = strata)
-      .select(col("v"), col("bucket"))
-    docs.select(idCol.as("id"), weightCol.as("weight"))
+    // doc-level global index under the total order (v desc, sid, id):
+    // range-partition + in-partition sort + two-pass prefix count —
+    // the exact global row_number, numRanges driver accumulators, no
+    // global window
+    val ordered = docs
+      .select(idCol.cast("long").as("id"), weightCol.as("weight"))
       .withColumn("v", col("weight").cast("double"))
-      .join(broadcast(buckets), "v")
-      .withColumn("shard", pmod(col("id") * lit(2654435761L), lit(nShards.toLong)))
+      .withColumn("sid", pmod(col("id") * lit(Sampling.KnuthC), lit(1L << 32)))
+      .repartitionByRange(numRanges, col("v").desc, col("sid"), col("id"))
+      .sortWithinPartitions(col("v").desc, col("sid"), col("id"))
+      .localCheckpoint()
+    val withIdx = spark.createDataFrame(
+      PrefixScan.scan(ordered, 0L)((a, _: Row) => a + 1L)(_ + _)
+        .map { case (r, before, _) => Row.fromSeq(r.toSeq :+ before) },
+      ordered.schema.add("gidx", LongType))
+    withIdx
+      .join(broadcast(vr.select(col("v"), col("bucket"))), "v")
+      .withColumn("shard", pmod(col("gidx"), lit(nShards.toLong)))
       .select(col("id"), col("weight"), col("bucket"), col("shard"))
   }
 }

@@ -18,8 +18,11 @@ object SimHash {
 
   val Bits = 64
 
-  /** Per-token xxhash64, ±1 vote per bit, sign of the vote =
-    * signature bit. Implemented as a native Catalyst expression
+  /** Per-token 62-bit portable hash (two polynomial streams packed —
+    * [[graft.functions.kernels.simhash64]]), ±1 vote per bit, sign of
+    * the vote = signature bit — pure integer arithmetic an independent
+    * engine can recompute, so the DuckDB oracle verifies signatures
+    * bit-for-bit. Implemented as a native Catalyst expression
     * ([[graft.functions.SimHash64]]): the equivalent
     * `aggregate`/`transform` form is CodegenFallback (interpreted,
     * allocating a 64-element array per token) — two orders of

@@ -239,7 +239,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
       .groupBy(col("query_id"), col("vec_id")).agg(max(col("score")).as("score"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -263,7 +263,7 @@ object Similarity {
         col("cell") === col("probe") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 

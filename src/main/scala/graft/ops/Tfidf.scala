@@ -109,9 +109,37 @@ object Tfidf {
     * swap on the same postings join but would hand the gate a
     * float-summation ordering hazard.
     */
+  /** Session-scoped materialized pair-table artifacts: at 100 TB the
+    * inverted index and its pair table are written ONCE and read by
+    * every consumer (the pair query, the per-doc top-k projection,
+    * downstream cluster derivation) — not recomputed per query. This
+    * cache is the local-mode stand-in for that materialized table:
+    * one build per (session, source-key, params), concurrent callers
+    * collapse onto the same build via computeIfAbsent, blocks live in
+    * MEMORY_AND_DISK (spills, never OOMs) for the session's lifetime.
+    * Callers opt in with `cacheKey` naming the SOURCE (e.g. the data
+    * dir); callers whose input differs per call (scale smoke's
+    * inflated corpora) pass None and keep per-call builds.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), DataFrame]
+
   def sharedSalientPairs(docs: DataFrame, idCol: Column, textCol: Column,
                          k: Int = 5, minShared: Int = 2,
-                         maxPostings: Int = 1000): DataFrame = {
+                         maxPostings: Int = 1000,
+                         cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case Some(src) => pairsCache.computeIfAbsent(
+        (docs.sparkSession.sparkContext.applicationId, src, k, minShared, maxPostings),
+        _ => buildSharedSalientPairs(docs, idCol, textCol, k, minShared,
+          maxPostings).localCheckpoint())
+      case None =>
+        buildSharedSalientPairs(docs, idCol, textCol, k, minShared, maxPostings)
+    }
+
+  private def buildSharedSalientPairs(docs: DataFrame, idCol: Column,
+                                      textCol: Column, k: Int, minShared: Int,
+                                      maxPostings: Int): DataFrame = {
     // postings are consumed three times (df_top count + both join
     // sides): checkpoint the k-per-doc table (bounded at k rows/doc)
     // so the tf/window pipeline runs once
@@ -151,8 +179,9 @@ object Tfidf {
     */
   def topNeighbors(docs: DataFrame, idCol: Column, textCol: Column,
                    k: Int = 5, minShared: Int = 2, maxPostings: Int = 1000,
-                   topK: Int = 3): DataFrame = {
-    val pairs = sharedSalientPairs(docs, idCol, textCol, k, minShared, maxPostings)
+                   topK: Int = 3, cacheKey: Option[String] = None): DataFrame = {
+    val pairs =
+      sharedSalientPairs(docs, idCol, textCol, k, minShared, maxPostings, cacheKey)
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"),
         col("n_shared"), col("overlap"))
       .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"),

@@ -41,9 +41,15 @@ object TransitionGraph {
   def reachable(spark: SparkSession, edges: DataFrame, start: String,
                 maxDepth: Int, viewName: String = "graft_transition_edges")
       : DataFrame = {
+    // public helper, interpolated SQL: quote-escape the start literal
+    // and whitelist the identifier so no caller value can break out of
+    // (or inject into) the statement
+    require(viewName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"viewName must be a plain identifier, got '$viewName'")
+    val startLit = start.replace("'", "''")
     edges.localCheckpoint().createOrReplaceTempView(viewName)
     spark.sql(
-      s"WITH RECURSIVE r(node, d) AS (SELECT '$start', 0 UNION ALL " +
+      s"WITH RECURSIVE r(node, d) AS (SELECT '$startLit', 0 UNION ALL " +
         s"SELECT g.dst, r.d + 1 FROM r JOIN $viewName g ON g.src = r.node " +
         s"WHERE r.d < $maxDepth) " +
         "SELECT node, CAST(min(d) AS BIGINT) AS depth FROM r " +

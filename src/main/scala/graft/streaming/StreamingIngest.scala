@@ -130,20 +130,30 @@ object StreamingIngest {
     * aggregation (a plain streaming groupBy would accrete doc-keyed
     * state the query never needs).
     */
+  /** Exactly-once output contract: each micro-batch lands in its own
+    * `batch_id=N` partition directory with mode OVERWRITE, so a
+    * micro-batch retry REPLACES its own output instead of appending
+    * duplicates, and a restart against the same `checkpointDir`
+    * resumes after the last committed batch (pass one to get restart
+    * semantics; the default fresh temp dir reprocesses from scratch —
+    * fine for tests, not for a long-lived pipeline). Readers see
+    * `batch_id` as a partition column via normal discovery.
+    */
   def decontaminatedBatches(docs: DataFrame, bench: DataFrame,
                             n: Int, maxContamination: Double,
-                            outDir: String): Unit = {
+                            outDir: String,
+                            checkpointDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val q = docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.Decontaminate
           .decontaminated(batch, bench, col("doc_id"), col("text"),
             n, maxContamination)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         () // Scala 2.13 needs the unit for the (DataFrame, Long) => Unit overload
       }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("decontam_ckpt").toString)
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("decontam_ckpt").toString))
       .start()
     try q.processAllAvailable() finally q.stop()
   }

@@ -105,6 +105,76 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeWav(goldenWav.take(20)))
   }
 
+  // ---- golden QOI: 2x2, RGB — hand-assembled chunk stream ----
+  // pixels: red, red (RUN), (254,255,254) (DIFF with wraparound),
+  // red again (INDEX, hash(255,0,0,255) = 50)
+  private val goldenQoi: Array[Byte] = {
+    val header = Array[Int]('q', 'o', 'i', 'f', 0, 0, 0, 2, 0, 0, 0, 2, 3, 0)
+    val chunks = Array[Int](
+      0xfe, 255, 0, 0, // QOI_OP_RGB red
+      0xc0,            // QOI_OP_RUN 1
+      0x54,            // QOI_OP_DIFF dr=-1 dg=-1 db=-2 (mod-256 wrap)
+      50)              // QOI_OP_INDEX -> red
+    val end = Array[Int](0, 0, 0, 0, 0, 0, 0, 1)
+    (header ++ chunks ++ end).map(_.toByte)
+  }
+
+  test("golden QOI decodes: RGB, run, wraparound diff, index chunks") {
+    val img = Codecs.decodeQoi(goldenQoi)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq ==
+      Seq(0xff0000, 0xff0000, 0xfefffe, 0xff0000))
+  }
+
+  test("QOI round-trips images that exercise every op family") {
+    // gradient rows (DIFF/LUMA/RGB) + repeated rows (RUN/INDEX)
+    val w = 13; val h = 9
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (y % 3 == 2) 0x336699 // constant rows -> runs + index hits
+      else (((x * 37 + y * 3) % 256) << 16) | (((x + y * 91) % 256) << 8) |
+        ((x * 2 + y) % 256)
+    }
+    val img = Codecs.Image(w, h, px)
+    val enc = Codecs.encodeQoi(img)
+    val back = Codecs.decodeQoi(enc)
+    assert(back.width == w && back.height == h)
+    assert(back.pixels.toSeq == px.toSeq)
+    assert(enc.length < 14 + w * h * 3 + 8) // actually compressed
+  }
+
+  test("corrupt QOI bitstreams are rejected, not misread") {
+    intercept[IllegalArgumentException](Codecs.decodeQoi("qoif".getBytes))
+    // chunk stream ends with 3 of 4 pixels still undecoded
+    val starved = (Array[Int]('q', 'o', 'i', 'f', 0, 0, 0, 2, 0, 0, 0, 2, 3, 0,
+      0xfe, 255, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1)).map(_.toByte)
+    intercept[IllegalArgumentException](Codecs.decodeQoi(starved))
+    // a run chunk overrunning the declared pixel count (RUN 62 at px 2/4)
+    val overrun = goldenQoi.clone()
+    overrun(18) = 0xfd.toByte
+    intercept[IllegalArgumentException](Codecs.decodeQoi(overrun))
+    val badMagic = goldenQoi.clone(); badMagic(0) = 'x'.toByte
+    intercept[IllegalArgumentException](Codecs.decodeQoi(badMagic))
+  }
+
+  test("adversarial headers fail with require, never index out of bounds") {
+    // negative pixel-data offset passes a naive truncation check
+    // (negative + positive <= length) and then indexes negatively
+    val negOffset = goldenBmp.clone()
+    val nb = java.nio.ByteBuffer.wrap(negOffset)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nb.putInt(10, -8)
+    intercept[IllegalArgumentException](Codecs.decodeBmp(negOffset))
+    // fmt chunk shorter than the 16 bytes the decoder reads from it
+    val shortFmt = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shortFmt.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(8).putInt(1).putInt(44100)
+      .put("data".getBytes("US-ASCII")).putInt(8).putInt(0).putInt(0)
+    intercept[IllegalArgumentException](Codecs.decodeWav(shortFmt.array()))
+  }
+
   test("nearest resize: exact on integer scale, dims on fractional") {
     val img = Codecs.Image(2, 2, Array(1, 2, 3, 4))
     val up = Codecs.resizeNearest(img, 4, 4)

@@ -56,7 +56,7 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach { r =>
       val id = r.getLong(r.fieldIndex("media_id"))
       r.getString(r.fieldIndex("format")) match {
-        case "bmp" | "ppm" =>
+        case "bmp" | "ppm" | "qoi" =>
           val img = Multimodal.genImage(id)
           val (er, eg, eb) = img.pixels.foldLeft((0L, 0L, 0L)) {
             case ((a, b, c), p) =>
@@ -92,7 +92,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("real resize re-encodes image payloads at the target dims") {
     val resized = Multimodal.resizeImages(real, 4, 3)
     val rows = Multimodal.withMediaFeatures(resized)
-      .where(col("format").isin("bmp", "ppm")).collect()
+      .where(col("format").isin("bmp", "ppm", "qoi")).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getInt(r.fieldIndex("width")) == 4)

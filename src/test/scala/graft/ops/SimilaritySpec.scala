@@ -87,7 +87,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
     byQuery.values.foreach { rs =>
       assert(rs.length <= 5)
-      assert(rs.map(_.getInt(3)).toSeq == (1 to rs.length))
+      assert(rs.map(_.getLong(3)).toSeq == (1L to rs.length.toLong))
       val scores = rs.map(_.getDouble(2)).toSeq
       assert(scores == scores.sorted.reverse)
       assert(!rs.exists(r => r.getLong(1) == r.getLong(0))) // no self-match

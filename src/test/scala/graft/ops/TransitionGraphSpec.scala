@@ -39,4 +39,15 @@ class TransitionGraphSpec extends AnyFunSuite {
     // cycle a->b->c->a doesn't loop forever; d reached at 3; a keeps min 0
     assert(r4 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
   }
+
+  test("quote-bearing state names and bad view names are handled safely") {
+    val edges = Seq(("it's a", "b")).toDF("src", "dst")
+    val r = TransitionGraph.reachable(spark, edges, start = "it's a",
+      maxDepth = 1, viewName = "tg_spec_quote")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("it's a" -> 0L, "b" -> 1L))
+    intercept[IllegalArgumentException](
+      TransitionGraph.reachable(spark, edges, start = "a",
+        maxDepth = 1, viewName = "bad; DROP VIEW x"))
+  }
 }
