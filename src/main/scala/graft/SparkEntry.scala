@@ -1372,8 +1372,8 @@ object SparkEntry {
   /** DuckDB rolling hash of lambda-var `v`: (h·mult + codepoint) mod P,
     * codepoints in index order — mirrors kernels.polyHash.
     */
-  private def duckPoly(v: String, mult: Int): String =
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($v)+1), " +
+  private def duckPoly(v: String, mult: Int, seed: Long = 0L): String =
+    s"list_reduce(list_prepend($seed::BIGINT, list_transform(range(1, length($v)+1), " +
       s"ci -> ord($v[ci])::BIGINT)), (h, c) -> ((h*$mult + c) % $MP))"
 
   /** Index-order double cosine over dim-64 lists — mirrors
@@ -1415,7 +1415,8 @@ object SparkEntry {
     * votes, 4×16-bit pigeonhole chunk join, Hamming distance.
     */
   private lazy val simhashOracle: String = {
-    val h64 = s"((${duckPoly("t", 31)}) * 2147483648 + (${duckPoly("t", 131)}))"
+    val h64 = s"((${duckPoly("t", 31, graft.functions.kernels.SimSeed1)}) * 2147483648 " +
+      s"+ (${duckPoly("t", 131, graft.functions.kernels.SimSeed2)}))"
     "WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents), " +
       s"hashed AS (SELECT id, list_transform(tk, t -> $h64) AS hh FROM toks), " +
       "sig AS (SELECT id, (list_sum(list_transform(range(0, 62), b -> " +

@@ -35,22 +35,50 @@ object kernels {
     * hash-match the LSH dedup family instead of trusting spec pins.
     * mult ≤ 131 keeps every step below 2^39 (no overflow, no wrap).
     */
-  def polyHash(s: UTF8String, mult: Long): Long = {
-    val str = s.toString
-    var h = 0L
+  def polyHash(s: UTF8String, mult: Long): Long = polyHash(s, mult, 0L)
+
+  /** Seeded variant: starting the fold at a large `seed` makes even a
+    * one-character token hash to a full-range value (an unseeded
+    * rolling hash maps short strings to SMALL numbers, which zeroes
+    * the high bits of every short token's hash — at sf0.1 that
+    * concentrated 38% of the corpus into ONE SimHash chunk bucket and
+    * quadrupled the candidate join).
+    */
+  def polyHash(s: UTF8String, mult: Long, seed: Long): Long = {
+    // decode codepoints straight from the UTF-8 bytes — toString would
+    // allocate a String per token, which tripled the SimHash kernel's
+    // cost on the per-row hot path. ASCII is the one-byte fast path.
+    val n = s.numBytes
+    var h = seed
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xe0) {
+        cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f); i += 2
+      } else if (b0 < 0xf0) {
+        cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
+          (s.getByte(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
+          ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f); i += 4
+      }
       h = (h * mult + cp) % P
-      i += Character.charCount(cp)
     }
     h
   }
 
+  /** SimHash stream seeds (see seeded [[polyHash]]): arbitrary
+    * published constants < P, mirrored literally in the DuckDB oracle.
+    */
+  val SimSeed1 = 1000003L
+  val SimSeed2 = 69069L
+
   /** Single pass SimHash: per-token 62-bit portable hash (two
-    * independent [[polyHash]] streams, multipliers 31 and 131, packed
-    * as h₁·2³¹ + h₂ — bits 62/63 are always 0), ±1 votes per bit, sign
-    * of the vote is the signature bit.
+    * independent seeded [[polyHash]] streams, multipliers 31 and 131,
+    * packed as h₁·2³¹ + h₂ — bits 62/63 are always 0), ±1 votes per
+    * bit, sign of the vote is the signature bit.
     */
   def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
@@ -59,15 +87,27 @@ object kernels {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val str = s.toString
-        var h1 = 0L
-        var h2 = 0L
+        // both streams in ONE pass over the raw UTF-8 bytes (see
+        // polyHash for the codepoint decode; no String allocation)
+        val nb = s.numBytes
+        var h1 = SimSeed1
+        var h2 = SimSeed2
         var ci = 0
-        while (ci < str.length) {
-          val cp = str.codePointAt(ci)
+        while (ci < nb) {
+          val b0 = s.getByte(ci) & 0xff
+          var cp = 0
+          if (b0 < 0x80) { cp = b0; ci += 1 }
+          else if (b0 < 0xe0) {
+            cp = ((b0 & 0x1f) << 6) | (s.getByte(ci + 1) & 0x3f); ci += 2
+          } else if (b0 < 0xf0) {
+            cp = ((b0 & 0x0f) << 12) | ((s.getByte(ci + 1) & 0x3f) << 6) |
+              (s.getByte(ci + 2) & 0x3f); ci += 3
+          } else {
+            cp = ((b0 & 0x07) << 18) | ((s.getByte(ci + 1) & 0x3f) << 12) |
+              ((s.getByte(ci + 2) & 0x3f) << 6) | (s.getByte(ci + 3) & 0x3f); ci += 4
+          }
           h1 = (h1 * 31L + cp) % P
           h2 = (h2 * 131L + cp) % P
-          ci += Character.charCount(cp)
         }
         val h = (h1 << 31) + h2
         var b = 0

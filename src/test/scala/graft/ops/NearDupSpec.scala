@@ -19,6 +19,28 @@ class NearDupSpec extends AnyFunSuite {
     (5L, "another unrelated document mentioning embeddings and vectors only"))
     .toDF("doc_id", "text")
 
+  test("polyHash: byte-decoded codepoints match the String reference, ASCII and not") {
+    // pins the zero-allocation UTF-8 decoder in kernels.polyHash
+    // against the definitional form (rolling hash over codePointAt) —
+    // the DuckDB oracles recompute exactly this definition via ord()
+    def reference(str: String, mult: Long): Long = {
+      var h = 0L; var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        h = (h * mult + cp) % 2147483647L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    for (s <- Seq("", "a", "hello world", "héllo wörld", "日本語テキスト",
+                  "mixed ascii and 中文 and émoji 😀 end");
+         m <- Seq(31L, 131L)) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      assert(graft.functions.kernels.polyHash(u, m) == reference(s, m),
+        s"mismatch for '$s' mult=$m")
+    }
+  }
+
   test("MinHash+LSH finds exact and near dups, not unrelated pairs") {
     val pairs = MinHash.nearDupPairs(docs, col("doc_id"), col("text"),
       threshold = 0.5, shingleN = 2)
