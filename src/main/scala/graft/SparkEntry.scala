@@ -2580,6 +2580,34 @@ object SparkEntry {
     "q_minhash_dedup" -> minhashOracle,
     "q_simhash_dedup" -> simhashOracle,
 
+    // byte-level media features: content = encode(text, UTF-8), so the
+    // oracle recomputes byte_len via strlen and the portable rolling
+    // fingerprint from the text's codepoints
+    "q_multimodal" ->
+      ("SELECT doc_id AS media_id, " +
+        "['png', 'jpeg', 'wav', 'mp4'][(doc_id % 4 + 1)::INT] AS format, " +
+        "strlen(text)::BIGINT AS byte_len, " +
+        s"${duckPoly("text", 31)} AS content_hash " +
+        "FROM documents ORDER BY media_id"),
+
+    // the DSv2 store is materialized FROM the events table (epoch-
+    // second numerics), so DuckDB recomputes the pushed-down scan's
+    // expected rows from the parquet ground truth — an end-to-end
+    // check of the source's paging + filter pushdown + type widening
+    "q_itemstore_pushdown" ->
+      ("SELECT event_id, epoch(date_trunc('second', ts))::DOUBLE AS ts, event_type " +
+        s"FROM events WHERE epoch(date_trunc('second', ts)) >= $ItemStoreCutoff " +
+        "ORDER BY event_id"),
+
+    // deterministic stub transport: completion is a pure function of
+    // the prompt length (StubBatchClient.chat), so SQL rebuilds it
+    "q_llm_stub" ->
+      ("SELECT event_id, props, CASE WHEN props IS NULL THEN NULL ELSE " +
+        "'{\"topic\":\"t' || (length(props) % 7) || '\",\"sentiment\":\"' || " +
+        "CASE length(props) % 3 WHEN 0 THEN 'neutral' WHEN 1 THEN 'positive' " +
+        "ELSE 'negative' END || '\",\"n_chars\":' || length(props) || '}' END " +
+        "AS completion FROM events ORDER BY event_id"),
+
     // ANN family (untrained index geometry) — seed-42 hyperplanes /
     // seed centroids baked in; index-order double sums are bit-identical
     "q_ann_lsh" -> annLshOracle,

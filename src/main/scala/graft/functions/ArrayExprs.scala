@@ -37,6 +37,32 @@ object kernels {
     */
   def polyHash(s: UTF8String, mult: Long): Long = polyHash(s, mult, 0L)
 
+  /** [[polyHash]] over a raw UTF-8 byte array (binary columns).
+    * Arbitrary (non-UTF-8) binary must not crash: continuation reads
+    * past the end fold as 0 — deterministic, just not text-meaningful.
+    */
+  def polyHashUtf8Bytes(bytes: Array[Byte], mult: Long, seed: Long): Long = {
+    val n = bytes.length
+    var h = seed
+    var i = 0
+    def cont(j: Int): Int = if (j < n) bytes(j) & 0x3f else 0
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xe0) {
+        cp = ((b0 & 0x1f) << 6) | cont(i + 1); i += 2
+      } else if (b0 < 0xf0) {
+        cp = ((b0 & 0x0f) << 12) | (cont(i + 1) << 6) | cont(i + 2); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | (cont(i + 1) << 12) |
+          (cont(i + 2) << 6) | cont(i + 3); i += 4
+      }
+      h = (h * mult + cp) % P
+    }
+    h
+  }
+
   /** Seeded variant: starting the fold at a large `seed` makes even a
     * one-character token hash to a full-range value (an unseeded
     * rolling hash maps short strings to SMALL numbers, which zeroes
@@ -334,6 +360,26 @@ object kernels {
 
 
 /** 64-bit SimHash of an array<string> column (tokens/shingles). */
+/** Portable rolling hash of a BINARY column holding UTF-8 bytes —
+  * the engine-portable replacement for xxhash64 content fingerprints:
+  * any engine recomputes it from the decoded text's codepoints (the
+  * DuckDB oracle uses ord() over the source string). Non-UTF-8 binary
+  * still hashes deterministically (the decode is just a byte fold
+  * then), but cross-engine equality is only meaningful for UTF-8
+  * payloads.
+  */
+case class PolyHashBin(child: Expression, mult: Long, seed: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    kernels.polyHashUtf8Bytes(input.asInstanceOf[Array[Byte]], mult, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.kernels.polyHashUtf8Bytes($c, ${mult}L, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashBin =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
@@ -465,6 +511,8 @@ object ArrayExprs {
     Shim.column(InterCountSorted(Shim.expression(a), Shim.expression(b)))
   def simhash64(tokens: Column): Column =
     Shim.column(SimHash64(Shim.expression(tokens)))
+  def polyHashBinary(content: Column, mult: Long = 31L, seed: Long = 0L): Column =
+    Shim.column(PolyHashBin(Shim.expression(content), mult, seed))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     Shim.column(MinHashSig(Shim.expression(shingles), as, bs))
   def shingles(text: Column, n: Int): Column =

@@ -50,15 +50,20 @@ object Multimodal {
         (pmod(col("doc_id"), lit(30)) + 1).cast(IntegerType).as("n_frames")
       ).as("meta"))
 
-  /** Byte-level features (length, xxhash64, hash histogram) — the
-    * container-agnostic path for formats [[Codecs]] can't decode
-    * (png/jpeg/mp4 need external libraries). For bmp/ppm/wav use
-    * [[withMediaFeatures]], which decodes actual pixels/samples.
+  /** Byte-level features (length, portable content fingerprint, hash
+    * histogram) — the container-agnostic path for formats [[Codecs]]
+    * can't decode (png/jpeg/mp4 need external libraries). For
+    * bmp/ppm/qoi/wav use [[withMediaFeatures]], which decodes actual
+    * pixels/samples. The fingerprint is the engine-portable rolling
+    * hash ([[graft.functions.kernels.polyHashUtf8Bytes]]) so an
+    * independent engine verifies it from the source text — the DuckDB
+    * oracle hash-matches this query.
     */
   def withDecodedFeatures(media: DataFrame): DataFrame =
     media
       .withColumn("byte_len", length(col("content")).cast(LongType))
-      .withColumn("content_hash", xxhash64(col("content")))
+      .withColumn("content_hash",
+        graft.functions.ArrayExprs.polyHashBinary(col("content")))
       .withColumn("feat_histogram",
         transform(sequence(lit(0), lit(7)),
           i => pmod(xxhash64(col("content"), i), lit(256L))))
