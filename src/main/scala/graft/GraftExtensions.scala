@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotDouble, JaccardSorted, MinHashSig, Shingles, SimHash64}
+import graft.functions.{DotDouble, JaccardSorted, MinHashSig, PolyHashBin, Shingles, SimHash64}
 import graft.ops.MinHash
 
 /** SQL surface for the native kernels: registers the custom Catalyst
@@ -49,6 +49,14 @@ object GraftExtensions {
           args(2).eval().asInstanceOf[Number].longValue() else 42L
         val (as, bs) = MinHash.coeffs(k, seed)
         MinHashSig(args.head, as.toArray, bs.toArray)
+      }),
+    ("poly_hash", info("poly_hash", "poly_hash(content_binary[, mult[, seed]])"),
+      (args: Seq[Expression]) => {
+        val mult = if (args.length > 1)
+          args(1).eval().asInstanceOf[Number].longValue() else 31L
+        val seed = if (args.length > 2)
+          args(2).eval().asInstanceOf[Number].longValue() else 0L
+        PolyHashBin(args.head, mult, seed)
       }))
 
   /** Register on an already-built session (tests, notebooks). */

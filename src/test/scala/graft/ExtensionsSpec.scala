@@ -25,6 +25,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(1) == 3)
     assert(row.getDouble(2) == 11.0)
     assert(row.getInt(3) == 8)
+    // portable content fingerprint: 'ab' -> ((0*31+97)%P*31+98)%P = 3105
+    val ph = spark.sql(
+      "SELECT poly_hash(encode('ab', 'UTF-8')) AS h").collect()(0).getLong(0)
+    assert(ph == 97L * 31 + 98)
   }
 
   test("optimizer rule fuses size(regexp_extract_all) into RegexpCount") {

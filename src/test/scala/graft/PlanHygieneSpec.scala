@@ -65,6 +65,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"global window crept back in:\n$plan")
   }
 
+  test("q_shard_assign has NO window operator - the deal index is the prefix scan") {
+    val plan = finalPlan(q("q_shard_assign"))
+    assert(!plan.contains("Window"), s"global window crept back in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stratum lookup should broadcast, not shuffle the corpus:\n$plan")
+  }
+
   test("q_global_rank has NO window operator - rank comes from the prefix-sum") {
     val plan = finalPlan(q("q_global_rank"))
     assert(!plan.contains("Window"), s"global window crept back in:\n$plan")
