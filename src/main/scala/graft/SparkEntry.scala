@@ -911,10 +911,12 @@ object SparkEntry {
     // ItemStorePushdownSpec pins the pushed range filter in the plan.
     // One-time setup materializes events as an 8-page JSONL store
     // (like q_bucket_join's amortized bucketed write).
-    // sequence packing (rows-only: BFD bin assignment isn't SQL;
-    // PackingSpec pins budget-respect, completeness, determinism,
-    // utilization): shard by pmod(id) -> BFD within shard, pack ids
-    // namespaced by shard — identical packing on any cluster size
+    // sequence packing (oracle-backed: BFD is sequential but fully
+    // deterministic, so the recursive-CTE oracle replays it
+    // bin-for-bin; PackingSpec additionally pins budget-respect,
+    // completeness, determinism, utilization): shard by pmod(id) ->
+    // BFD within shard, pack ids namespaced by shard — identical
+    // packing on any cluster size
     "q_seq_pack" -> ((s, dir) =>
       Packing.packGreedy(documents(s, dir),
           col("doc_id"), TextStats.tokenCount(col("text")),
@@ -1044,8 +1046,8 @@ object SparkEntry {
     }),
 
     // packed sequences materialized as text: pack layout joined back
-    // to documents, members concatenated in slot order (rows-only:
-    // BFD layout isn't SQL; slot-order/token-mass pinned by spec)
+    // to documents, members concatenated in slot order (oracle-backed:
+    // the BFD layout is replayed by the recursive-CTE packer)
     "q_pack_text" -> ((s, dir) => {
       val d = documents(s, dir)
       val packs = Packing.packGreedy(d, col("doc_id"),
@@ -1055,8 +1057,9 @@ object SparkEntry {
     }),
 
     // the END of the pipeline: curate -> chunk -> pack, corpus to
-    // training sequences in one flow (packing isn't SQL; rows-only,
-    // every stage oracle-/spec-verified standalone)
+    // training sequences in one flow — oracle-backed END TO END: the
+    // DuckDB oracle composes the curate SQL, the chunker, and the
+    // recursive-CTE BFD replay
     "q_pipeline" -> ((s, dir) => {
       val d = documents(s, dir)
       Curate.toSequences(
@@ -1384,6 +1387,102 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
       s"(sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) * " +
       s"sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"
+
+  /** Recursive-CTE replication of [[graft.ops.Packing.bfd]] — the
+    * best-fit-decreasing packer is sequential but fully deterministic
+    * (sort (tokens desc, id); best fit = open bin with smallest
+    * residual ≥ n, ties to smallest bin id; new-bin ids count up per
+    * shard), so DuckDB can replay it exactly: one state row per shard
+    * advances item-by-item, bins as a free-list of (residual, bin id)
+    * structs, fit chosen by min over residual·2²⁰+bid. `itemsSql` must
+    * yield columns (id, ntok, shard, rn) with rn the 1-based
+    * (ntok DESC, id) rank within shard.
+    */
+  private def bfdPackSql(itemsSql: String, budget: Long): String =
+    // MATERIALIZED is load-bearing: DuckDB otherwise inlines `items`
+    // into the recursive term and recomputes the whole upstream chain
+    // (tokenization — or for the pipeline, the entire curate+chunk
+    // SQL) once per iteration: minutes instead of ~2s at sf0.1
+    s"items AS MATERIALIZED ($itemsSql), " +
+      "st(shard, i, bins, nbins, assign) AS (" +
+      "SELECT shard, 0, CAST([] AS STRUCT(rem BIGINT, bid INTEGER)[]), 0, " +
+      "CAST([] AS STRUCT(doc BIGINT, ntok BIGINT, bid INTEGER)[]) " +
+      "FROM (SELECT DISTINCT shard FROM items) " +
+      "UNION ALL " +
+      "SELECT s.shard, s.i + 1, " +
+      s"CASE WHEN fit.key IS NULL THEN s.bins || " +
+      s"CASE WHEN $budget - least(it.ntok, $budget) > 0 " +
+      s"THEN [{'rem': $budget - least(it.ntok, $budget), 'bid': s.nbins}] " +
+      "ELSE CAST([] AS STRUCT(rem BIGINT, bid INTEGER)[]) END " +
+      "ELSE list_filter(s.bins, b -> b.bid != (fit.key % 1048576)::INT) || " +
+      "CASE WHEN (fit.key // 1048576) - it.ntok > 0 " +
+      "THEN [{'rem': (fit.key // 1048576) - it.ntok, 'bid': (fit.key % 1048576)::INT}] " +
+      "ELSE CAST([] AS STRUCT(rem BIGINT, bid INTEGER)[]) END END, " +
+      "CASE WHEN fit.key IS NULL THEN s.nbins + 1 ELSE s.nbins END, " +
+      "s.assign || [{'doc': it.id, 'ntok': it.ntok, " +
+      "'bid': CASE WHEN fit.key IS NULL THEN s.nbins ELSE (fit.key % 1048576)::INT END}] " +
+      "FROM st s " +
+      "JOIN items it ON it.shard = s.shard AND it.rn = s.i + 1 " +
+      "CROSS JOIN LATERAL (SELECT list_min(list_transform(" +
+      "list_filter(s.bins, b -> b.rem >= it.ntok), " +
+      "b -> b.rem * 1048576 + b.bid)) AS key) fit), " +
+      "fin AS (SELECT shard, assign, row_number() OVER (PARTITION BY shard ORDER BY i DESC) AS rk FROM st), " +
+      "un AS (SELECT shard, unnest(assign) AS a, generate_subscripts(assign, 1) AS ord FROM fin WHERE rk = 1), " +
+      "packed AS (SELECT 'p' || shard || '_' || a.bid AS pack_id, a.doc AS id, " +
+      "a.ntok AS n_tokens, " +
+      "(row_number() OVER (PARTITION BY shard, a.bid ORDER BY ord) - 1)::INT AS slot FROM un)"
+
+  /** Whole-document packing items (q_seq_pack / q_pack_text shape). */
+  private val docPackItems: String =
+    "SELECT doc_id AS id, len(string_split(text, ' '))::BIGINT AS ntok, " +
+      "(doc_id % 8)::INT AS shard, " +
+      "row_number() OVER (PARTITION BY doc_id % 8 " +
+      "ORDER BY len(string_split(text, ' ')) DESC, doc_id)::INT AS rn " +
+      "FROM documents"
+
+  /** Mirrors Curate.toSequences' curate stage (same thresholds as the
+    * q_curate oracle) reduced to the surviving doc_id set, then the
+    * chunker (64 tokens, no overlap) and the chunk-id encoding
+    * (doc_id·10⁶ + chunk_idx, Curate.toSequences' maxChunksPerDoc).
+    */
+  private lazy val pipelineChunksSql: String =
+    "corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0), " +
+      "qq AS (SELECT doc_id, least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4 + " +
+      "(1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / " +
+      "greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3 + " +
+      s"least(CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($EnMarkers, x))) AS DOUBLE) / " +
+      "greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3 AS quality FROM corpus), " +
+      "tr AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus), " +
+      "br AS (SELECT doc_id, CASE WHEN len(w) < 2 THEN [text] " +
+      "ELSE list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) END AS grams FROM tr), " +
+      "gr AS (SELECT doc_id, unnest(grams) AS g FROM br), " +
+      "cr AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g), " +
+      "topr AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac FROM cr GROUP BY doc_id), " +
+      "t3 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
+      "g3 AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [text] " +
+      "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) END AS gs FROM t3), " +
+      "e3 AS (SELECT doc_id, unnest(gs) AS g FROM g3), " +
+      "bset AS (SELECT DISTINCT g FROM e3 WHERE doc_id % 20 = 0), " +
+      "hits AS (SELECT e3.doc_id, count(*) AS n_hits FROM e3 JOIN bset USING (g) " +
+      "WHERE e3.doc_id % 20 <> 0 GROUP BY e3.doc_id), " +
+      "tot AS (SELECT doc_id, len(gs) AS n_grams FROM g3 WHERE doc_id % 20 <> 0), " +
+      "cont AS (SELECT t.doc_id, CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS contamination " +
+      "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id), " +
+      "keep AS (SELECT min(doc_id) AS keep_id FROM corpus GROUP BY text), " +
+      "kept AS (SELECT qq.doc_id FROM qq JOIN topr USING (doc_id) JOIN cont ON qq.doc_id = cont.doc_id " +
+      "WHERE qq.doc_id IN (SELECT keep_id FROM keep) " +
+      "AND qq.quality >= 0.45 AND topr.top_gram_frac <= 0.6 " +
+      "AND cont.contamination < 0.6 " +
+      "AND (qq.doc_id * 2654435761) % 10000 < 8000), " +
+      "tk AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks FROM corpus d JOIN kept USING (doc_id)), " +
+      "ch AS (SELECT doc_id, generate_subscripts(range(0, len(toks), 64), 1) - 1 AS chunk_idx, " +
+      "unnest(range(0, len(toks), 64)) AS start, len(toks) AS nt FROM tk), " +
+      "chunks AS (SELECT doc_id * 1000000 + chunk_idx AS id, " +
+      "least(64, nt - start)::BIGINT AS ntok FROM ch)"
+
+  private val pipelineChunkItems: String =
+    "SELECT id, ntok, (id % 8)::INT AS shard, " +
+      "row_number() OVER (PARTITION BY id % 8 ORDER BY ntok DESC, id)::INT AS rn FROM chunks"
 
   /** Mirrors MinHash.nearDupPairs(documents, doc_id, text, 0.3, 3):
     * trigram shingles → distinct set → polyHash(31) per shingle → k=32
@@ -2607,6 +2706,27 @@ object SparkEntry {
         "CASE length(props) % 3 WHEN 0 THEN 'neutral' WHEN 1 THEN 'positive' " +
         "ELSE 'negative' END || '\",\"n_chars\":' || length(props) || '}' END " +
         "AS completion FROM events ORDER BY event_id"),
+
+    // BFD packing family — the greedy packer is sequential but fully
+    // deterministic, so a recursive CTE replays it bin-for-bin
+    // (bfdPackSql); the pipeline variant runs the curate+chunk SQL
+    // first and packs the surviving chunks
+    "q_seq_pack" ->
+      ("WITH RECURSIVE " + bfdPackSql(docPackItems, 512L) +
+        " SELECT pack_id, id AS doc_id, n_tokens, slot FROM packed " +
+        "ORDER BY pack_id, slot"),
+    "q_pack_text" ->
+      ("WITH RECURSIVE " + bfdPackSql(docPackItems, 512L) +
+        " SELECT p.pack_id, count(*)::BIGINT AS n_docs, " +
+        "sum(p.n_tokens)::BIGINT AS n_tokens, " +
+        "string_agg(d.text, chr(10) ORDER BY p.slot) AS text " +
+        "FROM packed p JOIN documents d ON d.doc_id = p.id " +
+        "GROUP BY p.pack_id ORDER BY p.pack_id"),
+    "q_pipeline" ->
+      ("WITH RECURSIVE " + pipelineChunksSql + ", " +
+        bfdPackSql(pipelineChunkItems, 256L) +
+        " SELECT pack_id, id AS chunk_id, n_tokens, slot FROM packed " +
+        "ORDER BY pack_id, slot"),
 
     // ANN family (untrained index geometry) — seed-42 hyperplanes /
     // seed centroids baked in; index-order double sums are bit-identical
