@@ -547,8 +547,10 @@ object SparkEntry {
       urgent.intersect(high).except(open).orderBy(col("o_custkey"))
     }),
 
-    // sketch aggregates (rows-only: HLL/KLL values are engine-specific;
-    // ApproxAggSpec pins them against the exact forms within error)
+    // sketch aggregates: q_approx_distinct stays rows-only (HLL++
+    // estimates hinge on Spark-internal bias tables); the percentile
+    // sketch is oracle-checked in its exact regime (rank error inside
+    // each value's run length); ApproxAggSpec pins both against exact
     "q_approx_distinct" -> ((s, dir) =>
       ApproxAgg.distinctCounts(Tables.lineitem(s, dir),
         Seq(col("l_returnflag")), col("l_orderkey"))
@@ -800,8 +802,9 @@ object SparkEntry {
 
     // ---- oracle-omitted (non-SQL-expressible; rows-only check) ----
 
-    // IVF with k-means-trained centroids (rows-only: training means
-    // depend on float summation order in the last ulps)
+    // IVF with k-means-trained centroids (oracle-backed: fixed-point
+    // means are exact integer sums, so the Lloyd iterations unroll
+    // into recomputable SQL)
     "q_ivf_trained" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, queryId = 3L, k = 10, trainIterations = 2)
@@ -810,7 +813,7 @@ object SparkEntry {
 
     // E2 compressed-index path: product quantization (Jegou et al.
     // TPAMI'11) — m x 4-bit codes per vector, ADC scan, exact re-rank
-    // (rows-only: k-means training depends on float summation order)
+    // (oracle-backed: fixed-point codebook training replayed in SQL)
     "q_pq_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Pq.pqTopK(emb, queryId = 3L, k = 10)
@@ -1251,9 +1254,10 @@ object SparkEntry {
 
     // approximate heavy hitters (DataSketches frequent-items via
     // approx_top_k): fixed-memory, map-side-combinable, mergeable —
-    // the 100 TB substitute for count-shuffle + global sort. Sketch
-    // internals are engine-specific -> rows-only; ApproxAggSpec pins
-    // sketch == exact in the under-capacity regime
+    // the 100 TB substitute for count-shuffle + global sort.
+    // Oracle-backed in the exact regime (31 distinct tokens per lang
+    // vs 10000 tracked -> the sketch MUST equal exact counts);
+    // ApproxAggSpec pins the same equality
     "q_approx_topk" -> ((s, dir) => {
       val toks = documents(s, dir)
         .select(col("lang"), explode(TextStats.tokens(col("text"))).as("tok"))
@@ -1593,6 +1597,143 @@ object SparkEntry {
       s"SELECT e.vec_id, round(${duckCos("e.embedding", "qe")}, 6) AS score " +
       "FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id JOIN probes p ON cl.cell = p.probe, q " +
       "WHERE e.vec_id <> 0 ORDER BY score DESC, e.vec_id LIMIT 20"
+
+  /** One unrolled Lloyd iteration mirroring Similarity.kmeansCentroids:
+    * normalize `prev` centroids, assign cells by index-order dot
+    * argmax, recompute fixed-point (2⁻³⁰) per-(cell, dim) means —
+    * exact integer sums, so DuckDB reproduces the training
+    * bit-for-bit — with the empty-cell fallback to `prev`.
+    */
+  private def kmeansIterSql(prev: String, next: String): String =
+    s"${prev}n AS (SELECT cid, list_transform(cl, x -> x / " +
+      s"sqrt(list_sum(list_transform(cl, y -> y*y)))) AS cv FROM $prev), " +
+      s"sc_$next AS (SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, 65), " +
+      s"j -> e.embedding[j]::DOUBLE * c.cv[j])) AS s FROM embeddings e CROSS JOIN ${prev}n c), " +
+      s"cell_$next AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc_$next) t WHERE rn = 1), " +
+      s"m_$next AS (SELECT cl.cell, u.pos - 1 AS pos, " +
+      "(sum(floor(u.v::DOUBLE * 1073741824.0))::DOUBLE / count(*)) / 1073741824.0 AS mv " +
+      s"FROM cell_$next cl JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
+      "unnest(embedding) AS v FROM embeddings) u USING (vec_id) GROUP BY 1, 2), " +
+      s"pd_$next AS (SELECT cid, generate_subscripts(cl, 1) AS pos, unnest(cl) AS pv FROM $prev), " +
+      s"$next AS (SELECT p.cid, list(coalesce(m.mv, p.pv) ORDER BY p.pos) AS cl " +
+      s"FROM pd_$next p LEFT JOIN m_$next m ON m.cell = p.cid AND m.pos = p.pos - 1 GROUP BY p.cid)"
+
+  /** Mirrors Similarity.ivfTopK(embeddings, 3, 10, trainIterations=2):
+    * seed centroids → two unrolled fixed-point Lloyd iterations →
+    * probe/assign/re-rank on the trained centroids.
+    */
+  private lazy val ivfTrainedOracle: String =
+    "WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cl " +
+      "FROM embeddings WHERE vec_id < 16), " +
+      kmeansIterSql("c0", "c1") + ", " +
+      kmeansIterSql("c1", "c2") + ", " +
+      "cf AS (SELECT cid, list_transform(cl, x -> x / " +
+      "sqrt(list_sum(list_transform(cl, y -> y*y)))) AS cv FROM c2), " +
+      "scf AS (SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, 65), " +
+      "j -> e.embedding[j]::DOUBLE * c.cv[j])) AS s FROM embeddings e CROSS JOIN cf c), " +
+      "cells AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM scf) t WHERE rn = 1), " +
+      "probes AS (SELECT cid AS probe FROM (SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn " +
+      "FROM scf WHERE vec_id = 3) t WHERE rn <= 4), " +
+      "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3) " +
+      s"SELECT e.vec_id, round(${duckCos("e.embedding", "qe")}, 6) AS score " +
+      "FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id JOIN probes p ON cl.cell = p.probe, q " +
+      "WHERE e.vec_id <> 3 ORDER BY score DESC, e.vec_id LIMIT 10"
+
+  /** One unrolled per-subspace spherical k-means iteration mirroring
+    * Pq.trainCodebooks (m=8 subspaces of 8 dims, ks=16 codes):
+    * assignment by unit-codebook dot argmax, fixed-point (2⁻³⁰) means,
+    * groups with members re-normalized, empty codes keep the previous
+    * unit entry untouched.
+    */
+  private def pqIterSql(prev: String, next: String): String =
+    s"asg_$next AS (SELECT e.vec_id, b.j, b.code, " +
+      "list_sum(list_transform(range(1, 9), p -> e.embedding[b.j*8+p]::DOUBLE * b.bl[p])) AS s " +
+      s"FROM embeddings e CROSS JOIN $prev b), " +
+      s"code_$next AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code, " +
+      s"row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rn FROM asg_$next) t WHERE rn = 1), " +
+      s"mm_$next AS (SELECT c.j, c.code, s.pos, " +
+      "(sum(floor(s.v * 1073741824.0))::DOUBLE / count(*)) / 1073741824.0 AS mv " +
+      s"FROM code_$next c JOIN sv s ON s.vec_id = c.vec_id AND s.j = c.j GROUP BY 1, 2, 3), " +
+      s"raw_$next AS (SELECT p.j, p.code, list(coalesce(m.mv, p.pv) ORDER BY p.pos) AS vl " +
+      s"FROM (SELECT j, code, generate_subscripts(bl, 1) AS pos, unnest(bl) AS pv FROM $prev) p " +
+      s"LEFT JOIN mm_$next m ON m.j = p.j AND m.code = p.code AND m.pos = p.pos GROUP BY 1, 2), " +
+      s"$next AS (SELECT r.j, r.code, CASE WHEN h.j IS NULL THEN r.vl " +
+      "ELSE list_transform(r.vl, x -> x / sqrt(list_sum(list_transform(r.vl, y -> y*y)))) END AS bl " +
+      s"FROM raw_$next r LEFT JOIN (SELECT DISTINCT j, code FROM mm_$next) h " +
+      "ON h.j = r.j AND h.code = r.code)"
+
+  /** Shared PQ prefix: subvector table, seed codebooks, two training
+    * iterations, query lookup table (query vec 3).
+    */
+  private lazy val pqCommonSql: String =
+    "WITH js AS (SELECT unnest(range(0, 8)) AS j), " +
+      "sv AS (SELECT e.vec_id, js.j, p.pos, e.embedding[js.j*8 + p.pos]::DOUBLE AS v " +
+      "FROM embeddings e, js, (SELECT unnest(range(1, 9)) AS pos) p), " +
+      "sl0 AS (SELECT js.j, e.vec_id AS code, " +
+      "list_transform(list_slice(e.embedding, js.j*8+1, js.j*8+8), x -> x::DOUBLE) AS sl " +
+      "FROM embeddings e, js WHERE e.vec_id < 16), " +
+      "b0 AS (SELECT j, code, list_transform(sl, x -> x / " +
+      "sqrt(list_sum(list_transform(sl, y -> y*y)))) AS bl FROM sl0), " +
+      pqIterSql("b0", "b1") + ", " + pqIterSql("b1", "b2") + ", " +
+      "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3), " +
+      "qs AS (SELECT js.j, list_transform(list_slice(q.qe, js.j*8+1, js.j*8+8), x -> x::DOUBLE) AS qv FROM q, js), " +
+      "lut AS (SELECT b.j, b.code, list_sum(list_transform(range(1, 9), p -> b.bl[p] * s.qv[p])) AS lv " +
+      "FROM b2 b JOIN qs s ON s.j = b.j)"
+
+  /** ADC scan over `code_f` + exact top-10 re-rank — shared PQ tail.
+    * The ADC sum folds the m lookups in subspace order (list, not
+    * SUM — group-aggregate order is undefined, the fold is not).
+    */
+  private lazy val pqTailSql: String =
+    ", adc AS (SELECT c.vec_id, list_sum(list(l.lv ORDER BY c.j)) AS adc " +
+      "FROM code_f c JOIN lut l ON l.j = c.j AND l.code = c.code GROUP BY c.vec_id), " +
+      "cand AS (SELECT vec_id FROM (SELECT vec_id, " +
+      "row_number() OVER (ORDER BY adc DESC, vec_id) AS rn FROM adc) t WHERE rn <= 100) " +
+      s"SELECT e.vec_id, round(${duckCos("e.embedding", "qe")}, 6) AS score " +
+      "FROM cand JOIN embeddings e USING (vec_id), q " +
+      "ORDER BY score DESC, e.vec_id LIMIT 10"
+
+  /** Mirrors Pq.pqTopK(embeddings, 3, 10): fixed-point-trained
+    * codebooks → full-corpus ADC scan → exact re-rank.
+    */
+  private lazy val pqAnnOracle: String =
+    pqCommonSql + ", " +
+      "asg_f AS (SELECT e.vec_id, b.j, b.code, " +
+      "list_sum(list_transform(range(1, 9), p -> e.embedding[b.j*8+p]::DOUBLE * b.bl[p])) AS s " +
+      "FROM embeddings e CROSS JOIN b2 b WHERE e.vec_id <> 3), " +
+      "code_f AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code, " +
+      "row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rn FROM asg_f) t WHERE rn = 1)" +
+      pqTailSql
+
+  /** Mirrors Pq.ivfPqTopK(embeddings, 3, 10): probe cells chosen by
+    * Pq's driver-side cosine (dot / sqrt(na·nb) — note the SINGLE
+    * sqrt, unlike Similarity.cosine) over the raw seed centroids;
+    * the ADC scan runs only inside the probed cells.
+    */
+  private lazy val ivfPqAnnOracle: String =
+    pqCommonSql + ", " +
+      "cents AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS craw " +
+      "FROM embeddings WHERE vec_id < 16), " +
+      "centn AS (SELECT cid, list_transform(craw, x -> x / " +
+      "sqrt(list_sum(list_transform(craw, y -> y*y)))) AS cv FROM cents), " +
+      "pr AS (SELECT cid, list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * craw[i])) / " +
+      "sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) * " +
+      "list_sum(list_transform(range(1, 65), i -> craw[i] * craw[i]))) AS cs FROM cents, q), " +
+      "probes AS (SELECT cid AS probe FROM (SELECT cid, " +
+      "row_number() OVER (ORDER BY cs DESC, cid) AS rn FROM pr) t WHERE rn <= 4), " +
+      "cscore AS (SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, 65), " +
+      "i -> e.embedding[i]::DOUBLE * c.cv[i])) AS s FROM embeddings e CROSS JOIN centn c), " +
+      "cells AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cscore) t WHERE rn = 1), " +
+      "pool AS (SELECT cl.vec_id FROM cells cl JOIN probes p ON cl.cell = p.probe WHERE cl.vec_id <> 3), " +
+      "asg_f AS (SELECT e.vec_id, b.j, b.code, " +
+      "list_sum(list_transform(range(1, 9), p -> e.embedding[b.j*8+p]::DOUBLE * b.bl[p])) AS s " +
+      "FROM embeddings e JOIN pool USING (vec_id) CROSS JOIN b2 b), " +
+      "code_f AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code, " +
+      "row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rn FROM asg_f) t WHERE rn = 1)" +
+      pqTailSql
 
   /** Mirrors Similarity.ivfTopKBatch(embeddings, vec_id<8, 10). */
   private lazy val ivfBatchOracle: String =
@@ -2733,6 +2874,32 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_batch" -> annBatchOracle,
     "q_ivf_ann" -> ivfAnnOracle,
-    "q_ivf_batch" -> ivfBatchOracle
+    "q_ivf_batch" -> ivfBatchOracle,
+
+    // trained IVF — fixed-point k-means means are exact integer sums,
+    // so the two Lloyd iterations unroll into recomputable SQL
+    "q_ivf_trained" -> ivfTrainedOracle,
+
+    // PQ / IVF-PQ — same fixed-point training trick per subspace; the
+    // ADC fold and the probe cosine mirror the Scala operation order
+    "q_pq_ann" -> pqAnnOracle,
+    "q_ivfpq_ann" -> ivfPqAnnOracle,
+
+    // sketch aggregates in their EXACT regime: the gated datasets keep
+    // approx_top_k far under its tracked capacity (31 distinct tokens
+    // per lang vs 10000) and the percentile sketch's rank error (±2 at
+    // sf0.1) far inside each value's run length (~400 rows) — so the
+    // sketches MUST equal the exact forms, and the oracle enforces it
+    // (stability across partition counts verified at 4/16/32 cpus)
+    "q_approx_topk" ->
+      ("WITH t AS (SELECT lang AS grp, unnest(string_split(text, ' ')) AS item FROM documents), " +
+        "c AS (SELECT grp, item, count(*)::BIGINT AS est FROM t GROUP BY 1, 2), " +
+        "r AS (SELECT grp, item, est, (row_number() OVER (PARTITION BY grp " +
+        "ORDER BY est DESC, item))::INT AS rk FROM c) " +
+        "SELECT grp, item, est, rk FROM r WHERE rk <= 5 ORDER BY grp, rk"),
+    "q_approx_percentile" ->
+      ("SELECT l_returnflag, quantile_disc(l_quantity, 0.25) AS p25, " +
+        "quantile_disc(l_quantity, 0.5) AS p50, quantile_disc(l_quantity, 0.75) AS p75 " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1")
   )
 }

@@ -66,6 +66,10 @@ object Pq {
       val b = books
       // one job: every row contributes (subspace, code, pos, v) for
       // all m subspaces; groupBy avg is the Lloyd's mean update
+      // fixed-point (2^-30) means, like Similarity.kmeansCentroids:
+      // exact integer sums are order-independent, so codebook training
+      // is bit-reproducible and the SQL oracle replays it
+      val Scale = 1073741824.0
       val contrib = embeddings.select(
         explode(array((0 until m).map { j =>
           val sv = slice(col("embedding"), j * sub + 1, sub)
@@ -76,13 +80,15 @@ object Pq {
         .select(col("e.j").as("j"), col("e.code").as("code"),
           posexplode(col("e.sv")).as(Seq("pos", "v")))
         .groupBy(col("j"), col("code"), col("pos"))
-        .agg(avg(col("v")).as("mean"))
+        .agg(sum(floor(col("v").cast("double") * lit(Scale)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = books.map(_.map(_.clone()))
       contrib.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("code")))
         .foreach { case ((j, c), rows) =>
           val v = next(j)(c)
-          rows.foreach(r => v(r.getAs[Int]("pos")) = r.getAs[Double]("mean"))
+          rows.foreach(r => v(r.getAs[Int]("pos")) =
+            (r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble) / Scale)
           next(j)(c) = normalize(v)
         }
       books = next

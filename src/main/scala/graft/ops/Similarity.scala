@@ -135,11 +135,21 @@ object Similarity {
     * the corpus itself never leaves the cluster, so the loop scales to
     * any corpus size; iterations, not data, bound the driver.
     *
+    * Means are FIXED-POINT (2⁻³⁰-quantized): each member value is
+    * floored to an integer multiple of 2⁻³⁰ and summed as a long —
+    * integer sums are order-independent, so training is bit-identical
+    * on any partitioning AND recomputable by the SQL oracle (a plain
+    * double `avg` depends on float summation order in the last ulps,
+    * which is why `q_ivf_trained` was rows-only before round 7). The
+    * quantization error (≤ 2⁻³⁰ per value) is orders of magnitude
+    * below float32 input precision — clustering is unaffected.
+    *
     * Cells that lose all members keep their previous centroid (the
     * standard empty-cluster fallback).
     */
   def kmeansCentroids(embeddings: DataFrame, nCentroids: Int = 16,
                       iterations: Int = 3): Array[Array[Double]] = {
+    val Scale = 1073741824.0 // 2^30: double mult/floor by a power of 2 is exact
     var cents = ivfCentroids(embeddings, nCentroids)
     var i = 0
     while (i < iterations) {
@@ -147,11 +157,13 @@ object Similarity {
         .withColumn("cell", ivfCell(col("embedding"), cents))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg(sum(floor(col("v").cast("double") * lit(Scale)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
       dims.foreach { r =>
-        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+          (r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble) / Scale
       }
       cents = next
       i += 1
