@@ -131,6 +131,12 @@ object ScaleSmoke {
           col("user_id"), col("event_id"), col("event_type"), k = 3)
         TransitionGraph.reachable(spark, edges, start = "click",
           maxDepth = 4, viewName = s"smoke_edges_x$f")
+      },
+      "shard_assign" -> { f =>
+        // LPT sort-and-deal (round-7 rework): global prefix-scan index
+        // + broadcast stratum lookup — both linear, no global window
+        Sharding.assign(inflateDocs(Tables.documents(spark, sfDir), f),
+          col("doc_id"), length(col("text")), nShards = 16, strata = 8)
       })
 
     val opFilter = args.lift(2).map(_.split(",").toSet)
