@@ -222,4 +222,38 @@ object GraftProps extends Properties("graft") {
         } yield (a, b, inter, uni)).toSet
         got == want
     }
+
+  // ---- codecs: arbitrary bytes decode or reject, never crash ----
+  // ("corrupt media must not kill a 100 TB job": every decoder either
+  // returns a value or throws IllegalArgumentException — nothing else
+  // may escape, because only IAE-family errors map to the NULL row)
+
+  private val bytesGen: Gen[Array[Byte]] = for {
+    n <- Gen.choose(0, 256)
+    b <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield b.toArray
+
+  // mutated valid headers probe deeper than pure noise (noise dies at
+  // the magic check); prefix real containers with random tails
+  private val headedGen: Gen[Array[Byte]] = for {
+    head <- Gen.oneOf("BM", "P6\n", "RIFF????WAVE", "qoif")
+    tail <- bytesGen
+  } yield head.getBytes("ISO-8859-1") ++ tail
+
+  private def decodesOrRejects(f: Array[Byte] => Any): Array[Byte] => Boolean =
+    bytes =>
+      try { f(bytes); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+
+  property("decodeBmp on arbitrary/mutated bytes: value or IAE, never a crash") =
+    forAll(Gen.oneOf(bytesGen, headedGen))(decodesOrRejects(graft.multimodal.Codecs.decodeBmp))
+  property("decodePpm on arbitrary/mutated bytes: value or IAE, never a crash") =
+    forAll(Gen.oneOf(bytesGen, headedGen))(decodesOrRejects(graft.multimodal.Codecs.decodePpm))
+  property("decodeWav on arbitrary/mutated bytes: value or IAE, never a crash") =
+    forAll(Gen.oneOf(bytesGen, headedGen))(decodesOrRejects(graft.multimodal.Codecs.decodeWav))
+  property("decodeQoi on arbitrary/mutated bytes: value or IAE, never a crash") =
+    forAll(Gen.oneOf(bytesGen, headedGen))(decodesOrRejects(graft.multimodal.Codecs.decodeQoi))
 }
