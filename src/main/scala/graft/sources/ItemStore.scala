@@ -132,9 +132,20 @@ class ItemStoreTable(schema: StructType, path: String)
 
 class ItemStoreScanBuilder(fullSchema: StructType, path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** LIMIT pushdown: each page reader stops after emitting `n`
+    * post-filter rows instead of draining its page — on a paginated
+    * store that is the difference between touching one page and
+    * touching all of them. Partial by contract (the default
+    * `isPartiallyPushed` = true): Spark still applies the global
+    * limit over the per-partition prefixes, so correctness never
+    * depends on the source.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -160,37 +171,43 @@ class ItemStoreScanBuilder(fullSchema: StructType, path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ItemStoreScan(required, pushed, path)
+  override def build(): Scan = new ItemStoreScan(required, pushed, path, limit)
 }
 
-class ItemStoreScan(schema: StructType, filters: Array[Filter], path: String)
+class ItemStoreScan(schema: StructType, filters: Array[Filter], path: String,
+                    limit: Int = -1)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"ItemStoreScan path=$path, " +
       s"ReadSchema: ${schema.simpleString}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]"
+      s"PushedFilters: [${filters.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     ItemStore.pages(path).map(p =>
       ItemStorePartition(p.toString): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ItemStoreReaderFactory(schema, filters)
+    new ItemStoreReaderFactory(schema, filters, limit)
 }
 
 case class ItemStorePartition(file: String) extends InputPartition
 
-class ItemStoreReaderFactory(schema: StructType, filters: Array[Filter])
+class ItemStoreReaderFactory(schema: StructType, filters: Array[Filter],
+                             limit: Int)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ItemStoreReader(schema, filters, p.asInstanceOf[ItemStorePartition].file)
+    new ItemStoreReader(schema, filters,
+      p.asInstanceOf[ItemStorePartition].file, limit)
 }
 
-class ItemStoreReader(schema: StructType, filters: Array[Filter], file: String)
+class ItemStoreReader(schema: StructType, filters: Array[Filter], file: String,
+                      limit: Int = -1)
   extends PartitionReader[InternalRow] {
   private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
   private val it = lines.iterator()
   private var current: InternalRow = _
+  private var emitted = 0
   private val numericCols: Set[String] =
     schema.fields.filter(_.dataType == DoubleType).map(_.name.toLowerCase).toSet
 
@@ -220,6 +237,7 @@ class ItemStoreReader(schema: StructType, filters: Array[Filter], file: String)
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // pushed-limit stop
     while (it.hasNext) {
       val line = it.next().trim
       if (line.nonEmpty) {
@@ -237,6 +255,7 @@ class ItemStoreReader(schema: StructType, filters: Array[Filter], file: String)
                 else if (f.dataType == DoubleType) toNum(v)
                 else UTF8String.fromString(v)
               }.toSeq)
+              emitted += 1
               return true
             }
           }

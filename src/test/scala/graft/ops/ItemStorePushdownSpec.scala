@@ -31,6 +31,23 @@ class ItemStorePushdownSpec extends AnyFunSuite {
     assert(scan.contains("GreaterThanOrEqual(ts"), s"no pushed range filter:\n$scan")
   }
 
+  test("LIMIT is pushed into the page readers (each stops after n post-filter rows)") {
+    val store = SparkEntry.itemStorePath(dir)
+    SparkEntry.ensureItemStore(spark, dir, store)
+    val limited = spark.read.format("graft.sources.ItemStore")
+      .option("path", store).option("numericFields", "ts,event_id")
+      .load().limit(7)
+    assert(limited.count() == 7)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"), s"limit not pushed:\n$plan")
+    // composes with filter pushdown: limit counts POST-filter rows
+    val both = spark.read.format("graft.sources.ItemStore")
+      .option("path", store).option("numericFields", "ts,event_id")
+      .load().filter(col("ts") >= SparkEntry.ItemStoreCutoff.toDouble).limit(3)
+    assert(both.count() == 3)
+    assert(both.queryExecution.executedPlan.toString.contains("PushedLimit: 3"))
+  }
+
   test("store-side cutoff returns exactly the parquet-side rows") {
     val expected = Tables.events(spark, dir)
       .filter(col("ts").cast("long") >= SparkEntry.ItemStoreCutoff)
