@@ -184,18 +184,25 @@ object Bench {
     // any other query.
     var streamDetail = "{}"
     val streamResults: Map[String, Double] =
-      if (remainingMs < 45000) Map("s_stream_dedup" -> -1.0, "s_stream_decontam" -> -1.0)
+      if (remainingMs < 60000)
+        Map("s_stream_dedup" -> -1.0, "s_stream_decontam" -> -1.0,
+          "s_stream_sessionize" -> -1.0)
       else try {
         val evDir = graft.streaming.StreamBench.stageEvents(spark, sfDir, nFiles = 8)
         val md = graft.streaming.StreamBench.benchDedup(spark, evDir)
         val docDir = graft.streaming.StreamBench.stageDocs(spark, sfDir, nFiles = 8)
         val mdc = graft.streaming.StreamBench.benchDecontam(spark, sfDir, docDir)
+        val ms = graft.streaming.StreamBench.benchSessions(spark, evDir)
         streamDetail =
           s"""{"dedup":{"rows":${md.rows},"rows_per_sec":${md.rowsPerSec.toLong},"avg_batch_ms":${md.avgBatchMs.toLong},"batches":${md.batches}},""" +
-          s""""decontam":{"rows":${mdc.rows},"rows_per_sec":${mdc.rowsPerSec.toLong},"avg_batch_ms":${mdc.avgBatchMs.toLong},"batches":${mdc.batches}}}"""
-        Map("s_stream_dedup" -> md.elapsedSec, "s_stream_decontam" -> mdc.elapsedSec)
-      } catch { case _: Throwable =>
-        Map("s_stream_dedup" -> -1.0, "s_stream_decontam" -> -1.0)
+          s""""decontam":{"rows":${mdc.rows},"rows_per_sec":${mdc.rowsPerSec.toLong},"avg_batch_ms":${mdc.avgBatchMs.toLong},"batches":${mdc.batches}},""" +
+          s""""sessionize":{"rows":${ms.rows},"rows_per_sec":${ms.rowsPerSec.toLong},"avg_batch_ms":${ms.avgBatchMs.toLong},"batches":${ms.batches}}}"""
+        Map("s_stream_dedup" -> md.elapsedSec, "s_stream_decontam" -> mdc.elapsedSec,
+          "s_stream_sessionize" -> ms.elapsedSec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming micro-bench failed: $e")
+        Map("s_stream_dedup" -> -1.0, "s_stream_decontam" -> -1.0,
+          "s_stream_sessionize" -> -1.0)
       }
     val results = ordered.map { case (name, _) => name -> median(runs(name)) }.toMap ++
       streamResults

@@ -81,7 +81,15 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+              // replaying HISTORICAL data (catch-up, backfill) can
+              // advance the watermark past a session's natural close
+              // time within one burst of micro-batches; a timeout
+              // below the watermark throws — clamp to just past it,
+              // which fires on the next trigger (the session IS
+              // closed, the watermark already proves it)
+              val target = (s.last + gapSeconds) * 1000
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(target, wm + 1))
             }
             closed.reverseIterator
           }

@@ -105,6 +105,32 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Sessionize twin: the custom-state path (flatMapGroupsWithState
+    * with event-time timeout) — per-user gap sessions over the events
+    * replay, closed sessions emitted to a noop sink.
+    */
+  def benchSessions(spark: SparkSession, replayDir: String): StreamMetrics = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val physical = spark.read.parquet(replayDir).schema
+    val evs = graft.Tables.normalizeTs(
+        spark.readStream.schema(physical)
+          .option("maxFilesPerTrigger", "2").parquet(replayDir))
+      .withWatermark("ts", "1 hour") // event-time timeout needs a watermark
+      // keep the watermarked ts column in the projection — dropping it
+      // drops the EventTimeWatermark node and fails the analysis check;
+      // the Ev encoder selects its fields by name and ignores extras
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_epoch"),
+        col("event_id"), col("ts"))
+      .as[graft.ops.Sessionize.Ev]
+    val stream = graft.ops.Sessionize.streamingSessions(evs, gapSeconds = 3600L)
+    val t0 = System.nanoTime()
+    val q = stream.writeStream.format("noop")
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Local scale-curve runner: rows/sec for the two twins at ×1/×4/×16
     * replay factors. Prints one JSON line per point (recorded in
     * BASELINE.md).

@@ -17,6 +17,16 @@ class EntrySpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+  test("the rows-only set is exactly the declared irreducible pair") {
+    // every other query MUST ship a DuckDB oracle — a new query landing
+    // without one silently weakens the correctness gate, so this pins
+    // the contract (SURVEY §2.9: HLL bias tables + layout-dependent
+    // partition numbering are the only surfaces an engine-external
+    // oracle cannot reproduce)
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_approx_distinct", "q_payload_build_part"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
   test("all declared queries run and return rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
