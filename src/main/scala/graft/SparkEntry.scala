@@ -764,6 +764,18 @@ object SparkEntry {
         threshold = 0.3, shingleN = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E1 near, incremental: which NEW-batch docs near-duplicate the
+    // EXISTING corpus (bipartite band join — the daily-ingest LSH
+    // dedup gate; cost tracks the batch, not the corpus). Oracle-backed.
+    "q_incr_neardup" -> ((s, dir) => {
+      val d = documents(s, dir)
+      MinHash.nearDupAgainst(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), threshold = 0.3)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // E1 near: SimHash chunk-join candidates with Hamming distance
     // (oracle-backed — simhashOracle recomputes the 62-bit signatures)
     "q_simhash_dedup" -> ((s, dir) =>
@@ -1503,17 +1515,26 @@ object SparkEntry {
     * universal permutations (seed-42 coefficients baked in) → 8 banded
     * fold keys → bucket join candidates → exact Jaccard ≥ 0.3.
     */
-  private lazy val minhashOracle: String = {
+  /** Shared MinHash signature CTEs: trigram shingle sets, per-shingle
+    * poly hash, k=32 seed-42 signatures, 8 banded fold keys — the
+    * `sig` and `idx` relations both self-join (q_minhash_dedup) and
+    * bipartite (q_incr_neardup) candidate generation read.
+    */
+  private lazy val minhashSigCtes: String = {
     val (as, bs) = graft.ops.MinHash.coeffs(32, 42L)
     val sigs = (0 until 32).map(j =>
       s"list_min(list_transform(hs, h -> ((${as(j)}*h + ${bs(j)}) % $MP)))").mkString(", ")
     val bk = s"((((((sg[4*band+1]*31 + sg[4*band+2]) % $MP) * 31 + sg[4*band+3]) % $MP) * 31 + sg[4*band+4]) % $MP)"
-    "WITH toks AS (SELECT doc_id AS id, text, string_split(text, ' ') AS tk FROM documents), " +
+    "toks AS (SELECT doc_id AS id, text, string_split(text, ' ') AS tk FROM documents), " +
       "base AS (SELECT id, list_distinct(CASE WHEN len(tk) < 3 THEN [text] " +
       "ELSE list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sset FROM toks), " +
       s"hashed AS (SELECT id, sset, list_transform(sset, s -> ${duckPoly("s", 31)}) AS hs FROM base), " +
       s"sig AS (SELECT id, sset, [$sigs] AS sg FROM hashed), " +
-      s"idx AS (SELECT id, band, $bk AS bh FROM sig, (SELECT unnest(range(0, 8)) AS band) bands), " +
+      s"idx AS (SELECT id, band, $bk AS bh FROM sig, (SELECT unnest(range(0, 8)) AS band) bands)"
+  }
+
+  private lazy val minhashOracle: String =
+    "WITH " + minhashSigCtes + ", " +
       "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM idx a JOIN idx b " +
       "ON a.band = b.band AND a.bh = b.bh AND a.id < b.id) " +
       "SELECT id_a, id_b, jac FROM (SELECT c.id_a, c.id_b, " +
@@ -1521,7 +1542,20 @@ object SparkEntry {
       "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))), 4) AS jac " +
       "FROM cand c JOIN sig x ON x.id = c.id_a JOIN sig y ON y.id = c.id_b) t " +
       "WHERE jac >= 0.3 ORDER BY id_a, id_b"
-  }
+
+  /** Mirrors MinHash.nearDupAgainst(corpus = id%10<>0, batch = id%10=0,
+    * 0.3): bipartite band join, exact Jaccard verify.
+    */
+  private lazy val incrNearDupOracle: String =
+    "WITH " + minhashSigCtes + ", " +
+      "cand AS (SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id " +
+      "FROM idx b JOIN idx c ON b.band = c.band AND b.bh = c.bh " +
+      "WHERE b.id % 10 = 0 AND c.id % 10 <> 0) " +
+      "SELECT batch_id, corpus_id, jac FROM (SELECT n.batch_id, n.corpus_id, " +
+      "round(len(list_intersect(x.sset, y.sset))::DOUBLE / " +
+      "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))), 4) AS jac " +
+      "FROM cand n JOIN sig x ON x.id = n.batch_id JOIN sig y ON y.id = n.corpus_id) t " +
+      "WHERE jac >= 0.3 ORDER BY batch_id, corpus_id"
 
   /** Mirrors SimHash.candidateDistances(documents, doc_id, text, 4)
     * .filter(dist ≤ 31): per-token 62-bit packed poly hash, ±1 bit
@@ -2828,6 +2862,7 @@ object SparkEntry {
     // LSH dedup family — engine-portable integer hashing makes the full
     // pipeline (signatures, buckets, candidates, verify) recomputable
     "q_minhash_dedup" -> minhashOracle,
+    "q_incr_neardup" -> incrNearDupOracle,
     "q_simhash_dedup" -> simhashOracle,
 
     // byte-level media features: content = encode(text, UTF-8), so the

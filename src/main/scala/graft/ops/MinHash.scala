@@ -137,4 +137,48 @@ object MinHash {
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
+
+  /** INCREMENTAL near-dup: which documents of a NEW batch near-
+    * duplicate the EXISTING corpus — the daily-ingest dedup gate (the
+    * LSH scale twin of [[Dedup]]'s exact incremental anti-join). The
+    * candidate join is BIPARTITE (corpus index × batch index, never
+    * corpus × corpus): at 100 TB the corpus's banded index and shingle
+    * sets are a materialized artifact written once and re-probed by
+    * every batch — only the (small) batch side is shingled and signed
+    * per run, and the bucket join's cost tracks the batch size, not
+    * the corpus. Output: (batch_id, corpus_id, jac ≥ threshold) —
+    * downstream drops `batch_id`s with any match.
+    */
+  def nearDupAgainst(corpus: DataFrame, batch: DataFrame,
+                     idCol: Column, textCol: Column,
+                     threshold: Double, shingleN: Int = 3, k: Int = 32,
+                     bands: Int = 8, seed: Long = 42L,
+                     roundTo: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    def prep(df: DataFrame): DataFrame =
+      df.select(idCol.as("id"),
+          array_sort(array_distinct(TextStats.shingles(textCol, shingleN))).as("sset"))
+        .withColumn("sig", signature(col("sset"), k, seed))
+        .localCheckpoint(eager = false)
+    def index(base: DataFrame): DataFrame = {
+      val bandHashes = array((0 until bands).map { b =>
+        struct(lit(b).as("band"), bandKey(col("sig"), b * rows, rows).as("bh"))
+      }: _*)
+      base.select(col("id"), explode(bandHashes).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    }
+    val cBase = prep(corpus)
+    val bBase = prep(batch)
+    val cands = index(bBase).toDF("batch_id", "band", "bh")
+      .join(index(cBase).toDF("corpus_id", "band", "bh"), Seq("band", "bh"))
+      .select("batch_id", "corpus_id").distinct()
+    cands
+      .join(bBase.select(col("id").as("batch_id"), col("sset").as("set_b")), Seq("batch_id"))
+      .join(cBase.select(col("id").as("corpus_id"), col("sset").as("set_c")), Seq("corpus_id"))
+      .withColumn("jac",
+        round(graft.functions.ArrayExprs.jaccardSorted(col("set_b"), col("set_c")), roundTo))
+      .filter(col("jac") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jac"))
+  }
 }

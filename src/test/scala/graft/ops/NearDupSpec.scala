@@ -56,6 +56,23 @@ class NearDupSpec extends AnyFunSuite {
     val b = docs.select(sig).collect().map(_.getSeq[Long](0))
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
+  test("incremental near-dup: batch docs matched against the corpus only") {
+    // corpus holds docs 1-3, the "new batch" holds 4 (near-dup of 1)
+    // and 5 (novel): only batch-vs-corpus pairs may appear
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val batch = Seq(
+      (4L, base.replace("dog", "cat")), // near dup of corpus doc 1
+      (5L, "entirely novel content with no shingle overlap at all here"))
+      .toDF("doc_id", "text")
+    val hits = MinHash.nearDupAgainst(corpus, batch,
+      col("doc_id"), col("text"), threshold = 0.5, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.exists(_._1 == 4L), s"batch near-dup not found: $hits")
+    assert(!hits.exists(_._1 == 5L), s"novel doc misflagged: $hits")
+    assert(hits.forall { case (b, c) => b >= 4L && c <= 3L },
+      s"role mixup (corpus x corpus or batch x batch pair): $hits")
+  }
+
   test("SimHash: identical texts at distance 0, near dups close, unrelated far") {
     val sigs = SimHash.signatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
