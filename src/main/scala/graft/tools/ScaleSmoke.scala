@@ -132,6 +132,15 @@ object ScaleSmoke {
         TransitionGraph.reachable(spark, edges, start = "click",
           maxDepth = 4, viewName = s"smoke_edges_x$f")
       },
+      "incr_neardup" -> { f =>
+        // batch/corpus split on the ORIGINAL id (same rationale as
+        // cross_neardup: raw inflated-id modulo would cross replicas)
+        val d = inflateDocs(Tables.documents(spark, sfDir), f)
+        MinHash.nearDupAgainst(
+          d.filter(expr(s"(doc_id div $f) % 10 <> 0")),
+          d.filter(expr(s"(doc_id div $f) % 10 = 0")),
+          col("doc_id"), col("text"), threshold = 0.3)
+      },
       "shard_assign" -> { f =>
         // LPT sort-and-deal (round-7 rework): global prefix-scan index
         // + broadcast stratum lookup — both linear, no global window
