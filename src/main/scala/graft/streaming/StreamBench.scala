@@ -152,8 +152,10 @@ object StreamBench {
       val ev = stageEvents(spark, sfDir, nFiles = 8, factor = f)
       val d = benchDedup(spark, ev)
       val dc = benchDecontam(spark, sfDir, stageDocs(spark, sfDir, 8, f))
+      val ss = benchSessions(spark, ev)
       println(s"""{"stream":"dedup","factor":$f,"rows":${d.rows},"sec":${d.elapsedSec},"rows_per_sec":${d.rowsPerSec.toLong},"avg_batch_ms":${d.avgBatchMs.toLong},"batches":${d.batches}}""")
       println(s"""{"stream":"decontam","factor":$f,"rows":${dc.rows},"sec":${dc.elapsedSec},"rows_per_sec":${dc.rowsPerSec.toLong},"avg_batch_ms":${dc.avgBatchMs.toLong},"batches":${dc.batches}}""")
+      println(s"""{"stream":"sessionize","factor":$f,"rows":${ss.rows},"sec":${ss.elapsedSec},"rows_per_sec":${ss.rowsPerSec.toLong},"avg_batch_ms":${ss.avgBatchMs.toLong},"batches":${ss.batches}}""")
     }
     Runtime.getRuntime.halt(0)
   }
