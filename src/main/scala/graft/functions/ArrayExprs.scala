@@ -74,21 +74,25 @@ object kernels {
     // decode codepoints straight from the UTF-8 bytes — toString would
     // allocate a String per token, which tripled the SimHash kernel's
     // cost on the per-row hot path. ASCII is the one-byte fast path.
+    // Continuation reads past the end fold as 0 (UTF8String.getByte is
+    // an UNCHECKED Unsafe read and Spark does not validate UTF-8 on
+    // ingest, so a truncated multi-byte tail from corrupt source data
+    // must not read past the buffer — same guard as polyHashUtf8Bytes).
     val n = s.numBytes
     var h = seed
     var i = 0
+    def cont(j: Int): Int = if (j < n) s.getByte(j) & 0x3f else 0
     while (i < n) {
       val b0 = s.getByte(i) & 0xff
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
       else if (b0 < 0xe0) {
-        cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f); i += 2
+        cp = ((b0 & 0x1f) << 6) | cont(i + 1); i += 2
       } else if (b0 < 0xf0) {
-        cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
-          (s.getByte(i + 2) & 0x3f); i += 3
+        cp = ((b0 & 0x0f) << 12) | (cont(i + 1) << 6) | cont(i + 2); i += 3
       } else {
-        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
-          ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f); i += 4
+        cp = ((b0 & 0x07) << 18) | (cont(i + 1) << 12) |
+          (cont(i + 2) << 6) | cont(i + 3); i += 4
       }
       h = (h * mult + cp) % P
     }
@@ -119,18 +123,20 @@ object kernels {
         var h1 = SimSeed1
         var h2 = SimSeed2
         var ci = 0
+        // end-of-buffer guard for truncated multi-byte tails — see
+        // polyHash: getByte is unchecked, missing continuations fold as 0
+        def cont(j: Int): Int = if (j < nb) s.getByte(j) & 0x3f else 0
         while (ci < nb) {
           val b0 = s.getByte(ci) & 0xff
           var cp = 0
           if (b0 < 0x80) { cp = b0; ci += 1 }
           else if (b0 < 0xe0) {
-            cp = ((b0 & 0x1f) << 6) | (s.getByte(ci + 1) & 0x3f); ci += 2
+            cp = ((b0 & 0x1f) << 6) | cont(ci + 1); ci += 2
           } else if (b0 < 0xf0) {
-            cp = ((b0 & 0x0f) << 12) | ((s.getByte(ci + 1) & 0x3f) << 6) |
-              (s.getByte(ci + 2) & 0x3f); ci += 3
+            cp = ((b0 & 0x0f) << 12) | (cont(ci + 1) << 6) | cont(ci + 2); ci += 3
           } else {
-            cp = ((b0 & 0x07) << 18) | ((s.getByte(ci + 1) & 0x3f) << 12) |
-              ((s.getByte(ci + 2) & 0x3f) << 6) | (s.getByte(ci + 3) & 0x3f); ci += 4
+            cp = ((b0 & 0x07) << 18) | (cont(ci + 1) << 12) |
+              (cont(ci + 2) << 6) | cont(ci + 3); ci += 4
           }
           h1 = (h1 * 31L + cp) % P
           h2 = (h2 * 131L + cp) % P

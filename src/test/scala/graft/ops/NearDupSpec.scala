@@ -41,6 +41,38 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("polyHash/simhash64: truncated multi-byte tails fold as 0, never read past the buffer") {
+    // Spark does not validate UTF-8 on ingest, so corrupt source data
+    // can hand the kernels a string ending mid-sequence. The guarded
+    // byte-array variant (polyHashUtf8Bytes) is the definitional form:
+    // both UTF8String decoders must agree with it byte-for-byte.
+    import org.apache.spark.unsafe.types.UTF8String
+    val truncated = Seq(
+      Array[Byte](0x61, 0xc3.toByte),               // 'a' + lead-of-2, no cont
+      Array[Byte](0xe6.toByte, 0x97.toByte),        // lead-of-3, one cont
+      Array[Byte](0xf0.toByte, 0x9f.toByte, 0x98.toByte), // lead-of-4, two conts
+      Array[Byte](0xf0.toByte),                     // lone lead-of-4
+      Array[Byte](0x68, 0x69, 0xe4.toByte))         // "hi" + lone lead-of-3
+    for (bytes <- truncated; m <- Seq(31L, 131L)) {
+      val u = UTF8String.fromBytes(bytes)
+      val expected = graft.functions.kernels.polyHashUtf8Bytes(bytes, m, 0L)
+      assert(graft.functions.kernels.polyHash(u, m) == expected,
+        s"polyHash mismatch for bytes=${bytes.mkString(",")} mult=$m")
+    }
+    // simhash64 over a token array containing a truncated tail must not
+    // crash and must equal the two-seeded-polyHash definition
+    val tok = UTF8String.fromBytes(Array[Byte](0x61, 0x62, 0xe2.toByte))
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](tok))
+    val h1 = graft.functions.kernels.polyHashUtf8Bytes(tok.getBytes, 31L,
+      graft.functions.kernels.SimSeed1)
+    val h2 = graft.functions.kernels.polyHashUtf8Bytes(tok.getBytes, 131L,
+      graft.functions.kernels.SimSeed2)
+    val packed = (h1 << 31) + h2
+    // with a single token every vote is the token's bit, so the
+    // signature IS the packed hash
+    assert(graft.functions.kernels.simhash64(arr) == packed)
+  }
+
   test("MinHash+LSH finds exact and near dups, not unrelated pairs") {
     val pairs = MinHash.nearDupPairs(docs, col("doc_id"), col("text"),
       threshold = 0.5, shingleN = 2)
