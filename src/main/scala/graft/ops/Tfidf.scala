@@ -121,18 +121,36 @@ object Tfidf {
     * dir); callers whose input differs per call (scale smoke's
     * inflated corpora) pass None and keep per-call builds.
     */
+  private final case class PairsKey(session: org.apache.spark.sql.SparkSession,
+                                    src: String, planHash: Int, k: Int,
+                                    minShared: Int, maxPostings: Int)
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[PairsKey, DataFrame]
 
   def sharedSalientPairs(docs: DataFrame, idCol: Column, textCol: Column,
                          k: Int = 5, minShared: Int = 2,
                          maxPostings: Int = 1000,
                          cacheKey: Option[String] = None): DataFrame =
     cacheKey match {
-      case Some(src) => pairsCache.computeIfAbsent(
-        (docs.sparkSession.sparkContext.applicationId, src, k, minShared, maxPostings),
-        _ => buildSharedSalientPairs(docs, idCol, textCol, k, minShared,
-          maxPostings).localCheckpoint())
+      case Some(src) =>
+        // the key carries the SEMANTIC HASH of the projected input plan,
+        // so two frames that differ (a filtered subset, different
+        // id/text columns, rewritten data) can never alias each other's
+        // pair table even under the same caller-supplied cacheKey — and
+        // the session REFERENCE so a stopped-and-recreated session
+        // (typical in test suites) never receives a cached plan over
+        // dead RDD blocks
+        val session = docs.sparkSession
+        val planHash = docs.select(idCol.as("id"), textCol.as("text"))
+          .queryExecution.analyzed.semanticHash()
+        // drop entries whose owning session has stopped: their
+        // localCheckpoint blocks are gone, and the map must not grow
+        // unboundedly across session restarts
+        pairsCache.keySet.removeIf(k0 => k0.session.sparkContext.isStopped)
+        pairsCache.computeIfAbsent(
+          PairsKey(session, src, planHash, k, minShared, maxPostings),
+          _ => buildSharedSalientPairs(docs, idCol, textCol, k, minShared,
+            maxPostings).localCheckpoint())
       case None =>
         buildSharedSalientPairs(docs, idCol, textCol, k, minShared, maxPostings)
     }

@@ -95,6 +95,41 @@ class TfidfSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("cache: two DIFFERENT doc frames under the SAME cacheKey get distinct results") {
+    // the artifact cache must key on the input plan's semantics, not
+    // the caller's string — a filtered/different frame with a reused
+    // cacheKey must never be served the other frame's pair table
+    val corpusA = Seq(
+      (1L, "quark lepton boson field theory"),
+      (2L, "quark lepton boson mass spin")).toDF("doc_id", "text")
+    val corpusB = Seq(
+      (7L, "sonnet couplet rhyme verse poem"),
+      (8L, "sonnet couplet rhyme stanza line")).toDF("doc_id", "text")
+    val key = Some("same-key-different-frames")
+    val a = Tfidf.sharedSalientPairs(corpusA, col("doc_id"), col("text"),
+      k = 5, minShared = 2, cacheKey = key)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val b = Tfidf.sharedSalientPairs(corpusB, col("doc_id"), col("text"),
+      k = 5, minShared = 2, cacheKey = key)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(a == Set((1L, 2L)), s"corpus A pairs: $a")
+    assert(b == Set((7L, 8L)), s"corpus B pairs: $b")
+  }
+
+  test("cache: the same frame + key is served one shared build (plan identity)") {
+    val corpus = Seq(
+      (1L, "quark lepton boson field theory"),
+      (2L, "quark lepton boson mass spin")).toDF("doc_id", "text")
+    val key = Some("same-frame-same-key")
+    val first = Tfidf.sharedSalientPairs(corpus, col("doc_id"), col("text"),
+      k = 5, minShared = 2, cacheKey = key)
+    val second = Tfidf.sharedSalientPairs(corpus, col("doc_id"), col("text"),
+      k = 5, minShared = 2, cacheKey = key)
+    // the cached artifact is returned as the SAME DataFrame instance —
+    // the localCheckpoint built once, not a second pipeline
+    assert(first eq second)
+  }
+
   test("sharedSalientPairs: maxPostings drops corpus-wide hot terms") {
     // every doc's text is identical -> every term is in every top-k;
     // a cap of 2 postings drops all terms across 3 docs -> no pairs
