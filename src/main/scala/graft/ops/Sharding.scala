@@ -37,8 +37,12 @@ object Sharding {
   /** Per-document assignment: (id, weight, bucket, shard). `bucket` is
     * the 1-based equi-depth weight stratum (k = `strata`); `shard` the
     * 0-based target shard. `id` must be a non-negative long below
-    * 2^32 (the Knuth scramble multiplies by a 32-bit constant; larger
-    * id spaces would need a wider-modulus scramble).
+    * 2^31 — ENFORCED at runtime (the job fails loudly, never silently
+    * skews): the Knuth scramble multiplies by a 32-bit constant, and
+    * above 2^31 the product leaves signed-64-bit range, where Spark's
+    * non-ANSI wraparound and an exact-arithmetic engine (the DuckDB
+    * oracle raises on BIGINT overflow) diverge. Larger id spaces need
+    * a wider-modulus scramble on both sides first.
     */
   def assign(docs: DataFrame, idCol: Column, weightCol: Column,
              nShards: Int, strata: Int = 8, numRanges: Int = 32): DataFrame = {
@@ -56,7 +60,12 @@ object Sharding {
     val ordered = docs
       .select(idCol.cast("long").as("id"), weightCol.as("weight"))
       .withColumn("v", col("weight").cast("double"))
-      .withColumn("sid", pmod(col("id") * lit(Sampling.KnuthC), lit(1L << 32)))
+      .withColumn("sid",
+        when(col("id") >= 0 && col("id") < lit(1L << 31),
+          pmod(col("id") * lit(Sampling.KnuthC), lit(1L << 32)))
+          .otherwise(raise_error(concat(
+            lit("Sharding.assign: id must be in [0, 2^31), got "),
+            col("id").cast("string")))))
       .repartitionByRange(numRanges, col("v").desc, col("sid"), col("id"))
       .sortWithinPartitions(col("v").desc, col("sid"), col("id"))
       .localCheckpoint()

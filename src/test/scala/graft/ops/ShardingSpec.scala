@@ -52,6 +52,27 @@ class ShardingSpec extends AnyFunSuite {
       again.select("id", "shard")).isEmpty)
   }
 
+  test("out-of-range ids fail loudly, never silently skew") {
+    // the Knuth scramble's documented precondition (id < 2^31) is
+    // ENFORCED: past it, Spark's non-ANSI wraparound and the oracle's
+    // exact arithmetic diverge, so the job must die, not drift
+    val bad = Seq((1L, 10L), ((1L << 31) + 5L, 20L)).toDF("doc_id", "n_chars")
+    val ex = intercept[Exception] {
+      Sharding.assign(bad, col("doc_id"), col("n_chars"),
+        nShards = 4, strata = 2, numRanges = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("id must be in [0, 2^31)")),
+      s"unexpected failure: $ex")
+    val neg = Seq((-3L, 10L), (1L, 20L)).toDF("doc_id", "n_chars")
+    val ex2 = intercept[Exception] {
+      Sharding.assign(neg, col("doc_id"), col("n_chars"),
+        nShards = 4, strata = 2, numRanges = 2).collect()
+    }
+    assert(messages(ex2).exists(_.contains("id must be in [0, 2^31)")))
+  }
+
   test("strata are equi-depth (each holds ~n/k docs)") {
     val per = assigned.groupBy("bucket").count()
       .select("count").as[Long].collect()
