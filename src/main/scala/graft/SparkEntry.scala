@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.llm.{LlmUdf, StubBatchClient}
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, PerceptualHash}
 import graft.ops._
 import graft.state.Bookkeeping
 
@@ -892,6 +892,28 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy(col("media_id"))),
 
+    // E4+E1: perceptual image fingerprints — aHash (8x8 mean-threshold)
+    // and dHash (9x8 gradient sign) over the DECODED pixels, exported
+    // as 4 16-bit bands each (engine-portable: no signed-2^63 edge).
+    // The oracle recomputes both hashes from the pixel generating
+    // formulas through the same floor resample map — a decode, resample,
+    // grayscale, threshold, or bit-packing bug all break the hash-match
+    "q_media_phash" -> ((s, dir) => {
+      val h = PerceptualHash.imageHashes(
+        Multimodal.realMedia(documents(s, dir)))
+      h.select(col("media_id") +:
+        ((0 until 4).map(i => PerceptualHash.band(col("ahash"), i).as(s"a$i")) ++
+         (0 until 4).map(i => PerceptualHash.band(col("dhash"), i).as(s"d$i"))): _*)
+        .orderBy(col("media_id"))
+    }),
+
+    // E4+E1: multimodal near-dup — aHash Hamming <= 2 pairs via the
+    // 4-band pigeonhole join (complete for dist <= 3, never corpus^2)
+    "q_media_neardup" -> ((s, dir) =>
+      PerceptualHash.nearDupPairs(
+        Multimodal.realMedia(documents(s, dir)), maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // training-mix selection (Sampling): layout-independent hash-mod
     // sampling — same surviving rows on any cluster size/partitioning,
     // unlike rand(); the scramble is plain 64-bit arithmetic, so the
@@ -1424,6 +1446,40 @@ object SparkEntry {
     * yield columns (id, ntok, shard, rn) with rn the 1-based
     * (ntok DESC, id) rank within shard.
     */
+  /** Shared WITH prefix for the perceptual-hash oracles: rebuilds the
+    * aHash (`ab`: bands a0..a3) and dHash (`db`: bands d0..d3) tables
+    * from the pixel generating formulas ([[Multimodal.realMedia]])
+    * through the nearest-resample floor source map — grayscale is the
+    * channel SUM (no division), the aHash threshold the integer-floor
+    * mean, dHash the strict right>left comparison; bits pack into
+    * 16-bit bands so no engine touches the signed-2^63 edge.
+    */
+  private val PhashOracleCtes: String =
+    "WITH m AS (SELECT doc_id AS media_id, 8 + (doc_id % 4) * 4 AS w, " +
+      "6 + (doc_id % 5) * 2 AS h FROM documents WHERE doc_id % 4 <> 2), " +
+      "c8 AS (SELECT m.media_id, y.range AS y, x.range AS x, " +
+      "(m.media_id*7 + ((x.range*m.w)//8)*3 + ((y.range*m.h)//8)*5) % 256 " +
+      "+ (m.media_id*11 + ((x.range*m.w)//8) + ((y.range*m.h)//8)*2) % 256 " +
+      "+ (m.media_id*13 + ((x.range*m.w)//8)*2 + ((y.range*m.h)//8)) % 256 AS g " +
+      "FROM m, range(8) x, range(8) y), " +
+      "mn AS (SELECT media_id, SUM(g)//64 AS mean FROM c8 GROUP BY 1), " +
+      "ab AS (SELECT c8.media_id, " +
+      (0 until 4).map(b =>
+        "CAST(COALESCE(SUM(CASE WHEN g > mean THEN (1::BIGINT << ((y*8+x) % 16)) END) " +
+        s"FILTER (WHERE (y*8+x)//16 = $b), 0) AS BIGINT) AS a$b").mkString(", ") +
+      " FROM c8 JOIN mn USING (media_id) GROUP BY 1), " +
+      "c9 AS (SELECT m.media_id, y.range AS y, x.range AS x, " +
+      "(m.media_id*7 + ((x.range*m.w)//9)*3 + ((y.range*m.h)//8)*5) % 256 " +
+      "+ (m.media_id*11 + ((x.range*m.w)//9) + ((y.range*m.h)//8)*2) % 256 " +
+      "+ (m.media_id*13 + ((x.range*m.w)//9)*2 + ((y.range*m.h)//8)) % 256 AS g " +
+      "FROM m, range(9) x, range(8) y), " +
+      "db AS (SELECT l.media_id, " +
+      (0 until 4).map(b =>
+        "CAST(COALESCE(SUM(CASE WHEN r.g > l.g THEN (1::BIGINT << ((l.y*8+l.x) % 16)) END) " +
+        s"FILTER (WHERE (l.y*8+l.x)//16 = $b), 0) AS BIGINT) AS d$b").mkString(", ") +
+      " FROM c9 l JOIN c9 r ON r.media_id = l.media_id AND r.y = l.y " +
+      "AND r.x = l.x + 1 WHERE l.x < 8 GROUP BY 1)"
+
   private def bfdPackSql(itemsSql: String, budget: Long): String =
     // MATERIALIZED is load-bearing: DuckDB otherwise inlines `items`
     // into the recursive term and recomputes the whole upstream chain
@@ -2414,6 +2470,34 @@ object SparkEntry {
         "(doc_id * 2654435761) % 4294967296, doc_id) - 1) % 16 AS BIGINT) AS shard " +
         "FROM documents JOIN b ON CAST(n_chars AS DOUBLE) = b.v " +
         "ORDER BY id"),
+
+    // perceptual hashes: the oracle rebuilds the 8x8 (aHash) and 9x8
+    // (dHash) grayscale grids from the pixel generating formulas via
+    // the same floor resample map, thresholds against the integer-floor
+    // mean / left-neighbor, and packs the bits into 16-bit bands —
+    // bit-exact without decoding any container
+    "q_media_phash" -> (PhashOracleCtes +
+      " SELECT ab.media_id, a0, a1, a2, a3, d0, d1, d2, d3" +
+      " FROM ab JOIN db USING (media_id) ORDER BY media_id"),
+
+    // banded near-dup: 4x16-bit pigeonhole join on the aHash bands,
+    // exact Hamming verify via xor+bit_count, dist <= 2
+    "q_media_neardup" -> (PhashOracleCtes + ", " +
+      "bands AS (SELECT media_id, b.range AS bi, " +
+      "CASE b.range WHEN 0 THEN a0 WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS bv " +
+      "FROM ab, range(4) b), " +
+      "okb AS (SELECT bi, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000), " +
+      "cand AS (SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b " +
+      "FROM bands l JOIN okb USING (bi, bv) " +
+      "JOIN bands r ON r.bi = l.bi AND r.bv = l.bv AND l.media_id < r.media_id) " +
+      "SELECT cand.id_a, cand.id_b, " +
+      "CAST(bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
+      "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) AS BIGINT) AS dist " +
+      "FROM cand JOIN ab x ON x.media_id = cand.id_a " +
+      "JOIN ab y ON y.media_id = cand.id_b " +
+      "WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
+      "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 2 " +
+      "ORDER BY id_a, id_b"),
 
     // resized sums: same pixel formulas sampled through the floor
     // source-index map of nearest-neighbor resampling

@@ -145,13 +145,14 @@ object Multimodal {
     * per-channel pixel sums; audio rows the PCM sample count, energy
     * (sum of squares) and peak amplitude. Integers, not means: bit-
     * exact across engines, so the oracle compare is strict equality.
+    *
+    * The UDF returns a plain tuple of Options — a nested case class
+    * here compiled to a struct accessor Janino rejects, silently
+    * dropping the whole stage to interpreted mode (caught via the
+    * PerceptualHash twin of this UDF; same fix applied there).
+    * Tuple slots: (width, height, sum_r, sum_g, sum_b, sample_rate,
+    * n_samples, sum_sq, peak).
     */
-  private case class MediaFeatures(
-      width: Option[Int], height: Option[Int],
-      sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
-      sample_rate: Option[Int], n_samples: Option[Int],
-      sum_sq: Option[Long], peak: Option[Long])
-
   private val decodeUdf = udf((format: String, content: Array[Byte]) =>
     try {
       format match {
@@ -168,8 +169,10 @@ object Multimodal {
             sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
             i += 1
           }
-          MediaFeatures(Some(img.width), Some(img.height),
-            Some(sr), Some(sg), Some(sb), None, None, None, None)
+          (Some(img.width), Some(img.height),
+            Some(sr), Some(sg), Some(sb),
+            Option.empty[Int], Option.empty[Int],
+            Option.empty[Long], Option.empty[Long])
         case "wav" =>
           val a = Codecs.decodeWav(content)
           var sq = 0L; var peak = 0L
@@ -180,7 +183,8 @@ object Multimodal {
             if (math.abs(s) > peak) peak = math.abs(s)
             i += 1
           }
-          MediaFeatures(None, None, None, None, None,
+          (Option.empty[Int], Option.empty[Int],
+            Option.empty[Long], Option.empty[Long], Option.empty[Long],
             Some(a.sampleRate), Some(a.samples.length), Some(sq), Some(peak))
         case _ => null // undecodable format: NULL feature row
       }
@@ -193,12 +197,12 @@ object Multimodal {
     media
       .withColumn("f", decodeUdf(col("meta.format"), col("content")))
       .select(col("media_id"), col("meta.format").as("format"),
-        col("f.width").as("width"), col("f.height").as("height"),
-        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
-        col("f.sum_b").as("sum_b"),
-        col("f.sample_rate").as("sample_rate"),
-        col("f.n_samples").as("n_samples"),
-        col("f.sum_sq").as("sum_sq"), col("f.peak").as("peak"))
+        col("f._1").as("width"), col("f._2").as("height"),
+        col("f._3").as("sum_r"), col("f._4").as("sum_g"),
+        col("f._5").as("sum_b"),
+        col("f._6").as("sample_rate"),
+        col("f._7").as("n_samples"),
+        col("f._8").as("sum_sq"), col("f._9").as("peak"))
 
   private val resizeUdf = udf((format: String, content: Array[Byte], w: Int, h: Int) =>
     try {

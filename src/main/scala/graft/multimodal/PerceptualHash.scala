@@ -1,0 +1,152 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image fingerprints + near-duplicate pairs — the
+  * multimodal dedup step (E4 composed with E1): byte-identical dedup
+  * misses re-encoded / resized copies of the same picture, so
+  * pipelines fingerprint the DECODED pixels. Both classic block hashes
+  * are implemented (public technique, e.g. the pHash family):
+  *
+  *  - **aHash**: nearest-resample to 8×8, grayscale per cell, bit =
+  *    cell brighter than the image mean;
+  *  - **dHash**: 9×8 grid, bit = right neighbor brighter than left —
+  *    gradient sign, robust to global brightness shifts.
+  *
+  * Everything is exact integer arithmetic (grayscale = r+g+b with no
+  * division; mean = floor(sum/64)), so an SQL oracle recomputes the
+  * hashes from the pixel generating formulas without decoding any
+  * container — the same verification shape as `q_media_decode`.
+  *
+  * Near-dup candidate generation reuses the SimHash pigeonhole split
+  * ([[graft.ops.SimHash]], Manku et al. WWW'07): 4 16-bit bands, so
+  * any pair within Hamming distance 3 collides on ≥1 whole band — an
+  * equality join, never corpus². `maxBucket` drops degenerate hot
+  * buckets (e.g. flat single-color images all hashing to 0) the same
+  * way MinHash bounds its LSH buckets: a bucket holding a large slice
+  * of the corpus carries no pairwise signal, only a quadratic join.
+  *
+  * Scale shape: decode+hash is per-row CPU with no shuffle; the band
+  * index is 4 rows/image; one shuffle on (band, value); verify is a
+  * constant-time xor/popcount per candidate.
+  */
+object PerceptualHash {
+
+  /** Grayscale grid: nearest-neighbor sample to gw×gh (same floor
+    * source-index map as [[Codecs.resizeNearest]]), gray = r+g+b
+    * (0..765 — a SUM, not a mean: exact on every engine).
+    */
+  private[multimodal] def grayGrid(img: Codecs.Image, gw: Int, gh: Int): Array[Int] = {
+    val g = new Array[Int](gw * gh)
+    var y = 0
+    while (y < gh) {
+      val sy = (y.toLong * img.height / gh).toInt
+      var x = 0
+      while (x < gw) {
+        val sx = (x.toLong * img.width / gw).toInt
+        val p = img.pixels(sy * img.width + sx)
+        g(y * gw + x) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    g
+  }
+
+  /** 64-bit average hash: bit (y*8+x) set iff the cell's gray STRICTLY
+    * exceeds the integer-floor mean of all 64 cells.
+    */
+  def ahash64(img: Codecs.Image): Long = {
+    val g = grayGrid(img, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += g(i); i += 1 }
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** 64-bit difference hash over a 9×8 grid: bit (y*8+x) set iff the
+    * right neighbor is STRICTLY brighter than the left.
+    */
+  def dhash64(img: Codecs.Image): Long = {
+    val g = grayGrid(img, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) bits |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  // a plain Tuple2 return keeps the UDF's result struct on Spark's
+  // well-worn codegen path (a nested case class here compiled to an
+  // accessor Janino rejects, silently dropping the stage to
+  // interpreted mode)
+  private val hashUdf = udf((format: String, content: Array[Byte]) =>
+    try {
+      val img = format match {
+        case "bmp" => Codecs.decodeBmp(content)
+        case "ppm" => Codecs.decodePpm(content)
+        case "qoi" => Codecs.decodeQoi(content)
+        case _     => null
+      }
+      if (img == null) null else (ahash64(img), dhash64(img))
+    } catch { case scala.util.control.NonFatal(_) => null })
+
+  /** Per-image perceptual hashes: (media_id, format, ahash, dhash).
+    * Non-image formats and corrupt payloads yield no row (the decode
+    * failure is a NULL, filtered — never a job death).
+    */
+  def imageHashes(media: DataFrame): DataFrame =
+    media
+      .withColumn("ph", hashUdf(col("meta.format"), col("content")))
+      .filter(col("ph").isNotNull)
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("ph._1").as("ahash"), col("ph._2").as("dhash"))
+
+  /** The 4 16-bit bands of a 64-bit hash, low band first — the
+    * pigeonhole keys, and the engine-portable export form (band values
+    * are 0..65535, so no engine hits the signed-2⁶³ edge a full 64-bit
+    * unsigned value would).
+    */
+  def band(hash: Column, i: Int): Column =
+    shiftrightunsigned(hash, 16 * i).bitwiseAND(lit(0xffffL)).cast("long")
+
+  /** Near-duplicate image pairs by aHash Hamming distance ≤ `maxDist`
+    * (≤ 3: the 4-band split guarantees completeness there). Output
+    * (id_a, id_b, dist), id_a < id_b, exact distances.
+    */
+  def nearDupPairs(media: DataFrame, maxDist: Int = 2,
+                   maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4x16-bit bands guarantee completeness only for maxDist <= 3")
+    val hashes = imageHashes(media)
+      .select(col("media_id"), col("ahash"))
+    val idx = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("bi"), band(col("ahash"), i).as("bv"))): _*)).as("bk"))
+    // hot-bucket cap as aggregate + semi-join (broadcast the small
+    // surviving-key list), mirroring Tfidf's okTerms / MinHash's
+    // bounded buckets
+    val ok = idx.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select(col("bk"))
+    val capped = idx.join(ok, Seq("bk"), "left_semi")
+    val a = capped.select(col("bk"), col("media_id").as("id_a"), col("ahash").as("ha"))
+    val b = capped.select(col("bk"), col("media_id").as("id_b"), col("ahash").as("hb"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** E4+E1: perceptual image hashes and Hamming-banded near-dup pairs. */
+class PerceptualHashSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def flat(color: Int, w: Int = 8, h: Int = 8): Codecs.Image =
+    Codecs.Image(w, h, Array.fill(w * h)(color))
+
+  test("ahash64: flat image is all-zero (no cell exceeds the mean)") {
+    assert(PerceptualHash.ahash64(flat(0x808080)) == 0L)
+    assert(PerceptualHash.dhash64(flat(0x123456)) == 0L)
+  }
+
+  test("ahash64: half-bright image sets exactly the bright half's bits") {
+    // left 4 columns black, right 4 columns white: mean is midway,
+    // white cells (x >= 4) exceed it
+    val px = Array.tabulate(64)(i => if (i % 8 >= 4) 0xffffff else 0x000000)
+    val h = PerceptualHash.ahash64(Codecs.Image(8, 8, px))
+    (0 until 64).foreach { i =>
+      val expected = i % 8 >= 4
+      assert((((h >>> i) & 1L) == 1L) == expected, s"bit $i")
+    }
+  }
+
+  test("dhash64: single rising edge sets one bit per row") {
+    // gradient only at x=3 -> bit (y*8+3) set via the 9-wide grid on
+    // an exactly-9-wide image (identity resample)
+    val px = Array.tabulate(9 * 8)(i => if (i % 9 >= 4) 0xffffff else 0)
+    val h = PerceptualHash.dhash64(Codecs.Image(9, 8, px))
+    (0 until 8).foreach { y =>
+      (0 until 8).foreach { x =>
+        assert((((h >>> (y * 8 + x)) & 1L) == 1L) == (x == 3), s"bit ($x,$y)")
+      }
+    }
+  }
+
+  test("hashes survive the codec round-trip (encode->decode->hash == direct)") {
+    val img = Multimodal.genImage(42L)
+    val direct = (PerceptualHash.ahash64(img), PerceptualHash.dhash64(img))
+    for (enc <- Seq[(Codecs.Image => Array[Byte], Array[Byte] => Codecs.Image)](
+      (Codecs.encodeBmp, Codecs.decodeBmp),
+      (Codecs.encodePpm, Codecs.decodePpm),
+      (Codecs.encodeQoi, Codecs.decodeQoi))) {
+      val rt = enc._2(enc._1(img))
+      assert((PerceptualHash.ahash64(rt), PerceptualHash.dhash64(rt)) == direct)
+    }
+  }
+
+  test("imageHashes: audio rows and corrupt payloads drop, never fail the job") {
+    val media = Multimodal.realMedia(
+      Tables.documents(spark, SparkTestSession.Sf).limit(40))
+    val corrupt = media.withColumn("content",
+      when(col("media_id") === 1L, lit(Array[Byte](1, 2, 3)))
+        .otherwise(col("content")))
+    val out = PerceptualHash.imageHashes(corrupt)
+    val formats = out.select("format").distinct().as[String].collect().toSet
+    assert(formats.subsetOf(Set("bmp", "ppm", "qoi")))
+    // id 1 (ppm position) was corrupted -> dropped; id 2 is wav -> dropped
+    val ids = out.select("media_id").as[Long].collect().toSet
+    assert(!ids.contains(1L) && !ids.contains(2L))
+    assert(ids.contains(0L))
+  }
+
+  test("nearDupPairs: resized copy of an image is found at distance 0") {
+    // same picture at two sizes: perceptual hash ignores scale by
+    // construction (both resample to the same 8x8 grid when the
+    // upscale is an integer pixel-doubling)
+    val img = Multimodal.genImage(8L) // 8x6... use exact doubling
+    val big = {
+      val px = new Array[Int](img.width * 2 * img.height * 2)
+      var y = 0
+      while (y < img.height * 2) {
+        var x = 0
+        while (x < img.width * 2) {
+          px(y * img.width * 2 + x) = img.pixels((y / 2) * img.width + (x / 2))
+          x += 1
+        }
+        y += 1
+      }
+      Codecs.Image(img.width * 2, img.height * 2, px)
+    }
+    val rows = Seq(
+      (1L, Codecs.encodeBmp(img), "bmp"),
+      (2L, Codecs.encodeBmp(big), "bmp"),
+      (3L, Codecs.encodePpm(Multimodal.genImage(3L)), "ppm"))
+      .toDF("media_id", "content", "format")
+      .select(col("media_id"), col("content"),
+        struct(col("format"), lit(16).as("width"), lit(12).as("height"),
+          lit(1).as("n_frames")).as("meta"))
+    val pairs = PerceptualHash.nearDupPairs(rows, maxDist = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)), s"got $pairs")
+  }
+
+  test("nearDupPairs: pigeonhole completeness at maxDist<=3 vs brute force") {
+    val media = Multimodal.realMedia(
+      Tables.documents(spark, SparkTestSession.Sf).limit(120))
+    val banded = PerceptualHash.nearDupPairs(media, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val hs = PerceptualHash.imageHashes(media)
+      .select("media_id", "ahash").as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded == brute,
+      s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
+  test("nearDupPairs: maxBucket drops hot buckets deterministically") {
+    // 10 identical flat images: every band bucket holds all 10, so a
+    // cap of 5 drops everything
+    val rows = (1L to 10L).map(i => (i, Codecs.encodeBmp(flat(0x404040))))
+      .toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        struct(lit("bmp").as("format"), lit(8).as("width"), lit(8).as("height"),
+          lit(1).as("n_frames")).as("meta"))
+    assert(PerceptualHash.nearDupPairs(rows, maxDist = 0, maxBucket = 5).count() == 0L)
+    assert(PerceptualHash.nearDupPairs(rows, maxDist = 0).count() == 45L)
+  }
+}
