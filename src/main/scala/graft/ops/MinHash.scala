@@ -154,28 +154,69 @@ object MinHash {
                      threshold: Double, shingleN: Int = 3, k: Int = 32,
                      bands: Int = 8, seed: Long = 42L,
                      roundTo: Int = 4): DataFrame = {
+    val cBase = prepared(corpus, idCol, textCol, shingleN, k, seed)
+      .localCheckpoint(eager = false)
+    probe(CorpusIndex(cBase, banded(cBase, k, bands), shingleN, k, bands, seed),
+      batch, idCol, textCol, threshold, roundTo)
+  }
+
+  /** (id, sorted distinct shingle set, signature) — the shared prep of
+    * every LSH path (caller decides checkpoint eagerness/scope).
+    */
+  private def prepared(df: DataFrame, idCol: Column, textCol: Column,
+                       shingleN: Int, k: Int, seed: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(idCol.as("id"),
+        array_sort(array_distinct(TextStats.shingles(textCol, shingleN))).as("sset"))
+      .withColumn("sig", signature(col("sset"), k, seed))
+  }
+
+  /** (id, band, bh) banded-index rows of a prepared base. */
+  private def banded(base: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    def prep(df: DataFrame): DataFrame =
-      df.select(idCol.as("id"),
-          array_sort(array_distinct(TextStats.shingles(textCol, shingleN))).as("sset"))
-        .withColumn("sig", signature(col("sset"), k, seed))
-        .localCheckpoint(eager = false)
-    def index(base: DataFrame): DataFrame = {
-      val bandHashes = array((0 until bands).map { b =>
-        struct(lit(b).as("band"), bandKey(col("sig"), b * rows, rows).as("bh"))
-      }: _*)
-      base.select(col("id"), explode(bandHashes).as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    }
-    val cBase = prep(corpus)
-    val bBase = prep(batch)
-    val cands = index(bBase).toDF("batch_id", "band", "bh")
-      .join(index(cBase).toDF("corpus_id", "band", "bh"), Seq("band", "bh"))
+    val bandHashes = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), bandKey(col("sig"), b * rows, rows).as("bh"))
+    }: _*)
+    base.select(col("id"), explode(bandHashes).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Standing corpus LSH artifact for write-once-probe-many gates: the
+    * shingled+signed base and its banded index. [[buildIndex]] pins
+    * both via EAGER localCheckpoint, so every probe — each micro-batch
+    * of a streaming ingest, each daily batch — reads materialized
+    * blocks; the corpus is shingled exactly once for its lifetime.
+    * At 100 TB this is a parquet table maintained next to the corpus;
+    * the local-mode checkpoint is the same artifact shape.
+    */
+  final case class CorpusIndex(base: DataFrame, index: DataFrame,
+                               shingleN: Int, k: Int, bands: Int, seed: Long)
+
+  def buildIndex(corpus: DataFrame, idCol: Column, textCol: Column,
+                 shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                 seed: Long = 42L): CorpusIndex = {
+    val base = prepared(corpus, idCol, textCol, shingleN, k, seed).localCheckpoint()
+    CorpusIndex(base, banded(base, k, bands).localCheckpoint(),
+      shingleN, k, bands, seed)
+  }
+
+  /** Probe a batch against a standing [[CorpusIndex]]: only the batch
+    * is shingled and signed; the bipartite band join and the verify
+    * join's corpus side read the index artifact. Output
+    * (batch_id, corpus_id, jac ≥ threshold).
+    */
+  def probe(cidx: CorpusIndex, batch: DataFrame,
+            idCol: Column, textCol: Column, threshold: Double,
+            roundTo: Int = 4): DataFrame = {
+    val bBase = prepared(batch, idCol, textCol, cidx.shingleN, cidx.k, cidx.seed)
+      .localCheckpoint(eager = false)
+    val cands = banded(bBase, cidx.k, cidx.bands).toDF("batch_id", "band", "bh")
+      .join(cidx.index.toDF("corpus_id", "band", "bh"), Seq("band", "bh"))
       .select("batch_id", "corpus_id").distinct()
     cands
       .join(bBase.select(col("id").as("batch_id"), col("sset").as("set_b")), Seq("batch_id"))
-      .join(cBase.select(col("id").as("corpus_id"), col("sset").as("set_c")), Seq("corpus_id"))
+      .join(cidx.base.select(col("id").as("corpus_id"), col("sset").as("set_c")), Seq("corpus_id"))
       .withColumn("jac",
         round(graft.functions.ArrayExprs.jaccardSorted(col("set_b"), col("set_c")), roundTo))
       .filter(col("jac") >= threshold)

@@ -23,12 +23,41 @@ object StreamBench {
                                  rowsPerSec: Double, avgBatchMs: Double,
                                  batches: Int)
 
+  /** Every staging/checkpoint dir this JVM created — the replay of a
+    * whole source table is too big to leak per invocation (ADVICE r7:
+    * sb_events/sb_docs/sb_ckpt accumulated on /tmp). A shutdown hook
+    * guarantees removal even on abnormal exit; [[cleanup]] lets the
+    * scale-curve runner reclaim space between factors.
+    */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => cleanup()))
+  }
+  private[streaming] def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p.toString
+  }
+
+  /** Delete every staged dir created so far (recursive, best-effort). */
+  def cleanup(): Unit = {
+    var p = tempDirs.poll()
+    while (p != null) {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }
+      p = tempDirs.poll()
+    }
+  }
+
   /** Stage a table as an nFiles-file replay directory (untimed setup).
     * `factor` unions id-shifted copies for scale-curve runs.
     */
   def stageEvents(spark: SparkSession, sfDir: String, nFiles: Int,
                   factor: Int = 1): String = {
-    val dir = java.nio.file.Files.createTempDirectory("sb_events").toString
+    val dir = tempDir("sb_events")
     val base = graft.Tables.events(spark, sfDir)
     val rep = if (factor <= 1) base
       else (1 until factor).foldLeft(base) { (acc, i) =>
@@ -41,7 +70,7 @@ object StreamBench {
 
   def stageDocs(spark: SparkSession, sfDir: String, nFiles: Int,
                 factor: Int = 1): String = {
-    val dir = java.nio.file.Files.createTempDirectory("sb_docs").toString
+    val dir = tempDir("sb_docs")
     val base = graft.Tables.documents(spark, sfDir)
     val rep = if (factor <= 1) base
       else (1 until factor).foldLeft(base) { (acc, i) =>
@@ -52,8 +81,7 @@ object StreamBench {
     dir
   }
 
-  private def ckpt(): String =
-    java.nio.file.Files.createTempDirectory("sb_ckpt").toString
+  private def ckpt(): String = tempDir("sb_ckpt")
 
   private def metricsOf(q: org.apache.spark.sql.streaming.StreamingQuery,
                         elapsedSec: Double): StreamMetrics = {
@@ -131,6 +159,35 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Incremental near-dup twin: the standing corpus index is built
+    * ONCE before the stream starts (untimed — the maintained artifact,
+    * not per-batch work); each micro-batch of the docs replay is
+    * shingled, signed, and probed against it, output exhausted via
+    * count. Corpus = every 20th document; the stream carries the rest
+    * (the decontam split), so matches are genuine cross-document
+    * near-dups.
+    */
+  def benchNearDup(spark: SparkSession, sfDir: String,
+                   replayDir: String): StreamMetrics = {
+    val corpus = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 20 === 0)
+    val cidx = graft.ops.MinHash.buildIndex(corpus, col("doc_id"), col("text"))
+    cidx.index.queryExecution.toRdd.count() // materialize untimed
+    val schema = spark.read.parquet(replayDir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.MinHash.probe(cidx, b.filter(col("doc_id") % 20 =!= 0),
+          col("doc_id"), col("text"), threshold = 0.5).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Local scale-curve runner: rows/sec for the two twins at ×1/×4/×16
     * replay factors. Prints one JSON line per point (recorded in
     * BASELINE.md).
@@ -150,12 +207,16 @@ object StreamBench {
     spark.sparkContext.setLogLevel("ERROR")
     factors.foreach { f =>
       val ev = stageEvents(spark, sfDir, nFiles = 8, factor = f)
+      val docs = stageDocs(spark, sfDir, 8, f)
       val d = benchDedup(spark, ev)
-      val dc = benchDecontam(spark, sfDir, stageDocs(spark, sfDir, 8, f))
+      val dc = benchDecontam(spark, sfDir, docs)
       val ss = benchSessions(spark, ev)
+      val nd = benchNearDup(spark, sfDir, docs)
       println(s"""{"stream":"dedup","factor":$f,"rows":${d.rows},"sec":${d.elapsedSec},"rows_per_sec":${d.rowsPerSec.toLong},"avg_batch_ms":${d.avgBatchMs.toLong},"batches":${d.batches}}""")
       println(s"""{"stream":"decontam","factor":$f,"rows":${dc.rows},"sec":${dc.elapsedSec},"rows_per_sec":${dc.rowsPerSec.toLong},"avg_batch_ms":${dc.avgBatchMs.toLong},"batches":${dc.batches}}""")
       println(s"""{"stream":"sessionize","factor":$f,"rows":${ss.rows},"sec":${ss.elapsedSec},"rows_per_sec":${ss.rowsPerSec.toLong},"avg_batch_ms":${ss.avgBatchMs.toLong},"batches":${ss.batches}}""")
+      println(s"""{"stream":"neardup","factor":$f,"rows":${nd.rows},"sec":${nd.elapsedSec},"rows_per_sec":${nd.rowsPerSec.toLong},"avg_batch_ms":${nd.avgBatchMs.toLong},"batches":${nd.batches}}""")
+      cleanup() // reclaim the staged replay before the next factor
     }
     Runtime.getRuntime.halt(0)
   }

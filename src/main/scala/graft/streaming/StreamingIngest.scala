@@ -153,7 +153,41 @@ object StreamingIngest {
         () // Scala 2.13 needs the unit for the (DataFrame, Long) => Unit overload
       }
       .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("decontam_ckpt").toString))
+        StreamBench.tempDir("decontam_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Streaming twin of the INCREMENTAL LSH near-dup gate
+    * ([[graft.ops.MinHash.nearDupAgainst]]) — the continuous form of
+    * the most operationally valuable incremental op: every micro-batch
+    * of a document stream (a crawl) is probed against the STANDING
+    * corpus index. The index is a [[graft.ops.MinHash.CorpusIndex]]
+    * built ONCE before the stream starts (the write-once-probe-many
+    * artifact the batch op documents — at 100 TB a maintained parquet
+    * table); per batch, only the batch is shingled and signed, and the
+    * bipartite band join's cost tracks the batch size, never corpus².
+    *
+    * Same exactly-once contract as [[decontaminatedBatches]]: each
+    * micro-batch's match pairs land in their own `ingest_batch=N`
+    * partition with mode OVERWRITE (retries replace, restarts resume
+    * from the checkpoint), so downstream reads are idempotent. (The
+    * partition key is NOT named batch_id: partition discovery would
+    * shadow the probe output's own batch_id column on read-back.)
+    */
+  def nearDupBatches(docs: DataFrame, corpusIndex: graft.ops.MinHash.CorpusIndex,
+                     threshold: Double, outDir: String,
+                     checkpointDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.MinHash
+          .probe(corpusIndex, batch, col("doc_id"), col("text"), threshold)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("neardup_ckpt"))) // tracked: removed at JVM exit
       .start()
     try q.processAllAvailable() finally q.stop()
   }

@@ -57,6 +57,31 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist(); bench.unpersist()
   }
 
+  test("streaming incremental near-dup equals the batch gate") {
+    import graft.ops.MinHash
+    val all = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val corpus = all.filter(col("doc_id") % 5 === 0)
+    val batchDocs = all.filter(col("doc_id") % 5 =!= 0).limit(200).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("nd_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("nd_out").toString
+    batchDocs.repartition(3).write.mode("overwrite").parquet(inDir)
+    // the standing index: built once, probed by every micro-batch
+    val cidx = MinHash.buildIndex(corpus, col("doc_id"), col("text"))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.nearDupBatches(stream, cidx, threshold = 0.5,
+      outDir = outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("batch_id", "corpus_id", "jac")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = MinHash.nearDupAgainst(corpus, batchDocs,
+      col("doc_id"), col("text"), threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "the split should surface at least one near-dup")
+    all.unpersist(); batchDocs.unpersist()
+  }
+
   test("streaming dedup passes every unique event exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("se").toString
     // write events twice -> duplicates across files
