@@ -69,13 +69,42 @@ object ScaleSmoke {
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** Cumulative executor spill counters (memory-spilled and
+    * disk-spilled bytes across all tasks) — the evidence line for the
+    * "spills, never OOMs" claim: a constrained-heap run (see
+    * SPARK_DRIVER_MEM) should show completion WITH nonzero spill, not
+    * an OOM. Task-end events arrive async; readers settle briefly
+    * before snapshotting deltas.
+    */
+  private val spillMem = new java.util.concurrent.atomic.AtomicLong
+  private val spillDisk = new java.util.concurrent.atomic.AtomicLong
+  private def trackSpill(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+  private def spillSnapshot(): (Long, Long) = {
+    Thread.sleep(300) // let the listener bus drain
+    (spillMem.get(), spillDisk.get())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val maxF = args.lift(1).map(_.toInt).getOrElse(16)
+    // SPARK_GRAFT_CPUS: constrained-heap runs shrink task concurrency
+    // with the heap so per-task memory matches a real executor's
+    // (a deployment scales heap WITH cores; 2g/32 threads = 62MB/task
+    // models no real cluster)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -150,21 +179,24 @@ object ScaleSmoke {
 
     val opFilter = args.lift(2).map(_.split(",").toSet)
     val selected = ops.filter { case (n, _) => opFilter.forall(_.contains(n)) }
+    trackSpill(spark)
     // warm each op once at factor 1 (codegen/JIT), then measure
-    println(f"${"op"}%-16s factor  seconds      rows   exp(t)")
+    println(f"${"op"}%-16s factor  seconds      rows  spillMB   exp(t)")
     val results = selected.map { case (name, build) =>
       time(build(1))
       val times = factors.map { f =>
+        val (m0, d0) = spillSnapshot()
         val (sec, rows) = time(build(f))
-        (f, sec, rows)
+        val (m1, d1) = spillSnapshot()
+        (f, sec, rows, (m1 - m0 + d1 - d0) / (1024 * 1024))
       }
-      val (f1, t1, _) = times.head
-      val (fN, tN, _) = times.last
+      val (f1, t1, _, _) = times.head
+      val (fN, tN, _, _) = times.last
       val exp =
         if (fN > f1 && t1 > 0) math.log(tN / t1) / math.log(fN.toDouble / f1)
         else Double.NaN
-      times.foreach { case (f, sec, rows) =>
-        println(f"$name%-16s x$f%-5d  $sec%7.2f  $rows%8d   ${if (f == fN) f"$exp%.2f" else ""}")
+      times.foreach { case (f, sec, rows, spillMb) =>
+        println(f"$name%-16s x$f%-5d  $sec%7.2f  $rows%8d  $spillMb%7d   ${if (f == fN) f"$exp%.2f" else ""}")
       }
       (name, exp)
     }

@@ -2,12 +2,21 @@
 """Compare two Bench JSON records (the full per-query line).
 
 Usage: python3 tools/bench_compare.py <old.json> <new.json> [ratio_gate]
+                                      [--json OUT.json]
 Prints per-query ratios for queries present in both (sorted worst
 first), new/removed queries, and totals. Exit 1 if any common query
 regressed past the gate (default 2.0x) with an absolute delta > 0.2s
-(sub-noise times can't "regress").
+(sub-noise times can't "regress"). With --json, also writes the full
+comparison as a machine-readable artifact (the committed
+BENCH_r{N}_compare.json round record).
 """
 import sys, json
+
+json_out = None
+if "--json" in sys.argv:
+    i = sys.argv.index("--json")
+    json_out = sys.argv[i + 1]
+    del sys.argv[i:i + 2]
 
 
 def load(p):
@@ -50,4 +59,24 @@ if ratios:
           f"{ratios[len(ratios)//2]:.2f}x")
 print("new-only:", " ".join(sorted(set(nq) - set(oq))) or "-")
 print("removed:", " ".join(sorted(set(oq) - set(nq))) or "-")
+if json_out:
+    rec = {
+        "old": {"path": sys.argv[1], "total_sec": old["value"], "n": len(oq)},
+        "new": {"path": sys.argv[2], "total_sec": new["value"], "n": len(nq)},
+        "gate": gate,
+        "median_ratio": ratios[len(ratios) // 2] if ratios else None,
+        "worst": [
+            {"query": k, "old_sec": oq[k], "new_sec": nq[k],
+             "ratio": (nq[k] / oq[k] if oq[k] > 0 else None)}
+            for k in common[:10]],
+        "regressions": [
+            {"query": k, "old_sec": oq[k], "new_sec": nq[k],
+             "ratio": nq[k] / oq[k]} for k in bad],
+        "new_only": sorted(set(nq) - set(oq)),
+        "removed": sorted(set(oq) - set(nq)),
+        "ratios": {k: (nq[k] / oq[k] if oq[k] > 0 else None) for k in common},
+    }
+    with open(json_out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {json_out}")
 sys.exit(1 if bad else 0)
