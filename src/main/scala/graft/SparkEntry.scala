@@ -914,6 +914,15 @@ object SparkEntry {
         Multimodal.realMedia(documents(s, dir)), maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E4+E1, audio modality: 64-frame energy-profile hash over decoded
+    // PCM samples, near-dup pairs at Hamming <= 3 through the same
+    // banded join — the oracle recomputes frame energies from the
+    // sample generating formula through the identical floor frame map
+    "q_audio_neardup" -> ((s, dir) =>
+      PerceptualHash.audioNearDupPairs(
+        Multimodal.realMedia(documents(s, dir)), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // training-mix selection (Sampling): layout-independent hash-mod
     // sampling — same surviving rows on any cluster size/partitioning,
     // unlike rand(); the scramble is plain 64-bit arithmetic, so the
@@ -2498,6 +2507,40 @@ object SparkEntry {
       "WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
       "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 2 " +
       "ORDER BY id_a, id_b"),
+
+    // audio energy-profile near-dup: frame energies recomputed from
+    // the PCM sample generating formula through the same floor frame
+    // map (frame of sample i = i*64 div n), mean-thresholded into
+    // 16-bit bands, banded join + exact Hamming verify
+    "q_audio_neardup" ->
+      ("WITH w AS (SELECT doc_id AS media_id, " +
+        "CAST(64 + (doc_id % 16) * 16 AS BIGINT) AS n " +
+        "FROM documents WHERE doc_id % 4 = 2), " +
+        "sm AS (SELECT w.media_id, (i.range*64)//w.n AS fr, " +
+        "SUM(((w.media_id*31 + i.range*17) % 2048 - 1024) " +
+        "* ((w.media_id*31 + i.range*17) % 2048 - 1024)) AS en " +
+        "FROM w, range(304) i WHERE i.range < w.n GROUP BY 1, 2), " +
+        "tot AS (SELECT media_id, SUM(en)//64 AS mean FROM sm GROUP BY 1), " +
+        "ab AS (SELECT sm.media_id, " +
+        (0 until 4).map(b =>
+          "CAST(COALESCE(SUM(CASE WHEN en > mean THEN (1::BIGINT << (fr % 16)) END) " +
+          s"FILTER (WHERE fr//16 = $b), 0) AS BIGINT) AS a$b").mkString(", ") +
+        " FROM sm JOIN tot USING (media_id) GROUP BY 1), " +
+        "bands AS (SELECT media_id, b.range AS bi, " +
+        "CASE b.range WHEN 0 THEN a0 WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS bv " +
+        "FROM ab, range(4) b), " +
+        "okb AS (SELECT bi, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000), " +
+        "cand AS (SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b " +
+        "FROM bands l JOIN okb USING (bi, bv) " +
+        "JOIN bands r ON r.bi = l.bi AND r.bv = l.bv AND l.media_id < r.media_id) " +
+        "SELECT cand.id_a, cand.id_b, " +
+        "CAST(bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
+        "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) AS BIGINT) AS dist " +
+        "FROM cand JOIN ab x ON x.media_id = cand.id_a " +
+        "JOIN ab y ON y.media_id = cand.id_b " +
+        "WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
+        "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 3 " +
+        "ORDER BY id_a, id_b"),
 
     // resized sums: same pixel formulas sampled through the floor
     // source-index map of nearest-neighbor resampling

@@ -121,27 +121,71 @@ object PerceptualHash {
   def band(hash: Column, i: Int): Column =
     shiftrightunsigned(hash, 16 * i).bitwiseAND(lit(0xffffL)).cast("long")
 
-  /** Near-duplicate image pairs by aHash Hamming distance ≤ `maxDist`
-    * (≤ 3: the 4-band split guarantees completeness there). Output
-    * (id_a, id_b, dist), id_a < id_b, exact distances.
+  /** 64-frame energy-profile hash of PCM audio — the audio member of
+    * the perceptual family: samples split into 64 frames by the same
+    * floor map as the resample grid (frame of sample i = i·64 div n),
+    * frame energy = Σ s² (exact long), bit f set iff frame f's energy
+    * STRICTLY exceeds the integer-floor mean. Re-encoded / level-equal
+    * copies hash identically; small edits flip few bits.
     */
-  def nearDupPairs(media: DataFrame, maxDist: Int = 2,
-                   maxBucket: Int = 10000): DataFrame = {
+  def audioHash64(a: Codecs.Audio): Long = {
+    val n = a.samples.length
+    if (n == 0) return 0L
+    val en = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i).toLong
+      en(((i.toLong * 64) / n).toInt) += s * s
+      i += 1
+    }
+    var sum = 0L
+    i = 0
+    while (i < 64) { sum += en(i); i += 1 }
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (en(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  private val audioHashUdf = udf((format: String, content: Array[Byte]) =>
+    try {
+      if (format == "wav") Some(audioHash64(Codecs.decodeWav(content)))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None })
+
+  /** Per-audio perceptual hash: (media_id, format, ahash). Non-audio
+    * formats and corrupt payloads yield no row.
+    */
+  def audioHashes(media: DataFrame): DataFrame =
+    media
+      .withColumn("ph", audioHashUdf(col("meta.format"), col("content")))
+      .filter(col("ph").isNotNull)
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("ph").as("ahash"))
+
+  /** Near-duplicate pairs of any 64-bit perceptual hash table by
+    * Hamming distance ≤ `maxDist` (≤ 3: the 4-band split guarantees
+    * completeness there). Output (id_a, id_b, dist), id_a < id_b,
+    * exact distances — shared by the image (aHash) and audio
+    * (energy-profile) paths.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: Column, hashCol: Column,
+                   maxDist: Int, maxBucket: Int = 10000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "4x16-bit bands guarantee completeness only for maxDist <= 3")
-    val hashes = imageHashes(media)
-      .select(col("media_id"), col("ahash"))
-    val idx = hashes.select(col("media_id"), col("ahash"),
+    val base = hashes.select(idCol.as("pid"), hashCol.as("ph"))
+    val idx = base.select(col("pid"), col("ph"),
       explode(array((0 until 4).map(i =>
-        struct(lit(i).as("bi"), band(col("ahash"), i).as("bv"))): _*)).as("bk"))
+        struct(lit(i).as("bi"), band(col("ph"), i).as("bv"))): _*)).as("bk"))
     // hot-bucket cap as aggregate + semi-join (broadcast the small
     // surviving-key list), mirroring Tfidf's okTerms / MinHash's
     // bounded buckets
     val ok = idx.groupBy(col("bk")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket).select(col("bk"))
     val capped = idx.join(ok, Seq("bk"), "left_semi")
-    val a = capped.select(col("bk"), col("media_id").as("id_a"), col("ahash").as("ha"))
-    val b = capped.select(col("bk"), col("media_id").as("id_b"), col("ahash").as("hb"))
+    val a = capped.select(col("bk"), col("pid").as("id_a"), col("ph").as("ha"))
+    val b = capped.select(col("bk"), col("pid").as("id_b"), col("ph").as("hb"))
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -149,4 +193,16 @@ object PerceptualHash {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Near-duplicate image pairs by aHash Hamming distance ≤ `maxDist`. */
+  def nearDupPairs(media: DataFrame, maxDist: Int = 2,
+                   maxBucket: Int = 10000): DataFrame =
+    hammingPairs(imageHashes(media), col("media_id"), col("ahash"),
+      maxDist, maxBucket)
+
+  /** Near-duplicate audio pairs by energy-profile Hamming distance. */
+  def audioNearDupPairs(media: DataFrame, maxDist: Int = 3,
+                        maxBucket: Int = 10000): DataFrame =
+    hammingPairs(audioHashes(media), col("media_id"), col("ahash"),
+      maxDist, maxBucket)
 }

@@ -114,6 +114,39 @@ class PerceptualHashSpec extends AnyFunSuite {
       s"banded ${banded.size} vs brute ${brute.size}")
   }
 
+  test("audioHash64: silent audio hashes to 0; a loud half sets its frames") {
+    assert(PerceptualHash.audioHash64(
+      Codecs.Audio(8000, 1, Array.fill[Short](128)(0))) == 0L)
+    // first 64 samples loud, rest silent: with n=128 exactly two
+    // samples land in each frame, so frames 0..31 are loud
+    val s = Array.tabulate[Short](128)(i => if (i < 64) 1000 else 0)
+    val h = PerceptualHash.audioHash64(Codecs.Audio(8000, 1, s))
+    (0 until 64).foreach { f =>
+      assert((((h >>> f) & 1L) == 1L) == (f < 32), s"frame $f")
+    }
+  }
+
+  test("audioHash64 survives the WAV round-trip; level-identical copies collide") {
+    val a = Multimodal.genAudio(42L)
+    val direct = PerceptualHash.audioHash64(a)
+    assert(PerceptualHash.audioHash64(Codecs.decodeWav(Codecs.encodeWav(a))) == direct)
+  }
+
+  test("audioNearDupPairs: an exact copy is found at distance 0; images drop") {
+    val a = Multimodal.genAudio(6L)
+    val rows = Seq(
+      (1L, Codecs.encodeWav(a), "wav"),
+      (2L, Codecs.encodeWav(a), "wav"),
+      (3L, Codecs.encodeBmp(Multimodal.genImage(3L)), "bmp"))
+      .toDF("media_id", "content", "format")
+      .select(col("media_id"), col("content"),
+        struct(col("format"), lit(0).as("width"), lit(0).as("height"),
+          lit(1).as("n_frames")).as("meta"))
+    val pairs = PerceptualHash.audioNearDupPairs(rows, maxDist = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+  }
+
   test("nearDupPairs: maxBucket drops hot buckets deterministically") {
     // 10 identical flat images: every band bucket holds all 10, so a
     // cap of 5 drops everything
