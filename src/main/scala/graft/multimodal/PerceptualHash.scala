@@ -174,7 +174,12 @@ object PerceptualHash {
                    maxDist: Int, maxBucket: Int = 10000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "4x16-bit bands guarantee completeness only for maxDist <= 3")
+    // the hash table is consumed three times (bucket-cap aggregate +
+    // both join sides): a lazy localCheckpoint materializes the
+    // decode+hash UDF pass ONCE (MEMORY_AND_DISK — spills, never
+    // OOMs), the same per-call scoping as MinHash.nearDupPairs' base
     val base = hashes.select(idCol.as("pid"), hashCol.as("ph"))
+      .localCheckpoint(eager = false)
     val idx = base.select(col("pid"), col("ph"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("bi"), band(col("ph"), i).as("bv"))): _*)).as("bk"))

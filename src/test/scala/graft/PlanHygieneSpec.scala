@@ -248,4 +248,24 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
   }
 
+  test("q_media_neardup: band join is equi-keyed, cap list broadcasts, one hash pass") {
+    val plan = finalPlan(q("q_media_neardup"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join degenerated:\n$plan")
+    // the surviving-bucket list joins as a broadcast semi
+    assert(plan.contains("LeftSemi"), s"no semi cap join in:\n$plan")
+    // the decode+hash UDF pass materializes once (lazy checkpoint):
+    // the executed plan scans the checkpoint RDD, not parquet 3x
+    assert(!plan.contains("Scan parquet"),
+      s"hash table recomputed from source per consumer:\n$plan")
+  }
+
+  test("q_audio_neardup shares the banded shape (no product, semi cap)") {
+    val plan = finalPlan(q("q_audio_neardup"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
+    assert(plan.contains("LeftSemi"), s"no semi cap join in:\n$plan")
+  }
+
 }
