@@ -923,6 +923,28 @@ object SparkEntry {
         Multimodal.realMedia(documents(s, dir)), maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E4, video modality: every-2nd-frame SELECTIVE decode out of the
+    // AQV1 multi-frame container (skipped frames never decompressed),
+    // per-sampled-frame aHash exported as bands — the oracle
+    // recomputes each sampled frame's hash from the frame generating
+    // formulas, so the container walk, the QOI decode, the sampling
+    // stride, and the hash all pin
+    "q_video_phash" -> ((s, dir) => {
+      val h = PerceptualHash.videoFrameHashes(
+        Multimodal.videoMedia(documents(s, dir)), everyN = 2)
+      h.select(col("media_id") +: col("frame_idx") +:
+        (0 until 4).map(i => PerceptualHash.band(col("ahash"), i).as(s"a$i")): _*)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // E4+E1, video near-dup: clips sharing >= 2 distinct sampled-frame
+    // hashes (position-independent shot overlap) via the frame-hash
+    // inverted index, bucket-capped — never clips^2
+    "q_video_neardup" -> ((s, dir) =>
+      PerceptualHash.videoNearDupPairs(
+        Multimodal.videoMedia(documents(s, dir)), everyN = 2, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // training-mix selection (Sampling): layout-independent hash-mod
     // sampling — same surviving rows on any cluster size/partitioning,
     // unlike rand(); the scramble is plain 64-bit arithmetic, so the
@@ -1488,6 +1510,28 @@ object SparkEntry {
         s"FILTER (WHERE (l.y*8+l.x)//16 = $b), 0) AS BIGINT) AS d$b").mkString(", ") +
       " FROM c9 l JOIN c9 r ON r.media_id = l.media_id AND r.y = l.y " +
       "AND r.x = l.x + 1 WHERE l.x < 8 GROUP BY 1)"
+
+  /** Shared WITH prefix for the video-hash oracles: sampled frames
+    * (every 2nd) of each clip's [[Multimodal.genVideoFrame]] formulas,
+    * 8×8 grayscale grid, mean-threshold aHash packed into 16-bit
+    * bands (`vb`: media_id, f, a0..a3).
+    */
+  private val VideoOracleCtes: String =
+    "WITH vm AS (SELECT doc_id AS media_id, 8 + (doc_id % 4) * 4 AS w, " +
+      "6 + (doc_id % 5) * 2 AS h, 2 + doc_id % 4 AS nf FROM documents), " +
+      "vc AS (SELECT vm.media_id, fr.range AS f, y.range AS y, x.range AS x, " +
+      "(vm.media_id*7 + fr.range*19 + ((x.range*vm.w)//8)*3 + ((y.range*vm.h)//8)*5) % 256 " +
+      "+ (vm.media_id*11 + fr.range*23 + ((x.range*vm.w)//8) + ((y.range*vm.h)//8)*2) % 256 " +
+      "+ (vm.media_id*13 + fr.range*29 + ((x.range*vm.w)//8)*2 + ((y.range*vm.h)//8)) % 256 AS g " +
+      "FROM vm, range(5) fr, range(8) x, range(8) y " +
+      "WHERE fr.range < vm.nf AND fr.range % 2 = 0), " +
+      "vmn AS (SELECT media_id, f, SUM(g)//64 AS mean FROM vc GROUP BY 1, 2), " +
+      "vb AS (SELECT vc.media_id, vc.f, " +
+      (0 until 4).map(b =>
+        "CAST(COALESCE(SUM(CASE WHEN g > mean THEN (1::BIGINT << ((y*8+x) % 16)) END) " +
+        s"FILTER (WHERE (y*8+x)//16 = $b), 0) AS BIGINT) AS a$b").mkString(", ") +
+      " FROM vc JOIN vmn ON vmn.media_id = vc.media_id AND vmn.f = vc.f " +
+      "GROUP BY 1, 2)"
 
   private def bfdPackSql(itemsSql: String, budget: Long): String =
     // MATERIALIZED is load-bearing: DuckDB otherwise inlines `items`
@@ -2541,6 +2585,26 @@ object SparkEntry {
         "WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
         "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 3 " +
         "ORDER BY id_a, id_b"),
+
+    // sampled video frames: the per-frame aHash rebuilt from the
+    // frame generating formulas (frame-shift terms 19/23/29) through
+    // the same resample map — only even frames, the sampling stride
+    "q_video_phash" -> (VideoOracleCtes +
+      " SELECT media_id, CAST(f AS BIGINT) AS frame_idx, a0, a1, a2, a3" +
+      " FROM vb ORDER BY media_id, frame_idx"),
+
+    // shot-overlap near-dup: distinct (clip, frame-hash) inverted
+    // index, hot-hash cap, pair count >= 2
+    "q_video_neardup" -> (VideoOracleCtes + ", " +
+      "vd AS (SELECT DISTINCT media_id, a0, a1, a2, a3 FROM vb), " +
+      "okh AS (SELECT a0, a1, a2, a3 FROM vd GROUP BY 1, 2, 3, 4 " +
+      "HAVING count(*) <= 10000), " +
+      "pr AS (SELECT l.media_id AS id_a, r.media_id AS id_b " +
+      "FROM vd l JOIN okh USING (a0, a1, a2, a3) " +
+      "JOIN vd r ON r.a0 = l.a0 AND r.a1 = l.a1 AND r.a2 = l.a2 " +
+      "AND r.a3 = l.a3 AND l.media_id < r.media_id) " +
+      "SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared FROM pr " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"),
 
     // resized sums: same pixel formulas sampled through the floor
     // source-index map of nearest-neighbor resampling

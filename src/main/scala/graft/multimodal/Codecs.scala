@@ -334,6 +334,57 @@ object Codecs {
 
   // ---- transforms --------------------------------------------------------
 
+  // ---- AQV1 animation container (QOI frame sequence) --------------------
+  // The video stand-in the container lacks an external codec for: a
+  // length-prefixed sequence of independently-decodable QOI frames.
+  // Layout: magic "AQV1" | int32 BE frame count | per frame
+  // (int32 BE payload length | QOI bytes). Independent frames make
+  // SELECTIVE decode possible: frame k is reachable by walking k
+  // length prefixes, never decompressing the frames a sampler skips —
+  // at 100 TB you decode the sampled frames, not the clip.
+
+  def encodeAniQoi(frames: Seq[Image]): Array[Byte] = {
+    require(frames.nonEmpty, "empty animation")
+    val payloads = frames.map(encodeQoi)
+    val total = 8 + payloads.map(_.length + 4).sum
+    val buf = ByteBuffer.allocate(total) // BIG_ENDIAN default
+    buf.put('A'.toByte).put('Q'.toByte).put('V'.toByte).put('1'.toByte)
+    buf.putInt(frames.length)
+    payloads.foreach { p => buf.putInt(p.length); buf.put(p) }
+    buf.array()
+  }
+
+  def aniQoiFrameCount(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 8 && bytes(0) == 'A' && bytes(1) == 'Q' &&
+      bytes(2) == 'V' && bytes(3) == '1', "not an AQV1 stream")
+    val n = ByteBuffer.wrap(bytes).getInt(4)
+    require(n > 0, s"degenerate frame count $n")
+    n
+  }
+
+  /** Decode ONLY frame `idx` (0-based): walk `idx` length prefixes,
+    * QOI-decode one payload. Bounds-checked against truncation — a cut
+    * stream throws (callers map to the NULL row, never a crash).
+    */
+  def decodeAniQoiFrame(bytes: Array[Byte], idx: Int): Image = {
+    val n = aniQoiFrameCount(bytes)
+    require(idx >= 0 && idx < n, s"frame $idx out of [0, $n)")
+    val buf = ByteBuffer.wrap(bytes)
+    var pos = 8
+    var f = 0
+    while (f < idx) {
+      require(pos + 4 <= bytes.length, "truncated frame table")
+      val len = buf.getInt(pos)
+      require(len > 0 && pos + 4 + len <= bytes.length, "bad frame length")
+      pos += 4 + len
+      f += 1
+    }
+    require(pos + 4 <= bytes.length, "truncated frame table")
+    val len = buf.getInt(pos)
+    require(len > 0 && pos + 4 + len <= bytes.length, "bad frame length")
+    decodeQoi(java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len))
+  }
+
   /** Nearest-neighbor resize — the real pixel operation behind the
     * resize API (no external imaging library needed).
     */

@@ -125,6 +125,51 @@ object Multimodal {
     case _ => Codecs.encodeQoi(genImage(id))
   })
 
+  /** Frame `f` of clip `id`: dims from the id (constant across the
+    * clip, as video frames are), pixel formulas shifted per frame by
+    * the 19/23/29 terms — deterministic, so the SQL oracle recomputes
+    * any sampled frame's features without reading the container.
+    */
+  private[multimodal] def genVideoFrame(id: Long, f: Int): Codecs.Image = {
+    val w = (8 + (id % 4) * 4).toInt
+    val h = (6 + (id % 5) * 2).toInt
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + f * 19 + x * 3 + y * 5) % 256).toInt
+        val g = ((id * 11 + f * 23 + x + y * 2) % 256).toInt
+        val b = ((id * 13 + f * 29 + x * 2 + y) % 256).toInt
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.Image(w, h, px)
+  }
+
+  /** Frames per clip: small (2..5) so the sampled set is 1..3. */
+  private[multimodal] def videoFrameCount(id: Long): Int = (2 + id % 4).toInt
+
+  private val encodeVideoUdf = udf((id: Long) =>
+    Codecs.encodeAniQoi(
+      (0 until videoFrameCount(id)).map(f => genVideoFrame(id, f))))
+
+  /** Video table with REAL multi-frame payloads: every document gets
+    * an AQV1 clip of [[videoFrameCount]] QOI frames generated by
+    * [[genVideoFrame]]. meta.n_frames carries the true frame count.
+    */
+  def videoMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      encodeVideoUdf(col("doc_id")).as("content"),
+      struct(
+        lit("aqoi").as("format"),
+        (pmod(col("doc_id"), lit(4)) * 4 + 8).cast(IntegerType).as("width"),
+        (pmod(col("doc_id"), lit(5)) * 2 + 6).cast(IntegerType).as("height"),
+        (pmod(col("doc_id"), lit(4)) + 2).cast(IntegerType).as("n_frames")).as("meta"))
+
   /** Media table with REAL encoded payloads: BMP/PPM/QOI/WAV bytes
     * built by [[Codecs]] from deterministic pixel/sample formulas —
     * QOI adds a COMPRESSED container, so the decode path covers a real

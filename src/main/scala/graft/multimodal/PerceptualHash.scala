@@ -210,4 +210,63 @@ object PerceptualHash {
                         maxBucket: Int = 10000): DataFrame =
     hammingPairs(audioHashes(media), col("media_id"), col("ahash"),
       maxDist, maxBucket)
+
+  // ---- video: sampled-frame hashes + shared-frame near-dup --------------
+
+  private val videoHashUdf = udf(
+    (format: String, content: Array[Byte], everyN: Int) =>
+      try {
+        if (format != "aqoi") None
+        else {
+          val n = Codecs.aniQoiFrameCount(content)
+          // SELECTIVE decode: only the sampled frames are ever
+          // decompressed — the frame table is walked by length prefix
+          Some((0 until n by everyN).map(f =>
+            (f, ahash64(Codecs.decodeAniQoiFrame(content, f)))))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None })
+
+  /** Per-sampled-frame perceptual hashes of a video table: one row per
+    * (media_id, frame_idx) with the frame's aHash. `everyN` is the
+    * sampling stride (frames 0, N, 2N, ...); skipped frames are never
+    * decoded. Corrupt clips yield no rows.
+    */
+  def videoFrameHashes(media: DataFrame, everyN: Int = 2): DataFrame = {
+    require(everyN >= 1, "stride must be positive")
+    media
+      .withColumn("fh", videoHashUdf(col("meta.format"), col("content"),
+        lit(everyN)))
+      .filter(col("fh").isNotNull)
+      .select(col("media_id"), explode(col("fh")).as("e"))
+      .select(col("media_id"), col("e._1").cast("long").as("frame_idx"),
+        col("e._2").as("ahash"))
+  }
+
+  /** Near-duplicate video pairs by SHARED SAMPLED-FRAME hashes — the
+    * shot-overlap gate: two clips near-duplicate when ≥ `minShared`
+    * distinct frame hashes appear in both (position-independent, so a
+    * re-cut that shifts frames still matches). The join key is the
+    * frame hash (an inverted index over clips), bucket-capped like
+    * every LSH family member: a hash shared by a large slice of the
+    * corpus (test cards, black frames) carries no pairwise signal.
+    * Output (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def videoNearDupPairs(media: DataFrame, everyN: Int = 2,
+                        minShared: Int = 2,
+                        maxBucket: Int = 10000): DataFrame = {
+    // distinct (clip, hash): repeated identical frames within one clip
+    // count once — "how many distinct shots are shared"
+    val hashes = videoFrameHashes(media, everyN)
+      .select(col("media_id"), col("ahash")).distinct()
+      .localCheckpoint(eager = false)
+    val ok = hashes.groupBy(col("ahash")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select(col("ahash"))
+    val capped = hashes.join(ok, Seq("ahash"), "left_semi")
+    capped.select(col("ahash"), col("media_id").as("id_a"))
+      .join(capped.select(col("ahash"), col("media_id").as("id_b")), Seq("ahash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

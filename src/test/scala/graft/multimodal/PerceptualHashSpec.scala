@@ -147,6 +147,64 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0L)))
   }
 
+  test("AQV1 container: frame count + selective decode round-trip") {
+    val frames = (0 until 4).map(f => Multimodal.genVideoFrame(7L, f))
+    val bytes = Codecs.encodeAniQoi(frames)
+    assert(Codecs.aniQoiFrameCount(bytes) == 4)
+    // each frame decodes independently and exactly
+    (0 until 4).foreach { f =>
+      val img = Codecs.decodeAniQoiFrame(bytes, f)
+      assert(img.pixels.toSeq == frames(f).pixels.toSeq, s"frame $f")
+    }
+    intercept[IllegalArgumentException](Codecs.decodeAniQoiFrame(bytes, 4))
+    // a truncated stream throws, never reads out of bounds
+    intercept[Exception](
+      Codecs.decodeAniQoiFrame(bytes.take(bytes.length / 2), 3))
+  }
+
+  test("videoFrameHashes: only sampled frames appear; hashes match direct computation") {
+    val media = Multimodal.videoMedia(
+      Tables.documents(spark, SparkTestSession.Sf).limit(20))
+    val got = PerceptualHash.videoFrameHashes(media, everyN = 2)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    got.foreach { case (id, frames) =>
+      val nf = Multimodal.videoFrameCount(id)
+      assert(frames.keySet == (0 until nf by 2).map(_.toLong).toSet, s"clip $id")
+      frames.foreach { case (f, h) =>
+        assert(h == PerceptualHash.ahash64(
+          Multimodal.genVideoFrame(id, f.toInt)), s"clip $id frame $f")
+      }
+    }
+  }
+
+  test("videoNearDupPairs: a re-cut sharing two frames matches; one frame does not") {
+    def clip(id: Long, frames: Seq[Codecs.Image]) =
+      (id, Codecs.encodeAniQoi(frames))
+    // ids 13/15: all six involved frame hashes are pairwise distinct
+    // (the synthetic gradients make some id pairs collide — e.g.
+    // genVideoFrame(100,0) and (200,0) hash identically)
+    val fA = (0 until 4).map(f => Multimodal.genVideoFrame(13L, f))
+    val fB = (0 until 4).map(f => Multimodal.genVideoFrame(15L, f))
+    // clip 2 re-cuts clip 1: its SAMPLED frames (0,2) are clip 1's
+    // sampled frames (2,0) reordered — position-independent match;
+    // clip 3 shares only one sampled frame; clip 4 is unrelated
+    val rows = Seq(
+      clip(1L, fA),
+      clip(2L, Seq(fA(2), fB(1), fA(0), fB(3))),
+      clip(3L, Seq(fA(0), fB(0), fB(2))),
+      clip(4L, fB))
+      .toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        struct(lit("aqoi").as("format"), lit(0).as("width"),
+          lit(0).as("height"), lit(4).as("n_frames")).as("meta"))
+    val pairs = PerceptualHash.videoNearDupPairs(rows, everyN = 2, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2L), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L), s"got $pairs")
+    assert(!pairs.exists(p => p._2 == 4L && p._1 == 1L), s"got $pairs")
+  }
+
   test("nearDupPairs: maxBucket drops hot buckets deterministically") {
     // 10 identical flat images: every band bucket holds all 10, so a
     // cap of 5 drops everything
