@@ -372,16 +372,19 @@ object Codecs {
     val buf = ByteBuffer.wrap(bytes)
     var pos = 8
     var f = 0
+    // length checks in LONG arithmetic: an adversarial len near
+    // Int.MaxValue wraps pos + 4 + len negative and passes an int
+    // comparison
     while (f < idx) {
       require(pos + 4 <= bytes.length, "truncated frame table")
       val len = buf.getInt(pos)
-      require(len > 0 && pos + 4 + len <= bytes.length, "bad frame length")
+      require(len > 0 && pos.toLong + 4 + len <= bytes.length, "bad frame length")
       pos += 4 + len
       f += 1
     }
     require(pos + 4 <= bytes.length, "truncated frame table")
     val len = buf.getInt(pos)
-    require(len > 0 && pos + 4 + len <= bytes.length, "bad frame length")
+    require(len > 0 && pos.toLong + 4 + len <= bytes.length, "bad frame length")
     decodeQoi(java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len))
   }
 

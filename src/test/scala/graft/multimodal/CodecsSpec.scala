@@ -157,6 +157,27 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeQoi(badMagic))
   }
 
+  test("AQV1 fuzz: every truncation point and corrupt length fails cleanly") {
+    val frames = (0 until 3).map(f => Multimodal.genVideoFrame(5L, f))
+    val bytes = Codecs.encodeAniQoi(frames)
+    // every prefix either decodes frame 0 fully (prefix covers it) or
+    // throws — never reads past the buffer or loops
+    (0 until bytes.length).foreach { cut =>
+      try { Codecs.decodeAniQoiFrame(bytes.take(cut), 2); () }
+      catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => () }
+    }
+    // adversarial frame lengths: negative and overflowing
+    val negLen = bytes.clone()
+    java.nio.ByteBuffer.wrap(negLen).putInt(8, -5)
+    intercept[IllegalArgumentException](Codecs.decodeAniQoiFrame(negLen, 1))
+    val hugeLen = bytes.clone()
+    java.nio.ByteBuffer.wrap(hugeLen).putInt(8, Int.MaxValue)
+    intercept[IllegalArgumentException](Codecs.decodeAniQoiFrame(hugeLen, 1))
+    val negCount = bytes.clone()
+    java.nio.ByteBuffer.wrap(negCount).putInt(4, -1)
+    intercept[IllegalArgumentException](Codecs.aniQoiFrameCount(negCount))
+  }
+
   test("adversarial headers fail with require, never index out of bounds") {
     // negative pixel-data offset passes a naive truncation check
     // (negative + positive <= length) and then indexes negatively
