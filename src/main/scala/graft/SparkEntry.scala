@@ -250,6 +250,18 @@ object SparkEntry {
         threshold = 0.30)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E7+E2: SEMANTIC decontamination — corpus embeddings cosine-close
+    // to any held-out benchmark embedding (every 25th vector), via the
+    // IVF-bucketed bipartite probe (bench broadcasts its probe cells;
+    // the corpus never shuffles). The paraphrase-robust complement of
+    // the n-gram q_decontaminate gate
+    "q_sem_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticContamination(emb,
+        emb.filter(col("vec_id") % 25 === 0), threshold = 0.30)
+        .orderBy(col("vec_id"), col("bench_id"))
+    }),
+
     // E2/SemDeDup: cluster-blocked semantic dedup on an UNLABELED
     // corpus — the blocking cell is derived from the embeddings
     // (Abbas et al. 2023), not from a pre-existing label
@@ -1901,7 +1913,26 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM scored) t " +
       "WHERE rank <= 10 ORDER BY query_id, rank"
 
+  /** Mirrors Similarity.semanticContamination(emb, vec_id%25==0, 0.30):
+    * corpus cells + benchmark probe lists from the shared seed-centroid
+    * CTEs, bipartite cell join, index-order cosine.
+    */
+  private lazy val semDecontamOracle: String =
+    "WITH " + ivfCellsSql +
+      "bprobes AS (SELECT vec_id AS bench_id, cid AS probe FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cscore " +
+      "WHERE vec_id % 25 = 0) t WHERE rn <= 4) " +
+      s"SELECT e.vec_id AS vec_id, p.bench_id, round(${duckCos("e.embedding", "be.embedding")}, 6) AS score " +
+      "FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id " +
+      "JOIN bprobes p ON cl.cell = p.probe " +
+      "JOIN embeddings be ON be.vec_id = p.bench_id " +
+      "WHERE e.vec_id <> p.bench_id " +
+      s"AND round(${duckCos("e.embedding", "be.embedding")}, 6) >= 0.30 " +
+      "ORDER BY e.vec_id, p.bench_id"
+
   def oracleSql: Map[String, String] = Map(
+    "q_sem_decontam" -> semDecontamOracle,
+
     "q_scan_project" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
 

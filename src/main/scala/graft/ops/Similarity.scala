@@ -279,6 +279,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SEMANTIC decontamination (E7 composed with E2): corpus rows whose
+    * embedding is cosine-close to ANY held-out benchmark embedding —
+    * the paraphrase-robust complement of the n-gram gate
+    * ([[Decontaminate]]): a reworded eval question shares no 3-grams
+    * with its source but keeps its embedding neighborhood.
+    *
+    * Scale shape: the (small) benchmark side probes `nProbe` cells of
+    * the corpus-seeded IVF coarse quantizer and BROADCASTS; the corpus
+    * is assigned its one cell in the same scan — the join is a
+    * broadcast equi-join on the cell id, never corpus × benchmark, and
+    * the corpus never shuffles. A corpus row has exactly one cell, so
+    * each (corpus, bench) pair arises at most once — no distinct
+    * needed. Output (vec_id, bench_id, score ≥ threshold); downstream
+    * drops every flagged vec_id.
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double, nCentroids: Int = 16,
+                            nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids)
+    val b = bench.select(col("vec_id").as("bench_id"),
+      col("embedding").as("b_emb"),
+      explode(ivfProbeCells(col("embedding"), cents, nProbe)).as("probe"))
+    corpus.withColumn("cell", ivfCell(col("embedding"), cents))
+      .join(broadcast(b),
+        col("cell") === col("probe") && col("vec_id") =!= col("bench_id"))
+      .withColumn("score", round(cosine(col("embedding"), col("b_emb")), roundTo))
+      .filter(col("score") >= threshold)
+      .select(col("vec_id"), col("bench_id"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column
     * (e.g. a coarse cluster/label/LSH band). Blocking bounds the
     * quadratic pair space — the all-pairs crossJoin is intentionally

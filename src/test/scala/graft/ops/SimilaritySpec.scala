@@ -120,6 +120,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.intersect(exact).nonEmpty, s"no overlap: ann=$ann exact=$exact")
   }
 
+  test("semanticContamination: flags an exact copy, excludes the self-match, bench-bounded") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val bench = e.filter(col("vec_id") % 10 === 0)
+    // plant an exact copy of bench vector 0 under a fresh corpus id
+    val copy = e.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(999999L))
+    val flagged = Similarity.semanticContamination(
+      e.unionByName(copy), bench, threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(flagged.exists(r => r._1 == 999999L && r._2 == 0L && r._3 >= 0.99),
+      s"planted copy not flagged: ${flagged.toSeq}")
+    // no self-matches, and every bench_id is from the benchmark set
+    assert(!flagged.exists(r => r._1 == r._2))
+    assert(flagged.forall(_._2 % 10 == 0))
+  }
+
+  test("semanticContamination agrees with the brute-force gate on probed cells") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf).limit(200).cache()
+    val bench = e.filter(col("vec_id") % 25 === 0)
+    val got = Similarity.semanticContamination(e, bench, threshold = 0.30)
+      .select("vec_id", "bench_id").as[(Long, Long)].collect().toSet
+    // brute: every (corpus, bench) pair over threshold — the IVF probe
+    // may miss pairs outside the probed cells (recall < 1 by design)
+    // but must never INVENT a pair or misscore one
+    val brute = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(bench.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") =!= col("b"))
+      .withColumn("s", round(Similarity.cosine(col("ea"), col("eb")), 6))
+      .filter(col("s") >= 0.30)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute), s"invented pairs: ${got -- brute}")
+    assert(got.nonEmpty)
+    e.unpersist()
+  }
+
   test("jaccardSorted kernel equals declarative intersect/union form") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
