@@ -250,6 +250,18 @@ object SparkEntry {
         threshold = 0.30)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E2: hard-negative mining — per anchor, the top-5 most-similar
+    // vectors with a DIFFERENT label (the contrastive-training pair
+    // source); one corpus scan, queries broadcast, per-query window
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding"), col("label")),
+        k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // E7+E2: SEMANTIC decontamination — corpus embeddings cosine-close
     // to any held-out benchmark embedding (every 25th vector), via the
     // IVF-bucketed bipartite probe (bench broadcasts its probe cells;
@@ -1932,6 +1944,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_sem_decontam" -> semDecontamOracle,
+
+    // hard negatives: cross join against the 8 broadcast anchors,
+    // label-mismatch gate BEFORE the per-query rank, index-order cosine
+    "q_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql " +
+        "FROM embeddings WHERE vec_id < 8) " +
+        "SELECT query_id, vec_id, label, score, rank FROM (" +
+        s"SELECT q.query_id, b.vec_id, b.label, round(${duckCos("qe", "b.embedding")}, 6) AS score, " +
+        "row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+        s"round(${duckCos("qe", "b.embedding")}, 6) DESC, b.vec_id) AS rank " +
+        "FROM q, embeddings b WHERE b.vec_id <> q.query_id AND b.label <> q.ql) t " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
 
     "q_scan_project" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",

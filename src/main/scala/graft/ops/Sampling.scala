@@ -35,10 +35,19 @@ object Sampling {
   val KnuthC: Long = 2654435761L
 
   /** Layout-independent pseudo-uniform bucket in [0, m) for an
-    * integral id column.
+    * integral id column. `id` must be a non-negative long below 2^31 —
+    * ENFORCED at runtime ([[graft.ops.Sharding.assign]] rationale:
+    * past 2^31 the Knuth multiply leaves signed-64-bit range, where
+    * Spark's non-ANSI wraparound silently skews the sample and an
+    * exact-arithmetic verifier diverges; fail loudly instead).
     */
-  def hashBucket(idCol: Column, m: Int): Column =
-    pmod(idCol.cast("long") * lit(KnuthC), lit(m.toLong))
+  def hashBucket(idCol: Column, m: Int): Column = {
+    val id = idCol.cast("long")
+    when(id >= 0 && id < lit(1L << 31), pmod(id * lit(KnuthC), lit(m.toLong)))
+      .otherwise(raise_error(concat(
+        lit("Sampling.hashBucket: id must be in [0, 2^31), got "),
+        id.cast("string"))))
+  }
 
   /** Uniform p-fraction sample: keep rows whose bucket falls under
     * p*10000 (basis points, so p=0.0137 is exact).

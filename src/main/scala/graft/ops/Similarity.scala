@@ -223,6 +223,31 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE mining (contrastive-training data prep): for each
+    * query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label — the similar-but-wrong examples a contrastive /
+    * retrieval trainer pairs against each anchor. Same one-corpus-scan
+    * shape as [[topKByCosineBatch]] (queries broadcast, per-query
+    * window keyed by query_id), with the label-mismatch gate applied
+    * BEFORE ranking so the window never sees same-label rows.
+    *
+    * @param queries (query_id, embedding, label), broadcast-sized.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
+      col("label").as("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Batch ANN (SRP-LSH) over a query TABLE — the right amortization at
     * scale: ONE banded index pass over the corpus, the (small) query
     * side broadcast, candidates re-ranked exactly, top-k per query via

@@ -26,6 +26,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b && b == c)
   }
 
+  test("out-of-range ids fail loudly (the scramble's 2^31 precondition)") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val bad = Seq(1L, (1L << 31) + 7L).toDF("id")
+    val ex = intercept[Exception](Sampling.uniform(bad, col("id"), 0.5).collect())
+    assert(messages(ex).exists(_.contains("id must be in [0, 2^31)")), s"$ex")
+    val neg = Seq(-1L, 2L).toDF("id")
+    val ex2 = intercept[Exception](Sampling.uniformK(neg, col("id"), 1).collect())
+    assert(messages(ex2).exists(_.contains("id must be in [0, 2^31)")), s"$ex2")
+  }
+
   test("uniform rate is accurate on sequential ids") {
     val n = 20000
     val got = Sampling.uniform(ids(n), col("id"), 0.1).count().toDouble

@@ -155,6 +155,34 @@ class SimilaritySpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("hardNegatives: k per anchor, labels all differ, agrees with brute force") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf).cache()
+    val anchors = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val got = Similarity.hardNegatives(e, anchors, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+    val anchorLabels = anchors.select("query_id", "label")
+      .as[(Long, Int)].collect().toMap
+    // k rows per anchor, every negative's label differs from its anchor's
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length == 5, s"anchor $qid")
+      assert(rows.forall(_._3 != anchorLabels(qid)), s"same-label row for $qid")
+      val scores = rows.sortBy(_._5).map(_._4).toSeq
+      assert(scores == scores.sorted.reverse, s"rank order broken for $qid")
+    }
+    // brute-force agreement for anchor 0
+    val a0 = e.filter(col("vec_id") === 0).select("embedding", "label")
+      .as[(Array[Float], Int)].head()
+    val brute = e.filter(col("vec_id") =!= 0 && col("label") =!= a0._2)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"),
+          typedLit(a0._1.toSeq)), 6).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.filter(_._1 == 0L).sortBy(_._5).map(_._2).toSeq == brute)
+    e.unpersist()
+  }
+
   test("jaccardSorted kernel equals declarative intersect/union form") {
     val df = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
