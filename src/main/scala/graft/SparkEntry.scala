@@ -250,6 +250,18 @@ object SparkEntry {
         threshold = 0.30)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E14+E2: embedding-space drift — even vs odd vec_ids assigned to
+    // the shared seed-centroid cells, per-cell occupancy compared with
+    // the exact-integer TV-share arithmetic of the token drift path
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Drift.cellDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        col("embedding"), Similarity.ivfCentroids(emb, 16))
+        .orderBy(col("cell"))
+    }),
+
     // E2: hard-negative mining — per anchor, the top-5 most-similar
     // vectors with a DIFFERENT label (the contrastive-training pair
     // source); one corpus scan, queries broadcast, per-query window
@@ -1944,6 +1956,26 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_sem_decontam" -> semDecontamOracle,
+
+    // embedding drift: shared seed-centroid cell assignment (the
+    // ivfCellsSql partition of space), even/odd occupancy, exact
+    // integer TV-share numerators divided once
+    "q_embed_drift" ->
+      ("WITH " + ivfCellsSql +
+        "ca AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt FROM cells " +
+        "WHERE vec_id % 2 = 0 GROUP BY 1), " +
+        "cb AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt FROM cells " +
+        "WHERE vec_id % 2 = 1 GROUP BY 1), " +
+        "na AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ca), " +
+        "nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cb) " +
+        "SELECT COALESCE(ca.cell, cb.cell) AS cell, " +
+        "CAST(COALESCE(ca.cnt, 0) AS BIGINT) AS cnt_a, " +
+        "CAST(COALESCE(cb.cnt, 0) AS BIGINT) AS cnt_b, " +
+        "CAST(abs(CAST(COALESCE(ca.cnt, 0) AS HUGEINT) * nb.t " +
+        "- CAST(COALESCE(cb.cnt, 0) AS HUGEINT) * na.t) AS DOUBLE) " +
+        "/ (2.0 * na.t * nb.t) AS drift " +
+        "FROM ca FULL OUTER JOIN cb ON ca.cell = cb.cell, na, nb " +
+        "ORDER BY cell"),
 
     // hard negatives: cross join against the 8 broadcast anchors,
     // label-mismatch gate BEFORE the per-query rank, index-order cosine

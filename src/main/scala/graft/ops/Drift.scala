@@ -73,6 +73,45 @@ object Drift {
       .limit(k)
   }
 
+  /** EMBEDDING-space drift between two corpus snapshots (E14 extended
+    * to the embedding modality): both sides are assigned to the cells
+    * of one shared IVF coarse quantizer (the [[Similarity]] seed or
+    * trained centroids — one partition of space both snapshots and
+    * any verifying engine agree on), and the per-cell occupancy is
+    * compared with the same exact-integer TV-share arithmetic as the
+    * token path. A crawl whose embedding distribution shifts (new
+    * topic, collapsed source, encoder regression) moves cell mass
+    * even when its token surface looks stable.
+    *
+    * Output: `(cell, cnt_a, cnt_b, drift)` per occupied cell,
+    * drift = |cnt_a·tot_b − cnt_b·tot_a| / (2·tot_a·tot_b).
+    *
+    * Scale shape: each snapshot collapses to ≤ nCentroids rows in one
+    * codegen'd argmax scan + map-side-combinable count; everything
+    * after is centroid-sized.
+    */
+  def cellDrift(a: DataFrame, b: DataFrame, embCol: Column,
+                centroids: Array[Array[Double]]): DataFrame = {
+    def occupancy(df: DataFrame): DataFrame =
+      df.select(graft.functions.ArrayExprs.argmaxCosine(embCol, centroids)
+          .cast("long").as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+    val (fa, fb) = (occupancy(a), occupancy(b))
+    val (totA, totB) = (total(fa), total(fb))
+    require(totA > 0 && totB > 0, "both snapshots must contain vectors")
+    val dec = DecimalType(38, 0)
+    fa.withColumnRenamed("cnt", "cnt_a")
+      .join(fb.withColumnRenamed("cnt", "cnt_b"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .withColumn("drift",
+        abs(col("cnt_a").cast(dec) * lit(totB) -
+          col("cnt_b").cast(dec) * lit(totA)).cast("double") /
+          lit(2.0 * totA.toDouble * totB.toDouble))
+  }
+
   /** Total-variation distance between the two token distributions:
     * one row `(tv)`, tv ∈ [0,1] (0 = identical, 1 = disjoint).
     * The per-token numerators are exact INTEGERS summed exactly

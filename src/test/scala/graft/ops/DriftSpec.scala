@@ -56,6 +56,27 @@ class DriftSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("cellDrift: identical snapshots drift 0; a collapsed snapshot concentrates drift") {
+    val emb = graft.Tables.embeddings(spark, SparkTestSession.Sf).cache()
+    val cents = Similarity.ivfCentroids(emb, 8)
+    // same snapshot twice: every cell's counts match, drift exactly 0
+    val same = Drift.cellDrift(emb, emb, col("embedding"), cents)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(same.nonEmpty)
+    same.foreach { case (a, b, d) => assert(a == b && d == 0.0) }
+    // snapshot B collapsed onto centroid 3's vector: all B mass lands
+    // in one cell, so that cell (and only the occupied cells) drift
+    val c3 = emb.filter(col("vec_id") === 3).select("embedding")
+      .as[Array[Float]].head()
+    val collapsed = emb.withColumn("embedding", typedLit(c3.toSeq))
+    val moved = Drift.cellDrift(emb, collapsed, col("embedding"), cents)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bCells = moved.filter(_._2 > 0)
+    assert(bCells.length == 1, s"collapsed snapshot spread over ${bCells.toSeq}")
+    assert(moved.filter(_._3 > 0).length >= 2) // the gaining and losing cells
+    emb.unpersist()
+  }
+
   test("empty corpus is rejected") {
     val a = corpus(1L -> "a")
     intercept[IllegalArgumentException] {
