@@ -268,4 +268,29 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"no semi cap join in:\n$plan")
   }
 
+  test("q_sem_decontam: bench side broadcasts on the cell equi-key; corpus never shuffles") {
+    val plan = finalPlan(q("q_sem_decontam"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
+    // the corpus side reaches the join without an exchange: the only
+    // hash exchanges allowed are for the final orderBy (range)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus shuffled for the probe join:\n$plan")
+  }
+
+  test("q_hard_negatives: anchors broadcast, rank is a per-query window") {
+    val plan = finalPlan(q("q_hard_negatives"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), s"anchors not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
+  }
+
+  test("q_embed_drift collapses each snapshot before any join") {
+    val plan = finalPlan(q("q_embed_drift"))
+    // occupancy is a cell-keyed aggregate; the join is over <= 16 rows
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
+  }
+
 }
