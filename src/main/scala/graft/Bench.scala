@@ -240,7 +240,8 @@ object Bench {
     val streamResults: Map[String, Double] =
       if (remainingMs < 60000)
         Map("s_stream_dedup" -> -1.0, "s_stream_decontam" -> -1.0,
-          "s_stream_sessionize" -> -1.0, "s_stream_neardup" -> -1.0)
+          "s_stream_sessionize" -> -1.0, "s_stream_neardup" -> -1.0,
+          "s_stream_media" -> -1.0)
       else try {
         val evDir = graft.streaming.StreamBench.stageEvents(spark, sfDir, nFiles = 8)
         val md = graft.streaming.StreamBench.benchDedup(spark, evDir)
@@ -248,17 +249,22 @@ object Bench {
         val mdc = graft.streaming.StreamBench.benchDecontam(spark, sfDir, docDir)
         val ms = graft.streaming.StreamBench.benchSessions(spark, evDir)
         val mn = graft.streaming.StreamBench.benchNearDup(spark, sfDir, docDir)
+        val mm = graft.streaming.StreamBench.benchMediaNearDup(spark, sfDir,
+          graft.streaming.StreamBench.stageMedia(spark, sfDir, nFiles = 8))
         streamDetail =
           s"""{"dedup":{"rows":${md.rows},"rows_per_sec":${md.rowsPerSec.toLong},"avg_batch_ms":${md.avgBatchMs.toLong},"batches":${md.batches}},""" +
           s""""decontam":{"rows":${mdc.rows},"rows_per_sec":${mdc.rowsPerSec.toLong},"avg_batch_ms":${mdc.avgBatchMs.toLong},"batches":${mdc.batches}},""" +
           s""""sessionize":{"rows":${ms.rows},"rows_per_sec":${ms.rowsPerSec.toLong},"avg_batch_ms":${ms.avgBatchMs.toLong},"batches":${ms.batches}},""" +
-          s""""neardup":{"rows":${mn.rows},"rows_per_sec":${mn.rowsPerSec.toLong},"avg_batch_ms":${mn.avgBatchMs.toLong},"batches":${mn.batches}}}"""
+          s""""neardup":{"rows":${mn.rows},"rows_per_sec":${mn.rowsPerSec.toLong},"avg_batch_ms":${mn.avgBatchMs.toLong},"batches":${mn.batches}},""" +
+          s""""media_neardup":{"rows":${mm.rows},"rows_per_sec":${mm.rowsPerSec.toLong},"avg_batch_ms":${mm.avgBatchMs.toLong},"batches":${mm.batches}}}"""
         Map("s_stream_dedup" -> md.elapsedSec, "s_stream_decontam" -> mdc.elapsedSec,
-          "s_stream_sessionize" -> ms.elapsedSec, "s_stream_neardup" -> mn.elapsedSec)
+          "s_stream_sessionize" -> ms.elapsedSec, "s_stream_neardup" -> mn.elapsedSec,
+          "s_stream_media" -> mm.elapsedSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming micro-bench failed: $e")
         Map("s_stream_dedup" -> -1.0, "s_stream_decontam" -> -1.0,
-          "s_stream_sessionize" -> -1.0, "s_stream_neardup" -> -1.0)
+          "s_stream_sessionize" -> -1.0, "s_stream_neardup" -> -1.0,
+          "s_stream_media" -> -1.0)
       } finally {
         // the staged replays are a full copy of the source tables;
         // halt(0) below skips shutdown hooks, so reclaim /tmp here

@@ -205,6 +205,51 @@ object PerceptualHash {
     hammingPairs(imageHashes(media), col("media_id"), col("ahash"),
       maxDist, maxBucket)
 
+  /** Standing perceptual-hash artifact for write-once-probe-many image
+    * gates (the [[graft.ops.MinHash.CorpusIndex]] shape): the corpus
+    * hash table and its band index, EAGERLY checkpointed so every
+    * probe — each micro-batch of a media stream — reads materialized
+    * blocks; the corpus is decoded and hashed exactly once. Hot
+    * buckets are capped at build time (`maxBucket`), so no batch can
+    * join into a degenerate bucket.
+    */
+  final case class HashIndex(hashes: DataFrame, index: DataFrame)
+
+  def buildImageIndex(media: DataFrame, maxBucket: Int = 10000): HashIndex = {
+    val hashes = imageHashes(media)
+      .select(col("media_id").as("pid"), col("ahash").as("ph"))
+      .localCheckpoint()
+    val idx = hashes.select(col("pid"), col("ph"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("bi"), band(col("ph"), i).as("bv"))): _*)).as("bk"))
+    val ok = idx.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select(col("bk"))
+    HashIndex(hashes, idx.join(ok, Seq("bk"), "left_semi").localCheckpoint())
+  }
+
+  /** Probe a media batch against a standing [[HashIndex]]: only the
+    * batch is decoded and hashed; the bipartite band join reads the
+    * index artifact. Output (batch_id, corpus_id, dist ≤ maxDist).
+    */
+  def probeImages(cidx: HashIndex, batch: DataFrame,
+                  maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4x16-bit bands guarantee completeness only for maxDist <= 3")
+    val b = imageHashes(batch)
+      .select(col("media_id").as("batch_id"), col("ahash").as("bh"))
+      .localCheckpoint(eager = false)
+    val bIdx = b.select(col("batch_id"), col("bh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("bi"), band(col("bh"), i).as("bv"))): _*)).as("bk"))
+    bIdx.join(cidx.index.select(col("bk"), col("pid").as("corpus_id"),
+        col("ph").as("ch")), Seq("bk"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("bh").bitwiseXOR(col("ch"))).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Near-duplicate audio pairs by energy-profile Hamming distance. */
   def audioNearDupPairs(media: DataFrame, maxDist: Int = 3,
                         maxBucket: Int = 10000): DataFrame =

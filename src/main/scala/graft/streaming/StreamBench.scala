@@ -188,6 +188,50 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Stage the generated media table as a replay directory. `factor`
+    * unions id-shifted copies — the encode UDF derives pixels from the
+    * id, so every copy carries ORGANIC new payloads (real decode work),
+    * not byte-identical ones.
+    */
+  def stageMedia(spark: SparkSession, sfDir: String, nFiles: Int,
+                 factor: Int = 1): String = {
+    val dir = tempDir("sb_media")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val rep = if (factor <= 1) docs
+      else (1 until factor).foldLeft(docs) { (acc, i) =>
+        acc.unionAll(docs.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 1000000L)))
+      }
+    graft.multimodal.Multimodal.realMedia(rep)
+      .repartition(nFiles).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Perceptual image near-dup twin: the standing aHash index is built
+    * once untimed; each micro-batch decodes, hashes, and
+    * Hamming-probes its images against it.
+    */
+  def benchMediaNearDup(spark: SparkSession, sfDir: String,
+                        replayDir: String): StreamMetrics = {
+    val corpus = graft.multimodal.Multimodal.realMedia(
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 20 === 0))
+    val cidx = graft.multimodal.PerceptualHash.buildImageIndex(corpus)
+    cidx.index.queryExecution.toRdd.count() // materialize untimed
+    val schema = spark.read.parquet(replayDir).schema
+    val media = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = media.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.multimodal.PerceptualHash.probeImages(cidx,
+          b.filter(col("media_id") % 20 =!= 0), maxDist = 2).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Local scale-curve runner: rows/sec for the two twins at ×1/×4/×16
     * replay factors. Prints one JSON line per point (recorded in
     * BASELINE.md).
@@ -212,6 +256,8 @@ object StreamBench {
       val dc = benchDecontam(spark, sfDir, docs)
       val ss = benchSessions(spark, ev)
       val nd = benchNearDup(spark, sfDir, docs)
+      val mn = benchMediaNearDup(spark, sfDir, stageMedia(spark, sfDir, 8, f))
+      println(s"""{"stream":"media_neardup","factor":$f,"rows":${mn.rows},"sec":${mn.elapsedSec},"rows_per_sec":${mn.rowsPerSec.toLong},"avg_batch_ms":${mn.avgBatchMs.toLong},"batches":${mn.batches}}""")
       println(s"""{"stream":"dedup","factor":$f,"rows":${d.rows},"sec":${d.elapsedSec},"rows_per_sec":${d.rowsPerSec.toLong},"avg_batch_ms":${d.avgBatchMs.toLong},"batches":${d.batches}}""")
       println(s"""{"stream":"decontam","factor":$f,"rows":${dc.rows},"sec":${dc.elapsedSec},"rows_per_sec":${dc.rowsPerSec.toLong},"avg_batch_ms":${dc.avgBatchMs.toLong},"batches":${dc.batches}}""")
       println(s"""{"stream":"sessionize","factor":$f,"rows":${ss.rows},"sec":${ss.elapsedSec},"rows_per_sec":${ss.rowsPerSec.toLong},"avg_batch_ms":${ss.avgBatchMs.toLong},"batches":${ss.batches}}""")

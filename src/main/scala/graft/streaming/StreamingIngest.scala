@@ -192,6 +192,30 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming twin of the PERCEPTUAL image near-dup gate: every
+    * micro-batch of a media stream (a crawl's image payloads) is
+    * decoded, aHashed, and Hamming-probed against a STANDING
+    * [[graft.multimodal.PerceptualHash.HashIndex]] built once before
+    * the stream starts. Same exactly-once `ingest_batch=N` overwrite
+    * contract as [[nearDupBatches]].
+    */
+  def mediaNearDupBatches(media: DataFrame,
+                          corpusIndex: graft.multimodal.PerceptualHash.HashIndex,
+                          maxDist: Int, outDir: String,
+                          checkpointDir: Option[String] = None): Unit = {
+    val q = media.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.multimodal.PerceptualHash
+          .probeImages(corpusIndex, batch, maxDist)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("mediand_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Run a streaming frame to completion against a named memory sink;
     * returns the materialized result. Test/driver harness only.
     */

@@ -82,6 +82,30 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist(); batchDocs.unpersist()
   }
 
+  test("streaming perceptual image near-dup equals the batch probe") {
+    import graft.multimodal.{Multimodal, PerceptualHash}
+    val media = Multimodal.realMedia(
+      Tables.documents(spark, SparkTestSession.Sf)).cache()
+    val corpus = media.filter(col("media_id") % 5 === 0)
+    val batch = media.filter(col("media_id") % 5 =!= 0).limit(150).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("mnd_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mnd_out").toString
+    batch.repartition(3).write.mode("overwrite").parquet(inDir)
+    val cidx = PerceptualHash.buildImageIndex(corpus)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.mediaNearDupBatches(stream, cidx, maxDist = 2,
+      outDir = outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("batch_id", "corpus_id", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = PerceptualHash.probeImages(cidx, batch, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == direct)
+    assert(direct.nonEmpty, "the split should surface image near-dups")
+    media.unpersist(); batch.unpersist()
+  }
+
   test("streaming dedup passes every unique event exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("se").toString
     // write events twice -> duplicates across files
