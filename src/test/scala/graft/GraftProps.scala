@@ -256,4 +256,62 @@ object GraftProps extends Properties("graft") {
     forAll(Gen.oneOf(bytesGen, headedGen))(decodesOrRejects(graft.multimodal.Codecs.decodeWav))
   property("decodeQoi on arbitrary/mutated bytes: value or IAE, never a crash") =
     forAll(Gen.oneOf(bytesGen, headedGen))(decodesOrRejects(graft.multimodal.Codecs.decodeQoi))
+  property("decodeAniQoiFrame on arbitrary/mutated bytes: value or IAE, never a crash") =
+    forAll(Gen.oneOf(bytesGen, headedGen), Gen.choose(0, 4)) { (bytes, f) =>
+      try { graft.multimodal.Codecs.decodeAniQoiFrame(bytes, f); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+
+  // ---- perceptual hashes: scale invariance + codec independence ----
+
+  private val imageGen: Gen[graft.multimodal.Codecs.Image] = for {
+    w <- Gen.choose(1, 24)
+    h <- Gen.choose(1, 16)
+    px <- Gen.listOfN(w * h, Gen.choose(0, 0xffffff))
+  } yield graft.multimodal.Codecs.Image(w, h, px.toArray)
+
+  property("ahash64/dhash64 are invariant under integer pixel-doubling") =
+    forAll(imageGen) { img =>
+      // nearest-resample through the floor map makes the doubled image
+      // land on the same 8x8/9x8 grids — scale must not change the hash
+      val big = {
+        val px = new Array[Int](img.width * 2 * img.height * 2)
+        var y = 0
+        while (y < img.height * 2) {
+          var x = 0
+          while (x < img.width * 2) {
+            px(y * img.width * 2 + x) = img.pixels((y / 2) * img.width + (x / 2))
+            x += 1
+          }
+          y += 1
+        }
+        graft.multimodal.Codecs.Image(img.width * 2, img.height * 2, px)
+      }
+      import graft.multimodal.PerceptualHash._
+      ahash64(big) == ahash64(img) && dhash64(big) == dhash64(img)
+    }
+
+  property("perceptual hashes are container-independent (BMP == PPM == QOI)") =
+    forAll(imageGen) { img =>
+      import graft.multimodal.{Codecs, PerceptualHash}
+      val viaBmp = Codecs.decodeBmp(Codecs.encodeBmp(img))
+      val viaPpm = Codecs.decodePpm(Codecs.encodePpm(img))
+      val viaQoi = Codecs.decodeQoi(Codecs.encodeQoi(img))
+      Seq(viaBmp, viaPpm, viaQoi).forall(d =>
+        PerceptualHash.ahash64(d) == PerceptualHash.ahash64(img) &&
+        PerceptualHash.dhash64(d) == PerceptualHash.dhash64(img))
+    }
+
+  property("audioHash64 is container-independent (WAV round-trip) on random PCM") =
+    forAll(Gen.choose(1, 400), Gen.choose(Long.MinValue, Long.MaxValue)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val s = Array.fill[Short](n)(rnd.nextInt(65536).toShort)
+      import graft.multimodal.{Codecs, PerceptualHash}
+      val a = Codecs.Audio(8000, 1, s)
+      PerceptualHash.audioHash64(Codecs.decodeWav(Codecs.encodeWav(a))) ==
+        PerceptualHash.audioHash64(a)
+    }
 }
