@@ -180,22 +180,34 @@ object PerceptualHash {
     // OOMs), the same per-call scoping as MinHash.nearDupPairs' base
     val base = hashes.select(idCol.as("pid"), hashCol.as("ph"))
       .localCheckpoint(eager = false)
+    // flat (bi, bv) key columns, not a struct: struct equi-keys keep
+    // the join correct but fall off the fastest codegen path
     val idx = base.select(col("pid"), col("ph"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("bi"), band(col("ph"), i).as("bv"))): _*)).as("bk"))
+      .select(col("pid"), col("ph"),
+        col("bk.bi").as("bi"), col("bk.bv").as("bv"))
     // hot-bucket cap as aggregate + semi-join (broadcast the small
     // surviving-key list), mirroring Tfidf's okTerms / MinHash's
     // bounded buckets
-    val ok = idx.groupBy(col("bk")).agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket).select(col("bk"))
-    val capped = idx.join(ok, Seq("bk"), "left_semi")
-    val a = capped.select(col("bk"), col("pid").as("id_a"), col("ph").as("ha"))
-    val b = capped.select(col("bk"), col("pid").as("id_b"), col("ph").as("hb"))
-    a.join(b, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
+    val ok = idx.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select(col("bi"), col("bv"))
+    val capped = idx.join(ok, Seq("bi", "bv"), "left_semi")
+    val a = capped.select(col("bi"), col("bv"), col("pid").as("id_a"), col("ph").as("ha"))
+    val b = capped.select(col("bi"), col("bv"), col("pid").as("id_b"), col("ph").as("hb"))
+    // FIRST-MATCHING-BAND dedup, not distinct(): a pair colliding on k
+    // bands would surface k times; keep it only where every EARLIER
+    // band differs — a codegen'd filter on the two hashes, replacing a
+    // full extra shuffle of the (up to 4x duplicated) candidate set.
+    // At ×64 replication the distinct was the dominant cost (fitted
+    // exponent 1.07); the filter form retires it.
+    val firstBand = (0 until 3).foldLeft(lit(true)) { (acc, j) =>
+      acc && (col("bi") <= j || band(col("ha"), j) =!= band(col("hb"), j))
+    }
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b") && firstBand)
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
   }
 
@@ -241,12 +253,15 @@ object PerceptualHash {
     val bIdx = b.select(col("batch_id"), col("bh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("bi"), band(col("bh"), i).as("bv"))): _*)).as("bk"))
+    // first-matching-band dedup (see hammingPairs): no distinct shuffle
+    val firstBand = (0 until 3).foldLeft(lit(true)) { (acc, j) =>
+      acc && (col("bk.bi") <= j || band(col("bh"), j) =!= band(col("ch"), j))
+    }
     bIdx.join(cidx.index.select(col("bk"), col("pid").as("corpus_id"),
         col("ph").as("ch")), Seq("bk"))
-      .filter(col("batch_id") =!= col("corpus_id"))
+      .filter(col("batch_id") =!= col("corpus_id") && firstBand)
       .select(col("batch_id"), col("corpus_id"),
         bit_count(col("bh").bitwiseXOR(col("ch"))).cast("long").as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
   }
 

@@ -108,6 +108,7 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("SMOKE_COALESCE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -175,6 +176,29 @@ object ScaleSmoke {
         // + broadcast stratum lookup — both linear, no global window
         Sharding.assign(inflateDocs(Tables.documents(spark, sfDir), f),
           col("doc_id"), length(col("text")), nShards = 16, strata = 8)
+      },
+      "media_neardup" -> { f =>
+        // the Hamming-banded join under replication: XOR-namespace each
+        // replica's hashes — Hamming distance is invariant under a
+        // shared XOR, so every replica keeps its exact answer set. The
+        // per-band mask must be FULL-RANGE scrambled (per-band Knuth
+        // multiplies of r): a low-bit mask (r itself) gives every
+        // replica pair a SMALL xor delta, and near-miss band values
+        // (which concentrate at small deltas on gradient data) then
+        // collide across replicas quadratically.
+        val hashes = graft.multimodal.PerceptualHash.imageHashes(
+          graft.multimodal.Multimodal.realMedia(Tables.documents(spark, sfDir)))
+        val mask = Seq(40503L, 2654435761L, 104729L, 899809343L)
+          .zipWithIndex.map { case (k, b) =>
+            shiftleft(pmod((col("r") + 1) * lit(k), lit(65536L)), 16 * b)
+          }.reduce(_ + _)
+        val inflated = hashes
+          .select(col("media_id"), col("ahash"),
+            explode(sequence(lit(0), lit(f - 1))).as("r"))
+          .select((col("media_id") * f + col("r")).as("media_id"),
+            col("ahash").bitwiseXOR(mask).as("ahash"))
+        graft.multimodal.PerceptualHash.hammingPairs(inflated,
+          col("media_id"), col("ahash"), maxDist = 2)
       })
 
     val opFilter = args.lift(2).map(_.split(",").toSet)
