@@ -82,6 +82,43 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist(); batchDocs.unpersist()
   }
 
+  test("nearDupBatches restart: same checkpoint resumes past committed batches") {
+    import graft.ops.MinHash
+    val all = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val corpus = all.filter(col("doc_id") % 5 === 0)
+    val wave1 = all.filter(col("doc_id") % 5 === 1).limit(80).cache()
+    val wave2 = all.filter(col("doc_id") % 5 === 2).limit(80).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("ndr_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ndr_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("ndr_ck").toString
+    val cidx = MinHash.buildIndex(corpus, col("doc_id"), col("text"))
+    def stream() = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    // wave 1 lands, stream runs to completion and stops
+    wave1.repartition(2).write.mode("append").parquet(inDir)
+    StreamingIngest.nearDupBatches(stream(), cidx, 0.5, outDir, Some(ckptDir))
+    val afterW1 = new java.io.File(outDir).listFiles()
+      .count(_.getName.startsWith("ingest_batch="))
+    // re-run against the SAME checkpoint with no new data: nothing
+    // reprocessed, no new batch dirs
+    StreamingIngest.nearDupBatches(stream(), cidx, 0.5, outDir, Some(ckptDir))
+    val afterRerun = new java.io.File(outDir).listFiles()
+      .count(_.getName.startsWith("ingest_batch="))
+    assert(afterRerun == afterW1, "an idle restart must not add batches")
+    // wave 2 lands; the restarted stream processes ONLY the new files
+    wave2.repartition(2).write.mode("append").parquet(inDir)
+    StreamingIngest.nearDupBatches(stream(), cidx, 0.5, outDir, Some(ckptDir))
+    val streamed = spark.read.parquet(outDir)
+      .select("batch_id", "corpus_id", "jac")
+      .as[(Long, Long, Double)].collect().toSet
+    val batchAll = MinHash.nearDupAgainst(corpus, wave1.unionByName(wave2),
+      col("doc_id"), col("text"), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batchAll,
+      s"resumed union != batch gate (${streamed.size} vs ${batchAll.size})")
+    all.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming perceptual image near-dup equals the batch probe") {
     import graft.multimodal.{Multimodal, PerceptualHash}
     val media = Multimodal.realMedia(
