@@ -205,6 +205,37 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L && p._1 == 1L), s"got $pairs")
   }
 
+  test("hammingPairs maxDist=0 finds exactly the equal-hash pairs, each once") {
+    // three identical images + one distinct: exactly the 3 pairs among
+    // the identical trio, every pair emitted ONCE (the first-matching-
+    // band dedup must not duplicate a pair that collides on all bands)
+    val rows = Seq(
+      (1L, Codecs.encodeBmp(Multimodal.genImage(9L))),
+      (2L, Codecs.encodeBmp(Multimodal.genImage(9L))),
+      (3L, Codecs.encodeBmp(Multimodal.genImage(9L))),
+      (4L, Codecs.encodeBmp(Multimodal.genImage(10L))))
+      .toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        struct(lit("bmp").as("format"), lit(0).as("width"), lit(0).as("height"),
+          lit(1).as("n_frames")).as("meta"))
+    val pairs = PerceptualHash.nearDupPairs(rows, maxDist = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.length == pairs.distinct.length, s"duplicated pairs: $pairs")
+    assert(pairs.toSet == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)),
+      s"got $pairs")
+  }
+
+  test("videoFrameHashes everyN=1 decodes every frame") {
+    val media = Multimodal.videoMedia(
+      Tables.documents(spark, SparkTestSession.Sf).limit(12))
+    val counts = PerceptualHash.videoFrameHashes(media, everyN = 1)
+      .groupBy("media_id").count()
+      .as[(Long, Long)].collect().toMap
+    counts.foreach { case (id, n) =>
+      assert(n == Multimodal.videoFrameCount(id), s"clip $id")
+    }
+  }
+
   test("nearDupPairs: maxBucket drops hot buckets deterministically") {
     // 10 identical flat images: every band bucket holds all 10, so a
     // cap of 5 drops everything

@@ -26,6 +26,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b && b == c)
   }
 
+  test("boundary id 2^31 - 1 is valid; 2^31 is not") {
+    val edge = Seq((1L << 31) - 1, 0L).toDF("id")
+    // must not raise: the precondition is id < 2^31, inclusive below
+    assert(Sampling.uniform(edge, col("id"), 1.0).count() == 2)
+    val over = Seq(1L << 31).toDF("id")
+    intercept[Exception](Sampling.uniform(over, col("id"), 1.0).collect())
+  }
+
   test("out-of-range ids fail loudly (the scramble's 2^31 precondition)") {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))

@@ -155,6 +155,13 @@ class SimilaritySpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("semanticContamination: empty benchmark flags nothing, never crashes") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val out = Similarity.semanticContamination(
+      e, e.filter(col("vec_id") < 0), threshold = 0.0)
+    assert(out.count() == 0L)
+  }
+
   test("hardNegatives: k per anchor, labels all differ, agrees with brute force") {
     val e = Tables.embeddings(spark, SparkTestSession.Sf).cache()
     val anchors = e.filter(col("vec_id") < 4)
