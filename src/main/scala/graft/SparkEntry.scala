@@ -274,6 +274,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // E2: IVF-bucketed hard negatives — same anchors/k as the brute
+    // query, but each anchor probes only its 4 nearest seed-centroid
+    // cells (the semanticContamination shape): per-anchor work is the
+    // probed pool, not the corpus. Fully oracle-backed — the cells and
+    // probe lists are deterministic seed-centroid arithmetic
+    "q_hard_negatives_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfHardNegatives(emb,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding"), col("label")),
+        k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // E7+E2: SEMANTIC decontamination — corpus embeddings cosine-close
     // to any held-out benchmark embedding (every 25th vector), via the
     // IVF-bucketed bipartite probe (bench broadcasts its probe cells;
@@ -931,12 +945,15 @@ object SparkEntry {
     // E4+E1: perceptual image fingerprints — aHash (8x8 mean-threshold)
     // and dHash (9x8 gradient sign) over the DECODED pixels, exported
     // as 4 16-bit bands each (engine-portable: no signed-2^63 edge).
+    // The corpus carries BOTH the native containers and their PNG
+    // re-encodes (javax.imageio decode arm) — the real-crawl formats.
     // The oracle recomputes both hashes from the pixel generating
     // formulas through the same floor resample map — a decode, resample,
     // grayscale, threshold, or bit-packing bug all break the hash-match
     "q_media_phash" -> ((s, dir) => {
+      val docs = documents(s, dir)
       val h = PerceptualHash.imageHashes(
-        Multimodal.realMedia(documents(s, dir)))
+        Multimodal.realMedia(docs).unionByName(Multimodal.pngMedia(docs)))
       h.select(col("media_id") +:
         ((0 until 4).map(i => PerceptualHash.band(col("ahash"), i).as(s"a$i")) ++
          (0 until 4).map(i => PerceptualHash.band(col("dhash"), i).as(s"d$i"))): _*)
@@ -944,11 +961,29 @@ object SparkEntry {
     }),
 
     // E4+E1: multimodal near-dup — aHash Hamming <= 2 pairs via the
-    // 4-band pigeonhole join (complete for dist <= 3, never corpus^2)
-    "q_media_neardup" -> ((s, dir) =>
+    // 4-band pigeonhole join (complete for dist <= 3, never corpus^2).
+    // The PNG arm makes every re-encoded copy a dist-0 pair with its
+    // native-container sibling — the exact case perceptual dedup is for
+    "q_media_neardup" -> ((s, dir) => {
+      val docs = documents(s, dir)
       PerceptualHash.nearDupPairs(
-        Multimodal.realMedia(documents(s, dir)), maxDist = 2)
-        .orderBy(col("id_a"), col("id_b"))),
+        Multimodal.realMedia(docs).unionByName(Multimodal.pngMedia(docs)),
+        maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // cap visibility for the banded LSH family: the (bi, bv, n) band
+    // buckets the Hamming join would drop at maxBucket=2 — at this
+    // deliberately tiny cap the PNG twins force over-cap buckets, so
+    // the audit path is exercised for real (production caps are 10^4)
+    "q_cap_audit" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      PerceptualHash.bandCapAudit(
+        PerceptualHash.imageHashes(
+          Multimodal.realMedia(docs).unionByName(Multimodal.pngMedia(docs))),
+        col("media_id"), col("ahash"), maxBucket = 2)
+        .orderBy(col("bi"), col("bv"))
+    }),
 
     // E4+E1, audio modality: 64-frame energy-profile hash over decoded
     // PCM samples, near-dup pairs at Hamming <= 3 through the same
@@ -1522,12 +1557,20 @@ object SparkEntry {
     * 16-bit bands so no engine touches the signed-2^63 edge.
     */
   private val PhashOracleCtes: String =
-    "WITH m AS (SELECT doc_id AS media_id, 8 + (doc_id % 4) * 4 AS w, " +
-      "6 + (doc_id % 5) * 2 AS h FROM documents WHERE doc_id % 4 <> 2), " +
+    // two arms, one pixel formula: the native containers (bmp/ppm/qoi,
+    // doc_id % 4 <> 2) and the PNG re-encodes of EVERY document
+    // (media_id = doc_id + 10^9, Multimodal.pngMedia) — `sid` is the
+    // formula seed, `media_id` the row identity, so the lossless PNG
+    // copies hash-match without the oracle reading a PNG
+    "WITH m AS (SELECT doc_id AS media_id, doc_id AS sid, " +
+      "8 + (doc_id % 4) * 4 AS w, 6 + (doc_id % 5) * 2 AS h " +
+      "FROM documents WHERE doc_id % 4 <> 2 " +
+      "UNION ALL SELECT doc_id + 1000000000, doc_id, " +
+      "8 + (doc_id % 4) * 4, 6 + (doc_id % 5) * 2 FROM documents), " +
       "c8 AS (SELECT m.media_id, y.range AS y, x.range AS x, " +
-      "(m.media_id*7 + ((x.range*m.w)//8)*3 + ((y.range*m.h)//8)*5) % 256 " +
-      "+ (m.media_id*11 + ((x.range*m.w)//8) + ((y.range*m.h)//8)*2) % 256 " +
-      "+ (m.media_id*13 + ((x.range*m.w)//8)*2 + ((y.range*m.h)//8)) % 256 AS g " +
+      "(m.sid*7 + ((x.range*m.w)//8)*3 + ((y.range*m.h)//8)*5) % 256 " +
+      "+ (m.sid*11 + ((x.range*m.w)//8) + ((y.range*m.h)//8)*2) % 256 " +
+      "+ (m.sid*13 + ((x.range*m.w)//8)*2 + ((y.range*m.h)//8)) % 256 AS g " +
       "FROM m, range(8) x, range(8) y), " +
       "mn AS (SELECT media_id, SUM(g)//64 AS mean FROM c8 GROUP BY 1), " +
       "ab AS (SELECT c8.media_id, " +
@@ -1536,9 +1579,9 @@ object SparkEntry {
         s"FILTER (WHERE (y*8+x)//16 = $b), 0) AS BIGINT) AS a$b").mkString(", ") +
       " FROM c8 JOIN mn USING (media_id) GROUP BY 1), " +
       "c9 AS (SELECT m.media_id, y.range AS y, x.range AS x, " +
-      "(m.media_id*7 + ((x.range*m.w)//9)*3 + ((y.range*m.h)//8)*5) % 256 " +
-      "+ (m.media_id*11 + ((x.range*m.w)//9) + ((y.range*m.h)//8)*2) % 256 " +
-      "+ (m.media_id*13 + ((x.range*m.w)//9)*2 + ((y.range*m.h)//8)) % 256 AS g " +
+      "(m.sid*7 + ((x.range*m.w)//9)*3 + ((y.range*m.h)//8)*5) % 256 " +
+      "+ (m.sid*11 + ((x.range*m.w)//9) + ((y.range*m.h)//8)*2) % 256 " +
+      "+ (m.sid*13 + ((x.range*m.w)//9)*2 + ((y.range*m.h)//8)) % 256 AS g " +
       "FROM m, range(9) x, range(8) y), " +
       "db AS (SELECT l.media_id, " +
       (0 until 4).map(b =>
@@ -1987,6 +2030,21 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY q.query_id ORDER BY " +
         s"round(${duckCos("qe", "b.embedding")}, 6) DESC, b.vec_id) AS rank " +
         "FROM q, embeddings b WHERE b.vec_id <> q.query_id AND b.label <> q.ql) t " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // IVF hard negatives: shared seed-centroid cells, per-anchor probe
+    // lists (vec_id < 8), label-mismatch gate, per-anchor exact re-rank
+    "q_hard_negatives_ivf" ->
+      ("WITH " + ivfCellsSql +
+        "probes AS (SELECT vec_id AS query_id, cid AS probe FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cscore WHERE vec_id < 8) t " +
+        "WHERE rn <= 4), " +
+        s"scored AS (SELECT p.query_id, e.vec_id, e.label, round(${duckCos("e.embedding", "qe.embedding")}, 6) AS score " +
+        "FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id JOIN probes p ON cl.cell = p.probe " +
+        "JOIN embeddings qe ON qe.vec_id = p.query_id " +
+        "WHERE e.vec_id <> p.query_id AND e.label <> qe.label) " +
+        "SELECT query_id, vec_id, label, score, rank FROM (SELECT query_id, vec_id, label, score, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM scored) t " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
 
     "q_scan_project" ->
@@ -2638,6 +2696,15 @@ object SparkEntry {
       "WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
       "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 2 " +
       "ORDER BY id_a, id_b"),
+
+    // cap audit: band-bucket populations over the SAME rebuilt aHash
+    // bands, kept where they exceed the tiny test cap
+    "q_cap_audit" -> (PhashOracleCtes + ", " +
+      "bands AS (SELECT media_id, b.range AS bi, " +
+      "CASE b.range WHEN 0 THEN a0 WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS bv " +
+      "FROM ab, range(4) b) " +
+      "SELECT CAST(bi AS INTEGER) AS bi, bv, CAST(count(*) AS BIGINT) AS n " +
+      "FROM bands GROUP BY 1, 2 HAVING count(*) > 2 ORDER BY bi, bv"),
 
     // audio energy-profile near-dup: frame energies recomputed from
     // the PCM sample generating formula through the same floor frame

@@ -332,6 +332,43 @@ object Codecs {
     Audio(sampleRate, channels, samples)
   }
 
+  // ---- PNG / JPEG via javax.imageio (JDK-bundled, zero new deps) --------
+  // The formats a real crawl actually carries. PNG is lossless, so a
+  // decode recovers the exact pixels (perceptual hashes stay exact
+  // integers, oracle-matchable); JPEG decode is decoder-dependent
+  // (spec-pinned only). Encoders exist to build test/ingest fixtures.
+
+  def encodePng(img: Image): Array[Byte] = encodeImageIO(img, "png")
+
+  def encodeJpeg(img: Image): Array[Byte] = encodeImageIO(img, "jpeg")
+
+  private def encodeImageIO(img: Image, format: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, img.width, img.height, img.pixels, 0, img.width)
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, format, out),
+      s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-readable payload (png, jpeg) to packed-RGB
+    * pixels. Throws on unreadable bytes like every other decoder here
+    * (callers surface that as a NULL row).
+    */
+  def decodeImageIO(bytes: Array[Byte]): Image = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(bi != null, "no ImageIO reader matched the payload")
+    val w = bi.getWidth
+    val h = bi.getHeight
+    require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024,
+      "degenerate dimensions")
+    val px = bi.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) { px(i) &= 0xffffff; i += 1 } // drop alpha
+    Image(w, h, px)
+  }
+
   // ---- transforms --------------------------------------------------------
 
   // ---- AQV1 animation container (QOI frame sequence) --------------------

@@ -186,6 +186,28 @@ object Multimodal {
         (pmod(col("doc_id"), lit(5)) * 2 + 6).cast(IntegerType).as("height"),
         lit(1).as("n_frames")).as("meta"))
 
+  private val encodePngUdf = udf((id: Long) => Codecs.encodePng(genImage(id)))
+
+  /** PNG twin of [[realMedia]] — the same [[genImage]] pixels for every
+    * document, re-encoded through javax.imageio's PNG writer with ids
+    * offset by 10⁹. PNG is lossless, so each row is a RE-ENCODED COPY
+    * of its realMedia sibling (same pixels, different container): the
+    * crawl case perceptual dedup exists for, and since the pixels are
+    * still the generating formulas, the DuckDB oracle keeps
+    * hash-matching the hashes without reading a PNG.
+    */
+  val PngIdOffset = 1000000000L
+
+  def pngMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      (col("doc_id") + lit(PngIdOffset)).as("media_id"),
+      encodePngUdf(col("doc_id")).as("content"),
+      struct(
+        lit("png").as("format"),
+        (pmod(col("doc_id"), lit(4)) * 4 + 8).cast(IntegerType).as("width"),
+        (pmod(col("doc_id"), lit(5)) * 2 + 6).cast(IntegerType).as("height"),
+        lit(1).as("n_frames")).as("meta"))
+
   /** Exact integer features of a decoded payload. Image rows carry the
     * per-channel pixel sums; audio rows the PCM sample count, energy
     * (sum of squares) and peak amplitude. Integers, not means: bit-

@@ -90,14 +90,19 @@ object PerceptualHash {
   // a plain Tuple2 return keeps the UDF's result struct on Spark's
   // well-worn codegen path (a nested case class here compiled to an
   // accessor Janino rejects, silently dropping the stage to
-  // interpreted mode)
+  // interpreted mode). png/jpeg go through javax.imageio (pure JVM,
+  // no external deps) — the formats a real crawl actually carries;
+  // png is lossless so its hashes are exact integers like the native
+  // codecs', jpeg decode is decoder-dependent (spec-pinned, not
+  // oracle-backed).
   private val hashUdf = udf((format: String, content: Array[Byte]) =>
     try {
       val img = format match {
-        case "bmp" => Codecs.decodeBmp(content)
-        case "ppm" => Codecs.decodePpm(content)
-        case "qoi" => Codecs.decodeQoi(content)
-        case _     => null
+        case "bmp"          => Codecs.decodeBmp(content)
+        case "ppm"          => Codecs.decodePpm(content)
+        case "qoi"          => Codecs.decodeQoi(content)
+        case "png" | "jpeg" => Codecs.decodeImageIO(content)
+        case _              => null
       }
       if (img == null) null else (ahash64(img), dhash64(img))
     } catch { case scala.util.control.NonFatal(_) => null })
@@ -164,11 +169,54 @@ object PerceptualHash {
       .select(col("media_id"), col("meta.format").as("format"),
         col("ph").as("ahash"))
 
+  /** Flat (bi, bv) band-index rows of a (id, hash) table — flat key
+    * COLUMNS, not a struct: struct equi-keys keep the join correct but
+    * fall off the fastest codegen path.
+    */
+  private def bandIndex(base: DataFrame, id: String, h: String): DataFrame =
+    base.select(col(id), col(h),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("bi"), band(col(h), i).as("bv"))): _*)).as("bk"))
+      .select(col(id), col(h), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
+
+  /** FIRST-SURVIVING-MATCHING-BAND dedup, not distinct(): a pair
+    * colliding on k bands surfaces k times in the band join; keep the
+    * row only where every earlier MATCHING band was dropped by the
+    * bucket cap — a codegen'd filter on the two hashes plus (usually
+    * empty) broadcast lookups of the over-cap buckets, replacing a
+    * full extra shuffle of the (up to 4x duplicated) candidate set.
+    * At ×64 replication the distinct was the dominant cost (fitted
+    * exponent 1.07); the filter form retires it.
+    *
+    * The cap exception is load-bearing, not an optimization: a plain
+    * "every earlier band DIFFERS" test loses any pair whose earliest
+    * matching band sits in a capped hot bucket while a later matching
+    * band survives (the earlier bands are equal, just capped — no
+    * candidate row exists there, and the later row must be kept).
+    * `hot` is the (bi, bv) over-cap bucket set — bounded by
+    * rows/maxBucket, so the three per-band lookups broadcast.
+    */
+  private def firstSurvivingBand(cand: DataFrame, hot: DataFrame,
+                                 ha: Column, hb: Column): DataFrame = {
+    val withHot = (0 until 3).foldLeft(cand) { (df, j) =>
+      df.join(
+        broadcast(hot.filter(col("bi") === j).select(col("bv").as(s"__hot$j"))),
+        band(ha, j) === col(s"__hot$j"), "left")
+    }
+    val keep = (0 until 3).foldLeft(lit(true)) { (acc, j) =>
+      acc && (col("bi") <= j || band(ha, j) =!= band(hb, j) ||
+        col(s"__hot$j").isNotNull)
+    }
+    withHot.filter(keep).drop((0 until 3).map(j => s"__hot$j"): _*)
+  }
+
   /** Near-duplicate pairs of any 64-bit perceptual hash table by
     * Hamming distance ≤ `maxDist` (≤ 3: the 4-band split guarantees
     * completeness there). Output (id_a, id_b, dist), id_a < id_b,
     * exact distances — shared by the image (aHash) and audio
-    * (energy-profile) paths.
+    * (energy-profile) paths. A pair is kept iff at least one of its
+    * matching bands survives the `maxBucket` cap, and emitted exactly
+    * once (at its first surviving band).
     */
   def hammingPairs(hashes: DataFrame, idCol: Column, hashCol: Column,
                    maxDist: Int, maxBucket: Int = 10000): DataFrame = {
@@ -180,36 +228,37 @@ object PerceptualHash {
     // OOMs), the same per-call scoping as MinHash.nearDupPairs' base
     val base = hashes.select(idCol.as("pid"), hashCol.as("ph"))
       .localCheckpoint(eager = false)
-    // flat (bi, bv) key columns, not a struct: struct equi-keys keep
-    // the join correct but fall off the fastest codegen path
-    val idx = base.select(col("pid"), col("ph"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("bi"), band(col("ph"), i).as("bv"))): _*)).as("bk"))
-      .select(col("pid"), col("ph"),
-        col("bk.bi").as("bi"), col("bk.bv").as("bv"))
-    // hot-bucket cap as aggregate + semi-join (broadcast the small
-    // surviving-key list), mirroring Tfidf's okTerms / MinHash's
-    // bounded buckets
-    val ok = idx.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket).select(col("bi"), col("bv"))
+    val idx = bandIndex(base, "pid", "ph")
+    // bucket sizes once (lazy checkpoint): the surviving-key semi-join
+    // AND the three hot-band broadcasts read the same materialized
+    // aggregate, mirroring Tfidf's okTerms shape
+    val counts = idx.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val ok = counts.filter(col("n") <= maxBucket).select(col("bi"), col("bv"))
+    val hot = counts.filter(col("n") > maxBucket).select(col("bi"), col("bv"))
     val capped = idx.join(ok, Seq("bi", "bv"), "left_semi")
     val a = capped.select(col("bi"), col("bv"), col("pid").as("id_a"), col("ph").as("ha"))
     val b = capped.select(col("bi"), col("bv"), col("pid").as("id_b"), col("ph").as("hb"))
-    // FIRST-MATCHING-BAND dedup, not distinct(): a pair colliding on k
-    // bands would surface k times; keep it only where every EARLIER
-    // band differs — a codegen'd filter on the two hashes, replacing a
-    // full extra shuffle of the (up to 4x duplicated) candidate set.
-    // At ×64 replication the distinct was the dominant cost (fitted
-    // exponent 1.07); the filter form retires it.
-    val firstBand = (0 until 3).foldLeft(lit(true)) { (acc, j) =>
-      acc && (col("bi") <= j || band(col("ha"), j) =!= band(col("hb"), j))
-    }
-    a.join(b, Seq("bi", "bv"))
-      .filter(col("id_a") < col("id_b") && firstBand)
+    firstSurvivingBand(
+      a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b")),
+      hot, col("ha"), col("hb"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Cap audit for the Hamming-banded family: the (bi, bv, n) band
+    * buckets that [[hammingPairs]]/[[nearDupPairs]] would drop at
+    * `maxBucket` — nonzero rows mean the corpus is degenerate there
+    * (flat images, silence, test cards) and pairs inside those buckets
+    * are not being reported. Bounded output (≤ rows/maxBucket
+    * buckets), so it is a cheap standing monitor next to the dedup.
+    */
+  def bandCapAudit(hashes: DataFrame, idCol: Column, hashCol: Column,
+                   maxBucket: Int): DataFrame =
+    bandIndex(hashes.select(idCol.as("pid"), hashCol.as("ph")), "pid", "ph")
+      .groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
 
   /** Near-duplicate image pairs by aHash Hamming distance ≤ `maxDist`. */
   def nearDupPairs(media: DataFrame, maxDist: Int = 2,
@@ -217,53 +266,78 @@ object PerceptualHash {
     hammingPairs(imageHashes(media), col("media_id"), col("ahash"),
       maxDist, maxBucket)
 
-  /** Standing perceptual-hash artifact for write-once-probe-many image
+  /** Standing perceptual-hash artifact for write-once-probe-many media
     * gates (the [[graft.ops.MinHash.CorpusIndex]] shape): the corpus
-    * hash table and its band index, EAGERLY checkpointed so every
-    * probe — each micro-batch of a media stream — reads materialized
-    * blocks; the corpus is decoded and hashed exactly once. Hot
-    * buckets are capped at build time (`maxBucket`), so no batch can
-    * join into a degenerate bucket.
+    * hash table, its flat (bi, bv) band index, and the over-cap bucket
+    * list, all EAGERLY checkpointed so every probe — each micro-batch
+    * of a media stream — reads materialized blocks; the corpus is
+    * decoded and hashed exactly once. Hot buckets are capped at build
+    * time (`maxBucket`), so no batch can join into a degenerate
+    * bucket; `hot` (bi, bv, n) is both the probe's first-surviving-band
+    * exception list and the cap AUDIT — what the cap silently dropped.
     */
-  final case class HashIndex(hashes: DataFrame, index: DataFrame)
+  final case class HashIndex(hashes: DataFrame, index: DataFrame,
+                             hot: DataFrame)
 
-  def buildImageIndex(media: DataFrame, maxBucket: Int = 10000): HashIndex = {
-    val hashes = imageHashes(media)
-      .select(col("media_id").as("pid"), col("ahash").as("ph"))
-      .localCheckpoint()
-    val idx = hashes.select(col("pid"), col("ph"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("bi"), band(col("ph"), i).as("bv"))): _*)).as("bk"))
-    val ok = idx.groupBy(col("bk")).agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket).select(col("bk"))
-    HashIndex(hashes, idx.join(ok, Seq("bk"), "left_semi").localCheckpoint())
+  /** Build a [[HashIndex]] from any (pid, ph) 64-bit hash table —
+    * shared by the image (aHash) and audio (energy-profile) paths.
+    */
+  def buildHashIndex(hashTable: DataFrame, maxBucket: Int = 10000): HashIndex = {
+    val hashes = hashTable.select(col("pid"), col("ph")).localCheckpoint()
+    val idx = bandIndex(hashes, "pid", "ph")
+    val counts = idx.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val ok = counts.filter(col("n") <= maxBucket).select(col("bi"), col("bv"))
+    HashIndex(hashes,
+      idx.join(ok, Seq("bi", "bv"), "left_semi").localCheckpoint(),
+      counts.filter(col("n") > maxBucket).localCheckpoint())
   }
 
-  /** Probe a media batch against a standing [[HashIndex]]: only the
-    * batch is decoded and hashed; the bipartite band join reads the
-    * index artifact. Output (batch_id, corpus_id, dist ≤ maxDist).
+  def buildImageIndex(media: DataFrame, maxBucket: Int = 10000): HashIndex =
+    buildHashIndex(imageHashes(media)
+      .select(col("media_id").as("pid"), col("ahash").as("ph")), maxBucket)
+
+  def buildAudioIndex(media: DataFrame, maxBucket: Int = 10000): HashIndex =
+    buildHashIndex(audioHashes(media)
+      .select(col("media_id").as("pid"), col("ahash").as("ph")), maxBucket)
+
+  /** Probe a (batch_id, bh) hash batch against a standing [[HashIndex]]:
+    * the bipartite flat-key band join reads the index artifact; the
+    * first-surviving-band dedup consults the index's `hot` list so a
+    * pair whose earliest matching band was capped at build time is
+    * still reported via its surviving band. Output
+    * (batch_id, corpus_id, dist ≤ maxDist).
     */
-  def probeImages(cidx: HashIndex, batch: DataFrame,
-                  maxDist: Int = 2): DataFrame = {
+  def probeHashes(cidx: HashIndex, batchHashes: DataFrame,
+                  maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "4x16-bit bands guarantee completeness only for maxDist <= 3")
-    val b = imageHashes(batch)
-      .select(col("media_id").as("batch_id"), col("ahash").as("bh"))
+    val b = batchHashes.select(col("batch_id"), col("bh"))
       .localCheckpoint(eager = false)
-    val bIdx = b.select(col("batch_id"), col("bh"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("bi"), band(col("bh"), i).as("bv"))): _*)).as("bk"))
-    // first-matching-band dedup (see hammingPairs): no distinct shuffle
-    val firstBand = (0 until 3).foldLeft(lit(true)) { (acc, j) =>
-      acc && (col("bk.bi") <= j || band(col("bh"), j) =!= band(col("ch"), j))
-    }
-    bIdx.join(cidx.index.select(col("bk"), col("pid").as("corpus_id"),
-        col("ph").as("ch")), Seq("bk"))
-      .filter(col("batch_id") =!= col("corpus_id") && firstBand)
+    val cand = bandIndex(b, "batch_id", "bh")
+      .join(cidx.index.select(col("bi"), col("bv"),
+        col("pid").as("corpus_id"), col("ph").as("ch")), Seq("bi", "bv"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+    firstSurvivingBand(cand, cidx.hot.select(col("bi"), col("bv")),
+      col("bh"), col("ch"))
       .select(col("batch_id"), col("corpus_id"),
         bit_count(col("bh").bitwiseXOR(col("ch"))).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Probe a media batch against a standing image [[HashIndex]]: only
+    * the batch is decoded and hashed.
+    */
+  def probeImages(cidx: HashIndex, batch: DataFrame,
+                  maxDist: Int = 2): DataFrame =
+    probeHashes(cidx, imageHashes(batch)
+      .select(col("media_id").as("batch_id"), col("ahash").as("bh")), maxDist)
+
+  /** Probe an audio batch against a standing energy-hash [[HashIndex]]. */
+  def probeAudio(cidx: HashIndex, batch: DataFrame,
+                 maxDist: Int = 3): DataFrame =
+    probeHashes(cidx, audioHashes(batch)
+      .select(col("media_id").as("batch_id"), col("ahash").as("bh")), maxDist)
 
   /** Near-duplicate audio pairs by energy-profile Hamming distance. */
   def audioNearDupPairs(media: DataFrame, maxDist: Int = 3,
@@ -313,15 +387,25 @@ object PerceptualHash {
     */
   def videoNearDupPairs(media: DataFrame, everyN: Int = 2,
                         minShared: Int = 2,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 10000): DataFrame =
     // distinct (clip, hash): repeated identical frames within one clip
     // count once — "how many distinct shots are shared"
-    val hashes = videoFrameHashes(media, everyN)
-      .select(col("media_id"), col("ahash")).distinct()
-      .localCheckpoint(eager = false)
-    val ok = hashes.groupBy(col("ahash")).agg(count(lit(1)).as("n"))
+    frameOverlapPairs(videoFrameHashes(media, everyN)
+      .select(col("media_id"), col("ahash")).distinct(), minShared, maxBucket)
+
+  /** Shot-overlap pairs from a precomputed distinct (media_id, ahash)
+    * frame-hash table — the join half of [[videoNearDupPairs]],
+    * factored out so the decode pass and the inverted-index join can
+    * be measured (and scaled) independently. Dropping a whole hot
+    * hash drops it uniformly for every clip, so no per-band survival
+    * logic is needed here (unlike [[hammingPairs]]).
+    */
+  def frameOverlapPairs(hashes: DataFrame, minShared: Int = 2,
+                        maxBucket: Int = 10000): DataFrame = {
+    val base = hashes.localCheckpoint(eager = false)
+    val ok = base.groupBy(col("ahash")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket).select(col("ahash"))
-    val capped = hashes.join(ok, Seq("ahash"), "left_semi")
+    val capped = base.join(ok, Seq("ahash"), "left_semi")
     capped.select(col("ahash"), col("media_id").as("id_a"))
       .join(capped.select(col("ahash"), col("media_id").as("id_b")), Seq("ahash"))
       .filter(col("id_a") < col("id_b"))
@@ -329,4 +413,49 @@ object PerceptualHash {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Cap audit for the shot-overlap join: the (ahash, n) frame hashes
+    * [[videoNearDupPairs]] would drop at `maxBucket` (black frames,
+    * test cards shared corpus-wide) — the visibility the cap owes its
+    * caller.
+    */
+  def videoCapAudit(media: DataFrame, everyN: Int = 2,
+                    maxBucket: Int = 10000): DataFrame =
+    videoFrameHashes(media, everyN)
+      .select(col("media_id"), col("ahash")).distinct()
+      .groupBy(col("ahash")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+
+  /** Standing shot-hash artifact for write-once-probe-many video
+    * gates: the capped distinct (fh → pid) inverted index plus the
+    * over-cap audit list, eagerly checkpointed.
+    */
+  final case class FrameIndex(frames: DataFrame, hot: DataFrame)
+
+  def buildVideoIndex(media: DataFrame, everyN: Int = 2,
+                      maxBucket: Int = 10000): FrameIndex = {
+    val frames = videoFrameHashes(media, everyN)
+      .select(col("media_id").as("pid"), col("ahash").as("fh")).distinct()
+      .localCheckpoint(eager = false)
+    val counts = frames.groupBy(col("fh")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    FrameIndex(
+      frames.join(counts.filter(col("n") <= maxBucket).select(col("fh")),
+        Seq("fh"), "left_semi").localCheckpoint(),
+      counts.filter(col("n") > maxBucket).localCheckpoint())
+  }
+
+  /** Probe a video batch against a standing [[FrameIndex]]: only the
+    * batch's sampled frames are decoded; the inverted-index join reads
+    * the artifact. Output (batch_id, corpus_id, n_shared ≥ minShared).
+    */
+  def probeVideo(fidx: FrameIndex, batch: DataFrame, everyN: Int = 2,
+                 minShared: Int = 2): DataFrame =
+    videoFrameHashes(batch, everyN)
+      .select(col("media_id").as("batch_id"), col("ahash").as("fh")).distinct()
+      .join(fidx.frames.select(col("fh"), col("pid").as("corpus_id")), Seq("fh"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
 }

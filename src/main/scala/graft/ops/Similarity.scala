@@ -248,6 +248,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-bucketed hard-negative mining — the scale path over
+    * [[hardNegatives]]: the brute form's label-mismatch predicate makes
+    * its join a broadcast nested-loop over the WHOLE corpus per anchor;
+    * here each anchor probes only its `nProbe` nearest coarse cells
+    * (the [[semanticContamination]] shape), the corpus is assigned its
+    * one cell in the same scan, and the join is a broadcast equi-join
+    * on the cell id — per-anchor work drops from |corpus| to the probed
+    * cells. Approximate like every IVF path: a true top-k negative
+    * outside the probed cells is missed (recall spec-pinned vs the
+    * brute baseline); within the probed pool the ranking is exact.
+    *
+    * @param queries (query_id, embedding, label), broadcast-sized.
+    */
+  def ivfHardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nCentroids: Int = 16, nProbe: Int = 4,
+                       roundTo: Int = 6): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids)
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
+      col("label").as("q_label"),
+      explode(ivfProbeCells(col("embedding"), cents, nProbe)).as("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.withColumn("cell", ivfCell(col("embedding"), cents))
+      .join(broadcast(q),
+        col("cell") === col("probe") && col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), roundTo).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Batch ANN (SRP-LSH) over a query TABLE — the right amortization at
     * scale: ONE banded index pass over the corpus, the (small) query
     * side broadcast, candidates re-ranked exactly, top-k per query via
