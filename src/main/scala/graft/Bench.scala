@@ -1,11 +1,14 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main. Prints the full per-query JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
-  * BRACKETED by a compact `{"metric":"total",...,"top":{20 slowest}}`
-  * record printed first and last, so a head- or tail-truncated log
-  * capture still contains one complete parseable line.
+/** Benchmark main. Prints a compact `{"metric":"total",...,"top":
+  * {20 slowest}}` record FIRST (survives head-truncated captures),
+  * then the full self-contained per-query JSON line
+  * `{"metric":"total","value":N,...,"queries":{...},"streaming":{...},
+  * "rerun":[...],"rerun_detail":{...},"sf":...}` as the LAST stdout
+  * line — the driver parses the last line, so it must be the complete
+  * record (BENCH_r08 fell back to tail-scraping when the compact
+  * record was last).
   *
   * Methodology (round-4: breadth-first — BENCH_r03 measured only 13 of
   * 64 queries because depth-first median-of-3 + per-query GC blew the
@@ -83,9 +86,15 @@ object Bench {
     }
   }
 
+  /** Median of the valid observations; even counts average the two
+    * middles (symmetric — the rerun pass produces even counts, and
+    * picking either middle alone would bias the adjudication).
+    */
   private def median(xs: Seq[Double]): Double = {
     val ok = xs.filter(_ >= 0).sorted
-    if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    if (ok.isEmpty) -1.0
+    else if (ok.size % 2 == 1) ok(ok.size / 2)
+    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
   }
 
   private val GcEvery = 8
@@ -184,8 +193,11 @@ object Bench {
     // contiguous stretch at 3-9x local medians with plans git-verified
     // unchanged). With budget left after the main pass, re-time every
     // query whose elapsed exceeds 3x its recorded local median (worst
-    // ratio first) and keep the MIN, annotated in the output as
-    // "rerun" so a reader knows the number was adjudicated.
+    // ratio first, up to two extra runs each) and record the MEDIAN of
+    // all observations — symmetric: a genuine slowdown keeps its
+    // weight, a one-off stall is outvoted. The per-query min/median
+    // both appear in the JSON ("rerun_detail") so the adjudication
+    // stays visible.
     val localRef: Map[String, Double] = {
       val path = sys.env.get("SPARK_GRAFT_BENCH_LOCAL_REF").orElse {
         val cwd = new java.io.File(".")
@@ -225,10 +237,12 @@ object Bench {
         }
       }.sortBy(-_._3)
       suspects.foreach { case (name, fn, _) =>
-        if (remainingMs > 75000) { // leave the streaming bench its budget
+        var extra = 0
+        while (extra < 2 && remainingMs > 75000) { // leave streaming its budget
           val cap = math.max(1000L, math.min(perRunCapMs, remainingMs - 62000))
           val t = timeOnce(spark, fn(spark, sfDir), cap)
           if (t >= 0) { runs(name) = t :: runs(name); rerun += name }
+          extra += 1
         }
       }
     }
@@ -237,11 +251,11 @@ object Bench {
     // queries. Guarded by remaining budget; failures record -1.0 like
     // any other query.
     var streamDetail = "{}"
+    val streamNames = Seq("s_stream_dedup", "s_stream_decontam",
+      "s_stream_sessionize", "s_stream_neardup", "s_stream_media",
+      "s_stream_audio", "s_stream_video")
     val streamResults: Map[String, Double] =
-      if (remainingMs < 60000)
-        Map("s_stream_dedup" -> -1.0, "s_stream_decontam" -> -1.0,
-          "s_stream_sessionize" -> -1.0, "s_stream_neardup" -> -1.0,
-          "s_stream_media" -> -1.0)
+      if (remainingMs < 60000) streamNames.map(_ -> -1.0).toMap
       else try {
         val evDir = graft.streaming.StreamBench.stageEvents(spark, sfDir, nFiles = 8)
         val md = graft.streaming.StreamBench.benchDedup(spark, evDir)
@@ -249,55 +263,60 @@ object Bench {
         val mdc = graft.streaming.StreamBench.benchDecontam(spark, sfDir, docDir)
         val ms = graft.streaming.StreamBench.benchSessions(spark, evDir)
         val mn = graft.streaming.StreamBench.benchNearDup(spark, sfDir, docDir)
-        val mm = graft.streaming.StreamBench.benchMediaNearDup(spark, sfDir,
-          graft.streaming.StreamBench.stageMedia(spark, sfDir, nFiles = 8))
+        val mediaDir = graft.streaming.StreamBench.stageMedia(spark, sfDir, nFiles = 8)
+        val mm = graft.streaming.StreamBench.benchMediaNearDup(spark, sfDir, mediaDir)
+        val ma = graft.streaming.StreamBench.benchAudioNearDup(spark, sfDir, mediaDir)
+        val mv = graft.streaming.StreamBench.benchVideoNearDup(spark, sfDir,
+          graft.streaming.StreamBench.stageVideo(spark, sfDir, nFiles = 8))
+        def det(m: graft.streaming.StreamBench.StreamMetrics): String =
+          s"""{"rows":${m.rows},"rows_per_sec":${m.rowsPerSec.toLong},"avg_batch_ms":${m.avgBatchMs.toLong},"batches":${m.batches}}"""
         streamDetail =
-          s"""{"dedup":{"rows":${md.rows},"rows_per_sec":${md.rowsPerSec.toLong},"avg_batch_ms":${md.avgBatchMs.toLong},"batches":${md.batches}},""" +
-          s""""decontam":{"rows":${mdc.rows},"rows_per_sec":${mdc.rowsPerSec.toLong},"avg_batch_ms":${mdc.avgBatchMs.toLong},"batches":${mdc.batches}},""" +
-          s""""sessionize":{"rows":${ms.rows},"rows_per_sec":${ms.rowsPerSec.toLong},"avg_batch_ms":${ms.avgBatchMs.toLong},"batches":${ms.batches}},""" +
-          s""""neardup":{"rows":${mn.rows},"rows_per_sec":${mn.rowsPerSec.toLong},"avg_batch_ms":${mn.avgBatchMs.toLong},"batches":${mn.batches}},""" +
-          s""""media_neardup":{"rows":${mm.rows},"rows_per_sec":${mm.rowsPerSec.toLong},"avg_batch_ms":${mm.avgBatchMs.toLong},"batches":${mm.batches}}}"""
+          s"""{"dedup":${det(md)},"decontam":${det(mdc)},"sessionize":${det(ms)},""" +
+          s""""neardup":${det(mn)},"media_neardup":${det(mm)},""" +
+          s""""audio_neardup":${det(ma)},"video_neardup":${det(mv)}}"""
         Map("s_stream_dedup" -> md.elapsedSec, "s_stream_decontam" -> mdc.elapsedSec,
           "s_stream_sessionize" -> ms.elapsedSec, "s_stream_neardup" -> mn.elapsedSec,
-          "s_stream_media" -> mm.elapsedSec)
+          "s_stream_media" -> mm.elapsedSec, "s_stream_audio" -> ma.elapsedSec,
+          "s_stream_video" -> mv.elapsedSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming micro-bench failed: $e")
-        Map("s_stream_dedup" -> -1.0, "s_stream_decontam" -> -1.0,
-          "s_stream_sessionize" -> -1.0, "s_stream_neardup" -> -1.0,
-          "s_stream_media" -> -1.0)
+        streamNames.map(_ -> -1.0).toMap
       } finally {
         // the staged replays are a full copy of the source tables;
         // halt(0) below skips shutdown hooks, so reclaim /tmp here
         graft.streaming.StreamBench.cleanup()
       }
     val results = ordered.map { case (name, _) =>
-      val rs = runs(name)
-      // an adjudicated outlier records its best observation — the
-      // stall-free number — while untouched queries keep the median
-      name -> (if (rerun(name) && rs.nonEmpty) rs.min else median(rs))
+      // rerun-adjudicated queries record the median of ALL their
+      // observations (symmetric), same as everyone else
+      name -> median(runs(name))
     }.toMap ++ streamResults
+    def r4(v: Double): Double = math.round(v * 10000) / 10000.0
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }
+      .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) v else r4(v)) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val measured = results.values.count(_ >= 0)
-    // The driver stores only the TAIL of stdout (observed: last 2000
-    // chars), and the full per-query line for ~100 queries is ~4KB —
-    // BENCH_r04's capture cut the line's FRONT, losing the total and
-    // leaving unparseable JSON. Defense: a compact self-contained
-    // record (total + the slowest queries, well under the window)
-    // printed FIRST (head captures / humans) and again LAST, so
-    // whichever end survives, one complete JSON line parses. The full
-    // per-query line stays in the middle for local runs.
     val top = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val rerunJson = rerun.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // min AND median of every adjudicated query, so the reader sees
+    // both the stall-free best and the recorded (median) number
+    val rerunDetail = rerun.toSeq.sorted.map { name =>
+      val rs = runs(name)
+      "\"" + name + s"""\":{"min":${r4(rs.min)},"median":${r4(median(rs))},"n":${rs.size}}"""
+    }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"measured":$measured,"rerun":$rerunJson,"top":$top,"sf":"$sfDir"}"""
+    // The driver parses the LAST stdout line as the result; the full
+    // self-contained record (total + per-query + streaming + rerun)
+    // therefore prints LAST. The compact record still prints FIRST so
+    // a head-truncated capture keeps one complete parseable line
+    // (BENCH_r04's tail capture cut the front of a mid-log line).
     println(compact)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamDetail,"rerun":$rerunJson,"sf":"$sfDir"}""")
-    println(compact)
+    System.out.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"measured":$measured,"queries":$qs,"streaming":$streamDetail,"rerun":$rerunJson,"rerun_detail":$rerunDetail,"sf":"$sfDir"}""")
     System.out.flush()
     // halt, don't stop(): shutdown-hook log lines after the JSON are what
     // made BENCH_r01 unparseable for the driver.

@@ -112,7 +112,7 @@ object Multimodal {
     Codecs.Image(w, h, px)
   }
 
-  private[multimodal] def genAudio(id: Long): Codecs.Audio = {
+  private[graft] def genAudio(id: Long): Codecs.Audio = {
     val n = (64 + (id % 16) * 16).toInt
     val s = Array.tabulate(n)(i => (((id * 31 + i * 17) % 2048) - 1024).toShort)
     Codecs.Audio(8000, 1, s)
@@ -130,7 +130,7 @@ object Multimodal {
     * the 19/23/29 terms — deterministic, so the SQL oracle recomputes
     * any sampled frame's features without reading the container.
     */
-  private[multimodal] def genVideoFrame(id: Long, f: Int): Codecs.Image = {
+  private[graft] def genVideoFrame(id: Long, f: Int): Codecs.Image = {
     val w = (8 + (id % 4) * 4).toInt
     val h = (6 + (id % 5) * 2).toInt
     val px = new Array[Int](w * h)
@@ -150,7 +150,7 @@ object Multimodal {
   }
 
   /** Frames per clip: small (2..5) so the sampled set is 1..3. */
-  private[multimodal] def videoFrameCount(id: Long): Int = (2 + id % 4).toInt
+  private[graft] def videoFrameCount(id: Long): Int = (2 + id % 4).toInt
 
   private val encodeVideoUdf = udf((id: Long) =>
     Codecs.encodeAniQoi(

@@ -89,6 +89,21 @@ object MinHash {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Bucket-skew audit for the LSH band join: the (band, bh, n)
+    * buckets holding more than `minBucket` documents. MinHash does not
+    * cap its buckets (completeness over the threshold is the
+    * contract), so a degenerate corpus — boilerplate documents all
+    * landing in one bucket — shows up here as the quadratic-join
+    * early warning rather than as a silent drop. Bounded output:
+    * ≤ (bands·docs)/minBucket rows.
+    */
+  def bucketAudit(docs: DataFrame, idCol: Column, textCol: Column,
+                  minBucket: Int, shingleN: Int = 3, k: Int = 32,
+                  bands: Int = 8, seed: Long = 42L): DataFrame =
+    bandedIndex(docs, idCol, textCol, shingleN, k, bands, seed)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > minBucket)
+
   /** Full near-dup detection: LSH candidates verified by exact
     * shingle-set Jaccard ≥ threshold.
     *

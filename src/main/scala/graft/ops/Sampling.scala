@@ -43,7 +43,12 @@ object Sampling {
     */
   def hashBucket(idCol: Column, m: Int): Column = {
     val id = idCol.cast("long")
-    when(id >= 0 && id < lit(1L << 31), pmod(id * lit(KnuthC), lit(m.toLong)))
+    // a NULL id propagates a NULL bucket (dropped by the < filters
+    // downstream, the pre-guard behavior) — without the explicit
+    // branch the range check is NULL, falls to otherwise, and throws
+    // a messageless error (concat with a NULL id is NULL)
+    when(id.isNull, lit(null).cast("long"))
+      .when(id >= 0 && id < lit(1L << 31), pmod(id * lit(KnuthC), lit(m.toLong)))
       .otherwise(raise_error(concat(
         lit("Sampling.hashBucket: id must be in [0, 2^31), got "),
         id.cast("string"))))

@@ -61,8 +61,12 @@ object Sharding {
       .select(idCol.cast("long").as("id"), weightCol.as("weight"))
       .withColumn("v", col("weight").cast("double"))
       .withColumn("sid",
-        when(col("id") >= 0 && col("id") < lit(1L << 31),
-          pmod(col("id") * lit(Sampling.KnuthC), lit(1L << 32)))
+        // NULL ids propagate a NULL sid (sorted together, still
+        // assigned) rather than tripping the range guard with a
+        // messageless error — same branch order as Sampling.hashBucket
+        when(col("id").isNull, lit(null).cast("long"))
+          .when(col("id") >= 0 && col("id") < lit(1L << 31),
+            pmod(col("id") * lit(Sampling.KnuthC), lit(1L << 32)))
           .otherwise(raise_error(concat(
             lit("Sharding.assign: id must be in [0, 2^31), got "),
             col("id").cast("string")))))

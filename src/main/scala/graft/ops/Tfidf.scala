@@ -121,11 +121,19 @@ object Tfidf {
     * dir); callers whose input differs per call (scale smoke's
     * inflated corpora) pass None and keep per-call builds.
     */
-  private final case class PairsKey(session: org.apache.spark.sql.SparkSession,
+  private final case class PairsKey(sessionId: String,
                                     src: String, planHash: Int, k: Int,
                                     minShared: Int, maxPostings: Int)
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[PairsKey, DataFrame]
+  // sessions that already carry the eviction listener (by session id)
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // identity-keyed WEAK session-id registry: the cache key carries this
+  // string, never the session object, so the static map can't pin a
+  // stopped session; a GC'd session's registry entry vanishes with it
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
 
   def sharedSalientPairs(docs: DataFrame, idCol: Column, textCol: Column,
                          k: Int = 5, minShared: Int = 2,
@@ -137,18 +145,34 @@ object Tfidf {
         // so two frames that differ (a filtered subset, different
         // id/text columns, rewritten data) can never alias each other's
         // pair table even under the same caller-supplied cacheKey — and
-        // the session REFERENCE so a stopped-and-recreated session
-        // (typical in test suites) never receives a cached plan over
-        // dead RDD blocks
+        // the session UUID (not the session object: the KEY must not
+        // pin a stopped session's plan graph in a static map) so a
+        // stopped-and-recreated session never receives a cached plan
+        // over dead RDD blocks
         val session = docs.sparkSession
         val planHash = docs.select(idCol.as("id"), textCol.as("text"))
           .queryExecution.analyzed.semanticHash()
-        // drop entries whose owning session has stopped: their
-        // localCheckpoint blocks are gone, and the map must not grow
-        // unboundedly across session restarts
-        pairsCache.keySet.removeIf(k0 => k0.session.sparkContext.isStopped)
+        // two-layer eviction: (a) an ApplicationEnd listener drops this
+        // session's entries even if the op is never called again in
+        // this JVM (long-lived test JVMs cycling many sessions);
+        // (b) an opportunistic sweep of entries whose cached frame's
+        // context has stopped, for sessions hooked before this change
+        val sid = sessionIds.computeIfAbsent(session,
+          _ => java.util.UUID.randomUUID().toString)
+        if (evictionHooked.add(sid)) {
+          session.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+                pairsCache.keySet.removeIf(_.sessionId == sid)
+                evictionHooked.remove(sid)
+              }
+            })
+        }
+        pairsCache.entrySet.removeIf(
+          _.getValue.sparkSession.sparkContext.isStopped)
         pairsCache.computeIfAbsent(
-          PairsKey(session, src, planHash, k, minShared, maxPostings),
+          PairsKey(sid, src, planHash, k, minShared, maxPostings),
           _ => buildSharedSalientPairs(docs, idCol, textCol, k, minShared,
             maxPostings).localCheckpoint())
       case None =>
@@ -180,6 +204,19 @@ object Tfidf {
         sum(least(col("tf_a"), col("tf_b"))).as("overlap"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Cap audit for the postings cap: the (term, df_top) hot terms
+    * [[sharedSalientPairs]] drops at `maxPostings` — a term in many
+    * documents' top-k carries no pairwise signal, but the DROP should
+    * be visible, not silent (a degenerate corpus where a boilerplate
+    * term reaches everyone's top-k would otherwise just produce
+    * quietly fewer pairs). Bounded output: ≤ (k·docs)/maxPostings rows.
+    */
+  def hotTermAudit(docs: DataFrame, idCol: Column, textCol: Column,
+                   k: Int = 5, maxPostings: Int = 1000): DataFrame =
+    topTerms(docs, idCol, textCol, k)
+      .groupBy(col("term")).agg(count(lit(1)).as("df_top"))
+      .filter(col("df_top") > maxPostings)
 
   /** Per-document top-`topK` most-similar neighbors — the user-facing
     * default over [[sharedSalientPairs]]: the full pair table's output

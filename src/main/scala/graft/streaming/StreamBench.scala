@@ -39,17 +39,34 @@ object StreamBench {
     p.toString
   }
 
-  /** Delete every staged dir created so far (recursive, best-effort). */
-  def cleanup(): Unit = {
+  /** Delete every staged dir created so far (recursive, best-effort),
+    * except those in `keep` — the scale-curve runner passes a snapshot
+    * taken before its factor iteration so cleanup is scoped to the
+    * dirs THAT factor staged, never to checkpoints/replays a bench
+    * added outside it (the shared queue is otherwise a footgun for
+    * any bench appended after a drain).
+    */
+  def cleanup(keep: Set[java.nio.file.Path] = Set.empty): Unit = {
+    val kept = new java.util.ArrayList[java.nio.file.Path]
     var p = tempDirs.poll()
     while (p != null) {
-      try {
+      if (keep(p)) kept.add(p)
+      else try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
       } catch { case _: Throwable => () }
       p = tempDirs.poll()
     }
+    tempDirs.addAll(kept) // survivors stay tracked for the shutdown hook
+  }
+
+  /** Snapshot of the currently tracked dirs — pass to [[cleanup]] as
+    * `keep` to scope a drain to dirs created after this point.
+    */
+  def trackedDirs(): Set[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    tempDirs.asScala.toSet
   }
 
   /** Stage a table as an nFiles-file replay directory (untimed setup).
@@ -207,6 +224,75 @@ object StreamBench {
     dir
   }
 
+  /** Stage the generated VIDEO table (AQV1 multi-frame clips) as a
+    * replay directory; `factor` copies carry organic new payloads the
+    * same way [[stageMedia]]'s do.
+    */
+  def stageVideo(spark: SparkSession, sfDir: String, nFiles: Int,
+                 factor: Int = 1): String = {
+    val dir = tempDir("sb_video")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val rep = if (factor <= 1) docs
+      else (1 until factor).foldLeft(docs) { (acc, i) =>
+        acc.unionAll(docs.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 1000000L)))
+      }
+    graft.multimodal.Multimodal.videoMedia(rep)
+      .repartition(nFiles).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Audio energy-hash near-dup twin: the standing audio HashIndex is
+    * built once untimed; each micro-batch decodes, energy-hashes, and
+    * Hamming-probes its WAV payloads against it. Reads the same media
+    * replay as the image twin (non-audio rows hash to nothing).
+    */
+  def benchAudioNearDup(spark: SparkSession, sfDir: String,
+                        replayDir: String): StreamMetrics = {
+    val corpus = graft.multimodal.Multimodal.realMedia(
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 20 === 0))
+    val cidx = graft.multimodal.PerceptualHash.buildAudioIndex(corpus)
+    cidx.index.queryExecution.toRdd.count() // materialize untimed
+    val schema = spark.read.parquet(replayDir).schema
+    val media = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = media.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.multimodal.PerceptualHash.probeAudio(cidx,
+          b.filter(col("media_id") % 20 =!= 0), maxDist = 3).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Video shot-overlap twin: the standing frame-hash inverted index
+    * is built once untimed; each micro-batch selectively decodes its
+    * sampled frames and probes them against it.
+    */
+  def benchVideoNearDup(spark: SparkSession, sfDir: String,
+                        replayDir: String): StreamMetrics = {
+    val corpus = graft.multimodal.Multimodal.videoMedia(
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 20 === 0))
+    val fidx = graft.multimodal.PerceptualHash.buildVideoIndex(corpus, everyN = 2)
+    fidx.frames.queryExecution.toRdd.count() // materialize untimed
+    val schema = spark.read.parquet(replayDir).schema
+    val media = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = media.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.multimodal.PerceptualHash.probeVideo(fidx,
+          b.filter(col("media_id") % 20 =!= 0), everyN = 2, minShared = 2).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Perceptual image near-dup twin: the standing aHash index is built
     * once untimed; each micro-batch decodes, hashes, and
     * Hamming-probes its images against it.
@@ -249,20 +335,22 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def line(name: String, f: Int, m: StreamMetrics): Unit =
+      println(s"""{"stream":"$name","factor":$f,"rows":${m.rows},"sec":${m.elapsedSec},"rows_per_sec":${m.rowsPerSec.toLong},"avg_batch_ms":${m.avgBatchMs.toLong},"batches":${m.batches}}""")
     factors.foreach { f =>
+      // scope the end-of-factor drain to dirs THIS iteration stages
+      val before = trackedDirs()
       val ev = stageEvents(spark, sfDir, nFiles = 8, factor = f)
       val docs = stageDocs(spark, sfDir, 8, f)
-      val d = benchDedup(spark, ev)
-      val dc = benchDecontam(spark, sfDir, docs)
-      val ss = benchSessions(spark, ev)
-      val nd = benchNearDup(spark, sfDir, docs)
-      val mn = benchMediaNearDup(spark, sfDir, stageMedia(spark, sfDir, 8, f))
-      println(s"""{"stream":"media_neardup","factor":$f,"rows":${mn.rows},"sec":${mn.elapsedSec},"rows_per_sec":${mn.rowsPerSec.toLong},"avg_batch_ms":${mn.avgBatchMs.toLong},"batches":${mn.batches}}""")
-      println(s"""{"stream":"dedup","factor":$f,"rows":${d.rows},"sec":${d.elapsedSec},"rows_per_sec":${d.rowsPerSec.toLong},"avg_batch_ms":${d.avgBatchMs.toLong},"batches":${d.batches}}""")
-      println(s"""{"stream":"decontam","factor":$f,"rows":${dc.rows},"sec":${dc.elapsedSec},"rows_per_sec":${dc.rowsPerSec.toLong},"avg_batch_ms":${dc.avgBatchMs.toLong},"batches":${dc.batches}}""")
-      println(s"""{"stream":"sessionize","factor":$f,"rows":${ss.rows},"sec":${ss.elapsedSec},"rows_per_sec":${ss.rowsPerSec.toLong},"avg_batch_ms":${ss.avgBatchMs.toLong},"batches":${ss.batches}}""")
-      println(s"""{"stream":"neardup","factor":$f,"rows":${nd.rows},"sec":${nd.elapsedSec},"rows_per_sec":${nd.rowsPerSec.toLong},"avg_batch_ms":${nd.avgBatchMs.toLong},"batches":${nd.batches}}""")
-      cleanup() // reclaim the staged replay before the next factor
+      val media = stageMedia(spark, sfDir, 8, f)
+      line("media_neardup", f, benchMediaNearDup(spark, sfDir, media))
+      line("audio_neardup", f, benchAudioNearDup(spark, sfDir, media))
+      line("video_neardup", f, benchVideoNearDup(spark, sfDir, stageVideo(spark, sfDir, 8, f)))
+      line("dedup", f, benchDedup(spark, ev))
+      line("decontam", f, benchDecontam(spark, sfDir, docs))
+      line("sessionize", f, benchSessions(spark, ev))
+      line("neardup", f, benchNearDup(spark, sfDir, docs))
+      cleanup(keep = before) // reclaim THIS factor's replays only
     }
     Runtime.getRuntime.halt(0)
   }

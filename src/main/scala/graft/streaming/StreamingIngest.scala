@@ -216,6 +216,54 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming twin of the AUDIO energy-hash near-dup gate: every
+    * micro-batch of a media stream is decoded, energy-hashed, and
+    * Hamming-probed against a STANDING audio
+    * [[graft.multimodal.PerceptualHash.HashIndex]] built once before
+    * the stream starts. Same exactly-once `ingest_batch=N` overwrite
+    * contract as [[nearDupBatches]].
+    */
+  def audioNearDupBatches(media: DataFrame,
+                          corpusIndex: graft.multimodal.PerceptualHash.HashIndex,
+                          maxDist: Int, outDir: String,
+                          checkpointDir: Option[String] = None): Unit = {
+    val q = media.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.multimodal.PerceptualHash
+          .probeAudio(corpusIndex, batch, maxDist)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("audiond_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Streaming twin of the VIDEO shot-overlap gate: every micro-batch
+    * of a clip stream has only its SAMPLED frames selectively decoded
+    * and probed against a STANDING
+    * [[graft.multimodal.PerceptualHash.FrameIndex]] built once before
+    * the stream starts. Same exactly-once `ingest_batch=N` overwrite
+    * contract as [[nearDupBatches]].
+    */
+  def videoNearDupBatches(media: DataFrame,
+                          corpusIndex: graft.multimodal.PerceptualHash.FrameIndex,
+                          everyN: Int, minShared: Int, outDir: String,
+                          checkpointDir: Option[String] = None): Unit = {
+    val q = media.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.multimodal.PerceptualHash
+          .probeVideo(corpusIndex, batch, everyN, minShared)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("videond_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Run a streaming frame to completion against a named memory sink;
     * returns the materialized result. Test/driver harness only.
     */

@@ -199,6 +199,29 @@ object ScaleSmoke {
             col("ahash").bitwiseXOR(mask).as("ahash"))
         graft.multimodal.PerceptualHash.hammingPairs(inflated,
           col("media_id"), col("ahash"), maxDist = 2)
+      },
+      "video_neardup" -> { f =>
+        // the shot-overlap inverted-index join under replication: the
+        // same XOR-namespace invariance as media_neardup (hash
+        // EQUALITY is XOR-invariant, so each replica keeps its exact
+        // shared-frame pair set; full-range Knuth-scrambled per-band
+        // masks keep replicas from colliding); clip ids shift per
+        // replica. Output must be exactly ×F of the ×1 pair count.
+        val hashes = graft.multimodal.PerceptualHash.videoFrameHashes(
+          graft.multimodal.Multimodal.videoMedia(
+            Tables.documents(spark, sfDir)), everyN = 2)
+          .select(col("media_id"), col("ahash")).distinct()
+        val mask = Seq(40503L, 2654435761L, 104729L, 899809343L)
+          .zipWithIndex.map { case (k, b) =>
+            shiftleft(pmod((col("r") + 1) * lit(k), lit(65536L)), 16 * b)
+          }.reduce(_ + _)
+        val inflated = hashes
+          .select(col("media_id"), col("ahash"),
+            explode(sequence(lit(0), lit(f - 1))).as("r"))
+          .select((col("media_id") * f + col("r")).as("media_id"),
+            col("ahash").bitwiseXOR(mask).as("ahash"))
+        graft.multimodal.PerceptualHash.frameOverlapPairs(inflated,
+          minShared = 2)
       })
 
     val opFilter = args.lift(2).map(_.split(",").toSet)

@@ -236,6 +236,123 @@ class PerceptualHashSpec extends AnyFunSuite {
     }
   }
 
+  private def mk(b3: Long, b2: Long, b1: Long, b0: Long): Long =
+    (b3 << 48) | (b2 << 32) | (b1 << 16) | b0
+
+  // the ADVICE-r8 scenario: the pair's FIRST matching band (band 0)
+  // sits in a capped hot bucket, a later matching band (band 2)
+  // survives — the pair must surface exactly once via the survivor,
+  // not vanish because "earlier bands are equal"
+  private def hotFirstBandFixture = {
+    val h1 = mk(0x3333, 0x2222, 0x1111, 0xAAAA)
+    val h2 = mk(0x3333, 0x2222, 0x1117, 0xAAAA) // bands 0,2,3 equal; dist 2
+    val fillers = Seq(0x00FFL, 0x0FF0L, 0xFF00L, 0xF0F0L, 0x0F0FL).zipWithIndex
+      .map { case (v, i) => (10L + i, mk(v, v, v, 0xAAAA)) } // heat band 0 only
+    (h1, h2, Seq((1L, h1), (2L, h2)) ++ fillers)
+  }
+
+  test("hammingPairs: pair with a HOT first matching band survives via a later band") {
+    val (_, _, rows) = hotFirstBandFixture
+    val hashes = rows.toDF("media_id", "ahash")
+    // bucket (0, 0xAAAA) holds all 7 hashes > cap 3 -> capped; the
+    // pair's bands 2 and 3 survive; emitted ONCE (band 3's copy must
+    // still dedup against band 2's)
+    val pairs = PerceptualHash.hammingPairs(hashes, col("media_id"),
+      col("ahash"), maxDist = 2, maxBucket = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 2L)), s"got $pairs")
+  }
+
+  test("probeHashes: hot-at-build first matching band still matches via a survivor") {
+    val (h1, _, rows) = hotFirstBandFixture
+    val corpus = rows.filter(_._1 != 1L).toDF("pid", "ph")
+    val cidx = PerceptualHash.buildHashIndex(corpus, maxBucket = 3)
+    // the audit surface: the capped bucket is visible, not silent
+    val hot = cidx.hot.as[(Int, Long, Long)].collect().toSet
+    assert(hot == Set((0, 0xAAAAL, 6L)), s"got $hot")
+    val out = PerceptualHash.probeHashes(cidx,
+      Seq((1L, h1)).toDF("batch_id", "bh"), maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L)), s"got $out")
+  }
+
+  test("bandCapAudit reports exactly the over-cap buckets with their size") {
+    val (_, _, rows) = hotFirstBandFixture
+    val audit = PerceptualHash.bandCapAudit(rows.toDF("media_id", "ahash"),
+      col("media_id"), col("ahash"), maxBucket = 3)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(audit == Set((0, 0xAAAAL, 7L)), s"got $audit")
+    assert(PerceptualHash.bandCapAudit(rows.toDF("media_id", "ahash"),
+      col("media_id"), col("ahash"), maxBucket = 10).count() == 0)
+  }
+
+  test("frameOverlapPairs: a hot frame hash is dropped; the pair needs survivors") {
+    // clips 1/2 share hashes 7 and 8; hash 99 is corpus-wide (5 clips)
+    val rows = (Seq((1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L)) ++
+      (1L to 5L).map(c => (c, 99L))).toDF("media_id", "ahash")
+    val withHot = PerceptualHash.frameOverlapPairs(rows, minShared = 2,
+      maxBucket = 3).as[(Long, Long, Long)].collect().toSet
+    // hash 99's bucket (5 > 3) is dropped: (1,2) still shares 7,8
+    assert(withHot == Set((1L, 2L, 2L)), s"got $withHot")
+    val uncapped = PerceptualHash.frameOverlapPairs(rows, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L, 3L)), s"got $uncapped")
+  }
+
+  test("videoCapAudit surfaces corpus-wide frame hashes") {
+    // three clips all containing frame A (sampled position 0)
+    val shared = Multimodal.genVideoFrame(13L, 0)
+    val rows = (1L to 3L).map { id =>
+      (id, Codecs.encodeAniQoi(Seq(shared, Multimodal.genVideoFrame(id + 20, 1))))
+    }.toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        struct(lit("aqoi").as("format"), lit(0).as("width"),
+          lit(0).as("height"), lit(2).as("n_frames")).as("meta"))
+    val audit = PerceptualHash.videoCapAudit(rows, everyN = 2, maxBucket = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(audit == Set((PerceptualHash.ahash64(shared), 3L)), s"got $audit")
+  }
+
+  test("png payloads hash exactly like their native-container siblings (dist-0 dups)") {
+    val docs = Tables.documents(spark, SparkTestSession.Sf).limit(60)
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    val both = Multimodal.realMedia(docs).unionByName(Multimodal.pngMedia(docs))
+    val h = PerceptualHash.imageHashes(both)
+    val png = h.filter(col("format") === "png")
+      .select("media_id", "ahash", "dhash").as[(Long, Long, Long)].collect()
+    assert(png.length == ids.size) // EVERY doc got a png (wav ids too)
+    png.foreach { case (id, a, d) =>
+      val img = Multimodal.genImage(id - Multimodal.PngIdOffset)
+      assert(a == PerceptualHash.ahash64(img) && d == PerceptualHash.dhash64(img),
+        s"png hash drifted for $id")
+    }
+    // each re-encoded copy is a dist-0 near-dup of its sibling
+    val pairs = PerceptualHash.nearDupPairs(both, maxDist = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    ids.filter(_ % 4 != 2).foreach { i =>
+      assert(pairs.contains((i, i + Multimodal.PngIdOffset, 0L)), s"doc $i")
+    }
+  }
+
+  test("jpeg arm: decoded, deterministic in-JVM, near the lossless hash") {
+    val img = Multimodal.genImage(5L)
+    val rows = Seq((1L, Codecs.encodeJpeg(img)))
+      .toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        struct(lit("jpeg").as("format"), lit(img.width).as("width"),
+          lit(img.height).as("height"), lit(1).as("n_frames")).as("meta"))
+    def run() = PerceptualHash.imageHashes(rows)
+      .select("media_id", "format", "ahash", "dhash")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val out = run()
+    assert(out.length == 1 && out.head._2 == "jpeg")
+    // lossy decode: the hash may drift a few bits but must stay NEAR
+    // the lossless hash (same picture), and be stable across decodes
+    val drift = java.lang.Long.bitCount(out.head._3 ^ PerceptualHash.ahash64(img))
+    assert(drift <= 16, s"jpeg ahash drifted $drift bits")
+    assert(run() == out, "jpeg decode must be deterministic within a JVM")
+  }
+
   test("nearDupPairs: maxBucket drops hot buckets deterministically") {
     // 10 identical flat images: every band bucket holds all 10, so a
     // cap of 5 drops everything

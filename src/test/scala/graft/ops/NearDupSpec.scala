@@ -82,6 +82,21 @@ class NearDupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
+  test("bucketAudit: a boilerplate bucket shows up with its population") {
+    // ten identical docs share every signature, so all 8 band buckets
+    // hold 10 docs; two distinct docs stay under the threshold
+    val corpus = ((1L to 10L).map(i => (i, "same words in every doc here")) ++
+      Seq((21L, "completely different text one"),
+        (22L, "another unrelated document two")))
+      .toDF("doc_id", "text")
+    val audit = MinHash.bucketAudit(corpus, col("doc_id"), col("text"),
+      minBucket = 5, shingleN = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(audit.length == 8 && audit.forall(_._2 == 10L), s"got ${audit.toSeq}")
+    assert(MinHash.bucketAudit(corpus, col("doc_id"), col("text"),
+      minBucket = 10, shingleN = 2).count() == 0)
+  }
+
   test("MinHash signature is deterministic across evaluations") {
     val sig = MinHash.signature(TextStats.shingles(col("text"), 2), 16)
     val a = docs.select(sig).collect().map(_.getSeq[Long](0))

@@ -34,6 +34,16 @@ class SamplingSpec extends AnyFunSuite {
     intercept[Exception](Sampling.uniform(over, col("id"), 1.0).collect())
   }
 
+  test("NULL ids propagate a NULL bucket (row dropped), never a messageless error") {
+    val df = Seq(Some(1L), None, Some(5L)).toDF("id")
+    // the NULL row falls out of the < filter — the pre-guard behavior,
+    // not a raise_error with a NULL message
+    assert(Sampling.uniform(df, col("id"), 1.0).count() == 2)
+    val buckets = df.select(Sampling.hashBucket(col("id"), 10).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(buckets.count(_.isEmpty) == 1 && buckets.count(_.isDefined) == 2)
+  }
+
   test("out-of-range ids fail loudly (the scramble's 2^31 precondition)") {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))

@@ -89,6 +89,23 @@ class TfidfSpec extends AnyFunSuite {
     assert(p12._4 == 3L)
   }
 
+  test("hotTermAudit: the dropped boilerplate term is visible with its df_top") {
+    // 'common' reaches every document's top-k (k=2 keeps both terms);
+    // at maxPostings=5 its postings are capped — the audit must say so
+    val corpus = (1L to 10L).map(i => (i, s"common common rare$i"))
+      .toDF("doc_id", "text")
+    val audit = Tfidf.hotTermAudit(corpus, col("doc_id"), col("text"),
+      k = 2, maxPostings = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(audit == Set(("common", 10L)), s"got $audit")
+    // and the capped op indeed drops the term's pairs silently — the
+    // audit is the only place the drop is visible
+    assert(Tfidf.sharedSalientPairs(corpus, col("doc_id"), col("text"),
+      k = 2, minShared = 1, maxPostings = 5).count() == 0)
+    assert(Tfidf.hotTermAudit(corpus, col("doc_id"), col("text"),
+      k = 2, maxPostings = 100).count() == 0)
+  }
+
   test("sharedSalientPairs: id_a < id_b and no self pairs") {
     val pairs = Tfidf.sharedSalientPairs(docs, col("doc_id"), col("text"),
       k = 3, minShared = 1).collect()

@@ -143,6 +143,86 @@ class StreamingSpec extends AnyFunSuite {
     media.unpersist(); batch.unpersist()
   }
 
+  test("streaming audio near-dup equals the batch probe") {
+    import graft.multimodal.{Codecs, Multimodal, PerceptualHash}
+    val media = Multimodal.realMedia(
+      Tables.documents(spark, SparkTestSession.Sf)).cache()
+    val corpus = media.filter(col("media_id") % 5 === 0)
+    // a corpus wav id (format slot doc_id % 4 == 2) re-encoded under a
+    // new id guarantees at least one cross-split energy-hash dup
+    val dupOf = corpus.filter(col("media_id") % 4 === 2)
+      .select("media_id").as[Long].head()
+    val twin = Seq((dupOf + 5000000L,
+      Codecs.encodeWav(Multimodal.genAudio(dupOf))))
+      .toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        struct(lit("wav").as("format"), lit(0).as("width"),
+          lit(0).as("height"), lit(1).as("n_frames")).as("meta"))
+    val batch = media.filter(col("media_id") % 5 =!= 0).limit(150)
+      .unionByName(twin).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("and_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("and_out").toString
+    batch.repartition(3).write.mode("overwrite").parquet(inDir)
+    val cidx = PerceptualHash.buildAudioIndex(corpus)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.audioNearDupBatches(stream, cidx, maxDist = 3,
+      outDir = outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("batch_id", "corpus_id", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = PerceptualHash.probeAudio(cidx, batch, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == direct)
+    assert(direct.contains((dupOf + 5000000L, dupOf, 0L)),
+      s"planted audio dup missing: $direct")
+    media.unpersist(); batch.unpersist()
+  }
+
+  test("streaming video near-dup equals the batch probe") {
+    import graft.multimodal.{Codecs, Multimodal, PerceptualHash}
+    val video = Multimodal.videoMedia(
+      Tables.documents(spark, SparkTestSession.Sf)).cache()
+    val corpus = video.filter(col("media_id") % 5 === 0)
+    // a corpus clip with >= 3 frames (two SAMPLED frames at stride 2)
+    // whose sampled frames hash DISTINCTLY (the synthetic gradients
+    // make some frames collide — a collided clip has one distinct
+    // hash and can never reach minShared=2), re-encoded under a new id
+    val dupOf = corpus.filter(col("media_id") % 4 >= 1) // nf = 2 + id%4 >= 3
+      .select("media_id").as[Long].collect()
+      .find { id =>
+        PerceptualHash.ahash64(Multimodal.genVideoFrame(id, 0)) !=
+          PerceptualHash.ahash64(Multimodal.genVideoFrame(id, 2))
+      }.get
+    val twin = Seq((dupOf + 5000000L,
+      Codecs.encodeAniQoi((0 until Multimodal.videoFrameCount(dupOf))
+        .map(f => Multimodal.genVideoFrame(dupOf, f)))))
+      .toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        struct(lit("aqoi").as("format"), lit(0).as("width"),
+          lit(0).as("height"), lit(2).as("n_frames")).as("meta"))
+    val batch = video.filter(col("media_id") % 5 =!= 0).limit(120)
+      .unionByName(twin).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("vnd_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vnd_out").toString
+    batch.repartition(3).write.mode("overwrite").parquet(inDir)
+    val fidx = PerceptualHash.buildVideoIndex(corpus, everyN = 2)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.videoNearDupBatches(stream, fidx, everyN = 2,
+      minShared = 2, outDir = outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("batch_id", "corpus_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = PerceptualHash.probeVideo(fidx, batch, everyN = 2,
+      minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == direct)
+    assert(direct.exists(p => p._1 == dupOf + 5000000L && p._2 == dupOf &&
+      p._3 >= 2L), s"planted video dup missing: $direct")
+    video.unpersist(); batch.unpersist()
+  }
+
   test("streaming dedup passes every unique event exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("se").toString
     // write events twice -> duplicates across files
