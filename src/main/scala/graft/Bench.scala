@@ -157,6 +157,8 @@ object Bench {
       catch { case _: Throwable => () }
       try SparkEntry.ensureSparseArtifacts(spark, sfDir)
       catch { case _: Throwable => () }
+      try SparkEntry.ensureImageMediaTable(spark, sfDir)
+      catch { case _: Throwable => () }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val runs = scala.collection.mutable.Map[String, List[Double]]()

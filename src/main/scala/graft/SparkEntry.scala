@@ -951,9 +951,7 @@ object SparkEntry {
     // formulas through the same floor resample map — a decode, resample,
     // grayscale, threshold, or bit-packing bug all break the hash-match
     "q_media_phash" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val h = PerceptualHash.imageHashes(
-        Multimodal.realMedia(docs).unionByName(Multimodal.pngMedia(docs)))
+      val h = PerceptualHash.imageHashes(imageMedia(s, dir))
       h.select(col("media_id") +:
         ((0 until 4).map(i => PerceptualHash.band(col("ahash"), i).as(s"a$i")) ++
          (0 until 4).map(i => PerceptualHash.band(col("dhash"), i).as(s"d$i"))): _*)
@@ -964,26 +962,19 @@ object SparkEntry {
     // 4-band pigeonhole join (complete for dist <= 3, never corpus^2).
     // The PNG arm makes every re-encoded copy a dist-0 pair with its
     // native-container sibling — the exact case perceptual dedup is for
-    "q_media_neardup" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      PerceptualHash.nearDupPairs(
-        Multimodal.realMedia(docs).unionByName(Multimodal.pngMedia(docs)),
-        maxDist = 2)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "q_media_neardup" -> ((s, dir) =>
+      PerceptualHash.nearDupPairs(imageMedia(s, dir), maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // cap visibility for the banded LSH family: the (bi, bv, n) band
     // buckets the Hamming join would drop at maxBucket=2 — at this
     // deliberately tiny cap the PNG twins force over-cap buckets, so
     // the audit path is exercised for real (production caps are 10^4)
-    "q_cap_audit" -> ((s, dir) => {
-      val docs = documents(s, dir)
+    "q_cap_audit" -> ((s, dir) =>
       PerceptualHash.bandCapAudit(
-        PerceptualHash.imageHashes(
-          Multimodal.realMedia(docs).unionByName(Multimodal.pngMedia(docs))),
+        PerceptualHash.imageHashes(imageMedia(s, dir)),
         col("media_id"), col("ahash"), maxBucket = 2)
-        .orderBy(col("bi"), col("bv"))
-    }),
+        .orderBy(col("bi"), col("bv"))),
 
     // E4+E1, audio modality: 64-frame energy-profile hash over decoded
     // PCM samples, near-dup pairs at Hamming <= 3 through the same
@@ -1502,6 +1493,32 @@ object SparkEntry {
     * for READING the materialized table (the 100 TB shape), not for
     * building it.
     */
+  /** Materialize the image-media payload table (native containers +
+    * their PNG re-encodes) ONCE per (machine, sfDir) under /tmp: media
+    * BYTES are a stored layout artifact in any real pipeline — the
+    * DECODE is the operator and stays in every timed query, while the
+    * synthetic ENCODE (ImageIO PNG deflate per row) is fixture
+    * generation and belongs to layout, not to whichever query touches
+    * it first (the ensureBucketedTables accounting). Returns the
+    * parquet path; the write is `_SUCCESS`-gated so a crashed partial
+    * write never poisons later runs.
+    */
+  private val mediaEnsureLock = new Object
+  def ensureImageMediaTable(s: SparkSession, dir: String): String =
+    mediaEnsureLock.synchronized {
+      val suffix = Integer.toHexString(dir.hashCode & 0x7fffffff)
+      val path = s"/tmp/graft_media_$suffix"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+        val docs = documents(s, dir)
+        Multimodal.realMedia(docs).unionByName(Multimodal.pngMedia(docs))
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+
+  private def imageMedia(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureImageMediaTable(s, dir))
+
   def ensureSparseArtifacts(s: SparkSession, dir: String): Unit =
     Tfidf.sharedSalientPairs(documents(s, dir), col("doc_id"), col("text"),
       k = 5, minShared = 2, cacheKey = Some(dir)).queryExecution.toRdd.count()

@@ -179,11 +179,18 @@ object PerceptualHash {
         struct(lit(i).as("bi"), band(col(h), i).as("bv"))): _*)).as("bk"))
       .select(col(id), col(h), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
 
+  /** Over-cap bucket lists larger than this fall back from the inline
+    * literal predicate to broadcast joins — a backstop for a corpus so
+    * degenerate its hot-bucket AUDIT is itself large (rows/maxBucket
+    * can exceed this only when a huge corpus slice is flat images /
+    * silence; the audit surfaces that separately).
+    */
+  private val MaxInlineHot = 10000
+
   /** FIRST-SURVIVING-MATCHING-BAND dedup, not distinct(): a pair
     * colliding on k bands surfaces k times in the band join; keep the
     * row only where every earlier MATCHING band was dropped by the
-    * bucket cap — a codegen'd filter on the two hashes plus (usually
-    * empty) broadcast lookups of the over-cap buckets, replacing a
+    * bucket cap — a codegen'd filter on the two hashes, replacing a
     * full extra shuffle of the (up to 4x duplicated) candidate set.
     * At ×64 replication the distinct was the dominant cost (fitted
     * exponent 1.07); the filter form retires it.
@@ -193,21 +200,42 @@ object PerceptualHash {
     * matching band sits in a capped hot bucket while a later matching
     * band survives (the earlier bands are equal, just capped — no
     * candidate row exists there, and the later row must be kept).
-    * `hot` is the (bi, bv) over-cap bucket set — bounded by
-    * rows/maxBucket, so the three per-band lookups broadcast.
+    * `hot` is the (bi, bv) over-cap bucket set, bounded by
+    * rows/maxBucket: small enough to COLLECT once at plan build and
+    * inline as a literal set-membership arm. The normal corpus has NO
+    * hot buckets, so the arm folds to `false` and the filter is the
+    * pure first-matching-band codegen form — zero extra operators in
+    * the 33M-pair ×64 hot path (the broadcast-join form it replaces
+    * cost 24% there). The collect triggers the upstream lazy
+    * checkpoints, so its work is reused by the main pass, not repeated.
     */
   private def firstSurvivingBand(cand: DataFrame, hot: DataFrame,
                                  ha: Column, hb: Column): DataFrame = {
-    val withHot = (0 until 3).foldLeft(cand) { (df, j) =>
-      df.join(
-        broadcast(hot.filter(col("bi") === j).select(col("bv").as(s"__hot$j"))),
-        band(ha, j) === col(s"__hot$j"), "left")
+    val hotRows = hot.limit(MaxInlineHot + 1).collect()
+    if (hotRows.length <= MaxInlineHot) {
+      val byBand = hotRows.groupBy(_.getInt(0))
+        .map { case (b, rs) => b -> rs.map(_.getLong(1)).toSeq }
+      val keep = (0 until 3).foldLeft(lit(true)) { (acc, j) =>
+        val inHot = byBand.get(j) match {
+          case Some(vs) => band(ha, j).isInCollection(vs)
+          case None     => lit(false)
+        }
+        acc && (col("bi") <= j || band(ha, j) =!= band(hb, j) || inHot)
+      }
+      cand.filter(keep)
+    } else {
+      // degenerate-corpus fallback: per-band broadcast lookups
+      val withHot = (0 until 3).foldLeft(cand) { (df, j) =>
+        df.join(
+          broadcast(hot.filter(col("bi") === j).select(col("bv").as(s"__hot$j"))),
+          band(ha, j) === col(s"__hot$j"), "left")
+      }
+      val keep = (0 until 3).foldLeft(lit(true)) { (acc, j) =>
+        acc && (col("bi") <= j || band(ha, j) =!= band(hb, j) ||
+          col(s"__hot$j").isNotNull)
+      }
+      withHot.filter(keep).drop((0 until 3).map(j => s"__hot$j"): _*)
     }
-    val keep = (0 until 3).foldLeft(lit(true)) { (acc, j) =>
-      acc && (col("bi") <= j || band(ha, j) =!= band(hb, j) ||
-        col(s"__hot$j").isNotNull)
-    }
-    withHot.filter(keep).drop((0 until 3).map(j => s"__hot$j"): _*)
   }
 
   /** Near-duplicate pairs of any 64-bit perceptual hash table by
