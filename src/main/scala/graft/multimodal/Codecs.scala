@@ -352,6 +352,11 @@ object Codecs {
     out.toByteArray
   }
 
+  // ImageIO defaults to a temp-FILE-backed stream cache per decode —
+  // one file create/delete per image is pure overhead (and /tmp churn)
+  // for byte-array payloads that are already in memory
+  locally { javax.imageio.ImageIO.setUseCache(false) }
+
   /** Decode any ImageIO-readable payload (png, jpeg) to packed-RGB
     * pixels. Throws on unreadable bytes like every other decoder here
     * (callers surface that as a NULL row).
