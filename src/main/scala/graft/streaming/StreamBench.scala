@@ -100,15 +100,20 @@ object StreamBench {
 
   private def ckpt(): String = tempDir("sb_ckpt")
 
+  /** Throughput from the STAGED row count, not recentProgress:
+    * `processAllAvailable()` guarantees a full drain (or throws), so
+    * the staged total is exact — while progress-event numInputRows
+    * mis-reports under fast triggers (observed at ×64: events lost
+    * entirely in one run, double-counted in another). Batch count and
+    * latency stay best-effort from the progress events.
+    */
   private def metricsOf(q: org.apache.spark.sql.streaming.StreamingQuery,
-                        elapsedSec: Double): StreamMetrics = {
-    val prog = q.recentProgress
-    val rows = prog.map(_.numInputRows).sum
-    val busy = prog.filter(_.numInputRows > 0)
+                        elapsedSec: Double, totalRows: Long): StreamMetrics = {
+    val busy = q.recentProgress.filter(_.numInputRows > 0)
     val lat = busy.flatMap(p =>
       Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
-    StreamMetrics(rows, elapsedSec,
-      if (elapsedSec > 0) rows / elapsedSec else -1.0,
+    StreamMetrics(totalRows, elapsedSec,
+      if (elapsedSec > 0) totalRows / elapsedSec else -1.0,
       if (lat.nonEmpty) lat.sum / lat.length else -1.0,
       busy.length)
   }
@@ -117,13 +122,14 @@ object StreamBench {
     * dropDuplicatesWithinWatermark → noop sink.
     */
   def benchDedup(spark: SparkSession, replayDir: String): StreamMetrics = {
+    val staged = spark.read.parquet(replayDir).count()
     val stream = StreamingIngest.dedupedStream(
       StreamingIngest.readEvents(spark, replayDir))
     val t0 = System.nanoTime()
     val q = stream.writeStream.format("noop")
       .option("checkpointLocation", ckpt()).start()
     try q.processAllAvailable() finally q.stop()
-    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
   /** Decontamination twin: per-micro-batch n-gram containment against
@@ -132,8 +138,9 @@ object StreamBench {
     */
   def benchDecontam(spark: SparkSession, sfDir: String,
                     replayDir: String): StreamMetrics = {
-    val schema = spark.read.parquet(replayDir).schema
-    val docs = spark.readStream.schema(schema)
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
       .option("maxFilesPerTrigger", "2").parquet(replayDir)
     val bench = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 20 === 0)
@@ -147,7 +154,7 @@ object StreamBench {
       }
       .option("checkpointLocation", ckpt()).start()
     try q.processAllAvailable() finally q.stop()
-    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
   /** Sessionize twin: the custom-state path (flatMapGroupsWithState
@@ -157,9 +164,10 @@ object StreamBench {
   def benchSessions(spark: SparkSession, replayDir: String): StreamMetrics = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val physical = spark.read.parquet(replayDir).schema
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
     val evs = graft.Tables.normalizeTs(
-        spark.readStream.schema(physical)
+        spark.readStream.schema(replay.schema)
           .option("maxFilesPerTrigger", "2").parquet(replayDir))
       .withWatermark("ts", "1 hour") // event-time timeout needs a watermark
       // keep the watermarked ts column in the projection — dropping it
@@ -173,7 +181,7 @@ object StreamBench {
     val q = stream.writeStream.format("noop")
       .option("checkpointLocation", ckpt()).start()
     try q.processAllAvailable() finally q.stop()
-    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
   /** Incremental near-dup twin: the standing corpus index is built
@@ -190,8 +198,9 @@ object StreamBench {
       .filter(col("doc_id") % 20 === 0)
     val cidx = graft.ops.MinHash.buildIndex(corpus, col("doc_id"), col("text"))
     cidx.index.queryExecution.toRdd.count() // materialize untimed
-    val schema = spark.read.parquet(replayDir).schema
-    val docs = spark.readStream.schema(schema)
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
       .option("maxFilesPerTrigger", "2").parquet(replayDir)
     val t0 = System.nanoTime()
     val q = docs.writeStream
@@ -202,7 +211,7 @@ object StreamBench {
       }
       .option("checkpointLocation", ckpt()).start()
     try q.processAllAvailable() finally q.stop()
-    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
   /** Stage the generated media table as a replay directory. `factor`
@@ -253,8 +262,9 @@ object StreamBench {
       graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 20 === 0))
     val cidx = graft.multimodal.PerceptualHash.buildAudioIndex(corpus)
     cidx.index.queryExecution.toRdd.count() // materialize untimed
-    val schema = spark.read.parquet(replayDir).schema
-    val media = spark.readStream.schema(schema)
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val media = spark.readStream.schema(replay.schema)
       .option("maxFilesPerTrigger", "2").parquet(replayDir)
     val t0 = System.nanoTime()
     val q = media.writeStream
@@ -265,7 +275,7 @@ object StreamBench {
       }
       .option("checkpointLocation", ckpt()).start()
     try q.processAllAvailable() finally q.stop()
-    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
   /** Video shot-overlap twin: the standing frame-hash inverted index
@@ -278,8 +288,9 @@ object StreamBench {
       graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 20 === 0))
     val fidx = graft.multimodal.PerceptualHash.buildVideoIndex(corpus, everyN = 2)
     fidx.frames.queryExecution.toRdd.count() // materialize untimed
-    val schema = spark.read.parquet(replayDir).schema
-    val media = spark.readStream.schema(schema)
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val media = spark.readStream.schema(replay.schema)
       .option("maxFilesPerTrigger", "2").parquet(replayDir)
     val t0 = System.nanoTime()
     val q = media.writeStream
@@ -290,7 +301,7 @@ object StreamBench {
       }
       .option("checkpointLocation", ckpt()).start()
     try q.processAllAvailable() finally q.stop()
-    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
   /** Perceptual image near-dup twin: the standing aHash index is built
@@ -303,8 +314,9 @@ object StreamBench {
       graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 20 === 0))
     val cidx = graft.multimodal.PerceptualHash.buildImageIndex(corpus)
     cidx.index.queryExecution.toRdd.count() // materialize untimed
-    val schema = spark.read.parquet(replayDir).schema
-    val media = spark.readStream.schema(schema)
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val media = spark.readStream.schema(replay.schema)
       .option("maxFilesPerTrigger", "2").parquet(replayDir)
     val t0 = System.nanoTime()
     val q = media.writeStream
@@ -315,7 +327,7 @@ object StreamBench {
       }
       .option("checkpointLocation", ckpt()).start()
     try q.processAllAvailable() finally q.stop()
-    metricsOf(q, (System.nanoTime() - t0) / 1e9)
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
   /** Local scale-curve runner: rows/sec for the two twins at ×1/×4/×16

@@ -286,6 +286,23 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"product in:\n$plan")
   }
 
+  test("q_hard_negatives_ivf: the cell join is a broadcast EQUI-join — the nested loop is retired") {
+    val plan = finalPlan(q("q_hard_negatives_ivf"))
+    // the brute form's label-mismatch predicate forces a broadcast
+    // nested loop over the whole corpus per anchor; the IVF form joins
+    // on the cell id — per-anchor work is the probed pool
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast equi-join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop survived:\n$plan")
+  }
+
+  test("q_cap_audit is one map-side-combinable aggregation, no join") {
+    val plan = finalPlan(q("q_cap_audit"))
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"no partial aggregate in:\n$plan")
+    assert(!plan.contains("Join"), s"audit should not join:\n$plan")
+  }
+
   test("q_embed_drift collapses each snapshot before any join") {
     val plan = finalPlan(q("q_embed_drift"))
     // occupancy is a cell-keyed aggregate; the join is over <= 16 rows
