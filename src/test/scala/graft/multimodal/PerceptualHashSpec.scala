@@ -353,6 +353,39 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(run() == out, "jpeg decode must be deterministic within a JVM")
   }
 
+  test("jpeg re-encode of a real-size image is CAUGHT by the banded near-dup join") {
+    // the crawl case the jpeg arm exists for: the same picture stored
+    // once as a lossless container and once as a jpeg re-encode. At
+    // realistic dimensions the 8x8 aHash absorbs the block artifacts,
+    // so the pair lands within the banded join's dist<=3 completeness
+    val px = Array.tabulate(64 * 48) { i =>
+      val x = i % 64; val y = i / 64
+      val v = ((x * 255) / 63 + (y * 200) / 47) / 2
+      (v << 16) | (v << 8) | v
+    }
+    val img = Codecs.Image(64, 48, px)
+    // the control must differ STRUCTURALLY, not just in values — two
+    // smooth gradients share an aHash by construction (half-bright
+    // split), which is correct aHash behavior, not a join bug
+    val other = Codecs.Image(64, 48, Array.tabulate(64 * 48) { i =>
+      if ((i % 64) / 8 % 2 == 0) 0xffffff else 0x000000 // vertical bars
+    })
+    assert(PerceptualHash.ahash64(other) != PerceptualHash.ahash64(img))
+    val rows = Seq(
+      (1L, Codecs.encodeBmp(img), "bmp"),
+      (2L, Codecs.encodeJpeg(img), "jpeg"),
+      (3L, Codecs.encodePpm(other), "ppm"))
+      .toDF("media_id", "content", "format")
+      .select(col("media_id"), col("content"),
+        struct(col("format"), lit(64).as("width"), lit(48).as("height"),
+          lit(1).as("n_frames")).as("meta"))
+    val pairs = PerceptualHash.nearDupPairs(rows, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3L),
+      s"jpeg twin not caught: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L), s"unrelated image matched: $pairs")
+  }
+
   test("nearDupPairs: maxBucket drops hot buckets deterministically") {
     // 10 identical flat images: every band bucket holds all 10, so a
     // cap of 5 drops everything
