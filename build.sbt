@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as the result JSON.
+// sbt's "[success] Total time: ..." epilogue used to print after it
+// (BENCH_r09 "parsed": null — the driver fell back to a ~2000-char
+// tail-scrape that truncated the per-query map). Suppress the success
+// line and stream forked output straight to stdout so graft.Bench's
+// final JSON line is genuinely the process's last stdout line.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
