@@ -3,12 +3,21 @@
 
 Usage: python3 tools/bench_compare.py <old.json> <new.json> [ratio_gate]
                                       [--json OUT.json]
+                                      [--rows OLD_CORRECTNESS.json NEW_CORRECTNESS.json]
 Prints per-query ratios for queries present in both (sorted worst
 first), new/removed queries, and totals. Exit 1 if any common query
 regressed past the gate (default 2.0x) with an absolute delta > 0.2s
 (sub-noise times can't "regress"). With --json, also writes the full
 comparison as a machine-readable artifact (the committed
 BENCH_r{N}_compare.json round record).
+
+With --rows (two CORRECTNESS_r{N}.json paths), each "regression" whose
+spark_rows changed between the two correctness records is tagged
+workload_changed instead — the semantics grew (r09: the PNG arm grew
+q_media_phash's corpus 375->875 rows, a 6x time delta that was not a
+plan regression). workload_changed entries carry old_rows/new_rows and
+do NOT trip the exit-1 gate; the artifact self-adjudicates without
+BASELINE.md prose.
 """
 import sys, json
 
@@ -17,6 +26,23 @@ if "--json" in sys.argv:
     i = sys.argv.index("--json")
     json_out = sys.argv[i + 1]
     del sys.argv[i:i + 2]
+
+rows_old, rows_new = {}, {}
+if "--rows" in sys.argv:
+    i = sys.argv.index("--rows")
+
+    def load_rows(p):
+        try:
+            d = json.load(open(p))
+            return {k: v.get("spark_rows") for k, v in d.items()
+                    if isinstance(v, dict) and v.get("spark_rows") is not None}
+        except (OSError, json.JSONDecodeError) as e:
+            print(f"warn: could not read rows from {p}: {e}", file=sys.stderr)
+            return {}
+
+    rows_old = load_rows(sys.argv[i + 1])
+    rows_new = load_rows(sys.argv[i + 2])
+    del sys.argv[i:i + 3]
 
 
 def load(p):
@@ -43,15 +69,28 @@ common = sorted(set(oq) & set(nq),
                 key=lambda k: -(nq[k] / oq[k] if oq[k] > 0 else 1))
 # gate over ALL common queries (truncating here would let a large
 # absolute regression hide behind 15 sub-noise high-ratio queries)
-bad = [k for k in common
-       if (nq[k] / oq[k] if oq[k] > 0 else float("inf")) > gate
-       and nq[k] - oq[k] > 0.2]
+over_gate = [k for k in common
+             if (nq[k] / oq[k] if oq[k] > 0 else float("inf")) > gate
+             and nq[k] - oq[k] > 0.2]
+# adjudicate: a gate-tripping delta whose result row count changed
+# between the correctness records is grown/shrunk semantics, not a
+# plan regression — tag it, don't fail on it
+workload_changed = [k for k in over_gate
+                    if k in rows_old and k in rows_new
+                    and rows_old[k] != rows_new[k]]
+bad = [k for k in over_gate if k not in workload_changed]
 print(f"old total {old['value']:.1f}s/{len(oq)}q   "
       f"new total {new['value']:.1f}s/{len(nq)}q")
-for k in [k for k in common if k in bad] + \
-         [k for k in common if k not in bad][:15]:
+for k in [k for k in common if k in over_gate] + \
+         [k for k in common if k not in over_gate][:15]:
     r = nq[k] / oq[k] if oq[k] > 0 else float("inf")
-    flag = "  <-- REGRESSION" if k in bad else ""
+    if k in workload_changed:
+        flag = (f"  <-- workload_changed"
+                f" (rows {rows_old[k]} -> {rows_new[k]})")
+    elif k in bad:
+        flag = "  <-- REGRESSION"
+    else:
+        flag = ""
     print(f"{k:28s} {oq[k]:7.2f} -> {nq[k]:7.2f}  {r:5.2f}x{flag}")
 ratios = sorted(nq[k] / oq[k] for k in common if oq[k] > 0)
 if ratios:
@@ -72,6 +111,11 @@ if json_out:
         "regressions": [
             {"query": k, "old_sec": oq[k], "new_sec": nq[k],
              "ratio": nq[k] / oq[k]} for k in bad],
+        "workload_changed": [
+            {"query": k, "old_sec": oq[k], "new_sec": nq[k],
+             "ratio": nq[k] / oq[k],
+             "old_rows": rows_old[k], "new_rows": rows_new[k]}
+            for k in workload_changed],
         "new_only": sorted(set(nq) - set(oq)),
         "removed": sorted(set(oq) - set(nq)),
         "ratios": {k: (nq[k] / oq[k] if oq[k] > 0 else None) for k in common},
