@@ -861,6 +861,19 @@ object SparkEntry {
       Similarity.ivfTopKBatch(emb, queries, k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // E2 compressed-index batch path: IVF-PQ amortized over a query
+    // table — the corpus computes cell + PQ codes in ONE scan, every
+    // query scores the code table through its broadcast flat lookup
+    // table at O(m) per candidate, full vectors touched only by the
+    // per-query rerank pool (oracle-backed via the shared fixed-point
+    // codebook CTEs)
+    "q_ivfpq_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Pq.ivfPqTopKBatch(emb, queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // ---- oracle-omitted (non-SQL-expressible; rows-only check) ----
 
@@ -945,8 +958,9 @@ object SparkEntry {
     // E4+E1: perceptual image fingerprints — aHash (8x8 mean-threshold)
     // and dHash (9x8 gradient sign) over the DECODED pixels, exported
     // as 4 16-bit bands each (engine-portable: no signed-2^63 edge).
-    // The corpus carries BOTH the native containers and their PNG
-    // re-encodes (javax.imageio decode arm) — the real-crawl formats.
+    // The corpus carries the native containers plus their PNG and
+    // palette-exact GIF re-encodes (javax.imageio decode arms) — the
+    // real-crawl formats.
     // The oracle recomputes both hashes from the pixel generating
     // formulas through the same floor resample map — a decode, resample,
     // grayscale, threshold, or bit-packing bug all break the hash-match
@@ -1504,13 +1518,26 @@ object SparkEntry {
     * write never poisons later runs.
     */
   private val mediaEnsureLock = new Object
+
+  /** Bump whenever realMedia/pngMedia/gifMedia (or their codecs)
+    * change composition: the version salts the artifact path, so a
+    * stale table from an older build can never silently feed the
+    * media queries (ADVICE r9 — the _SUCCESS gate alone never
+    * invalidated). v2 = +gif arm.
+    */
+  private val MediaLayoutVersion = 2
+
   def ensureImageMediaTable(s: SparkSession, dir: String): String =
     mediaEnsureLock.synchronized {
-      val suffix = Integer.toHexString(dir.hashCode & 0x7fffffff)
-      val path = s"/tmp/graft_media_$suffix"
+      // full dir string in the path (sanitized), not dir.hashCode:
+      // hashCode admitted cross-sfDir collisions
+      val suffix = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = s"/tmp/graft_media_v$MediaLayoutVersion$suffix"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
         val docs = documents(s, dir)
-        Multimodal.realMedia(docs).unionByName(Multimodal.pngMedia(docs))
+        Multimodal.realMedia(docs)
+          .unionByName(Multimodal.pngMedia(docs))
+          .unionByName(Multimodal.gifMedia(docs))
           .write.mode("overwrite").parquet(path)
       }
       path
@@ -1574,16 +1601,22 @@ object SparkEntry {
     * 16-bit bands so no engine touches the signed-2^63 edge.
     */
   private val PhashOracleCtes: String =
-    // two arms, one pixel formula: the native containers (bmp/ppm/qoi,
-    // doc_id % 4 <> 2) and the PNG re-encodes of EVERY document
-    // (media_id = doc_id + 10^9, Multimodal.pngMedia) — `sid` is the
-    // formula seed, `media_id` the row identity, so the lossless PNG
-    // copies hash-match without the oracle reading a PNG
+    // three arms, one pixel formula: the native containers
+    // (bmp/ppm/qoi, doc_id % 4 <> 2), the PNG re-encodes of EVERY
+    // document (media_id = doc_id + 10^9, Multimodal.pngMedia), and
+    // the palette-exact GIF re-encodes of the ≤256-pixel subset
+    // (media_id = doc_id + 2*10^9, doc_id % 20 <> 19,
+    // Multimodal.gifMedia) — `sid` is the formula seed, `media_id`
+    // the row identity, so the lossless PNG/GIF copies hash-match
+    // without the oracle reading either container
     "WITH m AS (SELECT doc_id AS media_id, doc_id AS sid, " +
       "8 + (doc_id % 4) * 4 AS w, 6 + (doc_id % 5) * 2 AS h " +
       "FROM documents WHERE doc_id % 4 <> 2 " +
       "UNION ALL SELECT doc_id + 1000000000, doc_id, " +
-      "8 + (doc_id % 4) * 4, 6 + (doc_id % 5) * 2 FROM documents), " +
+      "8 + (doc_id % 4) * 4, 6 + (doc_id % 5) * 2 FROM documents " +
+      "UNION ALL SELECT doc_id + 2000000000, doc_id, " +
+      "8 + (doc_id % 4) * 4, 6 + (doc_id % 5) * 2 FROM documents " +
+      "WHERE doc_id % 20 <> 19), " +
       "c8 AS (SELECT m.media_id, y.range AS y, x.range AS x, " +
       "(m.sid*7 + ((x.range*m.w)//8)*3 + ((y.range*m.h)//8)*5) % 256 " +
       "+ (m.sid*11 + ((x.range*m.w)//8) + ((y.range*m.h)//8)*2) % 256 " +
@@ -1913,10 +1946,10 @@ object SparkEntry {
       s"FROM raw_$next r LEFT JOIN (SELECT DISTINCT j, code FROM mm_$next) h " +
       "ON h.j = r.j AND h.code = r.code)"
 
-  /** Shared PQ prefix: subvector table, seed codebooks, two training
-    * iterations, query lookup table (query vec 3).
+  /** Shared PQ codebook prefix: subvector table, seed codebooks, two
+    * fixed-point training iterations (→ `b2`).
     */
-  private lazy val pqCommonSql: String =
+  private lazy val pqBooksSql: String =
     "WITH js AS (SELECT unnest(range(0, 8)) AS j), " +
       "sv AS (SELECT e.vec_id, js.j, p.pos, e.embedding[js.j*8 + p.pos]::DOUBLE AS v " +
       "FROM embeddings e, js, (SELECT unnest(range(1, 9)) AS pos) p), " +
@@ -1925,7 +1958,11 @@ object SparkEntry {
       "FROM embeddings e, js WHERE e.vec_id < 16), " +
       "b0 AS (SELECT j, code, list_transform(sl, x -> x / " +
       "sqrt(list_sum(list_transform(sl, y -> y*y)))) AS bl FROM sl0), " +
-      pqIterSql("b0", "b1") + ", " + pqIterSql("b1", "b2") + ", " +
+      pqIterSql("b0", "b1") + ", " + pqIterSql("b1", "b2")
+
+  /** [[pqBooksSql]] plus the single-query (vec 3) lookup table. */
+  private lazy val pqCommonSql: String =
+    pqBooksSql + ", " +
       "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3), " +
       "qs AS (SELECT js.j, list_transform(list_slice(q.qe, js.j*8+1, js.j*8+8), x -> x::DOUBLE) AS qv FROM q, js), " +
       "lut AS (SELECT b.j, b.code, list_sum(list_transform(range(1, 9), p -> b.bl[p] * s.qv[p])) AS lv " +
@@ -1983,6 +2020,43 @@ object SparkEntry {
       "code_f AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code, " +
       "row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rn FROM asg_f) t WHERE rn = 1)" +
       pqTailSql
+
+  /** Mirrors Pq.ivfPqTopKBatch(embeddings, vec_id<8, 10): shared
+    * fixed-point codebooks, per-query flat lookup tables
+    * (index-order folds — IEEE-identical to the Scala lutColumn),
+    * seed-centroid cells + per-query probes (the ivfBatchOracle
+    * shapes), per-query ADC top-100 pools, exact per-query re-rank.
+    */
+  private lazy val ivfPqBatchOracle: String =
+    pqBooksSql + ", " + ivfCellsSql +
+      "qb AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8), " +
+      "qsb AS (SELECT qb.query_id, js.j, " +
+      "list_transform(list_slice(qb.qe, js.j*8+1, js.j*8+8), x -> x::DOUBLE) AS qv FROM qb, js), " +
+      "lutb AS (SELECT s.query_id, b.j, b.code, " +
+      "list_sum(list_transform(range(1, 9), p -> s.qv[p] * b.bl[p])) AS lv " +
+      "FROM b2 b JOIN qsb s ON s.j = b.j), " +
+      "probes AS (SELECT vec_id AS query_id, cid AS probe FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cscore WHERE vec_id < 8) t " +
+      "WHERE rn <= 4), " +
+      "asg_f AS (SELECT e.vec_id, b.j, b.code, " +
+      "list_sum(list_transform(range(1, 9), p -> e.embedding[b.j*8+p]::DOUBLE * b.bl[p])) AS s " +
+      "FROM embeddings e CROSS JOIN b2 b), " +
+      "code_f AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code, " +
+      "row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rn FROM asg_f) t WHERE rn = 1), " +
+      "pool AS (SELECT p.query_id, cl.vec_id FROM cells cl " +
+      "JOIN probes p ON cl.cell = p.probe WHERE cl.vec_id <> p.query_id), " +
+      "adc AS (SELECT pl.query_id, pl.vec_id, list_sum(list(l.lv ORDER BY c.j)) AS adc " +
+      "FROM pool pl JOIN code_f c ON c.vec_id = pl.vec_id " +
+      "JOIN lutb l ON l.query_id = pl.query_id AND l.j = c.j AND l.code = c.code " +
+      "GROUP BY 1, 2), " +
+      "cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn FROM adc) t " +
+      "WHERE rn <= 100), " +
+      s"scored AS (SELECT cand.query_id, e.vec_id, round(${duckCos("e.embedding", "qb.qe")}, 6) AS score " +
+      "FROM cand JOIN embeddings e USING (vec_id) JOIN qb ON qb.query_id = cand.query_id) " +
+      "SELECT query_id, vec_id, score, rank FROM (SELECT query_id, vec_id, score, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM scored) t " +
+      "WHERE rank <= 10 ORDER BY query_id, rank"
 
   /** Mirrors Similarity.ivfTopKBatch(embeddings, vec_id<8, 10). */
   private lazy val ivfBatchOracle: String =
@@ -3291,6 +3365,7 @@ object SparkEntry {
     // ADC fold and the probe cosine mirror the Scala operation order
     "q_pq_ann" -> pqAnnOracle,
     "q_ivfpq_ann" -> ivfPqAnnOracle,
+    "q_ivfpq_batch" -> ivfPqBatchOracle,
 
     // sketch aggregates in their EXACT regime: the gated datasets keep
     // approx_top_k far under its tracked capacity (31 distinct tokens

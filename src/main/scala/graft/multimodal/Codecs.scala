@@ -342,6 +342,52 @@ object Codecs {
 
   def encodeJpeg(img: Image): Array[Byte] = encodeImageIO(img, "jpeg")
 
+  /** Lossless GIF encode: the palette is built EXACTLY from the
+    * image's distinct colors (first-appearance order) and the pixels
+    * written as palette indexes, so GIF's LZW — lossless over the
+    * index stream — round-trips every pixel bit-for-bit. Feeding the
+    * GIF writer an RGB image instead would palettize through its own
+    * quantizer (lossy above its heuristics); >256 distinct colors
+    * cannot be paletted at all and are rejected, never approximated
+    * (the perceptual-hash oracle depends on exact pixels).
+    */
+  def encodeGif(img: Image): Array[Byte] = {
+    val palette = new java.util.LinkedHashMap[Integer, Integer]()
+    var i = 0
+    while (i < img.pixels.length) {
+      val c = img.pixels(i) & 0xffffff
+      if (!palette.containsKey(c)) palette.put(c, palette.size())
+      i += 1
+    }
+    val n = palette.size()
+    require(n <= 256, s"$n distinct colors: lossless GIF needs <= 256")
+    val r = new Array[Byte](n); val g = new Array[Byte](n)
+    val b = new Array[Byte](n)
+    palette.forEach { (c, idx) =>
+      r(idx) = ((c >> 16) & 0xff).toByte
+      g(idx) = ((c >> 8) & 0xff).toByte
+      b(idx) = (c & 0xff).toByte
+    }
+    val icm = new java.awt.image.IndexColorModel(8, n, r, g, b)
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = bi.getRaster
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        raster.setSample(x, y, 0,
+          palette.get(img.pixels(y * img.width + x) & 0xffffff).intValue())
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, "gif", out),
+      "no ImageIO writer for gif")
+    out.toByteArray
+  }
+
   private def encodeImageIO(img: Image, format: String): Array[Byte] = {
     val bi = new java.awt.image.BufferedImage(
       img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)

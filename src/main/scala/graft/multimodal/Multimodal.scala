@@ -208,6 +208,33 @@ object Multimodal {
         (pmod(col("doc_id"), lit(5)) * 2 + 6).cast(IntegerType).as("height"),
         lit(1).as("n_frames")).as("meta"))
 
+  private val encodeGifUdf = udf((id: Long) => Codecs.encodeGif(genImage(id)))
+
+  /** GIF twin of [[realMedia]] — [[genImage]] pixels through
+    * [[Codecs.encodeGif]]'s palette-exact writer, ids offset by 2·10⁹.
+    * A ≤256-color GIF decode is lossless, so each row is ANOTHER
+    * re-encoded copy of its siblings (the third real crawl container
+    * after png/jpeg), and the oracle keeps hash-matching from the
+    * generating formulas. Restricted to documents whose image has
+    * ≤ 256 PIXELS (w·h > 256 only at w=20, h=14, i.e.
+    * doc_id ≡ 19 mod 20): distinct colors ≤ pixels guarantees the
+    * exact palette exists — the subset predicate is deterministic, so
+    * the oracle applies the same WHERE.
+    */
+  val GifIdOffset = 2000000000L
+
+  def gifMedia(documents: DataFrame): DataFrame =
+    documents
+      .filter(pmod(col("doc_id"), lit(20)) =!= 19)
+      .select(
+        (col("doc_id") + lit(GifIdOffset)).as("media_id"),
+        encodeGifUdf(col("doc_id")).as("content"),
+        struct(
+          lit("gif").as("format"),
+          (pmod(col("doc_id"), lit(4)) * 4 + 8).cast(IntegerType).as("width"),
+          (pmod(col("doc_id"), lit(5)) * 2 + 6).cast(IntegerType).as("height"),
+          lit(1).as("n_frames")).as("meta"))
+
   /** Exact integer features of a decoded payload. Image rows carry the
     * per-channel pixel sums; audio rows the PCM sample count, energy
     * (sum of squares) and peak amplitude. Integers, not means: bit-

@@ -90,19 +90,19 @@ object PerceptualHash {
   // a plain Tuple2 return keeps the UDF's result struct on Spark's
   // well-worn codegen path (a nested case class here compiled to an
   // accessor Janino rejects, silently dropping the stage to
-  // interpreted mode). png/jpeg go through javax.imageio (pure JVM,
-  // no external deps) — the formats a real crawl actually carries;
-  // png is lossless so its hashes are exact integers like the native
-  // codecs', jpeg decode is decoder-dependent (spec-pinned, not
-  // oracle-backed).
+  // interpreted mode). png/jpeg/gif go through javax.imageio (pure
+  // JVM, no external deps) — the formats a real crawl actually
+  // carries; png and ≤256-color gif decode losslessly so their hashes
+  // are exact integers like the native codecs', jpeg decode is
+  // decoder-dependent (spec-pinned, not oracle-backed).
   private val hashUdf = udf((format: String, content: Array[Byte]) =>
     try {
       val img = format match {
-        case "bmp"          => Codecs.decodeBmp(content)
-        case "ppm"          => Codecs.decodePpm(content)
-        case "qoi"          => Codecs.decodeQoi(content)
-        case "png" | "jpeg" => Codecs.decodeImageIO(content)
-        case _              => null
+        case "bmp"                  => Codecs.decodeBmp(content)
+        case "ppm"                  => Codecs.decodePpm(content)
+        case "qoi"                  => Codecs.decodeQoi(content)
+        case "png" | "jpeg" | "gif" => Codecs.decodeImageIO(content)
+        case _                      => null
       }
       if (img == null) null else (ahash64(img), dhash64(img))
     } catch { case scala.util.control.NonFatal(_) => null })

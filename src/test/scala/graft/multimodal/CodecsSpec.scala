@@ -196,6 +196,24 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeWav(shortFmt.array()))
   }
 
+  test("gif: palette-exact round-trip; >256 distinct colors rejected") {
+    // 256 distinct colors on a 16x16 grid — the palette boundary
+    val full = Codecs.Image(16, 16,
+      Array.tabulate(256)(i => (i << 16) | ((255 - i) << 8) | (i * 7 % 256)))
+    val back = Codecs.decodeImageIO(Codecs.encodeGif(full))
+    assert(back.width == 16 && back.height == 16)
+    assert(back.pixels.toSeq == full.pixels.toSeq)
+    // the generator images round-trip bit-exactly too
+    Seq(0L, 3L, 7L, 18L).foreach { id =>
+      val img = Multimodal.genImage(id)
+      val rt = Codecs.decodeImageIO(Codecs.encodeGif(img))
+      assert(rt.pixels.toSeq == img.pixels.toSeq, s"gif drift for id $id")
+    }
+    // 257 distinct colors cannot be paletted — rejected, not quantized
+    val over = Codecs.Image(257, 1, Array.tabulate(257)(i => i))
+    intercept[IllegalArgumentException](Codecs.encodeGif(over))
+  }
+
   test("nearest resize: exact on integer scale, dims on fractional") {
     val img = Codecs.Image(2, 2, Array(1, 2, 3, 4))
     val up = Codecs.resizeNearest(img, 4, 4)

@@ -334,6 +334,28 @@ class PerceptualHashSpec extends AnyFunSuite {
     }
   }
 
+  test("gif payloads hash exactly like their native-container siblings (dist-0 dups)") {
+    val docs = Tables.documents(spark, SparkTestSession.Sf).limit(60)
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    val both = Multimodal.realMedia(docs).unionByName(Multimodal.gifMedia(docs))
+    val h = PerceptualHash.imageHashes(both)
+    val gif = h.filter(col("format") === "gif")
+      .select("media_id", "ahash", "dhash").as[(Long, Long, Long)].collect()
+    // every doc outside the >256-pixel exclusion (doc_id % 20 == 19)
+    assert(gif.length == ids.count(_ % 20 != 19))
+    gif.foreach { case (id, a, d) =>
+      val img = Multimodal.genImage(id - Multimodal.GifIdOffset)
+      assert(a == PerceptualHash.ahash64(img) && d == PerceptualHash.dhash64(img),
+        s"gif hash drifted for $id")
+    }
+    // each palette-exact copy is a dist-0 near-dup of its sibling
+    val pairs = PerceptualHash.nearDupPairs(both, maxDist = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    ids.filter(i => i % 4 != 2 && i % 20 != 19).foreach { i =>
+      assert(pairs.contains((i, i + Multimodal.GifIdOffset, 0L)), s"doc $i")
+    }
+  }
+
   test("jpeg arm: decoded, deterministic in-JVM, near the lossless hash") {
     val img = Multimodal.genImage(5L)
     val rows = Seq((1L, Codecs.encodeJpeg(img)))
