@@ -186,6 +186,125 @@ object Pq {
     rerankExact(embeddings, candidates, queryId, k, roundTo)
   }
 
+  /** Per-query ADC lookup table as ONE flat array column of m·ks
+    * doubles — lut[j·ks + c] = dot(q_j, books(j)(c)) — built from
+    * codegen'd index-order folds on the (small, broadcast) query side.
+    * The fold order matches the driver-side table of [[pqTopK]] and
+    * the SQL oracle's list_sum, so all three produce bit-identical
+    * IEEE doubles.
+    */
+  private def lutColumn(emb: Column, books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val ks = books.head.length
+    val sub = books.head.head.length
+    array((for { j <- 0 until m; c <- 0 until ks } yield
+      (0 until sub).map(p =>
+        element_at(emb, j * sub + p + 1).cast("double") * lit(books(j)(c)(p)))
+        .reduce(_ + _)): _*)
+  }
+
+  /** ADC score of a `codes` column against a flat per-query `lut`
+    * column: m `element_at` lookups folded in subspace order — O(m)
+    * per (corpus, query) candidate, fully codegen'd.
+    */
+  private def adcScore(lut: Column, codes: Column, m: Int, ks: Int): Column =
+    (0 until m).map(j =>
+      element_at(lut, codes.getItem(j) + lit(j * ks) + 1)).reduce(_ + _)
+
+  /** Batch ADC top-k over a query TABLE — the amortization the
+    * uncompressed paths already have ([[Similarity.annTopKBatch]]):
+    * the corpus is ENCODED ONCE (one scan producing m small codes per
+    * row), every query scores that one code table through its
+    * broadcast lookup table at O(m) per pair, and only the per-query
+    * `rerank` survivors touch full vectors. At 100 TB this is the
+    * difference between q scans of 64-float rows and one scan of
+    * 8-nibble rows shared by the whole mining batch.
+    *
+    * @param queries (query_id, embedding); broadcast-sized.
+    * Output (query_id, vec_id, score, rank ≤ k) — score is the exact
+    * cosine of the surviving candidates, shape-identical to
+    * [[Similarity.ivfTopKBatch]].
+    */
+  def pqTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
+                  dim: Int = 64, m: Int = 8, ks: Int = 16,
+                  iterations: Int = 2, rerank: Int = 100,
+                  roundTo: Int = 6): DataFrame = {
+    require(rerank >= k, "rerank pool must be at least k")
+    val books = trainCodebooks(embeddings, dim, m, ks, iterations)
+    val q = queries.select(col("query_id"),
+      col("embedding").as("q_emb"),
+      lutColumn(col("embedding"), books).as("lut"))
+    rerankBatch(embeddings,
+      encode(embeddings, books)
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          adcScore(col("lut"), col("codes"), m, ks).as("adc"), col("q_emb")),
+      k, rerank, roundTo)
+  }
+
+  /** Batch IVF-PQ (the FAISS `IVFx,PQy` shape, amortized over a query
+    * table): the corpus computes its coarse cell AND its PQ codes in
+    * one scan; each query broadcasts with its `nProbe` probe cells and
+    * flat lookup table; the candidate space is an equi-join on the
+    * cell id — per-query work is the probed pool at O(m) bytes-scored
+    * per row, never the corpus. A corpus row has exactly one cell and
+    * probe cells are distinct, so each (query, vec) pair arises at
+    * most once — no dedup shuffle.
+    */
+  def ivfPqTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
+                     dim: Int = 64, m: Int = 8, ks: Int = 16,
+                     iterations: Int = 2, nCentroids: Int = 16,
+                     nProbe: Int = 4, rerank: Int = 100,
+                     roundTo: Int = 6): DataFrame = {
+    require(rerank >= k, "rerank pool must be at least k")
+    val sub = dim / m
+    val books = trainCodebooks(embeddings, dim, m, ks, iterations)
+    val cents = Similarity.ivfCentroids(embeddings, nCentroids)
+    val q = queries.select(col("query_id"),
+      col("embedding").as("q_emb"),
+      lutColumn(col("embedding"), books).as("lut"),
+      explode(Similarity.ivfProbeCells(col("embedding"), cents, nProbe))
+        .as("probe"))
+    val corpus = embeddings.select(col("vec_id"),
+      Similarity.ivfCell(col("embedding"), cents).as("cell"),
+      array((0 until m).map { j =>
+        graft.functions.ArrayExprs.argmaxCosine(
+          slice(col("embedding"), j * sub + 1, sub), books(j))
+      }: _*).as("codes"))
+    rerankBatch(embeddings,
+      corpus.join(broadcast(q),
+          col("cell") === col("probe") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          adcScore(col("lut"), col("codes"), m, ks).as("adc"), col("q_emb")),
+      k, rerank, roundTo)
+  }
+
+  /** Per-query (adc-top-`rerank` → exact cosine top-`k`) tail shared
+    * by the batch paths. `scored` carries (query_id, vec_id, adc,
+    * q_emb); the candidate pool after the first window is
+    * rerank × |queries| rows — broadcast-joined back to the full
+    * vectors, so the expensive math touches candidates only.
+    */
+  private def rerankBatch(embeddings: DataFrame, scored: DataFrame,
+                          k: Int, rerank: Int, roundTo: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val cand = scored
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"), col("vec_id"), col("q_emb"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), roundTo)
+          .as("score"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact cosine re-rank of an ANN candidate pool against the full
     * vectors — candidates are a (vec_id)-keyed slice, the query a
     * 1-row broadcast.

@@ -81,4 +81,42 @@ class PqSpec extends AnyFunSuite {
     // probed cell for this query (pinned by seed-determinism)
     assert(ivfpq.head.getLong(0) == exact.head.getLong(0))
   }
+
+  test("ivfPqTopKBatch: per-query rows match the single-query path") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val queries = e.filter(col("vec_id").isin(3L, 5L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Pq.ivfPqTopKBatch(e, queries, k = 10).collect()
+      .groupBy(_.getLong(0))
+    assert(batch.keySet == Set(3L, 5L))
+    // query 3's slice of the batch == the single-query result, rank
+    // for rank (same codebooks, same probes, same LUT doubles)
+    val single = Pq.ivfPqTopK(e, queryId = 3L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val slice3 = batch(3L).sortBy(_.getLong(3))
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(slice3 == single, s"batch=$slice3 single=$single")
+  }
+
+  test("pqTopKBatch == ivfPqTopKBatch probing every cell") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val full = key(Pq.pqTopKBatch(e, queries, k = 10).collect())
+    val allCells = key(Pq.ivfPqTopKBatch(e, queries, k = 10,
+      nCentroids = 16, nProbe = 16).collect())
+    assert(full == allCells)
+  }
+
+  test("ivfPqTopKBatch plan: queries broadcast, corpus never shuffled before the join") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val plan = Pq.ivfPqTopKBatch(e, queries, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cell join should broadcast:\n$plan")
+  }
 }
