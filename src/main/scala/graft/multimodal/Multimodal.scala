@@ -93,7 +93,7 @@ object Multimodal {
     * SQL oracle can recompute the decoded-feature sums exactly without
     * being able to decode the container formats itself.
     */
-  private[multimodal] def genImage(id: Long): Codecs.Image = {
+  private[graft] def genImage(id: Long): Codecs.Image = {
     val w = (8 + (id % 4) * 4).toInt
     val h = (6 + (id % 5) * 2).toInt
     val px = new Array[Int](w * h)

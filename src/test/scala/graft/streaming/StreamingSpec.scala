@@ -223,6 +223,128 @@ class StreamingSpec extends AnyFunSuite {
     video.unpersist(); batch.unpersist()
   }
 
+  /** Shared kill-and-resume contract for the standing-index twins
+    * (the nearDupBatches restart shape): wave 1 → run; idle restart
+    * against the SAME checkpoint adds nothing; wave 2 → the resumed
+    * stream processes ONLY the new files; the union of all batch dirs
+    * equals the direct probe over wave1 ∪ wave2, exactly once.
+    */
+  private def restartContract(
+      tag: String,
+      wave1: org.apache.spark.sql.DataFrame,
+      wave2: org.apache.spark.sql.DataFrame,
+      start: (org.apache.spark.sql.DataFrame, String, Option[String]) => Unit,
+      direct: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): Unit = {
+    val inDir = java.nio.file.Files.createTempDirectory(s"${tag}_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory(s"${tag}_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory(s"${tag}_ck").toString
+    def stream() = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    def batchDirs() = new java.io.File(outDir).listFiles()
+      .count(_.getName.startsWith("ingest_batch="))
+    wave1.repartition(2).write.mode("append").parquet(inDir)
+    start(stream(), outDir, Some(ckptDir))
+    val afterW1 = batchDirs()
+    start(stream(), outDir, Some(ckptDir))
+    assert(batchDirs() == afterW1, s"$tag: idle restart must not add batches")
+    wave2.repartition(2).write.mode("append").parquet(inDir)
+    start(stream(), outDir, Some(ckptDir))
+    val streamed = spark.read.parquet(outDir)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val batchAll = direct(wave1.unionByName(wave2))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(streamed == batchAll,
+      s"$tag: resumed union != batch probe (${streamed.size} vs ${batchAll.size})")
+    assert(batchAll.nonEmpty, s"$tag: planted twins should surface pairs")
+  }
+
+  test("mediaNearDupBatches restart: checkpoint resume is exactly-once") {
+    import graft.multimodal.{Codecs, Multimodal, PerceptualHash}
+    val media = Multimodal.realMedia(
+      Tables.documents(spark, SparkTestSession.Sf)).cache()
+    val corpus = media.filter(col("media_id") % 5 === 0)
+    // one corpus bmp re-encoded under a new id per wave: a guaranteed
+    // dist-0 pair in BOTH the pre- and post-restart halves
+    val bmpIds = corpus.filter(col("media_id") % 4 === 0)
+      .select("media_id").as[Long].take(2)
+    def twin(src: Long, off: Long) =
+      Seq((src + off, Codecs.encodeBmp(Multimodal.genImage(src))))
+        .toDF("media_id", "content")
+        .select(col("media_id"), col("content"),
+          struct(lit("bmp").as("format"), lit(0).as("width"),
+            lit(0).as("height"), lit(1).as("n_frames")).as("meta"))
+    val wave1 = media.filter(col("media_id") % 5 === 1).limit(60)
+      .unionByName(twin(bmpIds(0), 5000000L)).cache()
+    val wave2 = media.filter(col("media_id") % 5 === 2).limit(60)
+      .unionByName(twin(bmpIds(1), 6000000L)).cache()
+    val cidx = PerceptualHash.buildImageIndex(corpus)
+    restartContract("mndr", wave1, wave2,
+      (st, out, ck) => StreamingIngest.mediaNearDupBatches(st, cidx, 2, out, ck),
+      b => PerceptualHash.probeImages(cidx, b, maxDist = 2),
+      Seq("batch_id", "corpus_id", "dist"))
+    media.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
+  test("audioNearDupBatches restart: checkpoint resume is exactly-once") {
+    import graft.multimodal.{Codecs, Multimodal, PerceptualHash}
+    val media = Multimodal.realMedia(
+      Tables.documents(spark, SparkTestSession.Sf)).cache()
+    val corpus = media.filter(col("media_id") % 5 === 0)
+    val wavIds = corpus.filter(col("media_id") % 4 === 2)
+      .select("media_id").as[Long].take(2)
+    def twin(src: Long, off: Long) =
+      Seq((src + off, Codecs.encodeWav(Multimodal.genAudio(src))))
+        .toDF("media_id", "content")
+        .select(col("media_id"), col("content"),
+          struct(lit("wav").as("format"), lit(0).as("width"),
+            lit(0).as("height"), lit(1).as("n_frames")).as("meta"))
+    val wave1 = media.filter(col("media_id") % 5 === 1).limit(60)
+      .unionByName(twin(wavIds(0), 5000000L)).cache()
+    val wave2 = media.filter(col("media_id") % 5 === 2).limit(60)
+      .unionByName(twin(wavIds(1), 6000000L)).cache()
+    val cidx = PerceptualHash.buildAudioIndex(corpus)
+    restartContract("andr", wave1, wave2,
+      (st, out, ck) => StreamingIngest.audioNearDupBatches(st, cidx, 3, out, ck),
+      b => PerceptualHash.probeAudio(cidx, b, maxDist = 3),
+      Seq("batch_id", "corpus_id", "dist"))
+    media.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
+  test("videoNearDupBatches restart: checkpoint resume is exactly-once") {
+    import graft.multimodal.{Codecs, Multimodal, PerceptualHash}
+    val video = Multimodal.videoMedia(
+      Tables.documents(spark, SparkTestSession.Sf)).cache()
+    val corpus = video.filter(col("media_id") % 5 === 0)
+    // twin sources need >= 3 frames (two sampled at stride 2) with
+    // DISTINCT sampled-frame hashes, as in the equality spec
+    val clipIds = corpus.filter(col("media_id") % 4 >= 1)
+      .select("media_id").as[Long].collect()
+      .filter { id =>
+        PerceptualHash.ahash64(Multimodal.genVideoFrame(id, 0)) !=
+          PerceptualHash.ahash64(Multimodal.genVideoFrame(id, 2))
+      }.take(2)
+    def twin(src: Long, off: Long) =
+      Seq((src + off,
+        Codecs.encodeAniQoi((0 until Multimodal.videoFrameCount(src))
+          .map(f => Multimodal.genVideoFrame(src, f)))))
+        .toDF("media_id", "content")
+        .select(col("media_id"), col("content"),
+          struct(lit("aqoi").as("format"), lit(0).as("width"),
+            lit(0).as("height"), lit(2).as("n_frames")).as("meta"))
+    val wave1 = video.filter(col("media_id") % 5 === 1).limit(50)
+      .unionByName(twin(clipIds(0), 5000000L)).cache()
+    val wave2 = video.filter(col("media_id") % 5 === 2).limit(50)
+      .unionByName(twin(clipIds(1), 6000000L)).cache()
+    val fidx = PerceptualHash.buildVideoIndex(corpus, everyN = 2)
+    restartContract("vndr", wave1, wave2,
+      (st, out, ck) =>
+        StreamingIngest.videoNearDupBatches(st, fidx, 2, 2, out, ck),
+      b => PerceptualHash.probeVideo(fidx, b, everyN = 2, minShared = 2),
+      Seq("batch_id", "corpus_id", "n_shared"))
+    video.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming dedup passes every unique event exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("se").toString
     // write events twice -> duplicates across files
