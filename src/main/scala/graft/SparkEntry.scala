@@ -964,8 +964,12 @@ object SparkEntry {
     // The oracle recomputes both hashes from the pixel generating
     // formulas through the same floor resample map — a decode, resample,
     // grayscale, threshold, or bit-packing bug all break the hash-match
+    // The three media-family queries share ONE decode+hash pass via
+    // the session-scoped sharedImageHashes artifact (decode once,
+    // read three times — the 100 TB materialization shape); the first
+    // of them to run in a session pays the decode.
     "q_media_phash" -> ((s, dir) => {
-      val h = PerceptualHash.imageHashes(imageMedia(s, dir))
+      val h = PerceptualHash.sharedImageHashes(imageMedia(s, dir), Some(dir))
       h.select(col("media_id") +:
         ((0 until 4).map(i => PerceptualHash.band(col("ahash"), i).as(s"a$i")) ++
          (0 until 4).map(i => PerceptualHash.band(col("dhash"), i).as(s"d$i"))): _*)
@@ -974,10 +978,13 @@ object SparkEntry {
 
     // E4+E1: multimodal near-dup — aHash Hamming <= 2 pairs via the
     // 4-band pigeonhole join (complete for dist <= 3, never corpus^2).
-    // The PNG arm makes every re-encoded copy a dist-0 pair with its
-    // native-container sibling — the exact case perceptual dedup is for
+    // The PNG/GIF arms make every re-encoded copy a dist-0 pair with
+    // its native-container sibling — the exact case perceptual dedup
+    // is for
     "q_media_neardup" -> ((s, dir) =>
-      PerceptualHash.nearDupPairs(imageMedia(s, dir), maxDist = 2)
+      PerceptualHash.hammingPairs(
+        PerceptualHash.sharedImageHashes(imageMedia(s, dir), Some(dir)),
+        col("media_id"), col("ahash"), maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
     // cap visibility for the banded LSH family: the (bi, bv, n) band
@@ -986,7 +993,7 @@ object SparkEntry {
     // the audit path is exercised for real (production caps are 10^4)
     "q_cap_audit" -> ((s, dir) =>
       PerceptualHash.bandCapAudit(
-        PerceptualHash.imageHashes(imageMedia(s, dir)),
+        PerceptualHash.sharedImageHashes(imageMedia(s, dir), Some(dir)),
         col("media_id"), col("ahash"), maxBucket = 2)
         .orderBy(col("bi"), col("bv"))),
 

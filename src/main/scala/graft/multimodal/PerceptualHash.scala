@@ -118,6 +118,28 @@ object PerceptualHash {
       .select(col("media_id"), col("meta.format").as("format"),
         col("ph._1").as("ahash"), col("ph._2").as("dhash"))
 
+  /** Decode-once [[imageHashes]]: the session-scoped materialized hash
+    * table for a media corpus that several queries consume (the hash
+    * export, the near-dup join, the cap audit each need the same
+    * decode+hash pass — at 100 TB the hash table is written once and
+    * read by every consumer, not re-decoded per query). Callers opt in
+    * with `cacheKey` naming the source (e.g. the data dir); the
+    * artifact is keyed on the media plan's semantics via
+    * [[graft.ops.SessionArtifactCache]], so a different corpus under
+    * the same key never aliases. NOTE: the first call runs the decode
+    * pass EAGERLY (localCheckpoint) — construction, not execution,
+    * pays it.
+    */
+  def sharedImageHashes(media: DataFrame,
+                        cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case Some(src) =>
+        graft.ops.SessionArtifactCache.getOrBuild(
+          media.select(col("media_id"), col("content"), col("meta")),
+          tag = s"image_hashes:$src", params = "")(imageHashes(media))
+      case None => imageHashes(media)
+    }
+
   /** The 4 16-bit bands of a 64-bit hash, low band first — the
     * pigeonhole keys, and the engine-portable export form (band values
     * are 0..65535, so no engine hits the signed-2⁶³ edge a full 64-bit
@@ -245,6 +267,13 @@ object PerceptualHash {
     * (energy-profile) paths. A pair is kept iff at least one of its
     * matching bands survives the `maxBucket` cap, and emitted exactly
     * once (at its first surviving band).
+    *
+    * NOTE: construction is EAGER — the first-surviving-band dedup
+    * collects the (bounded) over-cap bucket list at DataFrame-build
+    * time, which materializes the upstream lazy checkpoints. Callers
+    * building plans for inspection only (explain) still pay the
+    * decode+hash+count pass; that work is reused by the execution, not
+    * repeated. Same applies to [[probeHashes]]/[[nearDupPairs]].
     */
   def hammingPairs(hashes: DataFrame, idCol: Column, hashCol: Column,
                    maxDist: Int, maxBucket: Int = 10000): DataFrame = {

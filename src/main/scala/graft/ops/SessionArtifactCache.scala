@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped materialized DataFrame artifacts — the local-mode
+  * stand-in for a write-once-read-many table at 100 TB (an inverted
+  * index, a decoded hash table): one build per (session, tag, input
+  * plan semantics, params), concurrent callers collapse onto the same
+  * build via computeIfAbsent, blocks live in MEMORY_AND_DISK via
+  * localCheckpoint (spills, never OOMs) for the session's lifetime.
+  *
+  * Keying rules (each one load-bearing, factored out of
+  * [[Tfidf.sharedSalientPairs]] where they were first pinned):
+  *  - the key carries the SEMANTIC HASH of the caller-projected input
+  *    plan, so two frames that differ (a filtered subset, different
+  *    columns, rewritten data) can never alias each other's artifact
+  *    even under the same caller-supplied tag;
+  *  - the key carries the session UUID, not the session object: a
+  *    static map must not pin a stopped session's plan graph;
+  *  - two-layer eviction: (a) an ApplicationEnd listener drops the
+  *    session's entries even if no artifact op runs again in this JVM
+  *    (long-lived test JVMs cycling many sessions); (b) an
+  *    opportunistic sweep of entries whose cached frame's context has
+  *    stopped, covering sessions hooked before (a) existed.
+  */
+private[graft] object SessionArtifactCache {
+
+  private final case class Key(sessionId: String, tag: String,
+                               planHash: Int, params: String)
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Key, DataFrame]
+  // sessions that already carry the eviction listener (by session id)
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // identity-keyed WEAK session-id registry: a GC'd session's entry
+  // vanishes with it
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Return the session's artifact for (tag, input-plan semantics,
+    * params), building and EAGERLY localCheckpoint-ing it on first
+    * request. `projectedInput` must be the caller's SEMANTIC input —
+    * projected down to exactly the columns the artifact derives from —
+    * so the plan hash distinguishes inputs without false aliasing.
+    */
+  def getOrBuild(projectedInput: DataFrame, tag: String, params: String)
+                (build: => DataFrame): DataFrame = {
+    val session = projectedInput.sparkSession
+    val planHash = projectedInput.queryExecution.analyzed.semanticHash()
+    val sid = sessionIds.computeIfAbsent(session,
+      _ => java.util.UUID.randomUUID().toString)
+    if (evictionHooked.add(sid)) {
+      session.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            cache.keySet.removeIf(_.sessionId == sid)
+            evictionHooked.remove(sid)
+          }
+        })
+    }
+    cache.entrySet.removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
+    cache.computeIfAbsent(Key(sid, tag, planHash, params),
+      _ => build.localCheckpoint())
+  }
+}

@@ -112,28 +112,14 @@ object Tfidf {
   /** Session-scoped materialized pair-table artifacts: at 100 TB the
     * inverted index and its pair table are written ONCE and read by
     * every consumer (the pair query, the per-doc top-k projection,
-    * downstream cluster derivation) — not recomputed per query. This
-    * cache is the local-mode stand-in for that materialized table:
-    * one build per (session, source-key, params), concurrent callers
-    * collapse onto the same build via computeIfAbsent, blocks live in
-    * MEMORY_AND_DISK (spills, never OOMs) for the session's lifetime.
-    * Callers opt in with `cacheKey` naming the SOURCE (e.g. the data
-    * dir); callers whose input differs per call (scale smoke's
-    * inflated corpora) pass None and keep per-call builds.
+    * downstream cluster derivation) — not recomputed per query.
+    * [[SessionArtifactCache]] (factored out of this op in round 10,
+    * same keying/eviction semantics) is the local-mode stand-in for
+    * that materialized table. Callers opt in with `cacheKey` naming
+    * the SOURCE (e.g. the data dir); callers whose input differs per
+    * call (scale smoke's inflated corpora) pass None and keep
+    * per-call builds.
     */
-  private final case class PairsKey(sessionId: String,
-                                    src: String, planHash: Int, k: Int,
-                                    minShared: Int, maxPostings: Int)
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[PairsKey, DataFrame]
-  // sessions that already carry the eviction listener (by session id)
-  private val evictionHooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  // identity-keyed WEAK session-id registry: the cache key carries this
-  // string, never the session object, so the static map can't pin a
-  // stopped session; a GC'd session's registry entry vanishes with it
-  private val sessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
 
   def sharedSalientPairs(docs: DataFrame, idCol: Column, textCol: Column,
                          k: Int = 5, minShared: Int = 2,
@@ -141,40 +127,11 @@ object Tfidf {
                          cacheKey: Option[String] = None): DataFrame =
     cacheKey match {
       case Some(src) =>
-        // the key carries the SEMANTIC HASH of the projected input plan,
-        // so two frames that differ (a filtered subset, different
-        // id/text columns, rewritten data) can never alias each other's
-        // pair table even under the same caller-supplied cacheKey — and
-        // the session UUID (not the session object: the KEY must not
-        // pin a stopped session's plan graph in a static map) so a
-        // stopped-and-recreated session never receives a cached plan
-        // over dead RDD blocks
-        val session = docs.sparkSession
-        val planHash = docs.select(idCol.as("id"), textCol.as("text"))
-          .queryExecution.analyzed.semanticHash()
-        // two-layer eviction: (a) an ApplicationEnd listener drops this
-        // session's entries even if the op is never called again in
-        // this JVM (long-lived test JVMs cycling many sessions);
-        // (b) an opportunistic sweep of entries whose cached frame's
-        // context has stopped, for sessions hooked before this change
-        val sid = sessionIds.computeIfAbsent(session,
-          _ => java.util.UUID.randomUUID().toString)
-        if (evictionHooked.add(sid)) {
-          session.sparkContext.addSparkListener(
-            new org.apache.spark.scheduler.SparkListener {
-              override def onApplicationEnd(
-                  e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-                pairsCache.keySet.removeIf(_.sessionId == sid)
-                evictionHooked.remove(sid)
-              }
-            })
-        }
-        pairsCache.entrySet.removeIf(
-          _.getValue.sparkSession.sparkContext.isStopped)
-        pairsCache.computeIfAbsent(
-          PairsKey(sid, src, planHash, k, minShared, maxPostings),
-          _ => buildSharedSalientPairs(docs, idCol, textCol, k, minShared,
-            maxPostings).localCheckpoint())
+        SessionArtifactCache.getOrBuild(
+          docs.select(idCol.as("id"), textCol.as("text")),
+          tag = s"tfidf_pairs:$src", params = s"$k:$minShared:$maxPostings")(
+          buildSharedSalientPairs(docs, idCol, textCol, k, minShared,
+            maxPostings))
       case None =>
         buildSharedSalientPairs(docs, idCol, textCol, k, minShared, maxPostings)
     }

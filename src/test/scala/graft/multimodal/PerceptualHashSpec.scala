@@ -356,6 +356,24 @@ class PerceptualHashSpec extends AnyFunSuite {
     }
   }
 
+  test("sharedImageHashes: one build per frame+key, no cross-frame aliasing, bytes identical") {
+    val docsA = Tables.documents(spark, SparkTestSession.Sf).limit(24)
+    val docsB = Tables.documents(spark, SparkTestSession.Sf).limit(12)
+    val key = Some("phash-cache-spec")
+    // same frame + key: the SAME DataFrame instance (one decode pass)
+    val a1 = PerceptualHash.sharedImageHashes(Multimodal.realMedia(docsA), key)
+    val a2 = PerceptualHash.sharedImageHashes(Multimodal.realMedia(docsA), key)
+    assert(a1 eq a2)
+    // the artifact's rows are byte-identical to the uncached pass
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect().toSet
+    assert(rows(a1) == rows(PerceptualHash.imageHashes(Multimodal.realMedia(docsA))))
+    // a DIFFERENT frame under the SAME key must not be served A's table
+    val b = PerceptualHash.sharedImageHashes(Multimodal.realMedia(docsB), key)
+    assert(rows(b) == rows(PerceptualHash.imageHashes(Multimodal.realMedia(docsB))))
+    assert(rows(b) != rows(a1))
+  }
+
   test("jpeg arm: decoded, deterministic in-JVM, near the lossless hash") {
     val img = Multimodal.genImage(5L)
     val rows = Seq((1L, Codecs.encodeJpeg(img)))
