@@ -200,6 +200,27 @@ object ScaleSmoke {
         graft.multimodal.PerceptualHash.hammingPairs(inflated,
           col("media_id"), col("ahash"), maxDist = 2)
       },
+      "audio_neardup" -> { f =>
+        // the audio energy-hash Hamming join under replication: audio
+        // shares hammingPairs with images, so the same XOR-namespace
+        // invariance applies (Hamming distance is invariant under a
+        // shared XOR; full-range Knuth-scrambled per-band masks keep
+        // replicas from colliding). maxDist = 3 matches
+        // q_audio_neardup. Output must be exactly ×F of ×1's pairs.
+        val hashes = graft.multimodal.PerceptualHash.audioHashes(
+          graft.multimodal.Multimodal.realMedia(Tables.documents(spark, sfDir)))
+        val mask = Seq(40503L, 2654435761L, 104729L, 899809343L)
+          .zipWithIndex.map { case (k, b) =>
+            shiftleft(pmod((col("r") + 1) * lit(k), lit(65536L)), 16 * b)
+          }.reduce(_ + _)
+        val inflated = hashes
+          .select(col("media_id"), col("ahash"),
+            explode(sequence(lit(0), lit(f - 1))).as("r"))
+          .select((col("media_id") * f + col("r")).as("media_id"),
+            col("ahash").bitwiseXOR(mask).as("ahash"))
+        graft.multimodal.PerceptualHash.hammingPairs(inflated,
+          col("media_id"), col("ahash"), maxDist = 3)
+      },
       "video_neardup" -> { f =>
         // the shot-overlap inverted-index join under replication: the
         // same XOR-namespace invariance as media_neardup (hash
