@@ -40,6 +40,13 @@ object Sampling {
     * past 2^31 the Knuth multiply leaves signed-64-bit range, where
     * Spark's non-ANSI wraparound silently skews the sample and an
     * exact-arithmetic verifier diverges; fail loudly instead).
+    *
+    * NULL contract: a NULL id yields a NULL bucket, which the sample
+    * filters DROP — a sampler may under-sample a corrupt row, but
+    * must never throw on it. The opposite of [[Sharding.assign]],
+    * where NULL-id rows ride into shards (an assigner must not lose
+    * corpus mass). Callers tracking corruption should count NULL ids
+    * upstream; the drop here is silent.
     */
   def hashBucket(idCol: Column, m: Int): Column = {
     val id = idCol.cast("long")

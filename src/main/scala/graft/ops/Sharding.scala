@@ -43,6 +43,16 @@ object Sharding {
     * non-ANSI wraparound and an exact-arithmetic engine (the DuckDB
     * oracle raises on BIGINT overflow) diverge. Larger id spaces need
     * a wider-modulus scramble on both sides first.
+    *
+    * NULL contract: NULL ids RIDE — they sort together (NULL scrambled
+    * tie-break) and receive shards like any row, because a packing
+    * assignment that silently dropped rows would lose corpus mass.
+    * This is deliberately the OPPOSITE of [[Sampling.hashBucket]],
+    * where a NULL id yields a NULL bucket that the sample filters drop
+    * (a sampler may under-sample, an assigner must not lose rows).
+    * Callers who treat NULL ids as upstream corruption should filter
+    * and count them BEFORE assigning — nothing here surfaces the
+    * count.
     */
   def assign(docs: DataFrame, idCol: Column, weightCol: Column,
              nShards: Int, strata: Int = 8, numRanges: Int = 32): DataFrame = {
