@@ -281,6 +281,41 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** Flat PQ ADC lookup table: out[j·ks + c] = Σ_p vec[j·sub + p] ·
+    * books(j)(c)(p), the per-p sum a left fold in index order — the
+    * exact IEEE order of [[graft.ops.Pq]]'s driver-side single-query
+    * table and of the SQL oracle's list_sum, so all three are
+    * bit-identical. One tight loop replacing an m·ks·sub-operand
+    * Column fold whose generated method blew Janino's 64 KB limit and
+    * dropped the stage to interpreted mode.
+    */
+  def pqLut(vec: ArrayData, books: Array[Array[Array[Double]]],
+            isFloat: Boolean): ArrayData = {
+    val m = books.length
+    val ks = books(0).length
+    val sub = books(0)(0).length
+    val out = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ks) {
+        val bl = books(j)(c)
+        var s = 0.0
+        var p = 0
+        while (p < sub) {
+          val x = if (isFloat) vec.getFloat(j * sub + p).toDouble
+                  else vec.getDouble(j * sub + p)
+          s += x * bl(p)
+          p += 1
+        }
+        out(j * ks + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard of two DISTINCT, ASCENDING-SORTED string arrays: one merge
     * pass, no intermediate arrays. Equals
     * `size(array_intersect(a,b)) / size(array_distinct(concat(a,b)))`
@@ -472,6 +507,25 @@ case class ProbeCells(child: Expression, cents: Array[Array[Double]], nProbe: In
     copy(child = newChild)
 }
 
+/** Flat PQ ADC lookup table over literal codebooks. */
+case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+  require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    kernels.pqLut(input.asInstanceOf[ArrayData], books, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.pqLut($c, $bRef, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 /** Merge-pass Jaccard over distinct sorted string arrays. */
 case class JaccardSorted(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -511,6 +565,8 @@ object ArrayExprs {
     Shim.column(ArgMaxCosine(Shim.expression(vec), centroids.map(unitNorm)))
   def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     Shim.column(ProbeCells(Shim.expression(vec), centroids.map(unitNorm), nProbe))
+  def pqLut(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    Shim.column(PqLut(Shim.expression(vec), books))
   def jaccardSorted(a: Column, b: Column): Column =
     Shim.column(JaccardSorted(Shim.expression(a), Shim.expression(b)))
   def interCountSorted(a: Column, b: Column): Column =

@@ -187,21 +187,16 @@ object Pq {
   }
 
   /** Per-query ADC lookup table as ONE flat array column of m·ks
-    * doubles — lut[j·ks + c] = dot(q_j, books(j)(c)) — built from
-    * codegen'd index-order folds on the (small, broadcast) query side.
-    * The fold order matches the driver-side table of [[pqTopK]] and
-    * the SQL oracle's list_sum, so all three produce bit-identical
-    * IEEE doubles.
+    * doubles — lut[j·ks + c] = dot(q_j, books(j)(c)) — via the native
+    * [[graft.functions.ArrayExprs.pqLut]] kernel (index-order folds,
+    * bit-identical to the driver-side table of [[pqTopK]] and the SQL
+    * oracle's list_sum). The kernel replaced an m·ks·sub-operand
+    * Column expression whose generated method blew Janino's 64 KB
+    * limit and silently dropped the query-side stage to interpreted
+    * mode.
     */
-  private def lutColumn(emb: Column, books: Array[Array[Array[Double]]]): Column = {
-    val m = books.length
-    val ks = books.head.length
-    val sub = books.head.head.length
-    array((for { j <- 0 until m; c <- 0 until ks } yield
-      (0 until sub).map(p =>
-        element_at(emb, j * sub + p + 1).cast("double") * lit(books(j)(c)(p)))
-        .reduce(_ + _)): _*)
-  }
+  private def lutColumn(emb: Column, books: Array[Array[Array[Double]]]): Column =
+    graft.functions.ArrayExprs.pqLut(emb, books)
 
   /** ADC score of a `codes` column against a flat per-query `lut`
     * column: m `element_at` lookups folded in subspace order — O(m)
@@ -260,11 +255,18 @@ object Pq {
     val sub = dim / m
     val books = trainCodebooks(embeddings, dim, m, ks, iterations)
     val cents = Similarity.ivfCentroids(embeddings, nCentroids)
+    // the 1024-op LUT fold is computed in its OWN select, the explode
+    // in the NEXT one: inline, it lands in the Project ABOVE Generate,
+    // where it (a) re-evaluates once per probe cell and (b) blows the
+    // Generate doConsume past Janino's method limit, dropping the
+    // stage to interpreted (the ExtractGenerator trap, PlanHygieneSpec)
     val q = queries.select(col("query_id"),
-      col("embedding").as("q_emb"),
-      lutColumn(col("embedding"), books).as("lut"),
-      explode(Similarity.ivfProbeCells(col("embedding"), cents, nProbe))
-        .as("probe"))
+        col("embedding").as("q_emb"),
+        lutColumn(col("embedding"), books).as("lut"),
+        Similarity.ivfProbeCells(col("embedding"), cents, nProbe)
+          .as("probes"))
+      .select(col("query_id"), col("q_emb"), col("lut"),
+        explode(col("probes")).as("probe"))
     val corpus = embeddings.select(col("vec_id"),
       Similarity.ivfCell(col("embedding"), cents).as("cell"),
       array((0 until m).map { j =>
