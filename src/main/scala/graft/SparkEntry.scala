@@ -871,7 +871,18 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Pq.ivfPqTopKBatch(emb, queries, k = 10)
+      Pq.ivfPqTopKBatch(emb, queries, k = 10, cacheKey = Some(dir))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // E2: plain-PQ batch — the full-corpus ADC scan amortized over the
+    // broadcast query table (no coarse quantizer: the baseline the
+    // IVF-PQ batch restricts; oracle-backed via the same codebook and
+    // per-query LUT CTEs)
+    "q_pq_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Pq.pqTopKBatch(emb, queries, k = 10, cacheKey = Some(dir))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -889,16 +900,20 @@ object SparkEntry {
     // E2 compressed-index path: product quantization (Jegou et al.
     // TPAMI'11) — m x 4-bit codes per vector, ADC scan, exact re-rank
     // (oracle-backed: fixed-point codebook training replayed in SQL)
+    // The PQ family shares ONE codebook training per session
+    // (Pq.sharedCodebooks, the train-once accounting of a persisted
+    // index): the first PQ query pays the 2-iteration Lloyd jobs,
+    // the rest reuse the arrays
     "q_pq_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Pq.pqTopK(emb, queryId = 3L, k = 10)
+      Pq.pqTopK(emb, queryId = 3L, k = 10, cacheKey = Some(dir))
         .orderBy(col("score").desc, col("vec_id"))
     }),
     // E2: IVF-PQ composition (FAISS IVFx,PQy shape) — probe cells
     // restrict the scan, PQ codes are what gets scored inside them
     "q_ivfpq_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Pq.ivfPqTopK(emb, queryId = 3L, k = 10)
+      Pq.ivfPqTopK(emb, queryId = 3L, k = 10, cacheKey = Some(dir))
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
@@ -2028,31 +2043,29 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rn FROM asg_f) t WHERE rn = 1)" +
       pqTailSql
 
-  /** Mirrors Pq.ivfPqTopKBatch(embeddings, vec_id<8, 10): shared
-    * fixed-point codebooks, per-query flat lookup tables
-    * (index-order folds — IEEE-identical to the Scala lutColumn),
-    * seed-centroid cells + per-query probes (the ivfBatchOracle
-    * shapes), per-query ADC top-100 pools, exact per-query re-rank.
+  /** Batch-PQ shared CTEs: per-query flat lookup tables over the
+    * vec_id<8 query set (index-order folds — IEEE-identical to the
+    * Scala PqLut kernel) and the full-corpus code assignment.
     */
-  private lazy val ivfPqBatchOracle: String =
-    pqBooksSql + ", " + ivfCellsSql +
-      "qb AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8), " +
+  private lazy val pqBatchLutSql: String =
+    "qb AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8), " +
       "qsb AS (SELECT qb.query_id, js.j, " +
       "list_transform(list_slice(qb.qe, js.j*8+1, js.j*8+8), x -> x::DOUBLE) AS qv FROM qb, js), " +
       "lutb AS (SELECT s.query_id, b.j, b.code, " +
       "list_sum(list_transform(range(1, 9), p -> s.qv[p] * b.bl[p])) AS lv " +
       "FROM b2 b JOIN qsb s ON s.j = b.j), " +
-      "probes AS (SELECT vec_id AS query_id, cid AS probe FROM (SELECT vec_id, cid, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cscore WHERE vec_id < 8) t " +
-      "WHERE rn <= 4), " +
       "asg_f AS (SELECT e.vec_id, b.j, b.code, " +
       "list_sum(list_transform(range(1, 9), p -> e.embedding[b.j*8+p]::DOUBLE * b.bl[p])) AS s " +
       "FROM embeddings e CROSS JOIN b2 b), " +
       "code_f AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code, " +
-      "row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rn FROM asg_f) t WHERE rn = 1), " +
-      "pool AS (SELECT p.query_id, cl.vec_id FROM cells cl " +
-      "JOIN probes p ON cl.cell = p.probe WHERE cl.vec_id <> p.query_id), " +
-      "adc AS (SELECT pl.query_id, pl.vec_id, list_sum(list(l.lv ORDER BY c.j)) AS adc " +
+      "row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rn FROM asg_f) t WHERE rn = 1), "
+
+  /** Batch-PQ shared tail after a `pool(query_id, vec_id)` CTE:
+    * per-(query, vec) ADC in subspace order, per-query top-100
+    * candidate pools, exact per-query re-rank.
+    */
+  private lazy val pqBatchTailSql: String =
+    "adc AS (SELECT pl.query_id, pl.vec_id, list_sum(list(l.lv ORDER BY c.j)) AS adc " +
       "FROM pool pl JOIN code_f c ON c.vec_id = pl.vec_id " +
       "JOIN lutb l ON l.query_id = pl.query_id AND l.j = c.j AND l.code = c.code " +
       "GROUP BY 1, 2), " +
@@ -2064,6 +2077,30 @@ object SparkEntry {
       "SELECT query_id, vec_id, score, rank FROM (SELECT query_id, vec_id, score, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM scored) t " +
       "WHERE rank <= 10 ORDER BY query_id, rank"
+
+  /** Mirrors Pq.ivfPqTopKBatch(embeddings, vec_id<8, 10): shared
+    * fixed-point codebooks, per-query flat lookup tables,
+    * seed-centroid cells + per-query probes (the ivfBatchOracle
+    * shapes), per-query ADC top-100 pools, exact per-query re-rank.
+    */
+  private lazy val ivfPqBatchOracle: String =
+    pqBooksSql + ", " + ivfCellsSql + pqBatchLutSql +
+      "probes AS (SELECT vec_id AS query_id, cid AS probe FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cscore WHERE vec_id < 8) t " +
+      "WHERE rn <= 4), " +
+      "pool AS (SELECT p.query_id, cl.vec_id FROM cells cl " +
+      "JOIN probes p ON cl.cell = p.probe WHERE cl.vec_id <> p.query_id), " +
+      pqBatchTailSql
+
+  /** Mirrors Pq.pqTopKBatch(embeddings, vec_id<8, 10): same codebook /
+    * LUT / code CTEs, pool = the FULL corpus per query (no coarse
+    * quantizer), same ADC + exact re-rank tail.
+    */
+  private lazy val pqBatchOracle: String =
+    pqBooksSql + ", " + pqBatchLutSql +
+      "pool AS (SELECT qb.query_id, e.vec_id FROM embeddings e, qb " +
+      "WHERE e.vec_id <> qb.query_id), " +
+      pqBatchTailSql
 
   /** Mirrors Similarity.ivfTopKBatch(embeddings, vec_id<8, 10). */
   private lazy val ivfBatchOracle: String =
@@ -3373,6 +3410,7 @@ object SparkEntry {
     "q_pq_ann" -> pqAnnOracle,
     "q_ivfpq_ann" -> ivfPqAnnOracle,
     "q_ivfpq_batch" -> ivfPqBatchOracle,
+    "q_pq_batch" -> pqBatchOracle,
 
     // sketch aggregates in their EXACT regime: the gated datasets keep
     // approx_top_k far under its tracked capacity (31 distinct tokens

@@ -119,12 +119,33 @@ object Pq {
     * The 1-row query collect is bounded driver traffic (same contract
     * as the watermark max).
     */
+  /** [[trainCodebooks]] behind the session value cache: a persisted
+    * PQ index at scale is TRAINED ONCE and read by every query — with
+    * `cacheKey` (naming the source, e.g. the data dir) the 2·
+    * `iterations` corpus jobs + driver collects run once per session
+    * and every PQ query reuses the arrays. Keyed on the embeddings
+    * plan's semantics, so a different corpus under the same key never
+    * aliases ([[SessionArtifactCache]] rules).
+    */
+  def sharedCodebooks(embeddings: DataFrame, dim: Int, m: Int = 8,
+                      ks: Int = 16, iterations: Int = 2,
+                      cacheKey: Option[String] = None): Array[Array[Array[Double]]] =
+    cacheKey match {
+      case Some(src) =>
+        SessionArtifactCache.getOrCompute(
+          embeddings.select(col("vec_id"), col("embedding")),
+          tag = s"pq_books:$src", params = s"$dim:$m:$ks:$iterations")(
+          trainCodebooks(embeddings, dim, m, ks, iterations))
+      case None => trainCodebooks(embeddings, dim, m, ks, iterations)
+    }
+
   def pqTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int = 64,
              m: Int = 8, ks: Int = 16, iterations: Int = 2,
-             rerank: Int = 100, roundTo: Int = 6): DataFrame = {
+             rerank: Int = 100, roundTo: Int = 6,
+             cacheKey: Option[String] = None): DataFrame = {
     require(rerank >= k, "rerank pool must be at least k")
     val sub = dim / m
-    val books = trainCodebooks(embeddings, dim, m, ks, iterations)
+    val books = sharedCodebooks(embeddings, dim, m, ks, iterations, cacheKey)
     val qVec = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
     // per-subspace lookup table: lut(j)(c) = dot(q_j, codebook(j)(c))
@@ -155,11 +176,12 @@ object Pq {
   def ivfPqTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int = 64,
                 m: Int = 8, ks: Int = 16, iterations: Int = 2,
                 nCentroids: Int = 16, nProbe: Int = 4,
-                rerank: Int = 100, roundTo: Int = 6): DataFrame = {
+                rerank: Int = 100, roundTo: Int = 6,
+                cacheKey: Option[String] = None): DataFrame = {
     require(rerank >= k, "rerank pool must be at least k")
     val sub = dim / m
     val cents = Similarity.ivfCentroids(embeddings, nCentroids)
-    val books = trainCodebooks(embeddings, dim, m, ks, iterations)
+    val books = sharedCodebooks(embeddings, dim, m, ks, iterations, cacheKey)
     val qVec = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -223,9 +245,10 @@ object Pq {
   def pqTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
                   dim: Int = 64, m: Int = 8, ks: Int = 16,
                   iterations: Int = 2, rerank: Int = 100,
-                  roundTo: Int = 6): DataFrame = {
+                  roundTo: Int = 6,
+                  cacheKey: Option[String] = None): DataFrame = {
     require(rerank >= k, "rerank pool must be at least k")
-    val books = trainCodebooks(embeddings, dim, m, ks, iterations)
+    val books = sharedCodebooks(embeddings, dim, m, ks, iterations, cacheKey)
     val q = queries.select(col("query_id"),
       col("embedding").as("q_emb"),
       lutColumn(col("embedding"), books).as("lut"))
@@ -250,10 +273,11 @@ object Pq {
                      dim: Int = 64, m: Int = 8, ks: Int = 16,
                      iterations: Int = 2, nCentroids: Int = 16,
                      nProbe: Int = 4, rerank: Int = 100,
-                     roundTo: Int = 6): DataFrame = {
+                     roundTo: Int = 6,
+                     cacheKey: Option[String] = None): DataFrame = {
     require(rerank >= k, "rerank pool must be at least k")
     val sub = dim / m
-    val books = trainCodebooks(embeddings, dim, m, ks, iterations)
+    val books = sharedCodebooks(embeddings, dim, m, ks, iterations, cacheKey)
     val cents = Similarity.ivfCentroids(embeddings, nCentroids)
     // the 1024-op LUT fold is computed in its OWN select, the explode
     // in the NEXT one: inline, it lands in the Project ABOVE Generate,

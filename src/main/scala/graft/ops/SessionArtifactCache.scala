@@ -30,6 +30,10 @@ private[graft] object SessionArtifactCache {
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Key, DataFrame]
+  // driver-side value artifacts (trained codebooks, centroid arrays):
+  // plain objects, no Spark blocks — evicted with the session's keys
+  private val valueCache =
+    new java.util.concurrent.ConcurrentHashMap[Key, AnyRef]
   // sessions that already carry the eviction listener (by session id)
   private val evictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -46,6 +50,26 @@ private[graft] object SessionArtifactCache {
     */
   def getOrBuild(projectedInput: DataFrame, tag: String, params: String)
                 (build: => DataFrame): DataFrame = {
+    val key = makeKey(projectedInput, tag, params)
+    cache.entrySet.removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
+    cache.computeIfAbsent(key, _ => build.localCheckpoint())
+  }
+
+  /** Like [[getOrBuild]] but for a DRIVER-SIDE value derived from the
+    * input (trained codebooks, centroid arrays): computed once per
+    * (session, tag, input-plan semantics, params) — the train-once
+    * accounting of a persisted index at scale. The value must be a
+    * plain object (no Spark resources); it is evicted with the
+    * session's keys.
+    */
+  def getOrCompute[T <: AnyRef](projectedInput: DataFrame, tag: String,
+                                params: String)(compute: => T): T =
+    valueCache.computeIfAbsent(makeKey(projectedInput, tag, params),
+      _ => compute).asInstanceOf[T]
+
+  private def makeKey(projectedInput: DataFrame, tag: String,
+                      params: String): Key = {
     val session = projectedInput.sparkSession
     val planHash = projectedInput.queryExecution.analyzed.semanticHash()
     val sid = sessionIds.computeIfAbsent(session,
@@ -56,13 +80,11 @@ private[graft] object SessionArtifactCache {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             cache.keySet.removeIf(_.sessionId == sid)
+            valueCache.keySet.removeIf(_.sessionId == sid)
             evictionHooked.remove(sid)
           }
         })
     }
-    cache.entrySet.removeIf(
-      _.getValue.sparkSession.sparkContext.isStopped)
-    cache.computeIfAbsent(Key(sid, tag, planHash, params),
-      _ => build.localCheckpoint())
+    Key(sid, tag, planHash, params)
   }
 }

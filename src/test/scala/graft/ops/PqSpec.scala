@@ -111,6 +111,25 @@ class PqSpec extends AnyFunSuite {
     assert(full == allCells)
   }
 
+  test("sharedCodebooks: train-once per frame+key; params and frames never alias") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val key = Some("pq-books-spec")
+    val b1 = Pq.sharedCodebooks(e, Dim, cacheKey = key)
+    val b2 = Pq.sharedCodebooks(e, Dim, cacheKey = key)
+    assert(b1 eq b2) // one training, same arrays
+    // different params under the same key: a separate training
+    val b3 = Pq.sharedCodebooks(e, Dim, iterations = 1, cacheKey = key)
+    assert(!(b3 eq b1))
+    // a different frame under the same key: trained on ITS data
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val b4 = Pq.sharedCodebooks(half, Dim, cacheKey = key)
+    assert(!(b4 eq b1))
+    // and the cached arrays equal an uncached training bit-for-bit
+    val fresh = Pq.trainCodebooks(e, Dim)
+    assert(b1.zip(fresh).forall { case (x, y) =>
+      x.zip(y).forall { case (a, b) => a.sameElements(b) } })
+  }
+
   test("ivfPqTopKBatch plan: queries broadcast, corpus never shuffled before the join") {
     val e = Tables.embeddings(spark, SparkTestSession.Sf)
     val queries = e.filter(col("vec_id") < 8)
