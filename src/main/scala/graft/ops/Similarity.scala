@@ -352,6 +352,43 @@ object Similarity {
     * needed. Output (vec_id, bench_id, score ≥ threshold); downstream
     * drops every flagged vec_id.
     */
+  /** Standing semantic-decontamination artifact for
+    * write-once-probe-many embedding gates (the MinHash
+    * `CorpusIndex` shape): the coarse-quantizer centroids (driver
+    * arrays, trained/seeded from the REFERENCE corpus at build time —
+    * a stream must not re-derive geometry per batch) plus the
+    * benchmark side pre-exploded to its probe cells, eagerly
+    * checkpointed. Each micro-batch computes its one cell in-scan and
+    * broadcast-joins the bench probes — per-batch work tracks the
+    * batch, never the corpus or the bench build.
+    */
+  final case class SemIndex(cents: Array[Array[Double]], bench: DataFrame)
+
+  def buildSemIndex(corpus: DataFrame, bench: DataFrame,
+                    nCentroids: Int = 16, nProbe: Int = 4): SemIndex = {
+    val cents = ivfCentroids(corpus, nCentroids)
+    SemIndex(cents,
+      bench.select(col("vec_id").as("bench_id"),
+        col("embedding").as("b_emb"),
+        explode(ivfProbeCells(col("embedding"), cents, nProbe)).as("probe"))
+        .localCheckpoint())
+  }
+
+  /** Probe an embedding batch against a standing [[SemIndex]]: rows of
+    * the batch cosine-close (≥ threshold) to ANY benchmark member.
+    * Output (vec_id, bench_id, score) — identical semantics to
+    * [[semanticContamination]] when the index was built from the same
+    * corpus/bench (spec-pinned).
+    */
+  def probeSemIndex(idx: SemIndex, batch: DataFrame, threshold: Double,
+                    roundTo: Int = 6): DataFrame =
+    batch.withColumn("cell", ivfCell(col("embedding"), idx.cents))
+      .join(broadcast(idx.bench),
+        col("cell") === col("probe") && col("vec_id") =!= col("bench_id"))
+      .withColumn("score", round(cosine(col("embedding"), col("b_emb")), roundTo))
+      .filter(col("score") >= threshold)
+      .select(col("vec_id"), col("bench_id"), col("score"))
+
   def semanticContamination(corpus: DataFrame, bench: DataFrame,
                             threshold: Double, nCentroids: Int = 16,
                             nProbe: Int = 4, roundTo: Int = 6): DataFrame = {

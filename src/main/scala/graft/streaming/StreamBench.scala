@@ -214,6 +214,51 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** Stage the embeddings table as a replay directory. `factor` unions
+    * id-shifted copies (same vectors under new ids — the probe cost is
+    * per-row cell assignment + bench join, so replicas are real work).
+    */
+  def stageEmbeddings(spark: SparkSession, sfDir: String, nFiles: Int,
+                      factor: Int = 1): String = {
+    val dir = tempDir("sb_emb")
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val rep = if (factor <= 1) base
+      else (1 until factor).foldLeft(base) { (acc, i) =>
+        acc.unionAll(base.withColumn("vec_id",
+          col("vec_id") + lit(i.toLong * 1000000000L)))
+      }
+    rep.repartition(nFiles).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Semantic-decontamination twin: embedding replay probed against
+    * the standing [[graft.ops.Similarity.SemIndex]] (corpus-seeded
+    * coarse quantizer + pre-exploded benchmark probes, built and
+    * materialized untimed) — the paraphrase-robust complement of
+    * [[benchDecontam]]'s n-gram gate.
+    */
+  def benchSemDecontam(spark: SparkSession, sfDir: String,
+                       replayDir: String): StreamMetrics = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val idx = graft.ops.Similarity.buildSemIndex(emb,
+      emb.filter(col("vec_id") % 25 === 0))
+    idx.bench.queryExecution.toRdd.count() // materialize untimed
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val embs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = embs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Similarity.probeSemIndex(idx, b, threshold = 0.30).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** Stage the generated media table as a replay directory. `factor`
     * unions id-shifted copies — the encode UDF derives pixels from the
     * id, so every copy carries ORGANIC new payloads (real decode work),
@@ -360,6 +405,8 @@ object StreamBench {
       line("video_neardup", f, benchVideoNearDup(spark, sfDir, stageVideo(spark, sfDir, 8, f)))
       line("dedup", f, benchDedup(spark, ev))
       line("decontam", f, benchDecontam(spark, sfDir, docs))
+      line("sem_decontam", f, benchSemDecontam(spark, sfDir,
+        stageEmbeddings(spark, sfDir, 8, f)))
       line("sessionize", f, benchSessions(spark, ev))
       line("neardup", f, benchNearDup(spark, sfDir, docs))
       cleanup(keep = before) // reclaim THIS factor's replays only

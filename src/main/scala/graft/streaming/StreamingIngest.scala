@@ -192,6 +192,35 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming twin of the SEMANTIC decontamination gate
+    * ([[graft.ops.Similarity.semanticContamination]]) — the
+    * paraphrase-robust complement of [[decontaminatedBatches]]'s
+    * n-gram gate: every micro-batch of an embedding stream is
+    * cell-assigned against the STANDING
+    * [[graft.ops.Similarity.SemIndex]] (coarse-quantizer geometry +
+    * pre-exploded benchmark probes, built once before the stream
+    * starts) and broadcast-joined to the bench probes; flagged
+    * (vec_id, bench_id, score ≥ threshold) rows land with the same
+    * exactly-once `ingest_batch=N` overwrite contract as
+    * [[nearDupBatches]].
+    */
+  def semDecontamBatches(embeddings: DataFrame,
+                         semIndex: graft.ops.Similarity.SemIndex,
+                         threshold: Double, outDir: String,
+                         checkpointDir: Option[String] = None): Unit = {
+    val q = embeddings.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Similarity
+          .probeSemIndex(semIndex, batch, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("semdec_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming twin of the PERCEPTUAL image near-dup gate: every
     * micro-batch of a media stream (a crawl's image payloads) is
     * decoded, aHashed, and Hamming-probed against a STANDING

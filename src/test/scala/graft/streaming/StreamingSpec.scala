@@ -119,6 +119,57 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("streaming semantic decontamination equals the batch operator") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf).cache()
+    val bench = emb.filter(col("vec_id") % 25 === 0)
+    val idx = Similarity.buildSemIndex(emb, bench)
+    val inDir = java.nio.file.Files.createTempDirectory("ssd_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ssd_out").toString
+    emb.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.semDecontamBatches(stream, idx, threshold = 0.30,
+      outDir = outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("vec_id", "bench_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    // == the standing-index batch probe == the one-shot batch operator
+    // (same corpus-seeded geometry)
+    val probe = Similarity.probeSemIndex(idx, emb, 0.30)
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Similarity.semanticContamination(emb, bench, 0.30)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == probe)
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty, "the sf corpus should flag at least one row")
+    emb.unpersist()
+  }
+
+  test("semDecontamBatches restart: checkpoint resume is exactly-once") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf).cache()
+    val bench = emb.filter(col("vec_id") % 25 === 0)
+    val idx = Similarity.buildSemIndex(emb, bench)
+    // one bench embedding replayed under a new id per wave: an exact
+    // cosine-1.0 hit in both the pre- and post-restart halves
+    val benchRows = bench.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].take(2)
+    def twin(src: (Long, Array[Float]), off: Long) =
+      Seq((src._1 + off, src._2)).toDF("vec_id", "embedding")
+    val wave1 = emb.filter(col("vec_id") % 5 === 1)
+      .select("vec_id", "embedding")
+      .unionByName(twin(benchRows(0), 5000000L)).cache()
+    val wave2 = emb.filter(col("vec_id") % 5 === 2)
+      .select("vec_id", "embedding")
+      .unionByName(twin(benchRows(1), 6000000L)).cache()
+    restartContract("ssdr", wave1, wave2,
+      (st, out, ck) => StreamingIngest.semDecontamBatches(st, idx, 0.30, out, ck),
+      b => Similarity.probeSemIndex(idx, b, 0.30),
+      Seq("vec_id", "bench_id", "score"))
+    emb.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming perceptual image near-dup equals the batch probe") {
     import graft.multimodal.{Multimodal, PerceptualHash}
     val media = Multimodal.realMedia(
