@@ -216,6 +216,27 @@ object MinHash {
       shingleN, k, bands, seed)
   }
 
+  /** INDEX MAINTENANCE — the other half of the crawl loop: after a
+    * batch is probed (and its accepted rows kept), [[extend]] folds
+    * those rows into the standing index so the NEXT batch can match
+    * against them. Only the new rows are shingled and signed (one
+    * batch-sized checkpoint); the existing artifact's blocks are
+    * UNIONED, never recomputed or copied — at 100 TB this is a
+    * parquet append to the index table, and the local union of
+    * checkpointed frames is the same accounting. The extended index
+    * is a new value; the input index remains valid (readers of the
+    * old snapshot are unaffected — the parquet-append semantics).
+    */
+  def extend(cidx: CorpusIndex, batch: DataFrame,
+             idCol: Column, textCol: Column): CorpusIndex = {
+    val bBase = prepared(batch, idCol, textCol, cidx.shingleN, cidx.k,
+      cidx.seed).localCheckpoint()
+    CorpusIndex(
+      cidx.base.unionByName(bBase),
+      cidx.index.unionByName(banded(bBase, cidx.k, cidx.bands).localCheckpoint()),
+      cidx.shingleN, cidx.k, cidx.bands, cidx.seed)
+  }
+
   /** Probe a batch against a standing [[CorpusIndex]]: only the batch
     * is shingled and signed; the bipartite band join and the verify
     * join's corpus side read the index artifact. Output

@@ -192,6 +192,48 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** SELF-MAINTAINING streaming near-dup gate — the full crawl loop:
+    * each micro-batch is probed against the standing index (hits land
+    * with the exactly-once `ingest_batch=N` contract), then FOLDED
+    * INTO the index via [[graft.ops.MinHash.extend]], so a duplicate
+    * arriving in a LATER batch of the same stream is caught even when
+    * its original was never in the seed corpus. Extension is guarded
+    * by batchId, so a retried micro-batch re-probes (and overwrites
+    * its own output) without double-inserting its rows.
+    *
+    * The evolving index is process state, not checkpoint state: on
+    * restart, rebuild it from the seed corpus plus previously accepted
+    * batches before resuming (at 100 TB the index is a parquet table
+    * whose APPEND is the durable state — [[graft.ops.MinHash.extend]]'s
+    * scaladoc; the checkpoint only tracks which source files are
+    * consumed).
+    */
+  def selfNearDupBatches(docs: DataFrame,
+                         seedIndex: graft.ops.MinHash.CorpusIndex,
+                         threshold: Double, outDir: String,
+                         checkpointDir: Option[String] = None)
+      : graft.ops.MinHash.CorpusIndex = {
+    import org.apache.spark.sql.functions.col
+    var idx = seedIndex
+    var lastExtended = -1L
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.MinHash
+          .probe(idx, batch, col("doc_id"), col("text"), threshold)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        if (batchId > lastExtended) {
+          idx = graft.ops.MinHash.extend(idx, batch, col("doc_id"), col("text"))
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("selfnd_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    idx
+  }
+
   /** Streaming twin of the SEMANTIC decontamination gate
     * ([[graft.ops.Similarity.semanticContamination]]) — the
     * paraphrase-robust complement of [[decontaminatedBatches]]'s

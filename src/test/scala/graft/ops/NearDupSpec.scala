@@ -120,6 +120,37 @@ class NearDupSpec extends AnyFunSuite {
       s"role mixup (corpus x corpus or batch x batch pair): $hits")
   }
 
+  test("extend: the crawl loop — an accepted batch becomes probe-able by the next") {
+    // corpus = docs 4,5; wave1 brings doc 1 (novel vs corpus); wave2
+    // brings doc 6, a near-dup OF WAVE 1's doc — catchable only if
+    // wave1 was folded into the standing index
+    val corpus = docs.filter(col("doc_id") >= 4)
+    val idx0 = MinHash.buildIndex(corpus, col("doc_id"), col("text"), shingleN = 2)
+    val wave1 = docs.filter(col("doc_id") === 1)
+    val hits1 = MinHash.probe(idx0, wave1, col("doc_id"), col("text"), 0.5)
+      .collect()
+    assert(hits1.isEmpty, s"doc 1 should be novel vs corpus: ${hits1.toSeq}")
+    val idx1 = MinHash.extend(idx0, wave1, col("doc_id"), col("text"))
+    val wave2 = Seq((6L, base.replace("dog", "cat"))).toDF("doc_id", "text")
+    val hits2 = MinHash.probe(idx1, wave2, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2.contains((6L, 1L)), s"cross-batch dup not caught: $hits2")
+    // the extended index equals a from-scratch build over corpus+wave1
+    val rebuilt = MinHash.buildIndex(corpus.unionByName(wave1),
+      col("doc_id"), col("text"), shingleN = 2)
+    val viaRebuild = MinHash.probe(rebuilt, wave2, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 == viaRebuild)
+    // the old snapshot is untouched (parquet-append semantics)
+    assert(MinHash.probe(idx0, wave2, col("doc_id"), col("text"), 0.5)
+      .collect().isEmpty)
+    // incremental accounting: the extended artifact READS materialized
+    // blocks (ExistingRDD scans), it does not re-shingle the corpus
+    val plan = idx1.index.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"index should union checkpoints:\n$plan")
+    assert(!plan.contains("Generate"), s"no re-shingling in the artifact:\n$plan")
+  }
+
   test("SimHash: identical texts at distance 0, near dups close, unrelated far") {
     val sigs = SimHash.signatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

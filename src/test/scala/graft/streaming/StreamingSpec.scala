@@ -119,6 +119,42 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("selfNearDupBatches: a later wave's dup of an earlier wave is caught") {
+    import graft.ops.MinHash
+    val all = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val corpus = all.filter(col("doc_id") % 5 === 0)
+    // wave 1 carries doc X (novel vs corpus); wave 2 carries an exact
+    // copy of X under a new id — catchable ONLY because wave 1 was
+    // folded into the evolving index
+    val xRow = all.filter(col("doc_id") % 5 === 1)
+      .select("doc_id", "text").as[(Long, String)].head()
+    val wave1 = all.filter(col("doc_id") % 5 === 1).limit(60)
+      .select("doc_id", "text").cache()
+    val wave2 = all.filter(col("doc_id") % 5 === 2).limit(60)
+      .select("doc_id", "text")
+      .unionByName(Seq((xRow._1 + 5000000L, xRow._2)).toDF("doc_id", "text"))
+      .cache()
+    val inDir = java.nio.file.Files.createTempDirectory("snd_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("snd_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("snd_ck").toString
+    def stream() = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val idx0 = MinHash.buildIndex(corpus, col("doc_id"), col("text"))
+    // run 1: wave 1 only — the returned index has absorbed it
+    wave1.repartition(2).write.mode("append").parquet(inDir)
+    val idx1 = StreamingIngest.selfNearDupBatches(stream(), idx0, 0.5,
+      outDir, Some(ckptDir))
+    // run 2 (checkpoint resume): wave 2 probes the EVOLVED index
+    wave2.repartition(2).write.mode("append").parquet(inDir)
+    StreamingIngest.selfNearDupBatches(stream(), idx1, 0.5,
+      outDir, Some(ckptDir))
+    val hits = spark.read.parquet(outDir)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((xRow._1 + 5000000L, xRow._1)),
+      s"cross-wave dup not caught: $hits")
+    all.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming semantic decontamination equals the batch operator") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, SparkTestSession.Sf).cache()
