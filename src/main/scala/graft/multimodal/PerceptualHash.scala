@@ -325,16 +325,20 @@ object PerceptualHash {
 
   /** Standing perceptual-hash artifact for write-once-probe-many media
     * gates (the [[graft.ops.MinHash.CorpusIndex]] shape): the corpus
-    * hash table, its flat (bi, bv) band index, and the over-cap bucket
-    * list, all EAGERLY checkpointed so every probe — each micro-batch
-    * of a media stream — reads materialized blocks; the corpus is
-    * decoded and hashed exactly once. Hot buckets are capped at build
-    * time (`maxBucket`), so no batch can join into a degenerate
-    * bucket; `hot` (bi, bv, n) is both the probe's first-surviving-band
-    * exception list and the cap AUDIT — what the cap silently dropped.
+    * hash table, its flat (bi, bv) band index, the full bucket-count
+    * table, and the over-cap bucket list, all EAGERLY checkpointed so
+    * every probe — each micro-batch of a media stream — reads
+    * materialized blocks; the corpus is decoded and hashed exactly
+    * once. Hot buckets are capped at build time (`maxBucket`), so no
+    * batch can join into a degenerate bucket; `hot` (bi, bv, n) is
+    * both the probe's first-surviving-band exception list and the cap
+    * AUDIT — what the cap silently dropped. `counts` (bounded by
+    * distinct band values, ≤ 4·2¹⁶ rows) exists so [[extendHashIndex]]
+    * can maintain the cap incrementally.
     */
   final case class HashIndex(hashes: DataFrame, index: DataFrame,
-                             hot: DataFrame)
+                             hot: DataFrame, counts: DataFrame,
+                             maxBucket: Int)
 
   /** Build a [[HashIndex]] from any (pid, ph) 64-bit hash table —
     * shared by the image (aHash) and audio (energy-profile) paths.
@@ -343,11 +347,42 @@ object PerceptualHash {
     val hashes = hashTable.select(col("pid"), col("ph")).localCheckpoint()
     val idx = bandIndex(hashes, "pid", "ph")
     val counts = idx.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val ok = counts.filter(col("n") <= maxBucket).select(col("bi"), col("bv"))
     HashIndex(hashes,
       idx.join(ok, Seq("bi", "bv"), "left_semi").localCheckpoint(),
-      counts.filter(col("n") > maxBucket).localCheckpoint())
+      counts.filter(col("n") > maxBucket).localCheckpoint(),
+      counts, maxBucket)
+  }
+
+  /** INDEX MAINTENANCE for the Hamming-banded family — fold an
+    * accepted (pid, ph) batch into a standing [[HashIndex]]: only the
+    * batch is banded (O(batch) new work); the merged bucket counts
+    * (a ≤ 4·2¹⁶-row table) re-derive the cap, and rows of buckets the
+    * batch pushed OVER the cap are masked from the old index by a
+    * broadcast anti-join (at scale: a partition-pruned delete on the
+    * (bi, bv)-partitioned index table; locally: a lazy filter over the
+    * checkpointed blocks — nothing is re-decoded). The input snapshot
+    * stays valid, like [[graft.ops.MinHash.extend]].
+    */
+  def extendHashIndex(cidx: HashIndex, batchHashTable: DataFrame): HashIndex = {
+    val bHashes = batchHashTable.select(col("pid"), col("ph")).localCheckpoint()
+    val bIdx = bandIndex(bHashes, "pid", "ph").localCheckpoint()
+    val counts = cidx.counts
+      .unionByName(bIdx.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n")))
+      .groupBy(col("bi"), col("bv")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    val hot = counts.filter(col("n") > cidx.maxBucket).localCheckpoint()
+    // buckets that were ok at the old cap but are hot now: their rows
+    // leave the index (the audit keeps them visible)
+    val newlyHot = hot.join(cidx.hot.select(col("bi"), col("bv")),
+      Seq("bi", "bv"), "left_anti").select(col("bi"), col("bv"))
+    val ok = counts.filter(col("n") <= cidx.maxBucket).select(col("bi"), col("bv"))
+    HashIndex(
+      cidx.hashes.unionByName(bHashes),
+      cidx.index.join(broadcast(newlyHot), Seq("bi", "bv"), "left_anti")
+        .unionByName(bIdx.join(ok, Seq("bi", "bv"), "left_semi")),
+      hot, counts, cidx.maxBucket)
   }
 
   def buildImageIndex(media: DataFrame, maxBucket: Int = 10000): HashIndex =
@@ -485,9 +520,12 @@ object PerceptualHash {
 
   /** Standing shot-hash artifact for write-once-probe-many video
     * gates: the capped distinct (fh → pid) inverted index plus the
-    * over-cap audit list, eagerly checkpointed.
+    * over-cap audit list, eagerly checkpointed. `counts` (one row per
+    * distinct frame hash) and `maxBucket` exist so [[extendVideoIndex]]
+    * can maintain the cap incrementally.
     */
-  final case class FrameIndex(frames: DataFrame, hot: DataFrame)
+  final case class FrameIndex(frames: DataFrame, hot: DataFrame,
+                              counts: DataFrame, maxBucket: Int)
 
   def buildVideoIndex(media: DataFrame, everyN: Int = 2,
                       maxBucket: Int = 10000): FrameIndex = {
@@ -495,11 +533,39 @@ object PerceptualHash {
       .select(col("media_id").as("pid"), col("ahash").as("fh")).distinct()
       .localCheckpoint(eager = false)
     val counts = frames.groupBy(col("fh")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     FrameIndex(
       frames.join(counts.filter(col("n") <= maxBucket).select(col("fh")),
         Seq("fh"), "left_semi").localCheckpoint(),
-      counts.filter(col("n") > maxBucket).localCheckpoint())
+      counts.filter(col("n") > maxBucket).localCheckpoint(),
+      counts, maxBucket)
+  }
+
+  /** INDEX MAINTENANCE for the shot-overlap family — fold an accepted
+    * video batch into a standing [[FrameIndex]]: only the batch's
+    * sampled frames are decoded; merged per-hash counts re-derive the
+    * cap, and hashes the batch pushed over it are masked from the old
+    * inverted index by a broadcast anti-join (the
+    * [[extendHashIndex]] accounting).
+    */
+  def extendVideoIndex(fidx: FrameIndex, batch: DataFrame,
+                       everyN: Int = 2): FrameIndex = {
+    val bFrames = videoFrameHashes(batch, everyN)
+      .select(col("media_id").as("pid"), col("ahash").as("fh")).distinct()
+      .localCheckpoint()
+    val counts = fidx.counts
+      .unionByName(bFrames.groupBy(col("fh")).agg(count(lit(1)).as("n")))
+      .groupBy(col("fh")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    val hot = counts.filter(col("n") > fidx.maxBucket).localCheckpoint()
+    val newlyHot = hot.join(fidx.hot.select(col("fh")), Seq("fh"), "left_anti")
+      .select(col("fh"))
+    FrameIndex(
+      fidx.frames.join(broadcast(newlyHot), Seq("fh"), "left_anti")
+        .unionByName(bFrames.join(
+          counts.filter(col("n") <= fidx.maxBucket).select(col("fh")),
+          Seq("fh"), "left_semi")),
+      hot, counts, fidx.maxBucket)
   }
 
   /** Probe a video batch against a standing [[FrameIndex]]: only the

@@ -356,6 +356,70 @@ class PerceptualHashSpec extends AnyFunSuite {
     }
   }
 
+  test("extendHashIndex: batch folds in; cap crossings mask old rows; equals rebuild") {
+    val A = 0x0001000200030004L
+    val B = 0x000A000B000C000DL
+    val corpus = Seq((1L, A), (2L, A), (3L, B)).toDF("pid", "ph")
+    val idx0 = PerceptualHash.buildHashIndex(corpus, maxBucket = 2)
+    // id 10 pushes every A-band bucket over the cap (3 > 2); id 20 is
+    // a dist-1 near-dup of corpus id 3, indexed normally
+    val batch = Seq((10L, A), (20L, B ^ 1L)).toDF("pid", "ph")
+    val idx1 = PerceptualHash.extendHashIndex(idx0, batch)
+    val probes = Seq((100L, A), (101L, B)).toDF("batch_id", "bh")
+    def hits(ix: PerceptualHash.HashIndex) =
+      PerceptualHash.probeHashes(ix, probes, maxDist = 3)
+        .as[(Long, Long, Long)].collect().toSet
+    // extended == from-scratch rebuild over corpus + batch
+    val rebuilt = PerceptualHash.buildHashIndex(
+      corpus.unionByName(batch), maxBucket = 2)
+    assert(hits(idx1) == hits(rebuilt), s"${hits(idx1)} vs ${hits(rebuilt)}")
+    // A's buckets turned hot: the old A rows are masked, no A hits
+    assert(!hits(idx1).exists(_._1 == 100L), s"${hits(idx1)}")
+    assert(idx1.hot.filter(col("n") === 3).count() == 4) // 4 A-bands
+    // B's bucket stayed under the cap: dist-0 and the NEW dist-1 hit
+    assert(hits(idx1).contains((101L, 3L, 0L)))
+    assert(hits(idx1).contains((101L, 20L, 1L)))
+    // the input snapshot is untouched (parquet-append semantics)
+    assert(hits(idx0).contains((100L, 1L, 0L)))
+    assert(hits(idx0).contains((100L, 2L, 0L)))
+  }
+
+  test("extendVideoIndex: an accepted clip is probe-able by the next batch; equals rebuild") {
+    def clipRow(id: Long, src: Long) =
+      Seq((id, Codecs.encodeAniQoi((0 until Multimodal.videoFrameCount(src))
+        .map(f => Multimodal.genVideoFrame(src, f)))))
+        .toDF("media_id", "content")
+        .select(col("media_id"), col("content"),
+          struct(lit("aqoi").as("format"), lit(0).as("width"),
+            lit(0).as("height"), lit(2).as("n_frames")).as("meta"))
+    val docs = Tables.documents(spark, SparkTestSession.Sf).limit(40)
+    val video = Multimodal.videoMedia(docs)
+    val corpus = video.filter(col("media_id") % 5 === 0)
+    // a clip with >= 3 frames and distinct sampled hashes, NOT in corpus
+    val src = video.filter(col("media_id") % 5 =!= 0)
+      .filter(col("media_id") % 4 >= 1)
+      .select("media_id").as[Long].collect()
+      .find { id =>
+        PerceptualHash.ahash64(Multimodal.genVideoFrame(id, 0)) !=
+          PerceptualHash.ahash64(Multimodal.genVideoFrame(id, 2))
+      }.get
+    val fidx0 = PerceptualHash.buildVideoIndex(corpus, everyN = 2)
+    val batch = clipRow(5000000L + src, src)
+    val probe = clipRow(6000000L + src, src) // a later re-encode of the same clip
+    // before extension: the probe matches nothing
+    assert(PerceptualHash.probeVideo(fidx0, probe, everyN = 2, minShared = 2)
+      .collect().isEmpty)
+    val fidx1 = PerceptualHash.extendVideoIndex(fidx0, batch, everyN = 2)
+    def hits(ix: PerceptualHash.FrameIndex) =
+      PerceptualHash.probeVideo(ix, probe, everyN = 2, minShared = 2)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(hits(fidx1).exists(p => p._2 == 5000000L + src && p._3 >= 2L),
+      s"accepted clip not probe-able: ${hits(fidx1)}")
+    val rebuilt = PerceptualHash.buildVideoIndex(
+      corpus.unionByName(batch), everyN = 2)
+    assert(hits(fidx1) == hits(rebuilt))
+  }
+
   test("sharedImageHashes: one build per frame+key, no cross-frame aliasing, bytes identical") {
     val docsA = Tables.documents(spark, SparkTestSession.Sf).limit(24)
     val docsB = Tables.documents(spark, SparkTestSession.Sf).limit(12)
