@@ -234,6 +234,46 @@ object StreamingIngest {
     idx
   }
 
+  /** SELF-MAINTAINING media near-dup gate — [[selfNearDupBatches]]'s
+    * shape for the perceptual family: each micro-batch is decoded +
+    * hashed ONCE, probed against the standing image index, then its
+    * hash table (not its payloads — the decode is never repeated) is
+    * folded in via [[graft.multimodal.PerceptualHash.extendHashIndex]],
+    * so a re-encoded copy arriving in a later batch is caught. Same
+    * batchId retry guard and restart contract as
+    * [[selfNearDupBatches]].
+    */
+  def selfMediaNearDupBatches(media: DataFrame,
+                              seedIndex: graft.multimodal.PerceptualHash.HashIndex,
+                              maxDist: Int, outDir: String,
+                              checkpointDir: Option[String] = None)
+      : graft.multimodal.PerceptualHash.HashIndex = {
+    import org.apache.spark.sql.functions.col
+    var idx = seedIndex
+    var lastExtended = -1L
+    val q = media.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // one decode+hash pass serves BOTH the probe and the extension
+        val bHashes = graft.multimodal.PerceptualHash.imageHashes(batch)
+          .select(col("media_id").as("pid"), col("ahash").as("ph"))
+          .localCheckpoint()
+        graft.multimodal.PerceptualHash
+          .probeHashes(idx, bHashes.select(col("pid").as("batch_id"),
+            col("ph").as("bh")), maxDist)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        if (batchId > lastExtended) {
+          idx = graft.multimodal.PerceptualHash.extendHashIndex(idx, bHashes)
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("selfmnd_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    idx
+  }
+
   /** Streaming twin of the SEMANTIC decontamination gate
     * ([[graft.ops.Similarity.semanticContamination]]) — the
     * paraphrase-robust complement of [[decontaminatedBatches]]'s

@@ -155,6 +155,44 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("selfMediaNearDupBatches: a later wave's re-encode of an earlier wave is caught") {
+    import graft.multimodal.{Codecs, Multimodal, PerceptualHash}
+    val media = Multimodal.realMedia(
+      Tables.documents(spark, SparkTestSession.Sf)).cache()
+    val corpus = media.filter(col("media_id") % 5 === 0)
+    // wave 1 carries bmp X (novel vs corpus); wave 2 carries X's
+    // re-encode under a new id — catchable only via the evolved index
+    val x = media.filter(col("media_id") % 5 === 1)
+      .filter(col("media_id") % 4 === 0)
+      .select("media_id").as[Long].head()
+    def twin(off: Long) =
+      Seq((x + off, Codecs.encodeBmp(Multimodal.genImage(x))))
+        .toDF("media_id", "content")
+        .select(col("media_id"), col("content"),
+          struct(lit("bmp").as("format"), lit(0).as("width"),
+            lit(0).as("height"), lit(1).as("n_frames")).as("meta"))
+    val wave1 = media.filter(col("media_id") % 5 === 1).limit(50).cache()
+    val wave2 = media.filter(col("media_id") % 5 === 2).limit(50)
+      .unionByName(twin(5000000L)).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("smnd_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("smnd_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("smnd_ck").toString
+    def stream() = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val idx0 = PerceptualHash.buildImageIndex(corpus)
+    wave1.repartition(2).write.mode("append").parquet(inDir)
+    val idx1 = StreamingIngest.selfMediaNearDupBatches(stream(), idx0,
+      maxDist = 2, outDir, Some(ckptDir))
+    wave2.repartition(2).write.mode("append").parquet(inDir)
+    StreamingIngest.selfMediaNearDupBatches(stream(), idx1,
+      maxDist = 2, outDir, Some(ckptDir))
+    val hits = spark.read.parquet(outDir)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((x + 5000000L, x)),
+      s"cross-wave media dup not caught: $hits")
+    media.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming semantic decontamination equals the batch operator") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, SparkTestSession.Sf).cache()
