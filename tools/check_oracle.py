@@ -4,10 +4,21 @@ oracle SQL from Verify's oracle_sql.json in DuckDB over the same
 parquet tables, and compare with the Spark result parquet
 (columns sorted by name, rows in output order, values stringified).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json OUT.json]
+
+With --json, also writes a CORRECTNESS_r{N}.json-shaped record
+(per-query rows_match/schema_match/hash_match/spark_rows/oracle_rows/
+err) so bench_compare.py's --rows adjudication can consume local runs
+directly.
 """
 import sys, json, math, glob
 import duckdb
+
+json_out = None
+if "--json" in sys.argv:
+    i = sys.argv.index("--json")
+    json_out = sys.argv[i + 1]
+    del sys.argv[i:i + 2]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -37,6 +48,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
+    rec = {}
+    def note(name, rows=None, schema=None, hash_=None,
+             spark_rows=None, oracle_rows=None, err=None):
+        rec[name] = {"rows_match": rows, "schema_match": schema,
+                     "hash_match": hash_, "spark_rows": spark_rows,
+                     "oracle_rows": oracle_rows, "err": err}
     for name, sql in sorted(oracle.items()):
         try:
             o = con.sql(sql)
@@ -44,11 +61,14 @@ def main():
             o_rows = o.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            note(name, False, False, False, err=f"oracle error: {e}")
             fail += 1
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            note(name, False, False, False, oracle_rows=len(o_rows),
+                 err="no spark output")
             fail += 1
             continue
         s = con.sql(f"SELECT * FROM read_parquet({files!r})")
@@ -56,11 +76,14 @@ def main():
         s_rows = s.fetchall()
         if sorted(o_cols) != sorted(s_cols):
             print(f"FAIL {name}: cols oracle={sorted(o_cols)} spark={sorted(s_cols)}")
+            note(name, None, False, False, len(s_rows), len(o_rows),
+                 "schema mismatch")
             fail += 1
             continue
         ot, st = table_of(o_rows, o_cols), table_of(s_rows, s_cols)
         if len(ot) != len(st):
             print(f"FAIL {name}: rows oracle={len(ot)} spark={len(st)}")
+            note(name, False, True, False, len(st), len(ot), "row count")
             fail += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(ot, st)) if a != b]
@@ -68,9 +91,12 @@ def main():
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(ot)} rows differ; first row {i}:")
             print(f"  oracle: {a}\n  spark : {b}")
+            note(name, True, True, False, len(st), len(ot),
+                 f"{len(bad)} rows differ")
             fail += 1
         else:
             print(f"OK   {name} ({len(ot)} rows)")
+            note(name, True, True, True, len(st), len(ot))
             ok += 1
     # rows-only check for oracle-less queries
     import os
@@ -80,6 +106,7 @@ def main():
             files = glob.glob(f"{out_dir}/{d}/*.parquet")
             n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
             print(f"{'OK  ' if n > 0 else 'WARN'} {d} rows-only ({n} rows)")
+            note(d, spark_rows=n)
     # parity gate: every declared query must have produced an output dir.
     # Round 5 lost two broken queries SILENTLY (they errored during the
     # Spark run, left no dir, and the report looked green); diff against
@@ -96,6 +123,10 @@ def main():
     else:
         print("WARN parity: no declared_queries.json manifest "
               "(re-run Verify to generate it)")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"\n{ok} ok, {fail} fail")
     sys.exit(1 if fail else 0)
 
