@@ -374,6 +374,25 @@ object Similarity {
         .localCheckpoint())
   }
 
+  /** INDEX MAINTENANCE for the semantic gate — fold a NEW benchmark
+    * set (a freshly added eval suite) into a standing [[SemIndex]]:
+    * only the new bench rows are probed-and-exploded against the
+    * EXISTING coarse geometry (cell space must stay fixed, or every
+    * previously assigned corpus/batch cell would be invalidated); the
+    * old artifact's blocks are unioned, never recomputed — the
+    * [[graft.ops.MinHash.extend]] accounting, and the old snapshot
+    * stays valid.
+    */
+  def extendSemIndex(idx: SemIndex, newBench: DataFrame,
+                     nProbe: Int = 4): SemIndex =
+    SemIndex(idx.cents,
+      idx.bench.unionByName(
+        newBench.select(col("vec_id").as("bench_id"),
+          col("embedding").as("b_emb"),
+          explode(ivfProbeCells(col("embedding"), idx.cents, nProbe))
+            .as("probe"))
+          .localCheckpoint()))
+
   /** Probe an embedding batch against a standing [[SemIndex]]: rows of
     * the batch cosine-close (≥ threshold) to ANY benchmark member.
     * Output (vec_id, bench_id, score) — identical semantics to

@@ -136,6 +136,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(flagged.forall(_._2 % 10 == 0))
   }
 
+  test("extendSemIndex: a new eval suite is probe-able; geometry fixed; equals rebuild") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val bench1 = e.filter(col("vec_id") % 25 === 0)
+    val bench2 = e.filter(col("vec_id") % 25 === 7) // a later eval suite
+    val idx0 = Similarity.buildSemIndex(e, bench1)
+    val idx1 = Similarity.extendSemIndex(idx0, bench2)
+    def hits(ix: Similarity.SemIndex) =
+      Similarity.probeSemIndex(ix, e, threshold = 0.30)
+        .as[(Long, Long, Double)].collect().toSet
+    // extended == a from-scratch build over BOTH suites (the corpus
+    // geometry is the same either way: cents derive from the corpus)
+    val rebuilt = Similarity.buildSemIndex(e, bench1.unionByName(bench2))
+    assert(hits(idx1) == hits(rebuilt))
+    // the new suite contributes flags the old index couldn't see
+    assert(hits(idx1).exists(_._2 % 25 == 7))
+    // the old snapshot is untouched
+    assert(hits(idx0).forall(_._2 % 25 == 0))
+    // geometry is shared, not retrained: same centroid arrays
+    assert(idx1.cents eq idx0.cents)
+  }
+
   test("semanticContamination agrees with the brute-force gate on probed cells") {
     val e = Tables.embeddings(spark, SparkTestSession.Sf).limit(200).cache()
     val bench = e.filter(col("vec_id") % 25 === 0)
