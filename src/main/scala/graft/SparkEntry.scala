@@ -1021,6 +1021,17 @@ object SparkEntry {
         Multimodal.realMedia(documents(s, dir)), maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E4, audio crawl format: G.711 mu-law WAV payloads decoded through
+    // the exact-integer compress->expand round-trip — the oracle
+    // replays the companded samples from the generating formula plus
+    // the G.711 segment math, so the 8-bit decode arm, the segment
+    // exponent/mantissa packing, and the bias arithmetic all pin
+    "q_mulaw_decode" -> ((s, dir) =>
+      Multimodal.withMediaFeatures(Multimodal.mulawMedia(documents(s, dir)))
+        .select(col("media_id"), col("format"), col("sample_rate"),
+          col("n_samples"), col("sum_sq"), col("peak"))
+        .orderBy(col("media_id"))),
+
     // E4, video modality: every-2nd-frame SELECTIVE decode out of the
     // AQV1 multi-frame container (skipped frames never decompressed),
     // per-sampled-frame aHash exported as bands — the oracle
@@ -2874,6 +2885,31 @@ object SparkEntry {
         "WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
         "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 3 " +
         "ORDER BY id_a, id_b"),
+
+    // mu-law decode: the G.711 compress->expand round-trip replayed in
+    // exact integer SQL (clip 32635, bias 132, 8-way segment exponent,
+    // mantissa m >> (e+3), midpoint reconstruction) over the sample
+    // generating formula — features of the EXPANDED samples
+    "q_mulaw_decode" ->
+      ("WITH w AS (SELECT doc_id AS sid, doc_id + 3000000000 AS media_id, " +
+        "CAST(64 + (doc_id % 16) * 16 AS BIGINT) AS n " +
+        "FROM documents WHERE doc_id % 4 = 2), " +
+        "sm AS (SELECT w.media_id, w.n, " +
+        "((w.sid*31 + i.range*17) % 2048 - 1024) AS s " +
+        "FROM w, range(304) i WHERE i.range < w.n), " +
+        "seg AS (SELECT media_id, n, s, least(abs(s), 32635) + 132 AS m FROM sm), " +
+        "ex AS (SELECT media_id, n, s, m, " +
+        "CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1 WHEN m < 1024 THEN 2 " +
+        "WHEN m < 2048 THEN 3 WHEN m < 4096 THEN 4 WHEN m < 8192 THEN 5 " +
+        "WHEN m < 16384 THEN 6 ELSE 7 END AS e FROM seg), " +
+        "rt AS (SELECT media_id, n, " +
+        "CASE WHEN s < 0 THEN -((((m >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132) " +
+        "ELSE (((m >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132 END AS rts FROM ex) " +
+        "SELECT media_id, 'wav' AS format, 8000 AS sample_rate, " +
+        "CAST(max(n) AS INTEGER) AS n_samples, " +
+        "CAST(SUM(rts * rts) AS BIGINT) AS sum_sq, " +
+        "CAST(MAX(abs(rts)) AS BIGINT) AS peak " +
+        "FROM rt GROUP BY media_id ORDER BY media_id"),
 
     // sampled video frames: the per-frame aHash rebuilt from the
     // frame generating formulas (frame-shift terms 19/23/29) through

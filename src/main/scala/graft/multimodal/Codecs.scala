@@ -292,8 +292,53 @@ object Codecs {
     buf.array()
   }
 
+  // ---- G.711 µ-law (public ITU-T spec; exact integer arithmetic) --------
+  // The companded 8-bit telephony/crawl format. Compress→expand is a
+  // deterministic integer round-trip, so a SQL oracle replays decoded
+  // µ-law samples bit-for-bit from the generating formulas.
+
+  /** Linear 16-bit → µ-law byte (CLIP 32635, BIAS 0x84). */
+  def mulawCompress(s: Short): Byte = {
+    var pcm = s.toInt
+    val sign = if (pcm < 0) 0x80 else 0x00
+    if (pcm < 0) pcm = -pcm
+    if (pcm > 32635) pcm = 32635
+    pcm += 0x84
+    val e = 31 - Integer.numberOfLeadingZeros(pcm) - 7 // MSB in [7,14] → e in [0,7]
+    val mant = (pcm >> (e + 3)) & 0x0f
+    (~(sign | (e << 4) | mant) & 0xff).toByte
+  }
+
+  /** µ-law byte → linear 16-bit (segment-midpoint reconstruction). */
+  def mulawExpand(b: Byte): Short = {
+    val u = ~b & 0xff
+    val e = (u >> 4) & 0x07
+    val mag = (((u & 0x0f) << 3) + 0x84) << e
+    val s = mag - 0x84
+    (if ((u & 0x80) != 0) -s else s).toShort
+  }
+
+  /** WAV container with G.711 µ-law payload (audioFormat 7, 8-bit). */
+  def encodeWavMulaw(a: Audio): Array[Byte] = {
+    val dataSize = a.samples.length
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(7) // G.711 mu-law
+    buf.putShort(a.channels.toShort)
+    buf.putInt(a.sampleRate)
+    buf.putInt(a.sampleRate * a.channels) // byte rate (1 byte/sample)
+    buf.putShort(a.channels.toShort)      // block align
+    buf.putShort(8)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    a.samples.foreach(s => buf.put(mulawCompress(s)))
+    buf.array()
+  }
+
   /** Chunk-walking decoder: tolerates extra chunks (LIST, fact, ...)
-    * between fmt and data, as real-world WAV files carry.
+    * between fmt and data, as real-world WAV files carry. Accepts
+    * PCM16 (format 1) and G.711 µ-law (format 7, expanded to 16-bit).
     */
   def decodeWav(bytes: Array[Byte]): Audio = {
     require(bytes.length >= 44, "truncated WAV")
@@ -303,8 +348,10 @@ object Codecs {
     var pos = 12
     var sampleRate = -1
     var channels = -1
-    var samples: Array[Short] = null
-    while (pos + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
+    var fmt = -1
+    var dataOff = -1
+    var dataSize = -1
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
       val id = fourcc(pos)
       val size = buf.getInt(pos + 4)
       require(size >= 0 && pos + 8 + size <= bytes.length,
@@ -314,21 +361,35 @@ object Codecs {
           // the fields read below extend 16 bytes into the chunk; a
           // shorter declared size at end-of-buffer would read past it
           require(size >= 16, s"fmt chunk too short ($size)")
-          require(buf.getShort(pos + 8) == 1, "only PCM supported")
+          fmt = buf.getShort(pos + 8).toInt
+          require(fmt == 1 || fmt == 7, s"unsupported audio format $fmt")
           channels = buf.getShort(pos + 10).toInt
           sampleRate = buf.getInt(pos + 12)
-          require(buf.getShort(pos + 22) == 16, "only 16-bit supported")
+          val bits = buf.getShort(pos + 22).toInt
+          require((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8),
+            s"format $fmt with $bits bits")
         case "data" =>
-          samples = new Array[Short](size / 2)
-          var i = 0
-          while (i < samples.length) {
-            samples(i) = buf.getShort(pos + 8 + i * 2); i += 1
-          }
+          dataOff = pos + 8
+          dataSize = size
         case _ => () // skip unknown chunk
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
-    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    // decode the payload AFTER the walk: the data chunk may precede
+    // fmt, and the sample width depends on the format
+    val samples =
+      if (fmt == 1) {
+        val out = new Array[Short](dataSize / 2)
+        var i = 0
+        while (i < out.length) { out(i) = buf.getShort(dataOff + i * 2); i += 1 }
+        out
+      } else {
+        val out = new Array[Short](dataSize)
+        var i = 0
+        while (i < out.length) { out(i) = mulawExpand(bytes(dataOff + i)); i += 1 }
+        out
+      }
     Audio(sampleRate, channels, samples)
   }
 

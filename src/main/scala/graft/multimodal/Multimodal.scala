@@ -235,6 +235,31 @@ object Multimodal {
           (pmod(col("doc_id"), lit(5)) * 2 + 6).cast(IntegerType).as("height"),
           lit(1).as("n_frames")).as("meta"))
 
+  private val encodeMulawUdf =
+    udf((id: Long) => Codecs.encodeWavMulaw(genAudio(id)))
+
+  /** G.711 µ-law twin of [[realMedia]]'s WAV slice — the same
+    * [[genAudio]] samples companded through [[Codecs.mulawCompress]]
+    * into an audioFormat-7 WAV container, ids offset by 3·10⁹. The
+    * compress→expand round-trip is exact integer arithmetic, so the
+    * DuckDB oracle recomputes the DECODED samples (and any feature of
+    * them) from the generating formula plus the G.711 segment math —
+    * the companded-telephony-crawl case, oracle-backed.
+    */
+  val MulawIdOffset = 3000000000L
+
+  def mulawMedia(documents: DataFrame): DataFrame =
+    documents
+      .filter(pmod(col("doc_id"), lit(4)) === 2) // the wav slots
+      .select(
+        (col("doc_id") + lit(MulawIdOffset)).as("media_id"),
+        encodeMulawUdf(col("doc_id")).as("content"),
+        struct(
+          lit("wav").as("format"),
+          lit(0).as("width"),
+          lit(0).as("height"),
+          lit(1).as("n_frames")).as("meta"))
+
   /** Exact integer features of a decoded payload. Image rows carry the
     * per-channel pixel sums; audio rows the PCM sample count, energy
     * (sum of squares) and peak amplitude. Integers, not means: bit-

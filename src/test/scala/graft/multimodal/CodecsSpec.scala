@@ -214,6 +214,32 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.encodeGif(over))
   }
 
+  test("mu-law: compress/expand inverse-consistent; container round-trips") {
+    // idempotence on the quantization lattice: expand(compress(x)) is
+    // a fixed point of the round-trip (the defining G.711 property)
+    (-32768 to 32767 by 37).foreach { s =>
+      val once = Codecs.mulawExpand(Codecs.mulawCompress(s.toShort))
+      val twice = Codecs.mulawExpand(Codecs.mulawCompress(once))
+      assert(once == twice, s"not a fixed point at $s: $once vs $twice")
+      // reconstruction stays within the segment's quantization step
+      val m = math.min(math.abs(s), 32635) + 132
+      val step = 1 << (math.max(8, 32 - Integer.numberOfLeadingZeros(m)) - 5)
+      assert(math.abs(once - s) <= step, s"error at $s: $once (step $step)")
+    }
+    // known reference points: silence and the clip rails
+    assert(Codecs.mulawCompress(0) == 0xff.toByte)
+    assert(Codecs.mulawExpand(0xff.toByte) == 0)
+    assert(Codecs.mulawExpand(Codecs.mulawCompress(32767)) == 32124)
+    assert(Codecs.mulawExpand(Codecs.mulawCompress(-32768)) == -32124)
+    // container: a mu-law WAV decodes to the expanded samples
+    val a = Codecs.Audio(8000, 1,
+      Array.tabulate(128)(i => ((i * 517) % 2048 - 1024).toShort))
+    val back = Codecs.decodeWav(Codecs.encodeWavMulaw(a))
+    assert(back.sampleRate == 8000 && back.channels == 1)
+    assert(back.samples.toSeq ==
+      a.samples.map(s => Codecs.mulawExpand(Codecs.mulawCompress(s))).toSeq)
+  }
+
   test("nearest resize: exact on integer scale, dims on fractional") {
     val img = Codecs.Image(2, 2, Array(1, 2, 3, 4))
     val up = Codecs.resizeNearest(img, 4, 4)
