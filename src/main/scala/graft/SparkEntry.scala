@@ -1032,6 +1032,14 @@ object SparkEntry {
           col("n_samples"), col("sum_sq"), col("peak"))
         .orderBy(col("media_id"))),
 
+    // E4: the A-law variant of the same gate (segment 0 linear,
+    // 1-7 logarithmic; even-bit 0x55 inversion) — same oracle shape
+    "q_alaw_decode" -> ((s, dir) =>
+      Multimodal.withMediaFeatures(Multimodal.alawMedia(documents(s, dir)))
+        .select(col("media_id"), col("format"), col("sample_rate"),
+          col("n_samples"), col("sum_sq"), col("peak"))
+        .orderBy(col("media_id"))),
+
     // E4, video modality: every-2nd-frame SELECTIVE decode out of the
     // AQV1 multi-frame container (skipped frames never decompressed),
     // per-sampled-frame aHash exported as bands — the oracle
@@ -2905,6 +2913,32 @@ object SparkEntry {
         "rt AS (SELECT media_id, n, " +
         "CASE WHEN s < 0 THEN -((((m >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132) " +
         "ELSE (((m >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132 END AS rts FROM ex) " +
+        "SELECT media_id, 'wav' AS format, 8000 AS sample_rate, " +
+        "CAST(max(n) AS INTEGER) AS n_samples, " +
+        "CAST(SUM(rts * rts) AS BIGINT) AS sum_sq, " +
+        "CAST(MAX(abs(rts)) AS BIGINT) AS peak " +
+        "FROM rt GROUP BY media_id ORDER BY media_id"),
+
+    // A-law decode: segment 0 is linear (mant = m >> 4, midpoint +8),
+    // segments 1-7 logarithmic (mant<<4 + 0x108, shifted e-1) — the
+    // other G.711 variant replayed in exact integer SQL
+    "q_alaw_decode" ->
+      ("WITH w AS (SELECT doc_id AS sid, doc_id + 4000000000 AS media_id, " +
+        "CAST(64 + (doc_id % 16) * 16 AS BIGINT) AS n " +
+        "FROM documents WHERE doc_id % 4 = 2), " +
+        "sm AS (SELECT w.media_id, w.n, " +
+        "((w.sid*31 + i.range*17) % 2048 - 1024) AS s " +
+        "FROM w, range(304) i WHERE i.range < w.n), " +
+        "seg AS (SELECT media_id, n, s, least(abs(s), 32767) AS m FROM sm), " +
+        "ex AS (SELECT media_id, n, s, m, " +
+        "CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1 WHEN m < 1024 THEN 2 " +
+        "WHEN m < 2048 THEN 3 WHEN m < 4096 THEN 4 WHEN m < 8192 THEN 5 " +
+        "WHEN m < 16384 THEN 6 ELSE 7 END AS e FROM seg), " +
+        "rt AS (SELECT media_id, n, " +
+        "CASE WHEN s < 0 THEN -mag ELSE mag END AS rts FROM (" +
+        "SELECT media_id, n, s, CASE WHEN e = 0 THEN (m >> 4) * 16 + 8 " +
+        "ELSE ((((m >> (e + 3)) & 15) * 16) + 264) * (1 << (e - 1)) END AS mag " +
+        "FROM ex) t) " +
         "SELECT media_id, 'wav' AS format, 8000 AS sample_rate, " +
         "CAST(max(n) AS INTEGER) AS n_samples, " +
         "CAST(SUM(rts * rts) AS BIGINT) AS sum_sq, " +

@@ -318,6 +318,50 @@ object Codecs {
     (if ((u & 0x80) != 0) -s else s).toShort
   }
 
+  /** Linear 16-bit → A-law byte (even-bit inversion 0x55; segment 0
+    * is linear at 16-step resolution, segments 1-7 logarithmic).
+    */
+  def alawCompress(s: Short): Byte = {
+    val neg = s < 0
+    var m = if (neg) -s.toInt else s.toInt
+    if (m > 32767) m = 32767
+    val code =
+      if (m < 256) m >> 4
+      else {
+        val e = 31 - Integer.numberOfLeadingZeros(m) - 7 // MSB in [8,14] → e in [1,7]
+        (e << 4) | ((m >> (e + 3)) & 0x0f)
+      }
+    (((if (neg) 0x00 else 0x80) | code) ^ 0x55).toByte
+  }
+
+  /** A-law byte → linear 16-bit (segment-midpoint reconstruction). */
+  def alawExpand(b: Byte): Short = {
+    val u = (b ^ 0x55) & 0xff
+    val e = (u >> 4) & 0x07
+    val mant = u & 0x0f
+    val mag = if (e == 0) (mant << 4) + 8
+              else ((mant << 4) + 0x108) << (e - 1)
+    (if ((u & 0x80) != 0) mag else -mag).toShort
+  }
+
+  /** WAV container with G.711 A-law payload (audioFormat 6, 8-bit). */
+  def encodeWavAlaw(a: Audio): Array[Byte] = {
+    val dataSize = a.samples.length
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(6) // G.711 A-law
+    buf.putShort(a.channels.toShort)
+    buf.putInt(a.sampleRate)
+    buf.putInt(a.sampleRate * a.channels)
+    buf.putShort(a.channels.toShort)
+    buf.putShort(8)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    a.samples.foreach(s => buf.put(alawCompress(s)))
+    buf.array()
+  }
+
   /** WAV container with G.711 µ-law payload (audioFormat 7, 8-bit). */
   def encodeWavMulaw(a: Audio): Array[Byte] = {
     val dataSize = a.samples.length
@@ -362,11 +406,12 @@ object Codecs {
           // shorter declared size at end-of-buffer would read past it
           require(size >= 16, s"fmt chunk too short ($size)")
           fmt = buf.getShort(pos + 8).toInt
-          require(fmt == 1 || fmt == 7, s"unsupported audio format $fmt")
+          require(fmt == 1 || fmt == 6 || fmt == 7,
+            s"unsupported audio format $fmt")
           channels = buf.getShort(pos + 10).toInt
           sampleRate = buf.getInt(pos + 12)
           val bits = buf.getShort(pos + 22).toInt
-          require((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8),
+          require((fmt == 1 && bits == 16) || (fmt != 1 && bits == 8),
             s"format $fmt with $bits bits")
         case "data" =>
           dataOff = pos + 8
@@ -387,7 +432,11 @@ object Codecs {
       } else {
         val out = new Array[Short](dataSize)
         var i = 0
-        while (i < out.length) { out(i) = mulawExpand(bytes(dataOff + i)); i += 1 }
+        while (i < out.length) {
+          out(i) = if (fmt == 7) mulawExpand(bytes(dataOff + i))
+                   else alawExpand(bytes(dataOff + i))
+          i += 1
+        }
         out
       }
     Audio(sampleRate, channels, samples)

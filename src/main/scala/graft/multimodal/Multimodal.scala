@@ -260,6 +260,28 @@ object Multimodal {
           lit(0).as("height"),
           lit(1).as("n_frames")).as("meta"))
 
+  private val encodeAlawUdf =
+    udf((id: Long) => Codecs.encodeWavAlaw(genAudio(id)))
+
+  /** G.711 A-law twin of the WAV slice (the [[mulawMedia]] shape for
+    * the other telephony variant), ids offset by 4·10⁹ — segment 0 is
+    * linear 16-step, segments 1-7 logarithmic; the round-trip is exact
+    * integer arithmetic, oracle-replayable like µ-law's.
+    */
+  val AlawIdOffset = 4000000000L
+
+  def alawMedia(documents: DataFrame): DataFrame =
+    documents
+      .filter(pmod(col("doc_id"), lit(4)) === 2)
+      .select(
+        (col("doc_id") + lit(AlawIdOffset)).as("media_id"),
+        encodeAlawUdf(col("doc_id")).as("content"),
+        struct(
+          lit("wav").as("format"),
+          lit(0).as("width"),
+          lit(0).as("height"),
+          lit(1).as("n_frames")).as("meta"))
+
   /** Exact integer features of a decoded payload. Image rows carry the
     * per-channel pixel sums; audio rows the PCM sample count, energy
     * (sum of squares) and peak amplitude. Integers, not means: bit-

@@ -240,6 +240,26 @@ class CodecsSpec extends AnyFunSuite {
       a.samples.map(s => Codecs.mulawExpand(Codecs.mulawCompress(s))).toSeq)
   }
 
+  test("A-law: compress/expand inverse-consistent; container round-trips") {
+    (-32768 to 32767 by 37).foreach { s =>
+      val once = Codecs.alawExpand(Codecs.alawCompress(s.toShort))
+      val twice = Codecs.alawExpand(Codecs.alawCompress(once))
+      assert(once == twice, s"not a fixed point at $s: $once vs $twice")
+      // segment 0 is linear (step 16); segment k quantizes at 2^(k+3)
+      val m = math.min(math.abs(s), 32767)
+      val step = if (m < 256) 16 else 1 << (32 - Integer.numberOfLeadingZeros(m) - 4)
+      assert(math.abs(once - s) <= step, s"error at $s: $once (step $step)")
+    }
+    // segment-0 midpoints: 0 -> +8 (A-law has no signed zero code)
+    assert(Codecs.alawExpand(Codecs.alawCompress(0)) == 8)
+    assert(Codecs.alawExpand(Codecs.alawCompress(32767)) == 32256)
+    val a = Codecs.Audio(8000, 1,
+      Array.tabulate(128)(i => ((i * 517) % 2048 - 1024).toShort))
+    val back = Codecs.decodeWav(Codecs.encodeWavAlaw(a))
+    assert(back.samples.toSeq ==
+      a.samples.map(s => Codecs.alawExpand(Codecs.alawCompress(s))).toSeq)
+  }
+
   test("nearest resize: exact on integer scale, dims on fractional") {
     val img = Codecs.Image(2, 2, Array(1, 2, 3, 4))
     val up = Codecs.resizeNearest(img, 4, 4)
