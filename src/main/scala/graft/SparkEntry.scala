@@ -1040,6 +1040,20 @@ object SparkEntry {
           col("n_samples"), col("sum_sq"), col("peak"))
         .orderBy(col("media_id"))),
 
+    // E4+E1: CROSS-CODEC audio dedup — the PCM corpus plus its mu-law
+    // and A-law re-encodes through the same energy-profile Hamming
+    // gate: the companded-telephony-copy case (the same clip at 8-bit
+    // vs 16-bit). The oracle recomputes all three variants' frame
+    // energies exactly (raw formula samples + both G.711 round-trips)
+    "q_audio_crosscodec" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      PerceptualHash.audioNearDupPairs(
+        Multimodal.realMedia(docs)
+          .unionByName(Multimodal.mulawMedia(docs))
+          .unionByName(Multimodal.alawMedia(docs)), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // E4, video modality: every-2nd-frame SELECTIVE decode out of the
     // AQV1 multi-frame container (skipped frames never decompressed),
     // per-sampled-frame aHash exported as bands — the oracle
@@ -2918,6 +2932,59 @@ object SparkEntry {
         "CAST(SUM(rts * rts) AS BIGINT) AS sum_sq, " +
         "CAST(MAX(abs(rts)) AS BIGINT) AS peak " +
         "FROM rt GROUP BY media_id ORDER BY media_id"),
+
+    // cross-codec audio near-dup: the energy-profile bands rebuilt for
+    // ALL THREE sample variants (raw formula, mu-law round-trip, A-law
+    // round-trip), banded join + exact Hamming verify at dist <= 3
+    "q_audio_crosscodec" -> {
+      val segE = "CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1 " +
+        "WHEN m < 1024 THEN 2 WHEN m < 2048 THEN 3 WHEN m < 4096 THEN 4 " +
+        "WHEN m < 8192 THEN 5 WHEN m < 16384 THEN 6 ELSE 7 END AS e"
+      "WITH w AS (SELECT doc_id AS sid, " +
+        "CAST(64 + (doc_id % 16) * 16 AS BIGINT) AS n " +
+        "FROM documents WHERE doc_id % 4 = 2), " +
+        "raw AS (SELECT w.sid, w.n, i.range AS i, " +
+        "((w.sid*31 + i.range*17) % 2048 - 1024) AS s " +
+        "FROM w, range(304) i WHERE i.range < w.n), " +
+        "sm AS (" +
+        "SELECT sid AS media_id, n, (i*64)//n AS fr, s AS rts FROM raw " +
+        "UNION ALL " +
+        "SELECT sid + 3000000000, n, (i*64)//n, " +
+        "CASE WHEN s < 0 THEN -((((m >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132) " +
+        "ELSE (((m >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132 END " +
+        "FROM (SELECT sid, n, i, s, m, " + segE +
+        " FROM (SELECT sid, n, i, s, least(abs(s), 32635) + 132 AS m FROM raw) t1) t2 " +
+        "UNION ALL " +
+        "SELECT sid + 4000000000, n, (i*64)//n, " +
+        "CASE WHEN s < 0 THEN -mag ELSE mag END " +
+        "FROM (SELECT sid, n, i, s, " +
+        "CASE WHEN e = 0 THEN (m >> 4) * 16 + 8 " +
+        "ELSE ((((m >> (e + 3)) & 15) * 16) + 264) * (1 << (e - 1)) END AS mag " +
+        "FROM (SELECT sid, n, i, s, m, " + segE +
+        " FROM (SELECT sid, n, i, s, least(abs(s), 32767) AS m FROM raw) u1) u2) u3), " +
+        "en AS (SELECT media_id, fr, SUM(rts * rts) AS en FROM sm GROUP BY 1, 2), " +
+        "tot AS (SELECT media_id, SUM(en)//64 AS mean FROM en GROUP BY 1), " +
+        "ab AS (SELECT en.media_id, " +
+        (0 until 4).map(b =>
+          "CAST(COALESCE(SUM(CASE WHEN en > mean THEN (1::BIGINT << (fr % 16)) END) " +
+          s"FILTER (WHERE fr//16 = $b), 0) AS BIGINT) AS a$b").mkString(", ") +
+        " FROM en JOIN tot USING (media_id) GROUP BY 1), " +
+        "bands AS (SELECT media_id, b.range AS bi, " +
+        "CASE b.range WHEN 0 THEN a0 WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS bv " +
+        "FROM ab, range(4) b), " +
+        "okb AS (SELECT bi, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 10000), " +
+        "cand AS (SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b " +
+        "FROM bands l JOIN okb USING (bi, bv) " +
+        "JOIN bands r ON r.bi = l.bi AND r.bv = l.bv AND l.media_id < r.media_id) " +
+        "SELECT cand.id_a, cand.id_b, " +
+        "CAST(bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
+        "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) AS BIGINT) AS dist " +
+        "FROM cand JOIN ab x ON x.media_id = cand.id_a " +
+        "JOIN ab y ON y.media_id = cand.id_b " +
+        "WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
+        "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 3 " +
+        "ORDER BY id_a, id_b"
+    },
 
     // A-law decode: segment 0 is linear (mant = m >> 4, midpoint +8),
     // segments 1-7 logarithmic (mant<<4 + 0x108, shifted e-1) — the

@@ -147,6 +147,24 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0L)))
   }
 
+  test("cross-codec: every companded twin pairs with its PCM sibling at dist <= 3") {
+    val docs = Tables.documents(spark, SparkTestSession.Sf).limit(60)
+    val corpus = Multimodal.realMedia(docs)
+      .unionByName(Multimodal.mulawMedia(docs))
+      .unionByName(Multimodal.alawMedia(docs))
+    val pairs = PerceptualHash.audioNearDupPairs(corpus, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val wavIds = docs.filter(col("doc_id") % 4 === 2)
+      .select("doc_id").as[Long].collect()
+    assert(wavIds.nonEmpty)
+    wavIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + Multimodal.MulawIdOffset),
+        s"mu-law twin of $id not caught")
+      assert(pairs.exists(p => p._1 == id && p._2 == id + Multimodal.AlawIdOffset),
+        s"A-law twin of $id not caught")
+    }
+  }
+
   test("AQV1 container: frame count + selective decode round-trip") {
     val frames = (0 until 4).map(f => Multimodal.genVideoFrame(7L, f))
     val bytes = Codecs.encodeAniQoi(frames)
