@@ -303,6 +303,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"audit should not join:\n$plan")
   }
 
+  test("q_ivfpq_batch: the ADC lookup table stays BELOW the probe explode") {
+    // the ExtractGenerator trap: an expression in the same select as
+    // explode() lands in the Project ABOVE Generate — re-evaluated per
+    // exploded row, and (for the m·ks-entry LUT) historically past
+    // Janino's method limit, silently dropping the stage to
+    // interpreted. Parent nodes print first, so the Generate line must
+    // precede the PqLut reference that feeds it.
+    val plan = finalPlan(q("q_ivfpq_batch"))
+    val gen = plan.indexOf("Generate")
+    val lut = plan.toLowerCase.indexOf("pqlut")
+    assert(gen >= 0 && lut >= 0, s"missing Generate/PqLut in:\n$plan")
+    assert(gen < lut, s"LUT computed above the explode:\n$plan")
+  }
+
   test("q_embed_drift collapses each snapshot before any join") {
     val plan = finalPlan(q("q_embed_drift"))
     // occupancy is a cell-keyed aggregate; the join is over <= 16 rows
