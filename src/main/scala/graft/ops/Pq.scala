@@ -241,6 +241,12 @@ object Pq {
     * Output (query_id, vec_id, score, rank ≤ k) — score is the exact
     * cosine of the surviving candidates, shape-identical to
     * [[Similarity.ivfTopKBatch]].
+    *
+    * Plan note: the corpus-side join is a BroadcastNestedLoopJoin by
+    * DESIGN — plain PQ has no blocking key (scoring every corpus row
+    * against every query IS the full ADC scan), the build side is the
+    * tiny query table, and the per-pair work is the O(m) lookup fold.
+    * The cell-bounded scale path is [[ivfPqTopKBatch]].
     */
   def pqTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
                   dim: Int = 64, m: Int = 8, ks: Int = 16,
