@@ -351,9 +351,15 @@ object Multimodal {
         case "bmp" => Codecs.encodeBmp(Codecs.resizeNearest(Codecs.decodeBmp(content), w, h))
         case "ppm" => Codecs.encodePpm(Codecs.resizeNearest(Codecs.decodePpm(content), w, h))
         case "qoi" => Codecs.encodeQoi(Codecs.resizeNearest(Codecs.decodeQoi(content), w, h))
+        case "png" => Codecs.encodePng(Codecs.resizeNearest(Codecs.decodeImageIO(content), w, h))
+        // nearest only re-samples EXISTING pixels, so a ≤256-color GIF
+        // stays ≤256 colors and the palette-exact re-encode never fails
+        case "gif" => Codecs.encodeGif(Codecs.resizeNearest(Codecs.decodeImageIO(content), w, h))
         case _     => content // non-image payloads pass through
       }
     } catch { case scala.util.control.NonFatal(_) => null })
+
+  private val ResizableFormats = Seq("bmp", "ppm", "qoi", "png", "gif")
 
   /** Real resize: decode -> nearest-neighbor resample -> re-encode in
     * the same container format, updating meta dims to match.
@@ -364,9 +370,9 @@ object Multimodal {
         resizeUdf(col("meta.format"), col("content"), lit(w), lit(h)))
       .withColumn("meta",
         struct(col("meta.format").as("format"),
-          when(col("meta.format").isin("bmp", "ppm", "qoi"), lit(w))
+          when(col("meta.format").isin(ResizableFormats: _*), lit(w))
             .otherwise(col("meta.width")).as("width"),
-          when(col("meta.format").isin("bmp", "ppm", "qoi"), lit(h))
+          when(col("meta.format").isin(ResizableFormats: _*), lit(h))
             .otherwise(col("meta.height")).as("height"),
           col("meta.n_frames").as("n_frames")))
 }

@@ -216,6 +216,44 @@ object MinHash {
       shingleN, k, bands, seed)
   }
 
+  /** PERSIST a [[CorpusIndex]] as the parquet artifact its scaladoc
+    * promises: `path/base` (id, sset, sig), `path/index` (id, band,
+    * bh), and `path/params.json` (the signature hyper-parameters —
+    * probing with different params would silently match nothing, so
+    * [[loadIndex]] refuses a mismatched artifact... by carrying them).
+    * [[extend]]'s output can be saved over a new path; at 100 TB the
+    * equivalent is appending the new rows to these tables.
+    */
+  def saveIndex(cidx: CorpusIndex, path: String): Unit = {
+    cidx.base.write.mode("overwrite").parquet(s"$path/base")
+    cidx.index.write.mode("overwrite").parquet(s"$path/index")
+    val params = s"""{"shingleN":${cidx.shingleN},"k":${cidx.k},""" +
+      s""""bands":${cidx.bands},"seed":${cidx.seed}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "params.json"),
+      params.getBytes("UTF-8"))
+  }
+
+  /** Load a persisted [[CorpusIndex]]: the frames read straight from
+    * the parquet artifact (no checkpoint — the files ARE the
+    * materialization), params from the manifest.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): CorpusIndex = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    def intOf(key: String): Long = {
+      val m = s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+      require(m.isDefined, s"params.json missing $key")
+      m.get.group(1).toLong
+    }
+    CorpusIndex(
+      spark.read.parquet(s"$path/base"),
+      spark.read.parquet(s"$path/index"),
+      intOf("shingleN").toInt, intOf("k").toInt, intOf("bands").toInt,
+      intOf("seed"))
+  }
+
   /** INDEX MAINTENANCE — the other half of the crawl loop: after a
     * batch is probed (and its accepted rows kept), [[extend]] folds
     * those rows into the standing index so the NEXT batch can match

@@ -103,4 +103,27 @@ class MultimodalSpec extends AnyFunSuite {
       .where(col("format") === "wav").collect()
     assert(wav.forall(!_.isNullAt(wav.head.fieldIndex("n_samples"))))
   }
+
+  test("resize: png/gif arms resample the same pixels as the native sibling") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SparkTestSession.Sf).limit(24)
+    val twins = Multimodal.pngMedia(docs).unionByName(Multimodal.gifMedia(docs))
+    val resized = Multimodal.resizeImages(twins, 6, 5)
+    // dims rewritten, payload re-encoded in the SAME container
+    val metas = resized.select(col("meta.format"), col("meta.width"),
+      col("meta.height")).as[(String, Int, Int)].collect()
+    assert(metas.nonEmpty && metas.forall(m => m._2 == 6 && m._3 == 5))
+    assert(metas.map(_._1).toSet == Set("png", "gif"))
+    // the resized twins hash exactly like the resized generator image
+    val hashes = PerceptualHash.imageHashes(resized)
+      .select("media_id", "ahash").as[(Long, Long)].collect()
+    assert(hashes.length == metas.length) // every payload still decodes
+    hashes.foreach { case (id, a) =>
+      val src = if (id >= Multimodal.GifIdOffset) id - Multimodal.GifIdOffset
+                else id - Multimodal.PngIdOffset
+      val want = PerceptualHash.ahash64(
+        Codecs.resizeNearest(Multimodal.genImage(src), 6, 5))
+      assert(a == want, s"resized twin drifted for $id")
+    }
+  }
 }

@@ -151,6 +151,27 @@ class NearDupSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"no re-shingling in the artifact:\n$plan")
   }
 
+  test("saveIndex/loadIndex: the persisted artifact probes identically across sessions-of-use") {
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val idx = MinHash.buildIndex(corpus, col("doc_id"), col("text"), shingleN = 2)
+    val path = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    MinHash.saveIndex(idx, path)
+    val loaded = MinHash.loadIndex(spark, path)
+    assert((loaded.shingleN, loaded.k, loaded.bands, loaded.seed) ==
+      (idx.shingleN, idx.k, idx.bands, idx.seed))
+    val batch = Seq((9L, base.replace("dog", "cat"))).toDF("doc_id", "text")
+    def probe(ix: MinHash.CorpusIndex) =
+      MinHash.probe(ix, batch, col("doc_id"), col("text"), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(loaded) == probe(idx))
+    assert(probe(loaded).nonEmpty)
+    // a loaded index keeps extending — the durable crawl loop
+    val extended = MinHash.extend(loaded, batch, col("doc_id"), col("text"))
+    val batch2 = Seq((10L, base.replace("dog", "cat"))).toDF("doc_id", "text")
+    assert(MinHash.probe(extended, batch2, col("doc_id"), col("text"), 0.5)
+      .collect().map(_.getLong(1)).toSet.contains(9L))
+  }
+
   test("SimHash: identical texts at distance 0, near dups close, unrelated far") {
     val sigs = SimHash.signatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
