@@ -385,6 +385,34 @@ object PerceptualHash {
       hot, counts, cidx.maxBucket)
   }
 
+  /** PERSIST a [[HashIndex]] as the parquet artifact its scaladoc
+    * promises (the [[graft.ops.MinHash.saveIndex]] shape): four
+    * tables plus the cap in a params manifest — probing a mismatched
+    * cap would silently change which pairs exist.
+    */
+  def saveHashIndex(cidx: HashIndex, path: String): Unit = {
+    cidx.hashes.write.mode("overwrite").parquet(s"$path/hashes")
+    cidx.index.write.mode("overwrite").parquet(s"$path/index")
+    cidx.hot.write.mode("overwrite").parquet(s"$path/hot")
+    cidx.counts.write.mode("overwrite").parquet(s"$path/counts")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "params.json"),
+      s"""{"maxBucket":${cidx.maxBucket}}""".getBytes("UTF-8"))
+  }
+
+  def loadHashIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): HashIndex = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    val m = """"maxBucket"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+    require(m.isDefined, "params.json missing maxBucket")
+    HashIndex(
+      spark.read.parquet(s"$path/hashes"),
+      spark.read.parquet(s"$path/index"),
+      spark.read.parquet(s"$path/hot"),
+      spark.read.parquet(s"$path/counts"),
+      m.get.group(1).toInt)
+  }
+
   def buildImageIndex(media: DataFrame, maxBucket: Int = 10000): HashIndex =
     buildHashIndex(imageHashes(media)
       .select(col("media_id").as("pid"), col("ahash").as("ph")), maxBucket)
@@ -566,6 +594,28 @@ object PerceptualHash {
           counts.filter(col("n") <= fidx.maxBucket).select(col("fh")),
           Seq("fh"), "left_semi")),
       hot, counts, fidx.maxBucket)
+  }
+
+  /** PERSIST / load a [[FrameIndex]] ([[saveHashIndex]] shape). */
+  def saveVideoIndex(fidx: FrameIndex, path: String): Unit = {
+    fidx.frames.write.mode("overwrite").parquet(s"$path/frames")
+    fidx.hot.write.mode("overwrite").parquet(s"$path/hot")
+    fidx.counts.write.mode("overwrite").parquet(s"$path/counts")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "params.json"),
+      s"""{"maxBucket":${fidx.maxBucket}}""".getBytes("UTF-8"))
+  }
+
+  def loadVideoIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): FrameIndex = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    val m = """"maxBucket"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+    require(m.isDefined, "params.json missing maxBucket")
+    FrameIndex(
+      spark.read.parquet(s"$path/frames"),
+      spark.read.parquet(s"$path/hot"),
+      spark.read.parquet(s"$path/counts"),
+      m.get.group(1).toInt)
   }
 
   /** Probe a video batch against a standing [[FrameIndex]]: only the

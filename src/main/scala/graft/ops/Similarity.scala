@@ -374,6 +374,32 @@ object Similarity {
         .localCheckpoint())
   }
 
+  /** PERSIST a [[SemIndex]]: the exploded bench probes as parquet and
+    * the coarse-quantizer centroids in the manifest — full-precision
+    * `Double.toString` round-trips bit-exactly, so a loaded index
+    * assigns every batch row the same cell the saved one did.
+    */
+  def saveSemIndex(idx: SemIndex, path: String): Unit = {
+    idx.bench.write.mode("overwrite").parquet(s"$path/bench")
+    val cents = idx.cents.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "params.json"),
+      s"""{"cents":$cents}""".getBytes("UTF-8"))
+  }
+
+  def loadSemIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): SemIndex = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    val body = txt.substring(txt.indexOf("[[") + 1, txt.lastIndexOf("]]") + 1)
+    val cents = body.split("\\],?").filter(_.nonEmpty).map { row =>
+      row.dropWhile(c => c == '[' || c == ',').stripPrefix("[")
+        .split(",").filter(_.nonEmpty).map(_.toDouble)
+    }
+    require(cents.nonEmpty && cents.forall(_.nonEmpty), "bad cents manifest")
+    SemIndex(cents, spark.read.parquet(s"$path/bench"))
+  }
+
   /** INDEX MAINTENANCE for the semantic gate — fold a NEW benchmark
     * set (a freshly added eval suite) into a standing [[SemIndex]]:
     * only the new bench rows are probed-and-exploded against the

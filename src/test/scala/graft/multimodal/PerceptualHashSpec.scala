@@ -438,6 +438,41 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(hits(fidx1) == hits(rebuilt))
   }
 
+  test("save/load: persisted hash and frame indexes probe identically") {
+    val docs = Tables.documents(spark, SparkTestSession.Sf).limit(40)
+    // image index
+    val media = Multimodal.realMedia(docs)
+    val corpus = media.filter(col("media_id") % 5 === 0)
+    val probeSet = media.filter(col("media_id") % 5 === 1).limit(30)
+    val hidx = PerceptualHash.buildImageIndex(corpus)
+    val hPath = java.nio.file.Files.createTempDirectory("hidx").toString
+    PerceptualHash.saveHashIndex(hidx, hPath)
+    val hLoaded = PerceptualHash.loadHashIndex(spark, hPath)
+    assert(hLoaded.maxBucket == hidx.maxBucket)
+    def iHits(ix: PerceptualHash.HashIndex) =
+      PerceptualHash.probeImages(ix, probeSet, maxDist = 3)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(iHits(hLoaded) == iHits(hidx))
+    // video index
+    val video = Multimodal.videoMedia(docs)
+    val vCorpus = video.filter(col("media_id") % 5 === 0)
+    val vProbe = video.filter(col("media_id") % 5 === 1).limit(20)
+    val fidx = PerceptualHash.buildVideoIndex(vCorpus, everyN = 2)
+    val vPath = java.nio.file.Files.createTempDirectory("vidx").toString
+    PerceptualHash.saveVideoIndex(fidx, vPath)
+    val fLoaded = PerceptualHash.loadVideoIndex(spark, vPath)
+    def vHits(ix: PerceptualHash.FrameIndex) =
+      PerceptualHash.probeVideo(ix, vProbe, everyN = 2, minShared = 1)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(vHits(fLoaded) == vHits(fidx))
+    // a loaded index keeps extending
+    val ext = PerceptualHash.extendHashIndex(hLoaded,
+      PerceptualHash.imageHashes(probeSet)
+        .select(col("media_id").as("pid"), col("ahash").as("ph")))
+    assert(ext.hashes.count() == hLoaded.hashes.count() +
+      PerceptualHash.imageHashes(probeSet).count())
+  }
+
   test("sharedImageHashes: one build per frame+key, no cross-frame aliasing, bytes identical") {
     val docsA = Tables.documents(spark, SparkTestSession.Sf).limit(24)
     val docsB = Tables.documents(spark, SparkTestSession.Sf).limit(12)

@@ -157,6 +157,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(idx1.cents eq idx0.cents)
   }
 
+  test("save/load SemIndex: centroids round-trip bit-exactly; probes identical") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val idx = Similarity.buildSemIndex(e, e.filter(col("vec_id") % 25 === 0))
+    val path = java.nio.file.Files.createTempDirectory("semidx").toString
+    Similarity.saveSemIndex(idx, path)
+    val loaded = Similarity.loadSemIndex(spark, path)
+    // Double.toString round-trips: the geometry is BIT-identical, so
+    // every cell assignment (and therefore every probe) matches
+    assert(loaded.cents.length == idx.cents.length)
+    loaded.cents.zip(idx.cents).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    def hits(ix: Similarity.SemIndex) =
+      Similarity.probeSemIndex(ix, e, threshold = 0.30)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(hits(loaded) == hits(idx))
+    assert(hits(loaded).nonEmpty)
+  }
+
   test("semanticContamination agrees with the brute-force gate on probed cells") {
     val e = Tables.embeddings(spark, SparkTestSession.Sf).limit(200).cache()
     val bench = e.filter(col("vec_id") % 25 === 0)
