@@ -961,14 +961,23 @@ object SparkEntry {
     // recomputes the resized sums from the pixel formula + the same
     // floor source-index map (sx = x*w div 4), so a stride/rounding
     // bug anywhere in the chain breaks the hash-match
-    "q_media_resize" -> ((s, dir) =>
+    // real resize across ALL lossless containers (native + the
+    // PNG/GIF crawl arms, round 10): decode -> nearest resample ->
+    // re-encode in the same container -> decode again for the sums —
+    // the oracle recomputes them through the floor source-index map,
+    // so every en/decode pair and the resampler pin per format
+    "q_media_resize" -> ((s, dir) => {
+      val docs = documents(s, dir)
       Multimodal.withMediaFeatures(
         Multimodal.resizeImages(
-          Multimodal.realMedia(documents(s, dir)), 4, 3))
-        .where(col("format").isin("bmp", "ppm", "qoi"))
+          Multimodal.realMedia(docs)
+            .unionByName(Multimodal.pngMedia(docs))
+            .unionByName(Multimodal.gifMedia(docs)), 4, 3))
+        .where(col("format").isin("bmp", "ppm", "qoi", "png", "gif"))
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"))
-        .orderBy(col("media_id"))),
+        .orderBy(col("media_id"))
+    }),
 
     // E4+E1: perceptual image fingerprints — aHash (8x8 mean-threshold)
     // and dHash (9x8 gradient sign) over the DECODED pixels, exported
@@ -1578,9 +1587,9 @@ object SparkEntry {
     * change composition: the version salts the artifact path, so a
     * stale table from an older build can never silently feed the
     * media queries (ADVICE r9 — the _SUCCESS gate alone never
-    * invalidated). v2 = +gif arm.
+    * invalidated). v2 = +gif arm; v3 = gif writer interlace OFF.
     */
-  private val MediaLayoutVersion = 2
+  private val MediaLayoutVersion = 3
 
   def ensureImageMediaTable(s: SparkSession, dir: String): String =
     mediaEnsureLock.synchronized {
@@ -3033,17 +3042,25 @@ object SparkEntry {
       "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"),
 
     // resized sums: same pixel formulas sampled through the floor
-    // source-index map of nearest-neighbor resampling
+    // source-index map of nearest-neighbor resampling — three arms
+    // (native containers, PNG twins of every doc, GIF twins of the
+    // <=256-pixel subset), all sharing one formula seed `sid`
     "q_media_resize" ->
-      ("WITH m AS (SELECT doc_id AS media_id, doc_id % 4 AS fk, " +
-        "8 + (doc_id % 4) * 4 AS w, 6 + (doc_id % 5) * 2 AS h FROM documents) " +
-        "SELECT m.media_id, " +
-        "CASE m.fk WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'qoi' END AS format, " +
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id AS sid, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'qoi' END AS format, " +
+        "8 + (doc_id % 4) * 4 AS w, 6 + (doc_id % 5) * 2 AS h " +
+        "FROM documents WHERE doc_id % 4 <> 2 " +
+        "UNION ALL SELECT doc_id + 1000000000, doc_id, 'png', " +
+        "8 + (doc_id % 4) * 4, 6 + (doc_id % 5) * 2 FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000000, doc_id, 'gif', " +
+        "8 + (doc_id % 4) * 4, 6 + (doc_id % 5) * 2 FROM documents " +
+        "WHERE doc_id % 20 <> 19) " +
+        "SELECT m.media_id, m.format, " +
         "CAST(4 AS INT) AS width, CAST(3 AS INT) AS height, " +
-        "CAST(SUM((m.media_id*7 + ((a.range * m.w) // 4)*3 + ((b.range * m.h) // 3)*5) % 256) AS BIGINT) AS sum_r, " +
-        "CAST(SUM((m.media_id*11 + ((a.range * m.w) // 4) + ((b.range * m.h) // 3)*2) % 256) AS BIGINT) AS sum_g, " +
-        "CAST(SUM((m.media_id*13 + ((a.range * m.w) // 4)*2 + ((b.range * m.h) // 3)) % 256) AS BIGINT) AS sum_b " +
-        "FROM m, range(4) a, range(3) b WHERE m.fk <> 2 " +
+        "CAST(SUM((m.sid*7 + ((a.range * m.w) // 4)*3 + ((b.range * m.h) // 3)*5) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(SUM((m.sid*11 + ((a.range * m.w) // 4) + ((b.range * m.h) // 3)*2) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(SUM((m.sid*13 + ((a.range * m.w) // 4)*2 + ((b.range * m.h) // 3)) % 256) AS BIGINT) AS sum_b " +
+        "FROM m, range(4) a, range(3) b " +
         "GROUP BY 1, 2, 3, 4 ORDER BY media_id"),
 
     // hash-mod sampling: the scramble is plain 64-bit arithmetic, so

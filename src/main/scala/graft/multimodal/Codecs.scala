@@ -493,8 +493,25 @@ object Codecs {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(bi, "gif", out),
-      "no ImageIO writer for gif")
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no ImageIO writer for gif")
+    val writer = writers.next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      // interlace OFF, explicitly: the JDK writer's default
+      // (MODE_COPY_FROM_METADATA) interlaces, and for images with
+      // height < 5 the interlace pass structure writes fewer data rows
+      // than the reader reconstructs — a blank row appears and the
+      // round-trip silently stops being lossless (caught by the 4x3
+      // resize twins; 16x16 fixtures never tripped it)
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     out.toByteArray
   }
 

@@ -297,11 +297,14 @@ object Multimodal {
   private val decodeUdf = udf((format: String, content: Array[Byte]) =>
     try {
       format match {
-        case "bmp" | "ppm" | "qoi" =>
+        case "bmp" | "ppm" | "qoi" | "png" | "gif" =>
           val img = format match {
             case "bmp" => Codecs.decodeBmp(content)
             case "ppm" => Codecs.decodePpm(content)
-            case _     => Codecs.decodeQoi(content)
+            case "qoi" => Codecs.decodeQoi(content)
+            // lossless ImageIO arms — exact sums like the native
+            // codecs'; jpeg stays NULL (lossy, decoder-dependent)
+            case _     => Codecs.decodeImageIO(content)
           }
           var sr = 0L; var sg = 0L; var sb = 0L
           var i = 0

@@ -212,6 +212,15 @@ class CodecsSpec extends AnyFunSuite {
     // 257 distinct colors cannot be paletted — rejected, not quantized
     val over = Codecs.Image(257, 1, Array.tabulate(257)(i => i))
     intercept[IllegalArgumentException](Codecs.encodeGif(over))
+    // every tiny size round-trips: the JDK writer's default interlace
+    // mode silently corrupted heights < 5 (blank row, dropped row) —
+    // encodeGif disables it explicitly
+    for (w <- 1 to 8; h <- 1 to 8) {
+      val px = Array.tabulate(w * h)(i =>
+        ((i * 41) % 200) << 16 | ((i * 13) % 200) << 8 | (i % 200))
+      val rt = Codecs.decodeImageIO(Codecs.encodeGif(Codecs.Image(w, h, px)))
+      assert(rt.pixels.toSeq == px.toSeq, s"gif drift at ${w}x$h")
+    }
   }
 
   test("mu-law: compress/expand inverse-consistent; container round-trips") {
