@@ -335,6 +335,24 @@ object SparkEntry {
         TextStats.bpeishCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))),
 
+    // E3 depth: BPE merge training — the tokenizer itself. One
+    // corpus-scale word count, then O(vocab) merge iterations with a
+    // 1-row argmax collect each (bounded: BpeMergeCount rows of
+    // driver traffic total). Oracle replays every merge step with a
+    // gaps-and-islands window (see bpeCtes).
+    "q_bpe_train" -> ((s, dir) =>
+      Bpe.train(documents(s, dir), col("text"), BpeMergeCount)
+        .merges.orderBy(col("rank"))),
+
+    // E3 depth: apply the learned merges — per-doc BPE token counts
+    // via a broadcast join against the vocabulary's final segmentation
+    // (training's end state IS the apply result for in-vocab words).
+    "q_bpe_apply" -> ((s, dir) => {
+      val model = Bpe.train(documents(s, dir), col("text"), BpeMergeCount)
+      Bpe.tokenCounts(documents(s, dir), col("doc_id"), col("text"), model)
+        .orderBy(col("doc_id"))
+    }),
+
     // E3: quality scoring
     "q_quality_score" -> ((s, dir) =>
       documents(s, dir).select(
@@ -1618,6 +1636,51 @@ object SparkEntry {
 
   private val EnMarkers = "['the','a','and','of','to']"
 
+  /** Merges learned by q_bpe_train / applied by q_bpe_apply. */
+  private val BpeMergeCount = 16
+
+  /** DuckDB replay of BPE training: w0 is the word-frequency table
+    * with per-character symbol lists; each iteration i picks the
+    * argmax pair b{i} (freq DESC, lexicographic tie-break — the same
+    * total order the Spark side sorts by) and applies it with a
+    * gaps-and-islands window: `hit` marks adjacent (lft, rgt)
+    * positions, islands of consecutive hits alternate (parity) to get
+    * LEFT-TO-RIGHT NON-OVERLAPPING selection — islands longer than 1
+    * only occur when lft == rgt — and `dropit` removes each position
+    * consumed by the merge starting just before it. Verified
+    * move-for-move against an independent Python BPE at sf0.01.
+    */
+  private def bpeCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq, " +
+      "list_transform(range(1, length(word) + 1), ci -> word[ci]) AS syms " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE word <> '' GROUP BY word)"
+    for (i <- 0 until n) {
+      sb ++= s", b$i AS MATERIALIZED (SELECT lft, rgt, cnt FROM (" +
+        s"SELECT syms[p] AS lft, syms[p + 1] AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt " +
+        s"FROM w$i, unnest(range(1, len(syms))) AS u(p) GROUP BY 1, 2) " +
+        s"ORDER BY cnt DESC, lft, rgt LIMIT 1)"
+      sb ++= s", e$i AS (SELECT word, freq, p, syms[p] AS s " +
+        s"FROM w$i, unnest(range(1, len(syms) + 1)) AS u(p))"
+      sb ++= s", m$i AS (SELECT word, freq, p, s, " +
+        s"lead(s) OVER (PARTITION BY word ORDER BY p) AS ns, " +
+        s"coalesce(s = (SELECT lft FROM b$i) AND " +
+        s"lead(s) OVER (PARTITION BY word ORDER BY p) = (SELECT rgt FROM b$i), FALSE) AS hit " +
+        s"FROM e$i)"
+      sb ++= s", r$i AS (SELECT *, p - ROW_NUMBER() OVER " +
+        s"(PARTITION BY word, hit ORDER BY p) AS grp FROM m$i)"
+      sb ++= s", s$i AS (SELECT *, hit AND (ROW_NUMBER() OVER " +
+        s"(PARTITION BY word, hit, grp ORDER BY p) % 2 = 1) AS st FROM r$i)"
+      sb ++= s", t$i AS (SELECT *, coalesce(lag(st) OVER " +
+        s"(PARTITION BY word ORDER BY p), FALSE) AS dropit FROM s$i)"
+      sb ++= s", w${i + 1} AS MATERIALIZED (SELECT word, freq, " +
+        s"list(CASE WHEN st THEN s || ns ELSE s END ORDER BY p) AS syms " +
+        s"FROM t$i WHERE NOT dropit GROUP BY word, freq)"
+    }
+    sb.toString
+  }
+
   // -- LSH / ANN oracle generators. Every hash in the MinHash/SimHash
   // family is pure 64-bit integer arithmetic over codepoints
   // (graft.functions.kernels.polyHash), band/chunk keys are integer
@@ -2405,6 +2468,21 @@ object SparkEntry {
         "WHEN c_es = best THEN 'es' WHEN c_de = best THEN 'de' " +
         "ELSE 'zh' END AS lang_pred FROM b ORDER BY doc_id"
     },
+
+    "q_bpe_train" -> {
+      val union = (0 until BpeMergeCount)
+        .map(i => s"SELECT $i AS rank, lft, rgt, cnt FROM b$i")
+        .mkString(" UNION ALL ")
+      bpeCtes(BpeMergeCount) + s" SELECT * FROM ($union) ORDER BY rank"
+    },
+
+    "q_bpe_apply" ->
+      (bpeCtes(BpeMergeCount) +
+        ", d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)" +
+        s" SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        s"CAST(SUM(len(syms)) AS BIGINT) AS n_tokens " +
+        s"FROM d JOIN w$BpeMergeCount USING (word) WHERE word <> '' " +
+        "GROUP BY doc_id ORDER BY doc_id"),
 
     "q_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +

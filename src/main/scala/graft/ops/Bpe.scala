@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge TRAINING and application as distributed
+  * operators (north-star E3 depth: the tokenizer itself, not just a
+  * token-count proxy; Sennrich et al., ACL 2016).
+  *
+  * Scale shape: the ONLY corpus-scale pass is [[wordFreq]] — one
+  * map-side-combined shuffle to the distinct-word frequency table.
+  * Every merge iteration after that is O(vocab): adjacent-pair counts
+  * over the word table (tiny vs the corpus — a natural-language crawl
+  * has a heavy-tailed lexicon), a 1-row driver collect for the argmax
+  * (nMerges rows of driver traffic total), and a vocab-sized map to
+  * apply the merge. At 100 TB the word table is millions of rows, not
+  * billions — the iterations never touch the corpus again, which is
+  * exactly how production BPE trainers stay tractable.
+  *
+  * Determinism: the best pair is argmax(freq) with the (lft, rgt)
+  * lexicographic tie-break — a total order, so the learned merge list
+  * is independent of partitioning and replayable by the DuckDB oracle
+  * (per-merge-step gaps-and-islands replay; see SparkEntry's
+  * generated `q_bpe_train` SQL).
+  */
+object Bpe {
+
+  /** Merge list (rank ascending) + the vocabulary with each word's
+    * final symbol sequence. Because training applies every selected
+    * merge exhaustively (left-to-right, non-overlapping) before
+    * choosing the next, `vocab.syms` IS the result of applying the
+    * merge list in rank order — segmentation of in-vocab words is a
+    * broadcast join against it, no re-derivation.
+    */
+  final case class BpeModel(merges: DataFrame, vocab: DataFrame)
+
+  /** Corpus-scale word-frequency table: (word, freq). The single
+    * shuffle of the whole training pass (map-side combined).
+    */
+  def wordFreq(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(split(textCol, " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** One merge step, left-to-right non-overlapping, as a fold: append
+    * each symbol unless the accumulator's last element equals `lft`
+    * and the current equals `rgt`, in which case replace the last with
+    * the merged symbol. Equivalent to the scan-and-skip greedy form: a
+    * freshly merged symbol (lft+rgt) can never itself equal `lft`
+    * (rgt is non-empty), so a merge never cascades into the symbol it
+    * just produced — the same invariant that lets the DuckDB oracle
+    * replay the step with an islands-parity window instead of a loop.
+    */
+  private[ops] def mergeStep(syms: Seq[String], lft: String, rgt: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == lft && syms(i) == rgt) {
+        out(out.length - 1) = lft + rgt
+      } else out += syms(i)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def mergeUdf: UserDefinedFunction =
+    udf { (syms: Seq[String], lft: String, rgt: String) => mergeStep(syms, lft, rgt) }
+
+  /** Apply a full merge list in rank order (the standard BPE apply: a
+    * merge's operands can only be products of LOWER-rank merges, so
+    * sequential application equals the priority-queue form). For
+    * out-of-vocabulary words at inference time; in-vocab words should
+    * join [[BpeModel.vocab]] instead.
+    */
+  def applyMerges(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(syms) { case (s, (l, r)) => mergeStep(s, l, r) }
+
+  /** Train `nMerges` BPE merges over the corpus. Per iteration the
+    * driver collects exactly ONE row (the argmax pair) — bounded,
+    * deliberate: the merge decision is global by definition. The word
+    * table is lazily checkpointed each iteration so the lineage stays
+    * flat across nMerges rounds (same discipline as
+    * ConnectedComponents' pointer-jumping loop).
+    */
+  def train(docs: DataFrame, textCol: Column, nMerges: Int): BpeModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = wordFreq(docs, textCol)
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val best = words
+        .filter(size(col("syms")) > 1)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "p -> struct(element_at(syms, p) AS lft, element_at(syms, p + 1) AS rgt))")).as("pr"))
+        .groupBy(col("pr.lft").as("lft"), col("pr.rgt").as("rgt"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("lft"), asc("rgt"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, c))
+        words = words
+          .withColumn("syms", mergeUdf(col("syms"), lit(l), lit(r)))
+          .localCheckpoint(eager = false)
+        rank += 1
+      }
+    }
+    BpeModel(
+      merges.toSeq.toDF("rank", "lft", "rgt", "cnt"),
+      words)
+  }
+
+  /** PERSIST a trained [[BpeModel]] as a parquet artifact:
+    * `path/merges` (rank, lft, rgt, cnt) and `path/vocab` (word, freq,
+    * syms) — the tokenizer file a training pipeline ships to its
+    * consumers. Same artifact discipline as [[MinHash.saveIndex]].
+    */
+  def saveModel(model: BpeModel, path: String): Unit = {
+    model.merges.write.mode("overwrite").parquet(s"$path/merges")
+    model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load a persisted [[BpeModel]]: frames read straight from the
+    * artifact (the files ARE the materialization).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel =
+    BpeModel(
+      spark.read.parquet(s"$path/merges"),
+      spark.read.parquet(s"$path/vocab"))
+
+  /** Per-document BPE token counts: explode words, broadcast-join the
+    * vocabulary's final symbol lengths (the vocab table is the small
+    * side by construction), aggregate. The corpus is touched once.
+    * Output: (doc_id, n_words, n_tokens) per the id column.
+    */
+  def tokenCounts(docs: DataFrame, idCol: Column, textCol: Column,
+                  model: BpeModel): DataFrame = {
+    val lens = model.vocab.select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    docs.select(idCol.as("doc_id"), explode(split(textCol, " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(lens), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_tokens"))
+  }
+}

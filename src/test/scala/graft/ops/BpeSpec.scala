@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** E3 depth: BPE merge training / application. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("mergeStep is left-to-right non-overlapping greedy") {
+    assert(Bpe.mergeStep(Seq("a", "b", "c"), "a", "b") == Seq("ab", "c"))
+    // overlapping run: [a,a,a] merges the FIRST pair only
+    assert(Bpe.mergeStep(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.mergeStep(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    // a fresh merge never cascades into the symbol it just produced
+    assert(Bpe.mergeStep(Seq("a", "b", "b"), "a", "b") == Seq("ab", "b"))
+    // merged symbols participate as single units
+    assert(Bpe.mergeStep(Seq("ab", "b", "b"), "ab", "b") == Seq("abb", "b"))
+    assert(Bpe.mergeStep(Seq.empty, "a", "b") == Seq.empty)
+  }
+
+  test("train learns the classic merges on a skewed toy corpus") {
+    val docs = Seq(
+      (1L, "low low low lower lower"),
+      (2L, "low lowest newest newest newest")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, col("text"), nMerges = 4)
+    val merges = model.merges.orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    // 'lo'+'w' dominates: "low"-prefixed words appear 7 times.
+    // rank 0: (l,o) cnt 7; rank 1: (lo,w) cnt 7; then es/est family
+    assert(merges.head._2 == "l" && merges.head._3 == "o" && merges.head._4 == 7L)
+    assert(merges(1)._2 == "lo" && merges(1)._3 == "w" && merges(1)._4 == 7L)
+    // vocab end-state equals applying the merge list in rank order
+    val pairs = merges.map(m => (m._2, m._3))
+    model.vocab.select(col("word"), col("syms")).as[(String, Seq[String])]
+      .collect().foreach { case (w, syms) =>
+        assert(syms == Bpe.applyMerges(w.map(_.toString), pairs),
+          s"vocab end-state != applyMerges for '$w'")
+      }
+  }
+
+  test("tie-break is (cnt DESC, lft, rgt) lexicographic") {
+    // 'ab' and 'ba' pairs both appear exactly twice -> 'a','b' wins
+    val docs = Seq((1L, "ab ab ba ba")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, col("text"), nMerges = 1).merges
+      .as[(Int, String, String, Long)].collect()(0)
+    assert((m._2, m._3, m._4) == ("a", "b", 2L))
+  }
+
+  test("tokenCounts sums final segment lengths per document") {
+    val docs = Seq(
+      (1L, "low low newest"),
+      (2L, "lower")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, col("text"), nMerges = 3)
+    val lens = model.vocab.select(col("word"), size(col("syms")))
+      .as[(String, Int)].collect().toMap
+    val got = Bpe.tokenCounts(docs, col("doc_id"), col("text"), model)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, (2 * lens("low") + lens("newest")).toLong),
+      (2L, 1L, lens("lower").toLong)))
+  }
+
+  test("train stops early when no pairs remain") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, col("text"), nMerges = 10)
+    assert(model.merges.count() == 1) // (a,b) then every word is one symbol
+    assert(model.vocab.select(col("syms")).as[Seq[String]].collect()
+      .forall(_ == Seq("ab")))
+  }
+
+  test("model save/load round-trips the artifact") {
+    val docs = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, col("text"), nMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    Bpe.saveModel(model, dir)
+    val back = Bpe.loadModel(spark, dir)
+    assert(back.merges.orderBy("rank").collect().toSeq ==
+      model.merges.orderBy("rank").collect().toSeq)
+    assert(back.vocab.orderBy("word").collect().toSeq ==
+      model.vocab.orderBy("word").collect().toSeq)
+    // the loaded vocab drives tokenCounts identically
+    val a = Bpe.tokenCounts(docs, col("doc_id"), col("text"), model)
+      .orderBy("doc_id").collect().toSeq
+    val b = Bpe.tokenCounts(docs, col("doc_id"), col("text"), back)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
