@@ -1067,6 +1067,16 @@ object SparkEntry {
           col("n_samples"), col("sum_sq"), col("peak"))
         .orderBy(col("media_id"))),
 
+    // E4: sample-rate conversion — linear interpolation in EXACT
+    // integer arithmetic (truncating division, the same semantics as
+    // DuckDB's //), one down-rate and one up-rate per clip; the
+    // oracle replays every output sample from the generating formulas
+    // through the identical rational-position math
+    "q_audio_resample" -> ((s, dir) =>
+      Multimodal.resampleAudioFeatures(
+        Multimodal.realMedia(documents(s, dir)), Seq(5000, 12000))
+        .orderBy(col("media_id"), col("dst_rate"))),
+
     // E4+E1: CROSS-CODEC audio dedup — the PCM corpus plus its mu-law
     // and A-law re-encodes through the same energy-profile Hamming
     // gate: the companded-telephony-copy case (the same clip at 8-bit
@@ -2994,6 +3004,27 @@ object SparkEntry {
         "WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1)) " +
         "+ bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 3 " +
         "ORDER BY id_a, id_b"),
+
+    // resample replay: output frame j of rate dr sits at the exact
+    // rational source position (i0 = j*8000 // dr, rem = j*8000 % dr);
+    // DuckDB's // truncates toward zero exactly like Scala's integer
+    // division, and least(i0+1, n-1) is the end clamp (rem = 0 there)
+    "q_audio_resample" ->
+      ("WITH am AS (SELECT doc_id AS media_id, (64 + (doc_id % 16) * 16) AS n " +
+        "FROM documents WHERE doc_id % 4 = 2), " +
+        "ar AS (SELECT media_id, n, dr, ((n - 1) * dr) // 8000 + 1 AS nd " +
+        "FROM am, unnest([5000, 12000]) AS t(dr)), " +
+        "ap AS (SELECT media_id, n, dr, nd, j, (j * 8000) // dr AS i0, " +
+        "(j * 8000) % dr AS rem FROM ar, unnest(range(0, nd)) AS u(j)), " +
+        "av AS (SELECT media_id, dr, n, nd, rem, " +
+        "((media_id * 31 + i0 * 17) % 2048) - 1024 AS s0, " +
+        "((media_id * 31 + least(i0 + 1, n - 1) * 17) % 2048) - 1024 AS s1 FROM ap), " +
+        "ao AS (SELECT media_id, dr, n, nd, s0 + ((s1 - s0) * rem) // dr AS sv FROM av) " +
+        "SELECT media_id, dr AS dst_rate, CAST(any_value(n) AS BIGINT) AS n_src, " +
+        "CAST(any_value(nd) AS BIGINT) AS n_dst, " +
+        "CAST(SUM(sv * sv) AS BIGINT) AS sum_sq, " +
+        "CAST(MAX(abs(sv)) AS BIGINT) AS peak " +
+        "FROM ao GROUP BY media_id, dr ORDER BY media_id, dst_rate"),
 
     // mu-law decode: the G.711 compress->expand round-trip replayed in
     // exact integer SQL (clip 32635, bias 132, 8-way segment exponent,

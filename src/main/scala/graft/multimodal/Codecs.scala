@@ -622,4 +622,39 @@ object Codecs {
     }
     Image(w, h, out)
   }
+
+  /** Linear-interpolation sample-rate conversion in EXACT integer
+    * arithmetic (the audio twin of [[resizeNearest]]): output frame j
+    * sits at source position j·srcRate/dstRate expressed as the exact
+    * rational (idx = num / dstRate, rem = num % dstRate), and the
+    * interpolated value s0 + (s1−s0)·rem/dstRate uses TRUNCATING
+    * integer division — the same semantics as DuckDB's `//`, so a SQL
+    * oracle replays every output sample bit-for-bit. Interleaved
+    * multi-channel frames resample per channel; the final source frame
+    * clamps (rem is 0 there by construction of the output length).
+    */
+  def resampleLinear(a: Audio, dstRate: Int): Audio = {
+    require(dstRate > 0, "degenerate target rate")
+    val ch = a.channels
+    val n = a.samples.length / ch
+    if (n == 0 || dstRate == a.sampleRate)
+      return Audio(dstRate, ch, a.samples.clone())
+    val m = ((n - 1).toLong * dstRate / a.sampleRate).toInt + 1
+    val out = new Array[Short](m * ch)
+    var j = 0
+    while (j < m) {
+      val num = j.toLong * a.sampleRate
+      val i = (num / dstRate).toInt
+      val rem = num % dstRate
+      var c = 0
+      while (c < ch) {
+        val s0 = a.samples(i * ch + c)
+        val s1 = if (i + 1 < n) a.samples((i + 1) * ch + c) else s0
+        out(j * ch + c) = (s0 + (s1 - s0).toLong * rem / dstRate).toShort
+        c += 1
+      }
+      j += 1
+    }
+    Audio(dstRate, ch, out)
+  }
 }

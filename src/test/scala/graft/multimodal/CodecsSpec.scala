@@ -279,4 +279,47 @@ class CodecsSpec extends AnyFunSuite {
     val odd = Codecs.resizeNearest(img, 3, 1)
     assert(odd.width == 3 && odd.height == 1)
   }
+
+  test("linear resample: exact midpoints on 2x upsample, identity on same rate") {
+    val a = Codecs.Audio(8000, 1, Array[Short](0, 100, -50, 7))
+    val up = Codecs.resampleLinear(a, 16000)
+    // positions 0, 1/2, 1, 3/2, 2, 5/2, 3 — exact midpoint averages
+    // with TRUNCATING division: (100-50)/2 -> 25, (-50+7)/2 trunc -> -22
+    assert(up.sampleRate == 16000)
+    assert(up.samples.toSeq == Seq[Short](0, 50, 100, 25, -50, -22, 7))
+    val same = Codecs.resampleLinear(a, 8000)
+    assert(same.samples.toSeq == a.samples.toSeq)
+  }
+
+  test("linear resample: downsample hits exact rational positions") {
+    // 8000 -> 5000: j*8/5 positions; n=5 -> m = 4*5000/8000 + 1 = 3
+    val a = Codecs.Audio(8000, 1, Array[Short](0, 10, 20, 30, 40))
+    val d = Codecs.resampleLinear(a, 5000)
+    // j=0 -> pos 0 -> 0; j=1 -> 8/5 = 1 rem 3000/5000 -> 10 + 10*3000/5000 = 16
+    // j=2 -> 16/5 = 3 rem 1000/5000 -> 30 + 10*1000/5000 = 32
+    assert(d.samples.toSeq == Seq[Short](0, 16, 32))
+  }
+
+  test("linear resample: interleaved stereo resamples per channel; end clamps") {
+    val a = Codecs.Audio(8000, 2, Array[Short](0, 1000, 100, -1000, 200, 1000))
+    val up = Codecs.resampleLinear(a, 16000)
+    // frames (0,1000) (100,-1000) (200,1000): midpoints per channel
+    assert(up.samples.toSeq ==
+      Seq[Short](0, 1000, 50, 0, 100, -1000, 150, 0, 200, 1000))
+    // last output frame lands exactly on the last input frame (rem 0)
+    assert(up.samples.takeRight(2).toSeq == Seq[Short](200, 1000))
+  }
+
+  test("linear resample matches a reference double interpolation within truncation") {
+    val a = Codecs.Audio(8000, 1,
+      Array.tabulate(96)(i => ((i * 517 + 31) % 2048 - 1024).toShort))
+    val d = Codecs.resampleLinear(a, 5000)
+    assert(d.samples.length == (95L * 5000 / 8000).toInt + 1)
+    d.samples.zipWithIndex.foreach { case (v, j) =>
+      val pos = j * 8000.0 / 5000.0
+      val i = math.min(pos.toInt, 94)
+      val ref = a.samples(i) + (a.samples(math.min(i + 1, 95)) - a.samples(i)) * (pos - i)
+      assert(math.abs(v - ref) <= 1.0, s"j=$j got $v ref $ref")
+    }
+  }
 }
