@@ -177,6 +177,19 @@ object ScaleSmoke {
         Sharding.assign(inflateDocs(Tables.documents(spark, sfDir), f),
           col("doc_id"), length(col("text")), nShards = 16, strata = 8)
       },
+      "bpe_train" -> { f =>
+        // BPE training under replication: disjoint replica
+        // vocabularies (tok_r) multiply BOTH the corpus (the initial
+        // word-frequency shuffle — the only corpus-scale pass) and
+        // the vocabulary (the per-iteration pair aggregation) by F.
+        // The learned merges differ from ×1 (the suffix chars change
+        // the pair statistics — expected), but the shape under test
+        // is cost: iterations stay vocab-bounded, driver traffic
+        // stays nMerges rows, so total time should grow ~linearly.
+        // Output rows = nMerges, constant by construction.
+        Bpe.train(inflateDocs(Tables.documents(spark, sfDir), f),
+          col("text"), nMerges = 16).merges
+      },
       "media_neardup" -> { f =>
         // the Hamming-banded join under replication: XOR-namespace each
         // replica's hashes — Hamming distance is invariant under a
