@@ -364,38 +364,44 @@ object Multimodal {
 
   private val ResizableFormats = Seq("bmp", "ppm", "qoi", "png", "gif")
 
-  // plain Tuple4, not a nested case class: Janino rejects struct
+  // plain tuples, not a nested case class: Janino rejects struct
   // accessors on locally-declared case classes and silently falls back
-  // to interpreted evaluation (see the q_media_phash postmortem)
-  private val resampleFeatUdf = udf((content: Array[Byte], dstRate: Int) => {
+  // to interpreted evaluation (see the q_media_phash postmortem).
+  // ONE decode per clip — the UDF resamples to every target rate from
+  // the same decoded buffer, and the explode comes AFTER (also keeping
+  // the expensive UDF out of the Project above Generate, the
+  // ExtractGenerator trap PlanHygieneSpec pins)
+  private val resampleAllUdf = udf((content: Array[Byte], rates: Seq[Int]) => {
     val a = Codecs.decodeWav(content)
-    val r = Codecs.resampleLinear(a, dstRate)
-    var ss = 0L
-    var pk = 0L
-    r.samples.foreach { s =>
-      ss += s.toLong * s
-      pk = math.max(pk, math.abs(s.toLong))
+    rates.map { dr =>
+      val r = Codecs.resampleLinear(a, dr)
+      var ss = 0L
+      var pk = 0L
+      r.samples.foreach { s =>
+        ss += s.toLong * s
+        pk = math.max(pk, math.abs(s.toLong))
+      }
+      (dr, a.samples.length / a.channels, r.samples.length / r.channels, ss, pk)
     }
-    (a.samples.length / a.channels, r.samples.length / r.channels, ss, pk)
   })
 
   /** Sample-rate conversion features over the WAV subset of a media
-    * table: each clip decoded once per target rate, resampled with
-    * [[Codecs.resampleLinear]]'s exact-integer interpolation, reduced
-    * to (n_src, n_dst, sum_sq, peak) — integers the oracle recomputes
-    * from the generating sample formulas through the identical
-    * rational-position math. One corpus pass per rate, no shuffle
-    * until the caller aggregates.
+    * table: each clip decoded ONCE, resampled to every target rate
+    * with [[Codecs.resampleLinear]]'s exact-integer interpolation,
+    * reduced to (n_src, n_dst, sum_sq, peak) — integers the oracle
+    * recomputes from the generating sample formulas through the
+    * identical rational-position math. One corpus pass, no shuffle
+    * until the caller aggregates or sorts.
     */
   def resampleAudioFeatures(media: DataFrame, rates: Seq[Int]): DataFrame =
     media.filter(col("meta.format") === "wav")
-      .select(col("media_id"), col("content"),
-        explode(typedLit(rates)).as("dst_rate"))
-      .withColumn("f", resampleFeatUdf(col("content"), col("dst_rate")))
-      .select(col("media_id"), col("dst_rate"),
-        col("f._1").cast("long").as("n_src"),
-        col("f._2").cast("long").as("n_dst"),
-        col("f._3").as("sum_sq"), col("f._4").as("peak"))
+      .select(col("media_id"),
+        resampleAllUdf(col("content"), typedLit(rates)).as("fs"))
+      .select(col("media_id"), explode(col("fs")).as("f"))
+      .select(col("media_id"), col("f._1").as("dst_rate"),
+        col("f._2").cast("long").as("n_src"),
+        col("f._3").cast("long").as("n_dst"),
+        col("f._4").as("sum_sq"), col("f._5").as("peak"))
 
   /** Real resize: decode -> nearest-neighbor resample -> re-encode in
     * the same container format, updating meta dims to match.

@@ -317,6 +317,23 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(gen < lut, s"LUT computed above the explode:\n$plan")
   }
 
+  test("q_bpe_apply joins the vocab by broadcast — the corpus never shuffles for the join") {
+    val plan = finalPlan(q("q_bpe_apply"))
+    assert(plan.contains("BroadcastHashJoin"), s"vocab not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side merge join in:\n$plan")
+  }
+
+  test("q_audio_resample decodes below the explode — one decode per clip, not per rate") {
+    // the decode+resample UDF must sit BELOW Generate (parent nodes
+    // print first): in the Project above it would re-run per exploded
+    // rate row — decode ×|rates| instead of ×1
+    val plan = finalPlan(q("q_audio_resample"))
+    val gen = plan.indexOf("Generate")
+    val udfIdx = plan.indexOf("UDF")
+    assert(gen >= 0 && udfIdx >= 0, s"missing Generate/UDF in:\n$plan")
+    assert(gen < udfIdx, s"decode UDF computed above the explode:\n$plan")
+  }
+
   test("q_embed_drift collapses each snapshot before any join") {
     val plan = finalPlan(q("q_embed_drift"))
     // occupancy is a cell-keyed aggregate; the join is over <= 16 rows
