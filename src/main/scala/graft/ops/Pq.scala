@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product-quantization ANN (Jégou et al., TPAMI'11 "Product
@@ -138,6 +138,41 @@ object Pq {
           trainCodebooks(embeddings, dim, m, ks, iterations))
       case None => trainCodebooks(embeddings, dim, m, ks, iterations)
     }
+
+  /** PERSIST trained codebooks as a parquet artifact — `path/books`
+    * (j, code, vec array<double>) — completing the durable-index
+    * family (MinHash / HashIndex / FrameIndex / SemIndex / BpeModel):
+    * at 100 TB the codebooks are the write-once tokenizer of the
+    * vector corpus, trained once and shipped to every query site.
+    * Doubles round-trip parquet exactly, so a loaded book encodes
+    * bit-identically to the one that was saved.
+    */
+  def saveCodebooks(spark: SparkSession, books: Array[Array[Array[Double]]],
+                    path: String): Unit = {
+    import spark.implicits._
+    val rows = for (j <- books.indices; c <- books(j).indices)
+      yield (j, c, books(j)(c).toSeq)
+    rows.toDF("j", "code", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Load persisted codebooks. The collect is m·ks rows (the codebook
+    * itself — 128 at the defaults), bounded by construction.
+    */
+  def loadCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/books")
+      .select(col("j"), col("code"), col("vec")).collect()
+    require(rows.nonEmpty, s"empty codebook artifact at $path")
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val ks = rows.iterator.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(out.forall(_.forall(_ != null)),
+      s"codebook artifact at $path is missing (j, code) cells")
+    out
+  }
 
   def pqTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int = 64,
              m: Int = 8, ks: Int = 16, iterations: Int = 2,

@@ -138,4 +138,19 @@ class PqSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"cell join should broadcast:\n$plan")
   }
+
+  test("codebooks save/load round-trips bitwise; loaded books encode identically") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val books = Pq.trainCodebooks(e, Dim, m = 8, ks = 16, iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pq_books").toString
+    Pq.saveCodebooks(spark, books, dir)
+    val back = Pq.loadCodebooks(spark, dir)
+    assert(back.length == books.length &&
+      back.zip(books).forall { case (x, y) =>
+        x.zip(y).forall { case (a, b) => a.sameElements(b) } },
+      "loaded codebooks differ bitwise")
+    val a = Pq.encode(e, books).orderBy("vec_id").collect().toSeq
+    val b = Pq.encode(e, back).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
 }
