@@ -138,15 +138,24 @@ object Bpe {
 
   /** Per-document BPE token counts: explode words, broadcast-join the
     * vocabulary's final symbol lengths (the vocab table is the small
-    * side by construction), aggregate. The corpus is touched once.
-    * Output: (doc_id, n_words, n_tokens) per the id column.
+    * side by construction), aggregate. Out-of-vocabulary words — the
+    * streaming-ingest case, where a batch carries words the model
+    * never saw — segment on the fly by applying the merge list in
+    * rank order (the merges collect is nMerges rows, bounded). The
+    * corpus is touched once. Output: (doc_id, n_words, n_tokens).
     */
   def tokenCounts(docs: DataFrame, idCol: Column, textCol: Column,
                   model: BpeModel): DataFrame = {
     val lens = model.vocab.select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    val merges = model.merges.orderBy(col("rank"))
+      .select(col("lft"), col("rgt")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val oovLen = udf((w: String) =>
+      applyMerges(w.map(_.toString), merges).length.toLong)
     docs.select(idCol.as("doc_id"), explode(split(textCol, " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .join(broadcast(lens), Seq("word"))
+      .join(broadcast(lens), Seq("word"), "left")
+      .withColumn("n_syms", coalesce(col("n_syms"), oovLen(col("word"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_tokens"))
   }

@@ -259,6 +259,31 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** BPE tokenize-the-crawl twin: the standing [[graft.ops.Bpe]] model
+    * is trained once untimed; each micro-batch broadcast-joins the
+    * vocabulary's end-state segmentation (OOV words segment on the
+    * fly). Reads the same docs replay as the decontam twin.
+    */
+  def benchBpeTokenize(spark: SparkSession, sfDir: String,
+                       replayDir: String): StreamMetrics = {
+    val model = graft.ops.Bpe.train(
+      graft.Tables.documents(spark, sfDir), col("text"), nMerges = 16)
+    model.vocab.queryExecution.toRdd.count() // materialize untimed
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Bpe.tokenCounts(b, col("doc_id"), col("text"), model).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** Stage the generated media table as a replay directory. `factor`
     * unions id-shifted copies — the encode UDF derives pixels from the
     * id, so every copy carries ORGANIC new payloads (real decode work),
@@ -409,6 +434,7 @@ object StreamBench {
         stageEmbeddings(spark, sfDir, 8, f)))
       line("sessionize", f, benchSessions(spark, ev))
       line("neardup", f, benchNearDup(spark, sfDir, docs))
+      line("bpe_tokenize", f, benchBpeTokenize(spark, sfDir, docs))
       cleanup(keep = before) // reclaim THIS factor's replays only
     }
     Runtime.getRuntime.halt(0)

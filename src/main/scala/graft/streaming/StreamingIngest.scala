@@ -303,6 +303,32 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming twin of the BPE tokenizer ([[graft.ops.Bpe]]): every
+    * micro-batch of a document stream is tokenized against a STANDING
+    * [[graft.ops.Bpe.BpeModel]] trained once before the stream starts
+    * — tokenize-the-crawl-as-it-arrives. In-vocab words broadcast-join
+    * the model's end-state segmentation; out-of-vocabulary words (the
+    * case streaming exists for) segment on the fly through the merge
+    * list. Per-batch work is the batch's words, never the corpus.
+    * Same exactly-once `ingest_batch=N` overwrite contract as
+    * [[nearDupBatches]].
+    */
+  def bpeTokenizeBatches(docs: DataFrame, model: graft.ops.Bpe.BpeModel,
+                         outDir: String,
+                         checkpointDir: Option[String] = None): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Bpe
+          .tokenCounts(batch, col("doc_id"), col("text"), model)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("bpe_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming twin of the PERCEPTUAL image near-dup gate: every
     * micro-batch of a media stream (a crawl's image payloads) is
     * decoded, aHashed, and Hamming-probed against a STANDING

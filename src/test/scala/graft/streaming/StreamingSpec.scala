@@ -244,6 +244,47 @@ class StreamingSpec extends AnyFunSuite {
     emb.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("streaming BPE tokenization equals the batch operator (incl. OOV words)") {
+    import graft.ops.Bpe
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+      .select("doc_id", "text").cache()
+    val model = Bpe.train(docs, col("text"), nMerges = 8)
+    // ingest = the corpus plus one doc of words the model never saw:
+    // the OOV arm must segment on the fly, identically in both modes
+    val ingest = docs.unionByName(
+      Seq((9000001L, "zzqj zzqj xylophone")).toDF("doc_id", "text")).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("sbpe_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sbpe_out").toString
+    ingest.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(ingest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.bpeTokenizeBatches(stream, model, outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_words", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Bpe.tokenCounts(ingest, col("doc_id"), col("text"), model)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._1 == 9000001L), "OOV doc must be tokenized")
+    docs.unpersist(); ingest.unpersist()
+  }
+
+  test("bpeTokenizeBatches restart: checkpoint resume is exactly-once") {
+    import graft.ops.Bpe
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+      .select("doc_id", "text").cache()
+    val model = Bpe.train(docs, col("text"), nMerges = 8)
+    val wave1 = docs.filter(col("doc_id") % 5 === 1)
+      .unionByName(Seq((9000002L, "qqzx vvkw")).toDF("doc_id", "text")).cache()
+    val wave2 = docs.filter(col("doc_id") % 5 === 2)
+      .unionByName(Seq((9000003L, "wwvk xzqq")).toDF("doc_id", "text")).cache()
+    restartContract("sbper", wave1, wave2,
+      (st, out, ck) => StreamingIngest.bpeTokenizeBatches(st, model, out, ck),
+      b => Bpe.tokenCounts(b, col("doc_id"), col("text"), model),
+      Seq("doc_id", "n_words", "n_tokens"))
+    docs.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming perceptual image near-dup equals the batch probe") {
     import graft.multimodal.{Multimodal, PerceptualHash}
     val media = Multimodal.realMedia(
