@@ -83,10 +83,30 @@ object Bpe {
     * flat across nMerges rounds (same discipline as
     * ConnectedComponents' pointer-jumping loop).
     */
-  def train(docs: DataFrame, textCol: Column, nMerges: Int): BpeModel = {
-    val spark = docs.sparkSession
+  def train(docs: DataFrame, textCol: Column, nMerges: Int): BpeModel =
+    trainFromWords(wordFreq(docs, textCol), nMerges)
+
+  /** INDEX MAINTENANCE for the tokenizer — the crawl-loop accounting:
+    * the standing artifact is the WORD-FREQUENCY table (the product of
+    * the one corpus-scale pass), and folding a new batch in costs
+    * O(standing vocab + batch) — a re-aggregated union, the parquet
+    * upsert at 100 TB — never a re-read of the old corpus. Retraining
+    * merges from the maintained table is then the usual O(vocab)
+    * iteration loop ([[trainFromWords]]); the old corpus is never
+    * touched again.
+    */
+  def extendWordFreq(words: DataFrame, newDocs: DataFrame,
+                     textCol: Column): DataFrame =
+    words.unionByName(wordFreq(newDocs, textCol))
+      .groupBy("word").agg(sum("freq").as("freq"))
+
+  /** Train from a (word, freq) table directly — the maintained-artifact
+    * entry point ([[extendWordFreq]]); [[train]] is the one-shot form.
+    */
+  def trainFromWords(wordsWithFreq: DataFrame, nMerges: Int): BpeModel = {
+    val spark = wordsWithFreq.sparkSession
     import spark.implicits._
-    var words = wordFreq(docs, textCol)
+    var words = wordsWithFreq
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .localCheckpoint(eager = false)

@@ -72,6 +72,21 @@ class BpeSpec extends AnyFunSuite {
       .forall(_ == Seq("ab")))
   }
 
+  test("extendWordFreq: fold-in then retrain == train on the full corpus") {
+    val old = Seq((1L, "low low low lower"), (2L, "low newest")).toDF("doc_id", "text")
+    val fresh = Seq((3L, "newest newest widest low")).toDF("doc_id", "text")
+    val standing = Bpe.wordFreq(old, col("text"))
+    val extended = Bpe.extendWordFreq(standing, fresh, col("text"))
+    val a = Bpe.trainFromWords(extended, nMerges = 5).merges
+      .orderBy("rank").collect().toSeq
+    val b = Bpe.train(old.unionByName(fresh), col("text"), nMerges = 5).merges
+      .orderBy("rank").collect().toSeq
+    assert(a == b, "maintained-artifact retrain diverged from full retrain")
+    // the extended table has exact union counts
+    val m = extended.as[(String, Long)].collect().toMap
+    assert(m("low") == 5L && m("newest") == 3L && m("widest") == 1L)
+  }
+
   test("model save/load round-trips the artifact") {
     val docs = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
     val model = Bpe.train(docs, col("text"), nMerges = 3)
