@@ -417,14 +417,20 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def line(name: String, f: Int, m: StreamMetrics): Unit =
-      println(s"""{"stream":"$name","factor":$f,"rows":${m.rows},"sec":${m.elapsedSec},"rows_per_sec":${m.rowsPerSec.toLong},"avg_batch_ms":${m.avgBatchMs.toLong},"batches":${m.batches}}""")
+    // optional twin filter (comma-separated names) so one twin's
+    // curve can be measured in isolation without staging the rest
+    val only = sys.env.get("SPARK_GRAFT_STREAM_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(name: String) = only.forall(_.contains(name))
+    def line(name: String, f: Int, m: => StreamMetrics): Unit =
+      if (want(name))
+        println(s"""{"stream":"$name","factor":$f,"rows":${m.rows},"sec":${m.elapsedSec},"rows_per_sec":${m.rowsPerSec.toLong},"avg_batch_ms":${m.avgBatchMs.toLong},"batches":${m.batches}}""")
     factors.foreach { f =>
       // scope the end-of-factor drain to dirs THIS iteration stages
       val before = trackedDirs()
-      val ev = stageEvents(spark, sfDir, nFiles = 8, factor = f)
-      val docs = stageDocs(spark, sfDir, 8, f)
-      val media = stageMedia(spark, sfDir, 8, f)
+      lazy val ev = stageEvents(spark, sfDir, nFiles = 8, factor = f)
+      lazy val docs = stageDocs(spark, sfDir, 8, f)
+      lazy val media = stageMedia(spark, sfDir, 8, f)
       line("media_neardup", f, benchMediaNearDup(spark, sfDir, media))
       line("audio_neardup", f, benchAudioNearDup(spark, sfDir, media))
       line("video_neardup", f, benchVideoNearDup(spark, sfDir, stageVideo(spark, sfDir, 8, f)))
