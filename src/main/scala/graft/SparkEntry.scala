@@ -353,6 +353,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // E3 depth: the tokenizer's shipped ID table — base chars in
+    // lexicographic order, then merged symbols at C + rank. The
+    // window runs over the alphabet, never the corpus
+    "q_bpe_vocab" -> ((s, dir) =>
+      Bpe.tokenIds(Bpe.train(documents(s, dir), col("text"), BpeMergeCount))
+        .orderBy(col("token_id"))),
+
     // E3: quality scoring
     "q_quality_score" -> ((s, dir) =>
       documents(s, dir).select(
@@ -2493,6 +2500,22 @@ object SparkEntry {
         s"CAST(SUM(len(syms)) AS BIGINT) AS n_tokens " +
         s"FROM d JOIN w$BpeMergeCount USING (word) WHERE word <> '' " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_bpe_vocab" -> {
+      val union = (0 until BpeMergeCount)
+        .map(i => s"SELECT $i AS rank, lft, rgt FROM b$i")
+        .mkString(" UNION ALL ")
+      bpeCtes(BpeMergeCount) +
+        ", ch AS (SELECT DISTINCT word[ci] AS token FROM w0, " +
+        "unnest(range(1, length(word) + 1)) AS u(ci)), " +
+        "ci AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) " +
+        "AS token_id, token, 'char' AS kind FROM ch), " +
+        "nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ch), " +
+        s"mi AS (SELECT nc.n + m.rank AS token_id, m.lft || m.rgt AS token, " +
+        s"'merge' AS kind FROM ($union) m, nc) " +
+        "SELECT token_id, token, kind FROM ci " +
+        "UNION ALL SELECT token_id, token, kind FROM mi ORDER BY token_id"
+    },
 
     "q_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +

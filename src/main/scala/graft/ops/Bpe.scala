@@ -138,6 +138,33 @@ object Bpe {
       words)
   }
 
+  /** The tokenizer's ID TABLE — what a training pipeline actually
+    * ships: every base character (ids 0..C−1 in lexicographic order)
+    * then every merged symbol (id C + rank). Deterministic given the
+    * model, so the oracle rebuilds it from the same replay. The
+    * global window runs over the ALPHABET (≤ a few hundred rows), not
+    * the corpus — bounded by construction; the char-count scalar rides
+    * a broadcast 1-row cross join (the q_global_rank pattern).
+    */
+  def tokenIds(model: BpeModel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chars = model.vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("token"))
+      .distinct()
+    val charIds = chars
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy("token")) - 1).cast("long"))
+      .withColumn("kind", lit("char"))
+    val nChars = chars.agg(count(lit(1)).as("n_chars"))
+    val mergeIds = model.merges
+      .crossJoin(broadcast(nChars))
+      .select((col("n_chars") + col("rank")).as("token_id"),
+        concat(col("lft"), col("rgt")).as("token"), lit("merge").as("kind"))
+    charIds.select(col("token_id"), col("token"), col("kind"))
+      .unionByName(mergeIds)
+  }
+
   /** PERSIST a trained [[BpeModel]] as a parquet artifact:
     * `path/merges` (rank, lft, rgt, cnt) and `path/vocab` (word, freq,
     * syms) — the tokenizer file a training pipeline ships to its

@@ -87,6 +87,14 @@ class BpeSpec extends AnyFunSuite {
     assert(m("low") == 5L && m("newest") == 3L && m("widest") == 1L)
   }
 
+  test("tokenIds: chars lexicographic from 0, merges at C + rank, ids dense") {
+    val docs = Seq((1L, "ab ab ba b")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, col("text"), nMerges = 1) // learns (a,b)
+    val ids = Bpe.tokenIds(model).orderBy("token_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(ids == Seq((0L, "a", "char"), (1L, "b", "char"), (2L, "ab", "merge")))
+  }
+
   test("model save/load round-trips the artifact") {
     val docs = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
     val model = Bpe.train(docs, col("text"), nMerges = 3)
