@@ -360,6 +360,19 @@ object SparkEntry {
       Bpe.tokenIds(Bpe.train(documents(s, dir), col("text"), BpeMergeCount))
         .orderBy(col("token_id"))),
 
+    // E3+E6 composition: pack by REAL tokenizer lengths — the BPE
+    // token counts feed the BFD packer, corpus to training-sequence
+    // layout with the budget measured in actual model tokens
+    "q_pack_bpe" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val model = Bpe.train(d, col("text"), BpeMergeCount)
+      Packing.packGreedy(
+          Bpe.tokenCounts(d, col("doc_id"), col("text"), model),
+          col("doc_id"), col("n_tokens"), budget = 512L, shards = 8)
+        .toDF("pack_id", "doc_id", "n_tokens", "slot")
+        .orderBy(col("pack_id"), col("slot"))
+    }),
+
     // E3: quality scoring
     "q_quality_score" -> ((s, dir) =>
       documents(s, dir).select(
@@ -1669,7 +1682,7 @@ object SparkEntry {
     */
   private def bpeCtes(n: Int): String = {
     val sb = new StringBuilder
-    sb ++= "WITH w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq, " +
+    sb ++= "w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq, " +
       "list_transform(range(1, length(word) + 1), ci -> word[ci]) AS syms " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
       "WHERE word <> '' GROUP BY word)"
@@ -1841,6 +1854,19 @@ object SparkEntry {
       "(row_number() OVER (PARTITION BY shard, a.bid ORDER BY ord) - 1)::INT AS slot FROM un)"
 
   /** Whole-document packing items (q_seq_pack / q_pack_text shape). */
+  /** Pack items measured in BPE tokens: the q_bpe_apply join reduced
+    * to (id, ntok) then the same shard/rn shape as [[docPackItems]].
+    */
+  private def bpePackItems: String =
+    "SELECT id, ntok, (id % 8)::INT AS shard, " +
+      "row_number() OVER (PARTITION BY id % 8 " +
+      "ORDER BY ntok DESC, id)::INT AS rn " +
+      "FROM (SELECT d.doc_id AS id, CAST(SUM(len(w.syms)) AS BIGINT) AS ntok " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+      "FROM documents) d " +
+      s"JOIN w$BpeMergeCount w USING (word) WHERE word <> '' " +
+      "GROUP BY d.doc_id)"
+
   private val docPackItems: String =
     "SELECT doc_id AS id, len(string_split(text, ' '))::BIGINT AS ntok, " +
       "(doc_id % 8)::INT AS shard, " +
@@ -2490,11 +2516,11 @@ object SparkEntry {
       val union = (0 until BpeMergeCount)
         .map(i => s"SELECT $i AS rank, lft, rgt, cnt FROM b$i")
         .mkString(" UNION ALL ")
-      bpeCtes(BpeMergeCount) + s" SELECT * FROM ($union) ORDER BY rank"
+      "WITH " + bpeCtes(BpeMergeCount) + s" SELECT * FROM ($union) ORDER BY rank"
     },
 
     "q_bpe_apply" ->
-      (bpeCtes(BpeMergeCount) +
+      ("WITH " + bpeCtes(BpeMergeCount) +
         ", d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)" +
         s" SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
         s"CAST(SUM(len(syms)) AS BIGINT) AS n_tokens " +
@@ -2505,7 +2531,7 @@ object SparkEntry {
       val union = (0 until BpeMergeCount)
         .map(i => s"SELECT $i AS rank, lft, rgt FROM b$i")
         .mkString(" UNION ALL ")
-      bpeCtes(BpeMergeCount) +
+      "WITH " + bpeCtes(BpeMergeCount) +
         ", ch AS (SELECT DISTINCT word[ci] AS token FROM w0, " +
         "unnest(range(1, length(word) + 1)) AS u(ci)), " +
         "ci AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) " +
@@ -3663,6 +3689,14 @@ object SparkEntry {
     // deterministic, so a recursive CTE replays it bin-for-bin
     // (bfdPackSql); the pipeline variant runs the curate+chunk SQL
     // first and packs the surviving chunks
+    // the BPE-token-budget variant: the merge replay feeds the same
+    // recursive BFD CTE — tokenizer and packer composed end to end
+    "q_pack_bpe" ->
+      ("WITH RECURSIVE " + bpeCtes(BpeMergeCount) + ", " +
+        bfdPackSql(bpePackItems, 512L) +
+        " SELECT pack_id, id AS doc_id, n_tokens, slot FROM packed " +
+        "ORDER BY pack_id, slot"),
+
     "q_seq_pack" ->
       ("WITH RECURSIVE " + bfdPackSql(docPackItems, 512L) +
         " SELECT pack_id, id AS doc_id, n_tokens, slot FROM packed " +
