@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.SparkTestSession
+import graft.{SparkTestSession, Tables}
 
 /** E3 depth: BPE merge training / application. */
 class BpeSpec extends AnyFunSuite {
@@ -93,6 +93,15 @@ class BpeSpec extends AnyFunSuite {
     val ids = Bpe.tokenIds(model).orderBy("token_id")
       .as[(Long, String, String)].collect().toSeq
     assert(ids == Seq((0L, "a", "char"), (1L, "b", "char"), (2L, "ab", "merge")))
+  }
+
+  test("segmentation is lossless: concatenated symbols reconstruct every word") {
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val model = Bpe.train(docs, col("text"), nMerges = 12)
+    val bad = model.vocab.select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect()
+      .filter { case (w, syms) => syms.mkString != w }
+    assert(bad.isEmpty, s"lossy segmentation for: ${bad.take(5).toSeq}")
   }
 
   test("model save/load round-trips the artifact") {
