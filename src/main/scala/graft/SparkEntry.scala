@@ -341,14 +341,14 @@ object SparkEntry {
     // driver traffic total). Oracle replays every merge step with a
     // gaps-and-islands window (see bpeCtes).
     "q_bpe_train" -> ((s, dir) =>
-      Bpe.train(documents(s, dir), col("text"), BpeMergeCount)
+      Bpe.sharedTrain(documents(s, dir), col("text"), BpeMergeCount, Some(dir))
         .merges.orderBy(col("rank"))),
 
     // E3 depth: apply the learned merges — per-doc BPE token counts
     // via a broadcast join against the vocabulary's final segmentation
     // (training's end state IS the apply result for in-vocab words).
     "q_bpe_apply" -> ((s, dir) => {
-      val model = Bpe.train(documents(s, dir), col("text"), BpeMergeCount)
+      val model = Bpe.sharedTrain(documents(s, dir), col("text"), BpeMergeCount, Some(dir))
       Bpe.tokenCounts(documents(s, dir), col("doc_id"), col("text"), model)
         .orderBy(col("doc_id"))
     }),
@@ -357,7 +357,8 @@ object SparkEntry {
     // lexicographic order, then merged symbols at C + rank. The
     // window runs over the alphabet, never the corpus
     "q_bpe_vocab" -> ((s, dir) =>
-      Bpe.tokenIds(Bpe.train(documents(s, dir), col("text"), BpeMergeCount))
+      Bpe.tokenIds(
+          Bpe.sharedTrain(documents(s, dir), col("text"), BpeMergeCount, Some(dir)))
         .orderBy(col("token_id"))),
 
     // E3+E6 composition: pack by REAL tokenizer lengths — the BPE
@@ -365,7 +366,7 @@ object SparkEntry {
     // layout with the budget measured in actual model tokens
     "q_pack_bpe" -> ((s, dir) => {
       val d = documents(s, dir)
-      val model = Bpe.train(d, col("text"), BpeMergeCount)
+      val model = Bpe.sharedTrain(d, col("text"), BpeMergeCount, Some(dir))
       Packing.packGreedy(
           Bpe.tokenCounts(d, col("doc_id"), col("text"), model),
           col("doc_id"), col("n_tokens"), budget = 512L, shards = 8)

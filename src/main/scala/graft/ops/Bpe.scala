@@ -138,6 +138,43 @@ object Bpe {
       words)
   }
 
+  /** [[train]] behind the session artifact cache — the train-once
+    * accounting of a shipped tokenizer (the [[Pq.sharedCodebooks]] /
+    * `sharedImageHashes` discipline): with `cacheKey` naming the
+    * source, the corpus pass + merge iterations run once per session
+    * and every BPE query (train / apply / vocab / pack) reuses the
+    * result. The cache stores ONE combined frame (merge rows and
+    * vocab rows discriminated by a kind column) so a single build
+    * covers both halves — two separate cached artifacts would each
+    * trigger their own training. Keyed on the projected input plan's
+    * semantics, so a different corpus under the same key never
+    * aliases.
+    */
+  def sharedTrain(docs: DataFrame, textCol: Column, nMerges: Int,
+                  cacheKey: Option[String] = None): BpeModel = cacheKey match {
+    case None => train(docs, textCol, nMerges)
+    case Some(src) =>
+      val combined = SessionArtifactCache.getOrBuild(
+        docs.select(textCol), tag = s"bpe_model:$src", params = s"n=$nMerges") {
+        val m = train(docs, textCol, nMerges)
+        m.merges.select(
+          lit("m").as("kind"), col("rank"), col("lft"), col("rgt"), col("cnt"),
+          lit(null).cast("string").as("word"),
+          lit(null).cast("long").as("freq"),
+          lit(null).cast("array<string>").as("syms"))
+          .unionByName(m.vocab.select(
+            lit("w").as("kind"), lit(null).cast("int").as("rank"),
+            lit(null).cast("string").as("lft"), lit(null).cast("string").as("rgt"),
+            lit(null).cast("long").as("cnt"),
+            col("word"), col("freq"), col("syms")))
+      }
+      BpeModel(
+        combined.filter(col("kind") === "m")
+          .select(col("rank"), col("lft"), col("rgt"), col("cnt")),
+        combined.filter(col("kind") === "w")
+          .select(col("word"), col("freq"), col("syms")))
+  }
+
   /** The tokenizer's ID TABLE — what a training pipeline actually
     * ships: every base character (ids 0..C−1 in lexicographic order)
     * then every merged symbol (id C + rank). Deterministic given the

@@ -104,6 +104,25 @@ class BpeSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"lossy segmentation for: ${bad.take(5).toSeq}")
   }
 
+  test("sharedTrain == train; different keys/params never alias") {
+    val docs = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
+    val a = Bpe.sharedTrain(docs, col("text"), 3, Some("k1"))
+    val b = Bpe.train(docs, col("text"), 3)
+    assert(a.merges.orderBy("rank").collect().toSeq ==
+      b.merges.orderBy("rank").collect().toSeq)
+    assert(a.vocab.orderBy("word").collect().toSeq ==
+      b.vocab.orderBy("word").collect().toSeq)
+    // a different merge count under the same key is a different artifact
+    val c = Bpe.sharedTrain(docs, col("text"), 1, Some("k1"))
+    assert(c.merges.count() == 1 && a.merges.count() == 3)
+    // and tokenCounts through the shared model matches the direct one
+    val x = Bpe.tokenCounts(docs, col("doc_id"), col("text"), a)
+      .orderBy("doc_id").collect().toSeq
+    val y = Bpe.tokenCounts(docs, col("doc_id"), col("text"), b)
+      .orderBy("doc_id").collect().toSeq
+    assert(x == y)
+  }
+
   test("model save/load round-trips the artifact") {
     val docs = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
     val model = Bpe.train(docs, col("text"), nMerges = 3)
