@@ -104,6 +104,18 @@ class BpeSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"lossy segmentation for: ${bad.take(5).toSeq}")
   }
 
+  test("null and empty text: dropped from training, absent from counts") {
+    val docs = Seq((1L, "ab ab"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val wf = Bpe.wordFreq(docs, col("text")).as[(String, Long)].collect().toMap
+    assert(wf == Map("ab" -> 2L)) // null explodes to no rows, "" filtered
+    val model = Bpe.train(docs, col("text"), nMerges = 2)
+    assert(model.merges.count() == 1) // only (a,b); then exhausted
+    val tc = Bpe.tokenCounts(docs, col("doc_id"), col("text"), model)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tc == Seq((1L, 2L, 2L))) // wordless docs have no count row
+  }
+
   test("sharedTrain == train; different keys/params never alias") {
     val docs = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
     val a = Bpe.sharedTrain(docs, col("text"), 3, Some("k1"))
