@@ -374,6 +374,24 @@ object SparkEntry {
         .orderBy(col("pack_id"), col("slot"))
     }),
 
+    // E3+E12 composition: context-window chunking measured in REAL
+    // model tokens — words carry their BPE segment length as cost,
+    // boundaries at floor(running-cost / budget), word-atomic
+    "q_chunk_bpe" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val model = Bpe.sharedTrain(d, col("text"), BpeMergeCount, Some(dir))
+      val lens = model.vocab
+        .select(col("word"), size(col("syms")).cast("long").as("cost"))
+      val words = d
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(lens), Seq("word"))
+      Chunking.chunksByCost(words, col("doc_id"), col("pos"), col("cost"),
+          budget = 96L)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // E3: quality scoring
     "q_quality_score" -> ((s, dir) =>
       documents(s, dir).select(
@@ -2543,6 +2561,24 @@ object SparkEntry {
         "SELECT token_id, token, kind FROM ci " +
         "UNION ALL SELECT token_id, token, kind FROM mi ORDER BY token_id"
     },
+
+    // BPE-cost chunking: the lateral range() unnest preserves word
+    // positions (same pattern as the merge-replay CTEs), the
+    // running-cost window mirrors chunksByCost, and both engines do
+    // truncating integer division on the nonnegative start offset
+    "q_chunk_bpe" ->
+      ("WITH " + bpeCtes(BpeMergeCount) +
+        ", ds AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "dw AS (SELECT doc_id, ws[p] AS word, p AS pos FROM ds, " +
+        "unnest(range(1, len(ws) + 1)) AS u(p)), " +
+        s"dj AS (SELECT dw.doc_id, dw.pos, CAST(len(w.syms) AS BIGINT) AS cost " +
+        s"FROM dw JOIN w$BpeMergeCount w ON w.word = dw.word WHERE dw.word <> ''), " +
+        "dc AS (SELECT doc_id, cost, " +
+        "SUM(cost) OVER (PARTITION BY doc_id ORDER BY pos) - cost AS start FROM dj) " +
+        "SELECT doc_id, start // 96 AS chunk_id, " +
+        "CAST(count(*) AS BIGINT) AS n_units, " +
+        "CAST(SUM(cost) AS BIGINT) AS n_tokens " +
+        "FROM dc GROUP BY doc_id, start // 96 ORDER BY doc_id, chunk_id"),
 
     "q_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +

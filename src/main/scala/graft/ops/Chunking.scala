@@ -64,4 +64,30 @@ object Chunking {
         array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ")
           .as("chunk_text"))
   }
+
+  /** COST-WEIGHTED chunking: units (e.g. words) carry a cost in model
+    * tokens (e.g. their BPE segment length — see [[Bpe.tokenCounts]]),
+    * and a unit is assigned to chunk floor(start / budget) where
+    * `start` is the running cost of everything before it. Units are
+    * ATOMIC — one that straddles a boundary lands entirely in the
+    * chunk where it starts, so a chunk may exceed the budget by up to
+    * maxCost − 1 (the downstream packer enforces the hard cap; this
+    * stage only needs deterministic, order-stable boundaries). The
+    * window is keyed per document — never global — and the rest is
+    * one aggregation: two shuffles total at any corpus size.
+    * Output: (doc_id, chunk_id, n_units, n_tokens).
+    */
+  def chunksByCost(units: DataFrame, docCol: Column, posCol: Column,
+                   costCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    units
+      .select(docCol.as("doc_id"), posCol.as("pos"), costCol.as("cost"))
+      .withColumn("start",
+        sum(col("cost")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))) - col("cost"))
+      .withColumn("chunk_id", expr(s"start div ${budget}L"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_units"), sum(col("cost")).as("n_tokens"))
+  }
 }

@@ -107,4 +107,22 @@ class ChunkingSpec extends AnyFunSuite {
       Chunking.chunks(d, col("id"), col("text"), 4, 4)
     }
   }
+
+  test("chunksByCost: boundaries at running cost, straddling unit stays whole") {
+    import spark.implicits._
+    // doc 1: costs 3,4,2,5 budget 6 -> starts 0,3,7,9 -> chunks 0,0,1,1
+    // (the cost-4 unit starts at 3 and straddles 6: stays in chunk 0)
+    val units = Seq(
+      (1L, 0, 3L), (1L, 1, 4L), (1L, 2, 2L), (1L, 3, 5L),
+      (2L, 0, 6L), (2L, 1, 1L)).toDF("doc", "pos", "cost")
+    val got = Chunking.chunksByCost(units, col("doc"), col("pos"),
+        col("cost"), budget = 6L)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 2L, 7L), // exceeds budget by straddle: documented
+      (1L, 1L, 2L, 7L),
+      (2L, 0L, 1L, 6L),
+      (2L, 1L, 1L, 1L)))
+  }
 }
