@@ -335,6 +335,21 @@ object SparkEntry {
         TextStats.bpeishCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))),
 
+    // E3/E5 depth: CCNet-style bigram-LM perplexity — train an
+    // add-one bigram model on the lang='en' slice (cutoff vocab,
+    // bounded tables, broadcast), score every document's mean
+    // negative logprob in portable fixed-point (kernels.ilog2fp) —
+    // the quality-filter signal of a crawl pipeline. Oracle replays
+    // counts + the 16-round integer log2 fold exactly.
+    "q_lm_perplexity" -> ((s, dir) =>
+      Lm.perplexity(documents(s, dir), col("lang") === lit("en"))),
+
+    // E3/E5 depth: DSIR importance weights over hashed n-gram
+    // features (8192-bucket models, target = lang='en') — the
+    // importance-resampling selection signal; top-100 by weight.
+    "q_dsir_weights" -> ((s, dir) =>
+      Lm.dsirWeights(documents(s, dir), col("lang") === lit("en"))),
+
     // E3 depth: BPE merge training — the tokenizer itself. One
     // corpus-scale word count, then O(vocab) merge iterations with a
     // 1-row argmax collect each (bounded: BpeMergeCount rows of
@@ -1749,6 +1764,109 @@ object SparkEntry {
     s"list_reduce(list_prepend($seed::BIGINT, list_transform(range(1, length($v)+1), " +
       s"ci -> ord($v[ci])::BIGINT)), (h, c) -> ((h*$mult + c) % $MP))"
 
+  /** DuckDB replay of [[graft.functions.kernels.ilog2fp]] — the
+    * 16-round square-and-shift fixed-point log2. The (mantissa, acc)
+    * state packs into ONE BIGINT (`acc·2^31 + m`; m < 2^31,
+    * acc < 2^23) because DuckDB 1.0's list_reduce mis-evaluates
+    * STRUCT accumulators (the second field's lambda saw a stale
+    * binding — found by a 5000-value cross-check); the scalar fold is
+    * the same proven shape as [[duckPoly]]. Bit-identical to the
+    * Scala kernel on the full positive-long range.
+    */
+  private def duckIlog2(v: String): String = {
+    val bl = s"length(ltrim(bin($v), '0'))"
+    val m0 = s"(CASE WHEN $bl >= 31 THEN ($v) >> ($bl - 31) " +
+      s"ELSE ($v) << (31 - $bl) END)"
+    val sq = "((h & 2147483647)*(h & 2147483647))"
+    val big = s"$sq >= 2305843009213693952" // 2^61: the square carries
+    val step = s"(((h >> 31)*2 + CASE WHEN $big THEN 1 ELSE 0 END) " +
+      s"* 2147483648 + CASE WHEN $big THEN $sq >> 31 ELSE $sq >> 30 END)"
+    val init = s"(($bl - 1)::BIGINT * 2147483648 + $m0)"
+    s"(list_reduce(list_prepend($init, list_transform(range(1,17), " +
+      s"ri -> 0::BIGINT)), (h, xx) -> $step) >> 31)"
+  }
+
+  /** Shared tokenizer CTE of the LM/DSIR oracles — mirrors
+    * [[graft.ops.Lm.tokens]] (lower, trim, whitespace split, empties
+    * dropped) with the reference/target predicate lang='en'.
+    */
+  private val LmTokCte: String =
+    "tok AS MATERIALIZED (SELECT doc_id, (lang = 'en') AS is_ref, " +
+      "list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+      "t -> t <> '') AS ts FROM documents WHERE text IS NOT NULL)"
+
+  /** Oracle for q_lm_perplexity: rebuild the cutoff vocabulary, the
+    * unk-mapped reference bigram/prefix counts, and the three logprob
+    * arms with [[duckIlog2]], then score every document — identical
+    * integer math to [[graft.ops.Lm.perplexity]] end to end.
+    */
+  private def lmPerplexitySql: String = {
+    val mc = graft.ops.Lm.MinCount
+    val unk = graft.ops.Lm.Unk
+    s"""WITH $LmTokCte,
+pairs AS MATERIALIZED (
+  SELECT doc_id, is_ref, ts[i] AS rw1, ts[i+1] AS rw2
+  FROM tok, unnest(range(1, len(ts))) AS u(i)),
+vocab AS MATERIALIZED (
+  SELECT w FROM (SELECT unnest(ts) AS w FROM tok WHERE is_ref)
+  GROUP BY w HAVING count(*) >= $mc),
+vc AS (SELECT count(*) + 1 AS v FROM vocab),
+mapped AS MATERIALIZED (
+  SELECT doc_id, is_ref,
+         CASE WHEN v1.w IS NULL THEN '$unk' ELSE rw1 END AS w1,
+         CASE WHEN v2.w IS NULL THEN '$unk' ELSE rw2 END AS w2
+  FROM pairs LEFT JOIN vocab v1 ON rw1 = v1.w
+             LEFT JOIN vocab v2 ON rw2 = v2.w),
+refbg AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c FROM mapped WHERE is_ref GROUP BY 1, 2),
+pf AS MATERIALIZED (SELECT w1, sum(c)::BIGINT AS c1 FROM refbg GROUP BY 1),
+pfb AS MATERIALIZED (
+  SELECT w1, -(${duckIlog2("c1 + v")}) AS backoff_fp FROM pf, vc),
+bg AS MATERIALIZED (
+  SELECT b.w1, b.w2,
+         ${duckIlog2("b.c + 1")} - ${duckIlog2("p.c1 + v")} AS logp_fp
+  FROM refbg b JOIN pf p USING (w1), vc),
+scored AS (
+  SELECT doc_id,
+         coalesce(bg.logp_fp, pfb.backoff_fp, -(${duckIlog2("v")})) AS lp
+  FROM mapped LEFT JOIN bg USING (w1, w2) LEFT JOIN pfb USING (w1), vc)
+SELECT doc_id, count(*) AS n_bigrams, (-sum(lp))::BIGINT AS nll_fp,
+       ((-sum(lp)) // count(*))::BIGINT AS bits_fp
+FROM scored GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Oracle for q_dsir_weights: hashed unigram+bigram feature
+    * occurrences (seeded [[duckPoly]] mod the bucket count), one
+    * bucket-count table for both models, add-one log-ratio weights
+    * via [[duckIlog2]], top-[[graft.ops.Lm.TopK]] by (weight desc,
+    * doc_id) — mirrors [[graft.ops.Lm.dsirWeights]].
+    */
+  private def dsirWeightsSql: String = {
+    val b = graft.ops.Lm.Buckets
+    val k = graft.ops.Lm.TopK
+    val seed = graft.ops.Lm.HashSeed
+    s"""WITH $LmTokCte,
+feats AS MATERIALIZED (
+  SELECT doc_id, is_ref AS is_t, (${duckPoly("w", 31, seed)}) % $b AS b
+  FROM (SELECT doc_id, is_ref, unnest(ts) AS w FROM tok)
+  UNION ALL
+  SELECT doc_id, is_ref AS is_t,
+         (${duckPoly("concat(ts[i], ' ', ts[i+1])", 31, seed)}) % $b AS b
+  FROM tok, unnest(range(1, len(ts))) AS u(i)),
+bk AS MATERIALIZED (
+  SELECT b, count(*)::BIGINT AS r,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS t
+  FROM feats GROUP BY b),
+tot AS (SELECT sum(r)::BIGINT AS rt, sum(t)::BIGINT AS tt FROM bk),
+bw AS MATERIALIZED (
+  SELECT b, (${duckIlog2("t + 1")} - ${duckIlog2(s"tt + $b")}) -
+            (${duckIlog2("r + 1")} - ${duckIlog2(s"rt + $b")}) AS w_fp
+  FROM bk, tot)
+SELECT doc_id, count(*) AS n_feats, sum(w_fp)::BIGINT AS weight_fp
+FROM feats JOIN bw USING (b)
+GROUP BY doc_id ORDER BY weight_fp DESC, doc_id LIMIT $k"""
+  }
+
   /** Index-order double cosine over dim-64 lists — mirrors
     * kernels.dotDouble / Similarity.cosine (same IEEE operation order,
     * so results are bit-identical).
@@ -2584,6 +2702,9 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_lm_perplexity" -> lmPerplexitySql,
+    "q_dsir_weights" -> dsirWeightsSql,
 
     "q_quality_score" ->
       ("WITH t AS (SELECT doc_id, text, " +

@@ -373,6 +373,28 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** Fixed-point log2 (16 fraction bits) of a positive long — see
+    * [[ILog2Fp]] for the algorithm and portability contract. Throws
+    * on x ≤ 0 (a count-derived argument that is not positive is
+    * upstream corruption; fail loudly, never return a silent wrong
+    * logprob — the [[graft.ops.Sharding.assign]] precedent).
+    */
+  def ilog2fp(x: Long): Long = {
+    if (x <= 0L)
+      throw new IllegalArgumentException(s"ilog2fp: need x >= 1, got $x")
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (bl >= 31) x >>> (bl - 31) else x << (31 - bl)
+    var acc: Long = bl - 1
+    var i = 0
+    while (i < 16) {
+      val sq = m * m
+      if (sq >= (1L << 61)) { m = sq >>> 31; acc = acc * 2 + 1 }
+      else { m = sq >>> 30; acc = acc * 2 }
+      i += 1
+    }
+    acc
+  }
+
   /** Per-marker-set occurrence counts over a token array in ONE pass:
     * each token is a single hash probe; a token belonging to several
     * sets increments each. Duplicates count (same semantics as
@@ -418,6 +440,32 @@ case class PolyHashBin(child: Expression, mult: Long, seed: Long)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.kernels.polyHashUtf8Bytes($c, ${mult}L, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): PolyHashBin =
+    copy(child = newChild)
+}
+
+/** Engine-portable fixed-point base-2 logarithm (16 fraction bits) of
+  * a positive long — `floor-ish(log2(x) · 2^16)` computed by the
+  * classic square-and-shift algorithm in PURE 64-bit integer
+  * arithmetic: normalize x to a 31-bit mantissa m ∈ [2^30, 2^31),
+  * then 16 rounds of m ← m² >> 30 (>> 31 + emit bit when the square
+  * carries past 2^61). Every step is deterministic integer math, so
+  * any engine replays it bit-for-bit (the DuckDB oracle folds the
+  * same 16 rounds with (m, acc) packed into one BIGINT — acc < 2^23,
+  * m < 2^31). Max error vs true log2 is < 2^-14 bits; monotone
+  * non-decreasing. The truncating normalization (x >> (bl−31) for
+  * x ≥ 2^31) makes counts of ANY magnitude safe — no overflow, no
+  * precision cliff, just the same deterministic value on both
+  * engines. Differences of these are the logprob currency of the
+  * LM-perplexity and DSIR operators ([[graft.ops.Lm]]):
+  * log2(a/b) ≈ (ilog2fp(a) − ilog2fp(b)) / 2^16.
+  */
+case class ILog2Fp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    kernels.ilog2fp(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.ilog2fp($c)")
+  override protected def withNewChildInternal(newChild: Expression): ILog2Fp =
     copy(child = newChild)
 }
 
@@ -575,6 +623,8 @@ object ArrayExprs {
     Shim.column(SimHash64(Shim.expression(tokens)))
   def polyHashBinary(content: Column, mult: Long = 31L, seed: Long = 0L): Column =
     Shim.column(PolyHashBin(Shim.expression(content), mult, seed))
+  def ilog2fp(x: Column): Column =
+    Shim.column(ILog2Fp(Shim.expression(x)))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     Shim.column(MinHashSig(Shim.expression(shingles), as, bs))
   def shingles(text: Column, n: Int): Column =

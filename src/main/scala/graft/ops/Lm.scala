@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayExprs
+
+/** N-gram language-model quality scoring and importance weighting —
+  * the two selection signals a web-scale training-data pipeline runs
+  * after dedup and before mixing:
+  *
+  *  - [[perplexity]]: CCNet-style (Wenzek et al. 2020) bigram-LM
+  *    scoring — train an add-one-smoothed bigram model on a trusted
+  *    reference slice, score every document by mean negative
+  *    log-probability per bigram ("bits per token"); low-perplexity
+  *    documents read like the reference corpus.
+  *  - [[dsirWeights]]: DSIR-style (Xie et al. 2023) importance
+  *    weights over HASHED n-gram features — log-likelihood ratio of
+  *    a target-slice unigram feature model vs the raw-corpus model,
+  *    summed over each document's (hashed) unigram+bigram
+  *    occurrences; the top-weighted documents are the ones importance
+  *    resampling would keep.
+  *
+  * No reference analog (north-star extension, text-analysis family).
+  *
+  * Engine-portable by construction: every probability is a ratio of
+  * integer counts, and every log is [[ArrayExprs.ilog2fp]] — the
+  * fixed-point square-and-shift log2 that any engine replays
+  * bit-for-bit — so both operators hash-match a DuckDB oracle
+  * (logprob_fp = ilog2fp(num) − ilog2fp(den), 2^-16 resolution; the
+  * honest alternative, libm `ln`, differs across engines in the last
+  * ulp and can never hash-match).
+  *
+  * Scale shape (the 100 TB audit):
+  *  - model tables are COUNT-CUTOFF-BOUNDED (vocab ≥ [[MinCount]],
+  *    DSIR buckets exactly [[Buckets]] rows) and broadcast; the
+  *    corpus is never joined against anything corpus-sized.
+  *  - scoring is one explode over document bigrams → broadcast
+  *    lookups → one partial-aggregated groupBy(doc_id): a single
+  *    corpus-wide shuffle whose map-side output is one row per
+  *    (partition, doc).
+  *  - model training is one groupBy over reference n-grams (bounded
+  *    output) plus 1-row total aggregates crossJoin-broadcast back
+  *    (the [[Rank.valueRanks]] scalar pattern).
+  *  - all ilog2fp calls run on model-bounded tables or fold into the
+  *    scoring stage's whole-stage codegen (native expression, no UDF).
+  */
+object Lm {
+
+  /** Fixed-point fraction bits of the logprob currency. */
+  val F = 16
+
+  /** Vocabulary count cutoff: reference tokens seen fewer times map
+    * to `<unk>` (CCNet trains on a cutoff vocabulary for the same
+    * reason — the LM table must be bounded regardless of corpus
+    * size).
+    */
+  val MinCount = 5L
+
+  /** `<unk>` literal — cannot collide with real tokens (whitespace
+    * tokenization never yields `<`).
+    */
+  val Unk = "<unk>"
+
+  /** DSIR hashed-feature bucket count (the feature table is EXACTLY
+    * this many rows at any corpus size — that is the point of
+    * hashing).
+    */
+  val Buckets = 8192L
+
+  /** Seed for the feature hash ([[graft.functions.kernels.polyHash]]
+    * seeded variant — unseeded rolling hashes map short tokens to
+    * small values and starve the high buckets).
+    */
+  val HashSeed = 99991L
+
+  /** Documents kept by [[dsirWeights]] (top weights, ties to the
+    * smaller doc_id).
+    */
+  val TopK = 100
+
+  /** Whitespace tokens of the lowered, trimmed text; empty strings
+    * dropped (empty text yields an empty array, not [""]). Mirrors
+    * the DuckDB side's
+    * `list_filter(string_split_regex(trim(lower(text)), '\s+'), ...)`.
+    */
+  def tokens(textCol: Column): Column =
+    filter(split(trim(lower(textCol)), "\\s+"), t => length(t) > lit(0))
+
+  /** Adjacent-pair structs (rw1, rw2) of a token array: one struct
+    * per position 0..n-2; size-<2 arrays yield an empty list. Kept as
+    * transform + element_at (O(1) per element) so the whole bigram
+    * explode stays in one projection.
+    */
+  private def bigramPairs(ts: Column): Column =
+    transform(
+      slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+      (t, i) => struct(t.as("rw1"), element_at(ts, i + 2).as("rw2")))
+
+  /** (doc_id, is_ref, ts) token frame shared by both operators. */
+  private def tokenFrame(docs: DataFrame, refPred: Column): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), refPred.as("is_ref"),
+        tokens(col("text")).as("ts"))
+
+  /** Bigram-LM perplexity scores for every document with ≥ 2 tokens:
+    * (doc_id, n_bigrams, nll_fp, bits_fp) ordered by doc_id.
+    *
+    * Model: P(w2|w1) = (c(w1,w2)+1) / (c1(w1)+V) over the
+    * `refPred` slice with tokens below [[MinCount]] mapped to
+    * [[Unk]] BEFORE counting (so `<unk>` participates in bigrams);
+    * V = |vocab|+1. A scored bigram falls through three arms —
+    * exact bigram hit, prefix-only backoff (c=0 numerator),
+    * unseen-prefix floor 1/V — all PRECOMPUTED on the model tables,
+    * so scoring is pure broadcast lookups.
+    *
+    * nll_fp = Σ −logprob_fp; bits_fp = nll_fp div n (mean bits per
+    * bigram, still 2^16 fixed-point).
+    */
+  def perplexity(docs: DataFrame, refPred: Column): DataFrame = {
+    val toks = tokenFrame(docs, refPred)
+
+    // vocabulary of the reference slice (count cutoff -> bounded)
+    val vocab = toks.filter(col("is_ref"))
+      .select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= lit(MinCount))
+      .select("w")
+
+    // V = |vocab| + 1 (the <unk> symbol) — 1-row scalar
+    val vc = vocab.agg((count(lit(1)) + lit(1L)).as("v"))
+
+    // reference bigrams over unk-mapped tokens: explode raw pairs,
+    // map each side through the (broadcast) vocab, then count
+    def mapped(side: String, out: String)(df: DataFrame): DataFrame = {
+      val v = vocab.withColumnRenamed("w", s"_$out")
+      df.join(broadcast(v), col(side) === col(s"_$out"), "left")
+        .withColumn(out,
+          when(col(s"_$out").isNotNull, col(side)).otherwise(lit(Unk)))
+        .drop(side, s"_$out")
+    }
+    val refPairs = toks.filter(col("is_ref"))
+      .select(explode(bigramPairs(col("ts"))).as("p"))
+      .select(col("p.rw1").as("rw1"), col("p.rw2").as("rw2"))
+    val refBg = mapped("rw2", "w2")(mapped("rw1", "w1")(refPairs))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+
+    // prefix totals + precomputed logprob arms (model-bounded rows)
+    val pf = refBg.groupBy("w1").agg(sum(col("c")).as("c1"))
+      .crossJoin(broadcast(vc))
+      .withColumn("backoff_fp",
+        -ArrayExprs.ilog2fp(col("c1") + col("v")))
+      .select("w1", "c1", "backoff_fp")
+    val bg = refBg.join(pf.select("w1", "c1"), Seq("w1"))
+      .crossJoin(broadcast(vc))
+      .withColumn("logp_fp",
+        ArrayExprs.ilog2fp(col("c") + lit(1L)) -
+          ArrayExprs.ilog2fp(col("c1") + col("v")))
+      .select("w1", "w2", "logp_fp")
+
+    // scoring: explode every document's bigrams, map through vocab,
+    // three-arm lookup, one partial-aggregated groupBy(doc_id)
+    val docPairs = toks
+      .select(col("doc_id"), explode(bigramPairs(col("ts"))).as("p"))
+      .select(col("doc_id"), col("p.rw1").as("rw1"), col("p.rw2").as("rw2"))
+    val scored = mapped("rw2", "w2")(mapped("rw1", "w1")(docPairs))
+      .join(broadcast(bg), Seq("w1", "w2"), "left")
+      .join(broadcast(pf.select("w1", "backoff_fp")), Seq("w1"), "left")
+      .crossJoin(broadcast(vc))
+      .withColumn("lp_fp",
+        coalesce(col("logp_fp"), col("backoff_fp"),
+          -ArrayExprs.ilog2fp(col("v"))))
+    scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      (-sum(col("lp_fp"))).as("nll_fp"))
+      .withColumn("bits_fp", expr("nll_fp div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Portable hash of a string column into [0, [[Buckets]]): the
+    * seeded rolling codepoint hash over the UTF-8 bytes
+    * ([[graft.functions.kernels.polyHash]] semantics) mod the bucket
+    * count — non-negative on both engines, so plain % matches.
+    */
+  private def bucketOf(s: Column): Column =
+    ArrayExprs.polyHashBinary(encode(s, "UTF-8"), 31L, HashSeed) %
+      lit(Buckets)
+
+  /** DSIR importance weights: the [[TopK]] documents by
+    * log-likelihood ratio of the `targetPred` slice's hashed-n-gram
+    * feature model against the raw corpus's —
+    * (doc_id, n_feats, weight_fp) ordered by (weight_fp desc,
+    * doc_id).
+    *
+    * Features are unigram and bigram hashes into [[Buckets]] buckets;
+    * bucket models are add-one over bucket counts:
+    * weight(doc) = Σ_occurrences [ log2fp(t_b+1, T+B) −
+    * log2fp(r_b+1, R+B) ] with t/r the target/raw bucket counts and
+    * T/R their totals. The bucket table is exactly B rows at ANY
+    * corpus size — the feature table, not the vocabulary, is the
+    * bounded object (that is DSIR's point, and why this scales where
+    * an exact-vocab ratio model would not).
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
+    val toks = tokenFrame(docs, targetPred)
+
+    // one row per feature OCCURRENCE (unigrams ++ bigrams, hashed)
+    val feats = toks.select(
+      col("doc_id"), col("is_ref").as("is_t"),
+      explode(concat(
+        transform(col("ts"), w => bucketOf(w)),
+        transform(bigramPairs(col("ts")),
+          p => bucketOf(concat_ws(" ", p("rw1"), p("rw2"))))
+      )).as("b"))
+
+    // bucket counts for both models in ONE shuffle (B rows out)
+    val buckets = feats.groupBy("b").agg(
+      count(lit(1)).as("r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("t"))
+    val totals = buckets.agg(
+      sum(col("r")).as("rt"), sum(col("t")).as("tt"))
+    val bw = buckets.crossJoin(broadcast(totals))
+      .withColumn("w_fp",
+        (ArrayExprs.ilog2fp(col("t") + lit(1L)) -
+          ArrayExprs.ilog2fp(col("tt") + lit(Buckets))) -
+          (ArrayExprs.ilog2fp(col("r") + lit(1L)) -
+            ArrayExprs.ilog2fp(col("rt") + lit(Buckets))))
+      .select("b", "w_fp")
+
+    feats.join(broadcast(bw), Seq("b"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("w_fp")).as("weight_fp"))
+      .orderBy(col("weight_fp").desc, col("doc_id"))
+      .limit(TopK)
+  }
+}
