@@ -103,47 +103,120 @@ object Lm {
       .select(col("doc_id"), refPred.as("is_ref"),
         tokens(col("text")).as("ts"))
 
-  /** Bigram-LM perplexity scores for every document with ≥ 2 tokens:
-    * (doc_id, n_bigrams, nll_fp, bits_fp) ordered by doc_id.
-    *
-    * Model: P(w2|w1) = (c(w1,w2)+1) / (c1(w1)+V) over the
-    * `refPred` slice with tokens below [[MinCount]] mapped to
-    * [[Unk]] BEFORE counting (so `<unk>` participates in bigrams);
-    * V = |vocab|+1. A scored bigram falls through three arms —
-    * exact bigram hit, prefix-only backoff (c=0 numerator),
-    * unseen-prefix floor 1/V — all PRECOMPUTED on the model tables,
-    * so scoring is pure broadcast lookups.
-    *
-    * nll_fp = Σ −logprob_fp; bits_fp = nll_fp div n (mean bits per
-    * bigram, still 2^16 fixed-point).
+  /** The ADDITIVE sufficient statistics of the bigram LM — raw
+    * (pre-`<unk>`) reference unigram counts `words(w, c)` and bigram
+    * counts `rawBg(rw1, rw2, c)`. Counts are additive, so extending
+    * the model with a new reference batch is a pure count-merge
+    * ([[extend]]) and the artifact persists as plain parquet
+    * ([[saveModel]]/[[loadModel]]) — the same standing-artifact
+    * discipline as [[Bpe.BpeModel]] / [[MinHash.saveIndex]]. The
+    * cutoff vocabulary and the smoothed logprob tables DERIVE from
+    * these (bounded work on model-sized inputs, see [[scoreWith]]) —
+    * they are deliberately NOT stored, because a bigram whose count
+    * crosses [[MinCount]] only after an extension must re-enter the
+    * vocabulary, which a post-cutoff artifact could never replay.
+    * Of the two frames only the DERIVED cutoff tables are ever
+    * broadcast; rawBg itself grows with reference diversity (Heaps'
+    * law sub-linear) and lives on disk / in shuffles only.
     */
-  def perplexity(docs: DataFrame, refPred: Column): DataFrame = {
-    val toks = tokenFrame(docs, refPred)
+  case class LmModel(words: DataFrame, rawBg: DataFrame)
 
-    // vocabulary of the reference slice (count cutoff -> bounded)
-    val vocab = toks.filter(col("is_ref"))
-      .select(explode(col("ts")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= lit(MinCount))
-      .select("w")
+  /** Count the additive model statistics over the `refPred` slice —
+    * the one corpus-scale pass of LM training (two map-side-combined
+    * aggregations over the same token scan).
+    */
+  def trainCounts(docs: DataFrame, refPred: Column): LmModel = {
+    val ref = tokenFrame(docs, refPred).filter(col("is_ref"))
+    LmModel(
+      words = ref.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")),
+      rawBg = ref.select(explode(bigramPairs(col("ts"))).as("p"))
+        .select(col("p.rw1").as("rw1"), col("p.rw2").as("rw2"))
+        .groupBy("rw1", "rw2").agg(count(lit(1)).as("c")))
+  }
 
-    // V = |vocab| + 1 (the <unk> symbol) — 1-row scalar
+  /** Fold a NEW reference batch into a standing model: count the
+    * batch ([[trainCounts]]) and merge counts — O(batch + model)
+    * work, the old corpus is never re-read. Spec-pinned equal to a
+    * full retrain over the union (LmSpec).
+    */
+  def extend(model: LmModel, newDocs: DataFrame, refPred: Column): LmModel = {
+    val n = trainCounts(newDocs, refPred)
+    def mergeOn(keys: Seq[String])(a: DataFrame, b: DataFrame) =
+      a.unionByName(b).groupBy(keys.map(col): _*)
+        .agg(sum(col("c")).as("c"))
+    LmModel(
+      words = mergeOn(Seq("w"))(model.words, n.words),
+      rawBg = mergeOn(Seq("rw1", "rw2"))(model.rawBg, n.rawBg))
+  }
+
+  /** PERSIST the model's additive statistics as a parquet artifact:
+    * `path/words` and `path/raw_bigrams`.
+    */
+  def saveModel(model: LmModel, path: String): Unit = {
+    model.words.write.mode("overwrite").parquet(s"$path/words")
+    model.rawBg.write.mode("overwrite").parquet(s"$path/raw_bigrams")
+  }
+
+  /** Load a persisted [[LmModel]] (the files ARE the
+    * materialization).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): LmModel =
+    LmModel(
+      spark.read.parquet(s"$path/words"),
+      spark.read.parquet(s"$path/raw_bigrams"))
+
+  /** Score `docs` against a trained model: derive the cutoff
+    * vocabulary and the three PRECOMPUTED logprob arms from the
+    * additive counts (model-bounded work), then explode each
+    * document's bigrams through broadcast lookups and one
+    * partial-aggregated groupBy(doc_id).
+    *
+    * Model: P(w2|w1) = (c(w1,w2)+1) / (c1(w1)+V), tokens below
+    * [[MinCount]] mapped to [[Unk]] BEFORE counting (so `<unk>`
+    * participates in bigrams); V = |vocab|+1. A scored bigram falls
+    * through three arms — exact bigram hit, prefix-only backoff
+    * (c=0 numerator), unseen-prefix floor 1/V.
+    *
+    * Output: (doc_id, n_bigrams, nll_fp, bits_fp) ordered by doc_id;
+    * nll_fp = Σ −logprob_fp, bits_fp = nll_fp div n (mean bits per
+    * bigram, still 2^16 fixed-point). Documents with < 2 tokens or
+    * NULL text are dropped.
+    */
+  def scoreWith(model: LmModel, docs: DataFrame): DataFrame =
+    scoreWithTables(scoreTables(model), docs)
+
+  /** The DERIVED, bounded lookup tables of a trained model — cutoff
+    * vocabulary, the V scalar, and the two precomputed logprob arms.
+    * Derivation is model-bounded work; a long-lived consumer (the
+    * streaming twin) derives once and localCheckpoints the frames so
+    * every micro-batch reuses the materialization.
+    */
+  case class LmScoreTables(vocab: DataFrame, vc: DataFrame,
+                           bg: DataFrame, pf: DataFrame)
+
+  // map a raw-token column through the (broadcast) vocab -> unk
+  private def unkMapped(vocab: DataFrame, side: String, out: String)(
+      df: DataFrame): DataFrame = {
+    val v = vocab.withColumnRenamed("w", s"_$out")
+    df.join(broadcast(v), col(side) === col(s"_$out"), "left")
+      .withColumn(out,
+        when(col(s"_$out").isNotNull, col(side)).otherwise(lit(Unk)))
+      .drop(side, s"_$out")
+  }
+
+  def scoreTables(model: LmModel): LmScoreTables = {
+    // cutoff vocabulary (bounded) and V = |vocab| + 1 (the <unk>)
+    val vocab = model.words.filter(col("c") >= lit(MinCount)).select("w")
     val vc = vocab.agg((count(lit(1)) + lit(1L)).as("v"))
 
-    // reference bigrams over unk-mapped tokens: explode raw pairs,
-    // map each side through the (broadcast) vocab, then count
-    def mapped(side: String, out: String)(df: DataFrame): DataFrame = {
-      val v = vocab.withColumnRenamed("w", s"_$out")
-      df.join(broadcast(v), col(side) === col(s"_$out"), "left")
-        .withColumn(out,
-          when(col(s"_$out").isNotNull, col(side)).otherwise(lit(Unk)))
-        .drop(side, s"_$out")
-    }
-    val refPairs = toks.filter(col("is_ref"))
-      .select(explode(bigramPairs(col("ts"))).as("p"))
-      .select(col("p.rw1").as("rw1"), col("p.rw2").as("rw2"))
-    val refBg = mapped("rw2", "w2")(mapped("rw1", "w1")(refPairs))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // unk-mapped reference bigram counts from the raw statistics —
+    // re-aggregated AFTER mapping, identical to counting mapped
+    // pairs directly (sum of counts is count of occurrences)
+    val refBg =
+      unkMapped(vocab, "rw2", "w2")(unkMapped(vocab, "rw1", "w1")(model.rawBg))
+        .groupBy("w1", "w2").agg(sum(col("c")).as("c"))
 
     // prefix totals + precomputed logprob arms (model-bounded rows)
     val pf = refBg.groupBy("w1").agg(sum(col("c")).as("c1"))
@@ -157,25 +230,36 @@ object Lm {
         ArrayExprs.ilog2fp(col("c") + lit(1L)) -
           ArrayExprs.ilog2fp(col("c1") + col("v")))
       .select("w1", "w2", "logp_fp")
+    LmScoreTables(vocab, vc, bg, pf)
+  }
 
+  def scoreWithTables(t: LmScoreTables, docs: DataFrame): DataFrame = {
     // scoring: explode every document's bigrams, map through vocab,
     // three-arm lookup, one partial-aggregated groupBy(doc_id)
+    val toks = tokenFrame(docs, lit(false))
     val docPairs = toks
       .select(col("doc_id"), explode(bigramPairs(col("ts"))).as("p"))
       .select(col("doc_id"), col("p.rw1").as("rw1"), col("p.rw2").as("rw2"))
-    val scored = mapped("rw2", "w2")(mapped("rw1", "w1")(docPairs))
-      .join(broadcast(bg), Seq("w1", "w2"), "left")
-      .join(broadcast(pf.select("w1", "backoff_fp")), Seq("w1"), "left")
-      .crossJoin(broadcast(vc))
-      .withColumn("lp_fp",
-        coalesce(col("logp_fp"), col("backoff_fp"),
-          -ArrayExprs.ilog2fp(col("v"))))
+    val scored =
+      unkMapped(t.vocab, "rw2", "w2")(unkMapped(t.vocab, "rw1", "w1")(docPairs))
+        .join(broadcast(t.bg), Seq("w1", "w2"), "left")
+        .join(broadcast(t.pf.select("w1", "backoff_fp")), Seq("w1"), "left")
+        .crossJoin(broadcast(t.vc))
+        .withColumn("lp_fp",
+          coalesce(col("logp_fp"), col("backoff_fp"),
+            -ArrayExprs.ilog2fp(col("v"))))
     scored.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       (-sum(col("lp_fp"))).as("nll_fp"))
       .withColumn("bits_fp", expr("nll_fp div n_bigrams"))
       .orderBy("doc_id")
   }
+
+  /** One-shot form: train on the `refPred` slice of `docs` and score
+    * every document — [[trainCounts]] ∘ [[scoreWith]].
+    */
+  def perplexity(docs: DataFrame, refPred: Column): DataFrame =
+    scoreWith(trainCounts(docs, refPred), docs)
 
   /** Portable hash of a string column into [0, [[Buckets]]): the
     * seeded rolling codepoint hash over the UTF-8 bytes

@@ -284,6 +284,36 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** LM scoring throughput: a standing bigram model (trained untimed
+    * on the sfDir corpus's lang='en' slice, lookup tables
+    * materialized once) perplexity-scores the replayed document
+    * stream — the CCNet quality gate as an ingest stage.
+    */
+  def benchLmScore(spark: SparkSession, sfDir: String,
+                   replayDir: String): StreamMetrics = {
+    val model = graft.ops.Lm.trainCounts(
+      graft.Tables.documents(spark, sfDir), col("lang") === lit("en"))
+    val t0d = graft.ops.Lm.scoreTables(model)
+    val tables = graft.ops.Lm.LmScoreTables(
+      t0d.vocab.localCheckpoint(false), t0d.vc.localCheckpoint(false),
+      t0d.bg.localCheckpoint(false), t0d.pf.localCheckpoint(false))
+    tables.bg.queryExecution.toRdd.count() // materialize untimed
+    tables.pf.queryExecution.toRdd.count()
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Lm.scoreWithTables(tables, b).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** Stage the generated media table as a replay directory. `factor`
     * unions id-shifted copies — the encode UDF derives pixels from the
     * id, so every copy carries ORGANIC new payloads (real decode work),
@@ -441,6 +471,7 @@ object StreamBench {
       line("sessionize", f, benchSessions(spark, ev))
       line("neardup", f, benchNearDup(spark, sfDir, docs))
       line("bpe_tokenize", f, benchBpeTokenize(spark, sfDir, docs))
+      line("lm_score", f, benchLmScore(spark, sfDir, docs))
       cleanup(keep = before) // reclaim THIS factor's replays only
     }
     Runtime.getRuntime.halt(0)

@@ -329,6 +329,37 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming twin of the LM quality gate: every micro-batch of a
+    * document stream is perplexity-scored against a STANDING
+    * [[graft.ops.Lm.LmModel]] trained once before the stream starts
+    * (the CCNet filter as a crawl-ingest stage). Per-batch work is
+    * the batch's bigram explode + broadcast lookups — proportional
+    * to the batch, never the corpus. Same exactly-once
+    * `ingest_batch=N` overwrite contract as [[nearDupBatches]].
+    */
+  def lmScoreBatches(docs: DataFrame, model: graft.ops.Lm.LmModel,
+                     outDir: String,
+                     checkpointDir: Option[String] = None): Unit = {
+    // derive the bounded lookup tables ONCE; lazy localCheckpoints
+    // materialize on the first batch and every later batch reuses
+    // them (the standing-index discipline — per-batch work must be
+    // proportional to the batch, never the model derivation)
+    val t0 = graft.ops.Lm.scoreTables(model)
+    val tables = graft.ops.Lm.LmScoreTables(
+      t0.vocab.localCheckpoint(false), t0.vc.localCheckpoint(false),
+      t0.bg.localCheckpoint(false), t0.pf.localCheckpoint(false))
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Lm.scoreWithTables(tables, batch)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("lmscore_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming twin of the PERCEPTUAL image near-dup gate: every
     * micro-batch of a media stream (a crawl's image payloads) is
     * decoded, aHashed, and Hamming-probed against a STANDING

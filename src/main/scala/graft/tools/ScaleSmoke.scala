@@ -177,6 +177,24 @@ object ScaleSmoke {
         Sharding.assign(inflateDocs(Tables.documents(spark, sfDir), f),
           col("doc_id"), length(col("text")), nShards = 16, strata = 8)
       },
+      "lm_score" -> { f =>
+        // bigram-LM scoring under replication: disjoint replica
+        // vocabularies multiply the corpus AND the model tables by F
+        // (each replica's lang='en' slice trains its own disjoint
+        // bigrams), while cross-replica lookups never hit — so the
+        // broadcast stays cutoff-bounded per replica and scoring work
+        // per document is constant. Output rows = docs ×F exactly.
+        Lm.perplexity(inflateDocs(Tables.documents(spark, sfDir), f),
+          col("lang") === lit("en"))
+      },
+      "dsir_weights" -> { f =>
+        // DSIR under replication: the bucket table is EXACTLY 8192
+        // rows at ANY factor (hashing is the bound, not the vocab) —
+        // the flat-broadcast extreme of the model-table family.
+        // Output rows = TopK, constant by construction.
+        Lm.dsirWeights(inflateDocs(Tables.documents(spark, sfDir), f),
+          col("lang") === lit("en"))
+      },
       "bpe_train" -> { f =>
         // BPE training under replication: disjoint replica
         // vocabularies (tok_r) multiply BOTH the corpus (the initial

@@ -105,6 +105,45 @@ class LmSpec extends AnyFunSuite {
     assert(ids == Seq(1L))
   }
 
+  // ---- the durable model ----
+
+  test("extend == full retrain; saved model round-trips bit-exactly") {
+    // plant a word that crosses the MinCount cutoff ONLY when the
+    // new batch is folded in (3 + 2 occurrences) — a post-cutoff
+    // artifact could never replay this; the additive one must
+    val planted = Seq(
+      (9000001L, "zzqv zzqv zzqv filler", "en"),
+      (9000002L, "zzqv zzqv filler tail", "en")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0")).withColumn("n_chars", lit(0L))
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+      .unionByName(planted)
+    val en = col("lang") === lit("en")
+    // 3 occurrences (doc 9000001) stay in the old slice; the 2 that
+    // tip the count over the cutoff (doc 9000002) arrive in the new
+    val isNew = col("doc_id") % 3 === 0 || col("doc_id") === 9000002L
+    val oldDocs = docs.filter(!isNew)
+    val newDocs = docs.filter(isNew)
+    val full = Lm.trainCounts(docs, en)
+    val oldCounts = Lm.trainCounts(oldDocs, en)
+    val inc = Lm.extend(oldCounts, newDocs, en)
+    val scoreFull = Lm.scoreWith(full, docs).collect().map(_.toSeq).toSeq
+    val scoreInc = Lm.scoreWith(inc, docs).collect().map(_.toSeq).toSeq
+    assert(scoreInc == scoreFull,
+      "fold-in extension must reproduce the full retrain's scores")
+    // the planted word is below the cutoff on the old slice alone
+    // and inside the vocabulary only after the extension
+    def inVocab(m: Lm.LmModel) = m.words
+      .filter(col("w") === "zzqv" && col("c") >= Lm.MinCount).count() == 1
+    assert(!inVocab(oldCounts) && inVocab(inc),
+      "planted word should cross the vocab cutoff only after extend")
+    val path = java.nio.file.Files.createTempDirectory("lm_model").toString
+    Lm.saveModel(inc, path)
+    val scoreLoaded = Lm.scoreWith(Lm.loadModel(spark, path), docs)
+      .collect().map(_.toSeq).toSeq
+    assert(scoreLoaded == scoreFull)
+  }
+
   // ---- DSIR ----
 
   test("dsirWeights: target-like docs outrank, order is (w desc, id)") {

@@ -285,6 +285,21 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("lmScoreBatches restart: checkpoint resume is exactly-once") {
+    import graft.ops.Lm
+    val docs = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val model = Lm.trainCounts(docs, col("lang") === lit("en"))
+    val wave1 = docs.filter(col("doc_id") % 5 === 1)
+      .select("doc_id", "text").cache()
+    val wave2 = docs.filter(col("doc_id") % 5 === 2)
+      .select("doc_id", "text").cache()
+    restartContract("slmr", wave1, wave2,
+      (st, out, ck) => StreamingIngest.lmScoreBatches(st, model, out, ck),
+      b => Lm.scoreWith(model, b),
+      Seq("doc_id", "n_bigrams", "nll_fp", "bits_fp"))
+    docs.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming perceptual image near-dup equals the batch probe") {
     import graft.multimodal.{Multimodal, PerceptualHash}
     val media = Multimodal.realMedia(
