@@ -234,6 +234,52 @@ object StreamingIngest {
     idx
   }
 
+  /** SELF-MAINTAINING LM quality gate — [[selfNearDupBatches]]'s
+    * shape for the reference model: each micro-batch is
+    * perplexity-scored against the STANDING model, documents at or
+    * under `gateBitsFp` (mean bits per bigram, 2^16 fixed-point) are
+    * the accepted output, and the ACCEPTED slice is folded into the
+    * model ([[graft.ops.Lm.extend]] — additive counts, O(batch)), so
+    * the reference distribution tracks the accepted corpus exactly
+    * the way a crawl pipeline retrains its quality LM on what it
+    * keeps. The model mutates between batches, so the bounded lookup
+    * tables re-derive per batch (unlike [[lmScoreBatches]]'s standing
+    * tables); the merged counts localCheckpoint each fold to cut the
+    * union+groupBy lineage. Same batchId retry guard and
+    * exactly-once `ingest_batch=N` contract as the other self loops.
+    * Returns the final extended model.
+    */
+  def selfLmBatches(docs: DataFrame, seedModel: graft.ops.Lm.LmModel,
+                    gateBitsFp: Long, outDir: String,
+                    checkpointDir: Option[String] = None)
+      : graft.ops.Lm.LmModel = {
+    import org.apache.spark.sql.functions.{col, lit}
+    var model = seedModel
+    var lastExtended = -1L
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val accepted = graft.ops.Lm.scoreWith(model, batch)
+          .filter(col("bits_fp") <= lit(gateBitsFp))
+          .localCheckpoint()
+        accepted.write.mode("overwrite")
+          .parquet(s"$outDir/ingest_batch=$batchId")
+        if (batchId > lastExtended) {
+          val acceptedDocs = batch.join(
+            accepted.select(col("doc_id")), Seq("doc_id"), "leftsemi")
+          val m = graft.ops.Lm.extend(model, acceptedDocs, lit(true))
+          model = graft.ops.Lm.LmModel(
+            m.words.localCheckpoint(), m.rawBg.localCheckpoint())
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("selflm_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    model
+  }
+
   /** SELF-MAINTAINING media near-dup gate — [[selfNearDupBatches]]'s
     * shape for the perceptual family: each micro-batch is decoded +
     * hashed ONCE, probed against the standing image index, then its

@@ -155,6 +155,45 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("selfLmBatches: the accepted wave retrains the model a later wave scores under") {
+    import graft.ops.Lm
+    val all = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val seed = Lm.trainCounts(all.filter(col("doc_id") % 5 === 0),
+      col("lang") === lit("en"))
+    // wave 1 plants 6 occurrences of a word the seed never saw; wave 2
+    // is made of that word — scoreable as in-vocab ONLY because the
+    // accepted wave 1 was folded into the evolving model
+    val wave1 = all.filter(col("doc_id") % 5 === 1).limit(40)
+      .select("doc_id", "text")
+      .unionByName(Seq((8000001L, "zzql zzql zzql zzql zzql zzql"))
+        .toDF("doc_id", "text")).cache()
+    val wave2 = Seq((8000002L, "zzql zzql zzql zzql")).toDF("doc_id", "text")
+      .cache()
+    val inDir = java.nio.file.Files.createTempDirectory("slm_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("slm_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("slm_ck").toString
+    def stream() = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val gate = Long.MaxValue // accept everything: the fold is under test
+    wave1.repartition(2).write.mode("append").parquet(inDir)
+    val m1 = StreamingIngest.selfLmBatches(stream(), seed, gate,
+      outDir, Some(ckptDir))
+    wave2.write.mode("append").parquet(inDir)
+    StreamingIngest.selfLmBatches(stream(), m1, gate, outDir, Some(ckptDir))
+    val streamed = spark.read.parquet(outDir)
+      .filter(col("doc_id") === 8000002L)
+      .select("bits_fp").as[Long].head()
+    val underSeed = Lm.scoreWith(seed, wave2)
+      .select("bits_fp").as[Long].head()
+    val underEvolved = Lm.scoreWith(m1, wave2)
+      .select("bits_fp").as[Long].head()
+    assert(streamed == underEvolved,
+      "wave 2 must score under the model that absorbed wave 1")
+    assert(underEvolved < underSeed,
+      "the planted word must be cheaper once wave 1 taught it to the model")
+    all.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("selfMediaNearDupBatches: a later wave's re-encode of an earlier wave is caught") {
     import graft.multimodal.{Codecs, Multimodal, PerceptualHash}
     val media = Multimodal.realMedia(
