@@ -344,6 +344,12 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, dir) =>
       Lm.perplexity(documents(s, dir), col("lang") === lit("en"))),
 
+    // E3/E5 depth: CCNet's last step — equi-depth head/middle/tail
+    // buckets of the perplexity scores via the exact distributed
+    // global rank (Rank.valueRanks; no single-partition window)
+    "q_ppl_buckets" -> ((s, dir) =>
+      Lm.perplexityBuckets(documents(s, dir), col("lang") === lit("en"))),
+
     // E3/E5 depth: DSIR importance weights over hashed n-gram
     // features (8192-bucket models, target = lang='en') — the
     // importance-resampling selection signal; top-100 by weight.
@@ -1800,10 +1806,34 @@ object SparkEntry {
     * arms with [[duckIlog2]], then score every document — identical
     * integer math to [[graft.ops.Lm.perplexity]] end to end.
     */
-  private def lmPerplexitySql: String = {
+  private def lmPerplexitySql: String =
+    s"""WITH $lmPerplexityCtes
+SELECT doc_id, n_bigrams, nll_fp, bits_fp FROM ppl ORDER BY doc_id"""
+
+  /** Oracle for q_ppl_buckets: the perplexity CTEs + the exact
+    * global-rank equi-depth bucketing (the q_global_rank formula)
+    * over the scores — mirrors [[graft.ops.Lm.perplexityBuckets]]
+    * composed with [[graft.ops.Rank.valueRanks]].
+    */
+  private def pplBucketsSql: String =
+    s"""WITH $lmPerplexityCtes,
+c AS (SELECT bits_fp AS v, CAST(count(*) AS BIGINT) AS cnt FROM ppl GROUP BY 1),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+r AS (SELECT v, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rnk
+  FROM c),
+b AS (SELECT v, CAST((rnk - 1) * 3 // n + 1 AS BIGINT) AS bucket
+  FROM r CROSS JOIN n)
+SELECT doc_id, bits_fp, bucket FROM ppl JOIN b ON ppl.bits_fp = b.v
+ORDER BY doc_id"""
+
+  /** The scored-corpus CTE chain shared by the perplexity oracles —
+    * ends at `ppl(doc_id, n_bigrams, nll_fp, bits_fp)`.
+    */
+  private def lmPerplexityCtes: String = {
     val mc = graft.ops.Lm.MinCount
     val unk = graft.ops.Lm.Unk
-    s"""WITH $LmTokCte,
+    s"""$LmTokCte,
 pairs AS MATERIALIZED (
   SELECT doc_id, is_ref, ts[i] AS rw1, ts[i+1] AS rw2
   FROM tok, unnest(range(1, len(ts))) AS u(i)),
@@ -1829,10 +1859,11 @@ bg AS MATERIALIZED (
 scored AS (
   SELECT doc_id,
          coalesce(bg.logp_fp, pfb.backoff_fp, -(${duckIlog2("v")})) AS lp
-  FROM mapped LEFT JOIN bg USING (w1, w2) LEFT JOIN pfb USING (w1), vc)
-SELECT doc_id, count(*) AS n_bigrams, (-sum(lp))::BIGINT AS nll_fp,
-       ((-sum(lp)) // count(*))::BIGINT AS bits_fp
-FROM scored GROUP BY doc_id ORDER BY doc_id"""
+  FROM mapped LEFT JOIN bg USING (w1, w2) LEFT JOIN pfb USING (w1), vc),
+ppl AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_bigrams, (-sum(lp))::BIGINT AS nll_fp,
+         ((-sum(lp)) // count(*))::BIGINT AS bits_fp
+  FROM scored GROUP BY doc_id)"""
   }
 
   /** Oracle for q_dsir_weights: hashed unigram+bigram feature
@@ -2704,6 +2735,7 @@ GROUP BY doc_id ORDER BY weight_fp DESC, doc_id LIMIT $k"""
         "FROM documents ORDER BY doc_id"),
 
     "q_lm_perplexity" -> lmPerplexitySql,
+    "q_ppl_buckets" -> pplBucketsSql,
     "q_dsir_weights" -> dsirWeightsSql,
 
     "q_quality_score" ->

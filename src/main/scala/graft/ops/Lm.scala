@@ -261,6 +261,26 @@ object Lm {
   def perplexity(docs: DataFrame, refPred: Column): DataFrame =
     scoreWith(trainCounts(docs, refPred), docs)
 
+  /** CCNet's last step: equi-depth k-tiles of the perplexity scores
+    * (k=3 → head/middle/tail; bucket 1 = lowest perplexity = keep).
+    * Composes [[perplexity]] with [[Rank.valueRanks]] — the exact
+    * distributed global rank, NO single-partition window anywhere.
+    * The rank table is one row per DISTINCT bits_fp value, which the
+    * fixed-point representation bounds at ~4.1M rows (63·2^16
+    * representable means) at ANY corpus size — join it however the
+    * optimizer likes, it never scales with the corpus. Output
+    * (doc_id, bits_fp, bucket) ordered by doc_id.
+    */
+  def perplexityBuckets(docs: DataFrame, refPred: Column,
+                        k: Int = 3): DataFrame = {
+    val scores = perplexity(docs, refPred)
+    val ranks = Rank.valueRanks(scores, col("bits_fp"), k)
+      .select(col("v"), col("bucket"))
+    scores.join(ranks, scores("bits_fp").cast("double") === ranks("v"))
+      .select(col("doc_id"), col("bits_fp"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Portable hash of a string column into [0, [[Buckets]]): the
     * seeded rolling codepoint hash over the UTF-8 bytes
     * ([[graft.functions.kernels.polyHash]] semantics) mod the bucket

@@ -105,6 +105,21 @@ class LmSpec extends AnyFunSuite {
     assert(ids == Seq(1L))
   }
 
+  test("perplexityBuckets: equi-depth tertiles ordered by score") {
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val out = Lm.perplexityBuckets(docs, col("lang") === lit("en"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._3).toSet == Set(1L, 2L, 3L))
+    // bucket is monotone in the score: every head doc scores <= every
+    // tail doc, with any boundary ties sharing one bucket
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket(1L).max <= byBucket(2L).min)
+    assert(byBucket(2L).max <= byBucket(3L).min)
+    // equi-depth up to value-run granularity: no bucket under 20%
+    val n = out.size.toDouble
+    byBucket.values.foreach(b => assert(b.size / n > 0.2))
+  }
+
   // ---- the durable model ----
 
   test("extend == full retrain; saved model round-trips bit-exactly") {
