@@ -314,4 +314,28 @@ object GraftProps extends Properties("graft") {
       PerceptualHash.audioHash64(Codecs.decodeWav(Codecs.encodeWav(a))) ==
         PerceptualHash.audioHash64(a)
     }
+
+  // ---- ilog2fp: the LM family's logprob currency ----
+
+  private val posLongGen = Gen.choose(1L, Long.MaxValue)
+
+  property("ilog2fp: within 2^-14 bits of log2 and exact on powers of 2") =
+    forAll(posLongGen) { x =>
+      val fp = graft.functions.kernels.ilog2fp(x)
+      val err = math.abs(fp / 65536.0 - math.log(x.toDouble) / math.log(2.0))
+      err < 6.2e-5 && (!isPow2(x) || fp == 65536L * java.lang.Long.numberOfTrailingZeros(x))
+    }
+
+  private def isPow2(x: Long) = (x & (x - 1)) == 0
+
+  property("ilog2fp: monotone, and the log-ratio identity orders correctly") =
+    forAll(posLongGen, posLongGen) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val k = graft.functions.kernels
+      // monotone; and the ratio logprob hi/lo is non-negative while
+      // lo/hi is non-positive — the sign contract the LM scorer's
+      // three-arm coalesce rests on
+      k.ilog2fp(lo) <= k.ilog2fp(hi) &&
+        (k.ilog2fp(hi) - k.ilog2fp(lo)) >= 0L
+    }
 }
