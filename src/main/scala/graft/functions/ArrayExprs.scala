@@ -395,6 +395,47 @@ object kernels {
     acc
   }
 
+  /** DSIR hashed-feature buckets of a token array in ONE pass:
+    * unigram buckets for every token, then bigram buckets for every
+    * adjacent pair — [n unigrams, n−1 bigrams], the exact layout of
+    * `concat(transform(hash uni), transform(hash "w1 w2"))` that it
+    * replaces (that form walks interpreted HOF lambdas and allocates
+    * a concat string per pair). The pair hash needs NO concatenation:
+    * the rolling hash is compositional, so
+    * hash(w1 + ' ' + w2) = fold(w2, seed = (fold(w1)·mult + 32) mod P)
+    * — bit-identical to hashing the joined string, which keeps the
+    * DuckDB oracle's `concat(ts[i], ' ', ts[i+1])` replay valid
+    * unchanged. NULL tokens fold as empty strings (the tokenizer
+    * never emits them; a corrupt upstream still hashes
+    * deterministically).
+    */
+  def dsirBuckets(arr: ArrayData, mult: Long, seed: Long,
+                  buckets: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val raw = new Array[Long](n)
+    val out = new Array[Long](n + n - 1)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) seed // polyHash of "" is the seed
+        else polyHash(arr.getUTF8String(i), mult, seed)
+      raw(i) = h
+      out(i) = h % buckets
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      val cont = (raw(i) * mult + 32L) % P // ' ' joins the pair
+      val h =
+        if (arr.isNullAt(i + 1)) cont
+        else polyHash(arr.getUTF8String(i + 1), mult, cont)
+      out(n + i) = h % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-marker-set occurrence counts over a token array in ONE pass:
     * each token is a single hash probe; a token belonging to several
     * sets increments each. Duplicates count (same semantics as
@@ -466,6 +507,22 @@ case class ILog2Fp(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.kernels.ilog2fp($c)")
   override protected def withNewChildInternal(newChild: Expression): ILog2Fp =
+    copy(child = newChild)
+}
+
+/** [[kernels.dsirBuckets]] as a native expression — the DSIR feature
+  * hasher's hot path (one tight loop per document, zero interpreted
+  * lambdas, no concat allocation; codegen keeps the stage fused).
+  */
+case class DsirBuckets(child: Expression, mult: Long, seed: Long,
+                       buckets: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    kernels.dsirBuckets(input.asInstanceOf[ArrayData], mult, seed, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.kernels.dsirBuckets($c, ${mult}L, ${seed}L, ${buckets}L)")
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
     copy(child = newChild)
 }
 
@@ -625,6 +682,9 @@ object ArrayExprs {
     Shim.column(PolyHashBin(Shim.expression(content), mult, seed))
   def ilog2fp(x: Column): Column =
     Shim.column(ILog2Fp(Shim.expression(x)))
+  def dsirBuckets(tokens: Column, mult: Long, seed: Long,
+                  buckets: Long): Column =
+    Shim.column(DsirBuckets(Shim.expression(tokens), mult, seed, buckets))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     Shim.column(MinHashSig(Shim.expression(shingles), as, bs))
   def shingles(text: Column, n: Int): Column =

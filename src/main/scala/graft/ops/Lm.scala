@@ -281,14 +281,10 @@ object Lm {
       .orderBy("doc_id")
   }
 
-  /** Portable hash of a string column into [0, [[Buckets]]): the
-    * seeded rolling codepoint hash over the UTF-8 bytes
-    * ([[graft.functions.kernels.polyHash]] semantics) mod the bucket
-    * count — non-negative on both engines, so plain % matches.
-    */
-  private def bucketOf(s: Column): Column =
-    ArrayExprs.polyHashBinary(encode(s, "UTF-8"), 31L, HashSeed) %
-      lit(Buckets)
+  // feature hashing lives in the fused native kernel
+  // (ArrayExprs.dsirBuckets): one pass per document, compositional
+  // rolling hash for the bigrams — bit-identical to hashing the
+  // "w1 w2" concatenation, which is what the oracle replays
 
   /** DSIR importance weights: the [[TopK]] documents by
     * log-likelihood ratio of the `targetPred` slice's hashed-n-gram
@@ -308,14 +304,12 @@ object Lm {
   def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
     val toks = tokenFrame(docs, targetPred)
 
-    // one row per feature OCCURRENCE (unigrams ++ bigrams, hashed)
+    // one row per feature OCCURRENCE (unigrams ++ bigrams, hashed in
+    // one kernel pass)
     val feats = toks.select(
       col("doc_id"), col("is_ref").as("is_t"),
-      explode(concat(
-        transform(col("ts"), w => bucketOf(w)),
-        transform(bigramPairs(col("ts")),
-          p => bucketOf(concat_ws(" ", p("rw1"), p("rw2"))))
-      )).as("b"))
+      explode(ArrayExprs.dsirBuckets(col("ts"), 31L, HashSeed, Buckets))
+        .as("b"))
 
     // bucket counts for both models in ONE shuffle (B rows out)
     val buckets = feats.groupBy("b").agg(

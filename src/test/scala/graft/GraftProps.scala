@@ -328,6 +328,22 @@ object GraftProps extends Properties("graft") {
 
   private def isPow2(x: Long) = (x & (x - 1)) == 0
 
+  property("dsirBuckets kernel == hashing the joined pair strings") =
+    forAll(Gen.listOf(Gen.alphaNumStr.map(_.take(8)))) { toks =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val k = graft.functions.kernels
+      val (mult, seed, b) = (31L, graft.ops.Lm.HashSeed, graft.ops.Lm.Buckets)
+      def h(s: String) = k.polyHash(UTF8String.fromString(s), mult, seed)
+      val expected =
+        toks.map(h(_) % b) ++
+          toks.sliding(2).collect { case Seq(a, c) => h(a + " " + c) % b }
+      val got = k.dsirBuckets(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(UTF8String.fromString).toArray[Any]),
+        mult, seed, b).toLongArray().toSeq
+      got == expected
+    }
+
   property("ilog2fp: monotone, and the log-ratio identity orders correctly") =
     forAll(posLongGen, posLongGen) { (a, b) =>
       val (lo, hi) = if (a <= b) (a, b) else (b, a)
