@@ -301,23 +301,59 @@ object Lm {
     * bounded object (that is DSIR's point, and why this scales where
     * an exact-vocab ratio model would not).
     */
-  def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
-    val toks = tokenFrame(docs, targetPred)
+  def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame =
+    dsirWeightsWith(dsirCounts(docs, targetPred), docs)
 
-    // one row per feature OCCURRENCE (unigrams ++ bigrams, hashed in
-    // one kernel pass)
-    val feats = toks.select(
+  /** The ADDITIVE sufficient statistics of the DSIR feature models —
+    * per-bucket raw and target occurrence counts. EXACTLY [[Buckets]]
+    * rows (at most) at any corpus size, which makes it the ideal
+    * standing artifact: extension is an 8192-row count-merge, the
+    * broadcast never grows, and the parquet file is a few hundred KB
+    * forever. Same artifact discipline as [[LmModel]].
+    */
+  case class DsirModel(bk: DataFrame)
+
+  /** One row per feature OCCURRENCE (unigrams ++ bigrams, hashed in
+    * one kernel pass).
+    */
+  private def featOccurrences(docs: DataFrame, targetPred: Column) =
+    tokenFrame(docs, targetPred).select(
       col("doc_id"), col("is_ref").as("is_t"),
       explode(ArrayExprs.dsirBuckets(col("ts"), 31L, HashSeed, Buckets))
         .as("b"))
 
-    // bucket counts for both models in ONE shuffle (B rows out)
-    val buckets = feats.groupBy("b").agg(
+  /** Count the bucket statistics — one corpus pass, one shuffle with
+    * at most [[Buckets]] rows out.
+    */
+  def dsirCounts(docs: DataFrame, targetPred: Column): DsirModel =
+    DsirModel(featOccurrences(docs, targetPred).groupBy("b").agg(
       count(lit(1)).as("r"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("t"))
-    val totals = buckets.agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("t")))
+
+  /** Fold a new batch into a standing [[DsirModel]]: count the batch,
+    * merge the (at most 8192-row) bucket tables — O(batch) work.
+    */
+  def extendDsir(model: DsirModel, newDocs: DataFrame,
+                 targetPred: Column): DsirModel =
+    DsirModel(model.bk.unionByName(dsirCounts(newDocs, targetPred).bk)
+      .groupBy("b").agg(sum(col("r")).as("r"), sum(col("t")).as("t")))
+
+  /** PERSIST / load the bucket table (`path/buckets`). */
+  def saveDsir(model: DsirModel, path: String): Unit =
+    model.bk.write.mode("overwrite").parquet(s"$path/buckets")
+  def loadDsir(spark: org.apache.spark.sql.SparkSession,
+               path: String): DsirModel =
+    DsirModel(spark.read.parquet(s"$path/buckets"))
+
+  /** Score `docs` under a trained [[DsirModel]] and keep the
+    * [[TopK]]: derive the add-one log-ratio weight per bucket
+    * (8192-row work), broadcast, one explode + partial-aggregated
+    * groupBy(doc_id), TakeOrdered top-K.
+    */
+  def dsirWeightsWith(model: DsirModel, docs: DataFrame): DataFrame = {
+    val totals = model.bk.agg(
       sum(col("r")).as("rt"), sum(col("t")).as("tt"))
-    val bw = buckets.crossJoin(broadcast(totals))
+    val bw = model.bk.crossJoin(broadcast(totals))
       .withColumn("w_fp",
         (ArrayExprs.ilog2fp(col("t") + lit(1L)) -
           ArrayExprs.ilog2fp(col("tt") + lit(Buckets))) -
@@ -325,7 +361,8 @@ object Lm {
             ArrayExprs.ilog2fp(col("rt") + lit(Buckets))))
       .select("b", "w_fp")
 
-    feats.join(broadcast(bw), Seq("b"))
+    featOccurrences(docs, lit(false)).drop("is_t")
+      .join(broadcast(bw), Seq("b"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_feats"),
         sum(col("w_fp")).as("weight_fp"))

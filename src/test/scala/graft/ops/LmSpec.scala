@@ -159,6 +159,26 @@ class LmSpec extends AnyFunSuite {
     assert(scoreLoaded == scoreFull)
   }
 
+  test("DSIR model: extend == full recount; artifact round-trips") {
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val en = col("lang") === lit("en")
+    val isNew = col("doc_id") % 4 === 0
+    val full = Lm.dsirCounts(docs, en)
+    val inc = Lm.extendDsir(Lm.dsirCounts(docs.filter(!isNew), en),
+      docs.filter(isNew), en)
+    val a = Lm.dsirWeightsWith(full, docs).collect().map(_.toSeq).toSeq
+    val b = Lm.dsirWeightsWith(inc, docs).collect().map(_.toSeq).toSeq
+    assert(a == b, "fold-in extension must reproduce the full recount")
+    assert(a == Lm.dsirWeights(docs, en).collect().map(_.toSeq).toSeq)
+    val path = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Lm.saveDsir(inc, path)
+    val c = Lm.dsirWeightsWith(Lm.loadDsir(spark, path), docs)
+      .collect().map(_.toSeq).toSeq
+    assert(c == a)
+    // the artifact is bucket-bounded — never more rows than Buckets
+    assert(Lm.loadDsir(spark, path).bk.count() <= Lm.Buckets)
+  }
+
   // ---- DSIR ----
 
   test("dsirWeights: target-like docs outrank, order is (w desc, id)") {
