@@ -273,7 +273,10 @@ object Lm {
     */
   def perplexityBuckets(docs: DataFrame, refPred: Column,
                         k: Int = 3): DataFrame = {
-    val scores = perplexity(docs, refPred)
+    // the scored frame feeds BOTH the rank derivation and the final
+    // join — a lazy localCheckpoint materializes the train+score pass
+    // once instead of running the whole LM twice
+    val scores = perplexity(docs, refPred).localCheckpoint(false)
     val ranks = Rank.valueRanks(scores, col("bits_fp"), k)
       .select(col("v"), col("bucket"))
     scores.join(ranks, scores("bits_fp").cast("double") === ranks("v"))
