@@ -194,6 +194,29 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("selfLmBatches: rejected docs land nowhere and teach the model nothing") {
+    import graft.ops.Lm
+    val all = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val seed = Lm.trainCounts(all.filter(col("doc_id") % 5 === 0),
+      col("lang") === lit("en"))
+    val seedWords = seed.words.agg(sum(col("c"))).as[Long].head()
+    val wave = all.filter(col("doc_id") % 5 === 3).limit(30)
+      .select("doc_id", "text").cache()
+    val inDir = java.nio.file.Files.createTempDirectory("slmr_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("slmr_out").toString
+    wave.write.mode("append").parquet(inDir)
+    // bits_fp is always >= 0, so a negative gate rejects every doc
+    val m1 = StreamingIngest.selfLmBatches(
+      spark.readStream.schema(wave.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      seed, gateBitsFp = -1L, outDir = outDir)
+    assert(spark.read.parquet(outDir).isEmpty,
+      "a rejecting gate must land no rows")
+    assert(m1.words.agg(sum(col("c"))).as[Long].head() == seedWords,
+      "rejected docs must not extend the model")
+    all.unpersist(); wave.unpersist()
+  }
+
   test("selfMediaNearDupBatches: a later wave's re-encode of an earlier wave is caught") {
     import graft.multimodal.{Codecs, Multimodal, PerceptualHash}
     val media = Multimodal.realMedia(
