@@ -1794,11 +1794,15 @@ object SparkEntry {
 
   /** Shared tokenizer CTE of the LM/DSIR oracles — mirrors
     * [[graft.ops.Lm.tokens]] (lower, trim, whitespace split, empties
-    * dropped) with the reference/target predicate lang='en'.
+    * dropped) with the reference/target predicate lang='en'. The
+    * split class is the EXPLICIT Java-`\s` spelling — RE2's `\s`
+    * does not match \x0B, Java's does, so `\s+` on both sides would
+    * diverge on vertical-tab input.
     */
   private val LmTokCte: String =
     "tok AS MATERIALIZED (SELECT doc_id, (lang = 'en') AS is_ref, " +
-      "list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+      "list_filter(string_split_regex(trim(lower(text)), " +
+      "'[ \\t\\n\\x0B\\f\\r]+'), " +
       "t -> t <> '') AS ts FROM documents WHERE text IS NOT NULL)"
 
   /** Oracle for q_lm_perplexity: rebuild the cutoff vocabulary, the

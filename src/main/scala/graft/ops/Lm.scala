@@ -57,8 +57,13 @@ object Lm {
     */
   val MinCount = 5L
 
-  /** `<unk>` literal — cannot collide with real tokens (whitespace
-    * tokenization never yields `<`).
+  /** `<unk>` OOV sentinel. A literal `<unk>` token in real text DOES
+    * collide with it — its occurrences merge into the OOV statistics
+    * (and can enter the vocabulary if the reference slice carries it
+    * ≥ [[MinCount]] times). That is the standard CCNet/KenLM
+    * behavior: both engines treat it identically, so scores stay
+    * oracle-exact; nothing here may ever rely on the sentinel being
+    * collision-free.
     */
   val Unk = "<unk>"
 
@@ -80,12 +85,18 @@ object Lm {
   val TopK = 100
 
   /** Whitespace tokens of the lowered, trimmed text; empty strings
-    * dropped (empty text yields an empty array, not [""]). Mirrors
-    * the DuckDB side's
-    * `list_filter(string_split_regex(trim(lower(text)), '\s+'), ...)`.
+    * dropped (empty text yields an empty array, not [""]).
+    *
+    * The split class is EXPLICIT — `[ \t\n\x0B\f\r]+`, Java's `\s`
+    * spelled out — because the oracle replays it in RE2, whose `\s`
+    * does NOT match vertical tab (\x0B) while Java's does: a `\s+`
+    * on both sides would silently tokenize differently on such
+    * input. (Deliberately NOT [[TextStats.tokensWs]], which keeps
+    * the `\s+` spelling for the single-engine statistics paths.)
     */
   def tokens(textCol: Column): Column =
-    filter(split(trim(lower(textCol)), "\\s+"), t => length(t) > lit(0))
+    filter(split(trim(lower(textCol)), "[ \\t\\n\\x0B\\f\\r]+"),
+      t => length(t) > lit(0))
 
   /** Adjacent-pair structs (rw1, rw2) of a token array: one struct
     * per position 0..n-2; size-<2 arrays yield an empty list. Kept as
@@ -248,18 +259,23 @@ object Lm {
         .withColumn("lp_fp",
           coalesce(col("logp_fp"), col("backoff_fp"),
             -ArrayExprs.ilog2fp(col("v"))))
+    // NO ordering here: the parquet-landing streaming consumers
+    // (lmScoreBatches/selfLmBatches) have a row-SET contract, and a
+    // per-batch global sort would be a pure-waste range shuffle —
+    // the batch entry point [[perplexity]] adds the oracle's ORDER BY
     scored.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       (-sum(col("lp_fp"))).as("nll_fp"))
       .withColumn("bits_fp", expr("nll_fp div n_bigrams"))
-      .orderBy("doc_id")
   }
 
   /** One-shot form: train on the `refPred` slice of `docs` and score
-    * every document — [[trainCounts]] ∘ [[scoreWith]].
+    * every document — [[trainCounts]] ∘ [[scoreWith]], ordered by
+    * doc_id (the deterministic-output contract of the declared
+    * queries).
     */
   def perplexity(docs: DataFrame, refPred: Column): DataFrame =
-    scoreWith(trainCounts(docs, refPred), docs)
+    scoreWith(trainCounts(docs, refPred), docs).orderBy("doc_id")
 
   /** CCNet's last step: equi-depth k-tiles of the perplexity scores
     * (k=3 → head/middle/tail; bucket 1 = lowest perplexity = keep).
@@ -275,8 +291,10 @@ object Lm {
                         k: Int = 3): DataFrame = {
     // the scored frame feeds BOTH the rank derivation and the final
     // join — a lazy localCheckpoint materializes the train+score pass
-    // once instead of running the whole LM twice
-    val scores = perplexity(docs, refPred).localCheckpoint(false)
+    // once instead of running the whole LM twice (unordered form: the
+    // tail orderBy below is the only sort this composition needs)
+    val scores = scoreWith(trainCounts(docs, refPred), docs)
+      .localCheckpoint(false)
     val ranks = Rank.valueRanks(scores, col("bits_fp"), k)
       .select(col("v"), col("bucket"))
     scores.join(ranks, scores("bits_fp").cast("double") === ranks("v"))
@@ -364,11 +382,21 @@ object Lm {
             ArrayExprs.ilog2fp(col("rt") + lit(Buckets))))
       .select("b", "w_fp")
 
+    // LEFT join + the zero-count arm: an occurrence hashing into a
+    // bucket the TRAINING corpus never touched (the standing-model
+    // case — novel vocabulary arriving after saveDsir) still carries
+    // the add-one smoothed weight (il(1)=0, so it reduces to
+    // il(rt+B) − il(tt+B)); an inner join would silently truncate
+    // such documents' weights and undercount n_feats
     featOccurrences(docs, lit(false)).drop("is_t")
-      .join(broadcast(bw), Seq("b"))
+      .join(broadcast(bw), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("w2_fp", coalesce(col("w_fp"),
+        ArrayExprs.ilog2fp(col("rt") + lit(Buckets)) -
+          ArrayExprs.ilog2fp(col("tt") + lit(Buckets))))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_feats"),
-        sum(col("w_fp")).as("weight_fp"))
+        sum(col("w2_fp")).as("weight_fp"))
       .orderBy(col("weight_fp").desc, col("doc_id"))
       .limit(TopK)
   }

@@ -297,7 +297,11 @@ object StreamBench {
     val tables = graft.ops.Lm.LmScoreTables(
       t0d.vocab.localCheckpoint(false), t0d.vc.localCheckpoint(false),
       t0d.bg.localCheckpoint(false), t0d.pf.localCheckpoint(false))
-    tables.bg.queryExecution.toRdd.count() // materialize untimed
+    // materialize ALL FOUR lookup tables untimed — vocab and vc are
+    // corpus-scale aggregations too, and scoreWithTables reads them
+    tables.vocab.queryExecution.toRdd.count()
+    tables.vc.queryExecution.toRdd.count()
+    tables.bg.queryExecution.toRdd.count()
     tables.pf.queryExecution.toRdd.count()
     val replay = spark.read.parquet(replayDir)
     val staged = replay.count()

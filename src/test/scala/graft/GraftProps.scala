@@ -344,14 +344,17 @@ object GraftProps extends Properties("graft") {
       got == expected
     }
 
-  property("ilog2fp: monotone, and the log-ratio identity orders correctly") =
+  property("ilog2fp: monotone, and differences approximate the ratio log") =
     forAll(posLongGen, posLongGen) { (a, b) =>
       val (lo, hi) = if (a <= b) (a, b) else (b, a)
       val k = graft.functions.kernels
-      // monotone; and the ratio logprob hi/lo is non-negative while
-      // lo/hi is non-positive — the sign contract the LM scorer's
-      // three-arm coalesce rests on
-      k.ilog2fp(lo) <= k.ilog2fp(hi) &&
-        (k.ilog2fp(hi) - k.ilog2fp(lo)) >= 0L
+      val dFp = k.ilog2fp(hi) - k.ilog2fp(lo)
+      // monotone (the sign contract of the logprob currency), AND the
+      // difference IS the ratio log within twice the per-value bound —
+      // the identity log2fp(a/b) = ilog2fp(a) − ilog2fp(b) the LM
+      // scorer and DSIR weights are built on
+      val ratioErr = math.abs(dFp / 65536.0 -
+        (math.log(hi.toDouble) - math.log(lo.toDouble)) / math.log(2.0))
+      dFp >= 0L && ratioErr < 1.3e-4
     }
 }

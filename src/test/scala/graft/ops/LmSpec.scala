@@ -142,8 +142,10 @@ class LmSpec extends AnyFunSuite {
     val full = Lm.trainCounts(docs, en)
     val oldCounts = Lm.trainCounts(oldDocs, en)
     val inc = Lm.extend(oldCounts, newDocs, en)
-    val scoreFull = Lm.scoreWith(full, docs).collect().map(_.toSeq).toSeq
-    val scoreInc = Lm.scoreWith(inc, docs).collect().map(_.toSeq).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val scoreFull = rows(Lm.scoreWith(full, docs))
+    val scoreInc = rows(Lm.scoreWith(inc, docs))
     assert(scoreInc == scoreFull,
       "fold-in extension must reproduce the full retrain's scores")
     // the planted word is below the cutoff on the old slice alone
@@ -154,8 +156,7 @@ class LmSpec extends AnyFunSuite {
       "planted word should cross the vocab cutoff only after extend")
     val path = java.nio.file.Files.createTempDirectory("lm_model").toString
     Lm.saveModel(inc, path)
-    val scoreLoaded = Lm.scoreWith(Lm.loadModel(spark, path), docs)
-      .collect().map(_.toSeq).toSeq
+    val scoreLoaded = rows(Lm.scoreWith(Lm.loadModel(spark, path), docs))
     assert(scoreLoaded == scoreFull)
   }
 
@@ -177,6 +178,28 @@ class LmSpec extends AnyFunSuite {
     assert(c == a)
     // the artifact is bucket-bounded — never more rows than Buckets
     assert(Lm.loadDsir(spark, path).bk.count() <= Lm.Buckets)
+  }
+
+  test("DSIR scoring: occurrences in buckets the model never saw get the smoothed arm") {
+    import graft.functions.kernels
+    // train on one vocabulary, score a doc whose words hash into
+    // buckets the model cannot have touched (disjoint tokens)
+    val trainDocs = Seq((1L, "aa bb aa bb", "en"), (2L, "aa bb cc", "de"))
+      .toDF("doc_id", "text", "lang")
+    val model = Lm.dsirCounts(trainDocs, col("lang") === lit("en"))
+    val novel = Seq((10L, "qqxz wwvk")).toDF("doc_id", "text")
+      .withColumn("lang", lit("de"))
+    val out = Lm.dsirWeightsWith(model, novel)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the doc must be present with ALL THREE feature occurrences
+    // (2 unigrams + 1 bigram), not silently truncated
+    assert(out.map(o => (o._1, o._2)) == Seq((10L, 3L)))
+    // and its weight is exactly 3x the zero-count smoothed arm
+    val Seq((rtGot, ttGot)) = model.bk
+      .agg(sum(col("r")), sum(col("t"))).as[(Long, Long)].collect().toSeq
+    val w0 = kernels.ilog2fp(rtGot + Lm.Buckets) -
+      kernels.ilog2fp(ttGot + Lm.Buckets)
+    assert(out.head._3 == 3L * w0)
   }
 
   // ---- DSIR ----
