@@ -84,6 +84,14 @@ object Lm {
     */
   val TopK = 100
 
+  /** Documents drawn by [[dsirSample]] (Gumbel-top-k, without
+    * replacement, ∝ importance weight).
+    */
+  val SampleK = 150
+
+  /** Default seed for [[dsirSample]]'s per-document Gumbel noise. */
+  val SampleSeed = 424243L
+
   /** Whitespace tokens of the lowered, trimmed text; empty strings
     * dropped (empty text yields an empty array, not [""]).
     *
@@ -371,7 +379,16 @@ object Lm {
     * (8192-row work), broadcast, one explode + partial-aggregated
     * groupBy(doc_id), TakeOrdered top-K.
     */
-  def dsirWeightsWith(model: DsirModel, docs: DataFrame): DataFrame = {
+  def dsirWeightsWith(model: DsirModel, docs: DataFrame): DataFrame =
+    dsirScored(model, docs)
+      .orderBy(col("weight_fp").desc, col("doc_id"))
+      .limit(TopK)
+
+  /** Every document's DSIR weight, unordered and unlimited — the
+    * shared scoring pass behind [[dsirWeightsWith]] (top-K by weight)
+    * and [[dsirSampleWith]] (Gumbel-top-k resampling).
+    */
+  private def dsirScored(model: DsirModel, docs: DataFrame): DataFrame = {
     val totals = model.bk.agg(
       sum(col("r")).as("rt"), sum(col("t")).as("tt"))
     val bw = model.bk.crossJoin(broadcast(totals))
@@ -397,7 +414,50 @@ object Lm {
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_feats"),
         sum(col("w2_fp")).as("weight_fp"))
-      .orderBy(col("weight_fp").desc, col("doc_id"))
-      .limit(TopK)
   }
+
+  /** DSIR's actual selection step — importance RESAMPLING, not just
+    * ranking: draw [[SampleK]] documents without replacement with
+    * probability proportional to their importance weight, via the
+    * Gumbel-top-k trick (Efraimidis & Spirakis 2006; Vieira 2014):
+    * take the top k of log w(doc) + G(doc) with G i.i.d. Gumbel noise.
+    *
+    * Everything is seeded fixed-point integer so the draw is
+    * deterministic and the oracle replays it bit-for-bit:
+    *  - per-doc uniform h ∈ [1, 2³¹−2] from two MINSTD Lehmer steps
+    *    (x ← 48271·x mod 2³¹−1) off (doc_id + seed) — products stay
+    *    < 2⁴⁷, so neither engine can overflow;
+    *  - base-2 Gumbel g = −log2(−log2 u) with u = h/2³¹, priced in
+    *    [[graft.functions.ArrayExprs.ilog2fp]] 16.16 fixed point:
+    *    e_fp = 31·2¹⁶ − ilog2fp(h), g_fp = 16·2¹⁶ − ilog2fp(e_fp).
+    *    Base-2 Gumbel is an AFFINE transform of standard Gumbel
+    *    (−log2(−log2 u) = G/ln2 + log2(ln2)), and log2 w is the same
+    *    1/ln2 scaling of ln w, so key = weight_fp + g_fp is a strictly
+    *    increasing transform of ln w + G — the top-k distribution is
+    *    exactly Gumbel-top-k ∝ w.
+    *
+    * One corpus scoring pass + a TakeOrdered top-k: the same plan
+    * shape (and scale story) as [[dsirWeightsWith]].
+    */
+  def dsirSampleWith(model: DsirModel, docs: DataFrame,
+                     k: Int = SampleK, seed: Long = SampleSeed): DataFrame = {
+    val m = 2147483647L // 2^31 − 1 (MINSTD modulus)
+    dsirScored(model, docs)
+      .withColumn("x0", ((col("doc_id") + lit(seed)) % lit(m - 1L)) + lit(1L))
+      .withColumn("h",
+        (((col("x0") * lit(48271L)) % lit(m)) * lit(48271L)) % lit(m))
+      .withColumn("e_fp",
+        lit(31L * 65536L) - ArrayExprs.ilog2fp(col("h")))
+      .withColumn("key_fp",
+        col("weight_fp") + lit(16L * 65536L) -
+          ArrayExprs.ilog2fp(col("e_fp")))
+      .select("doc_id", "weight_fp", "key_fp")
+      .orderBy(col("key_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Train-and-sample convenience, mirroring [[dsirWeights]]. */
+  def dsirSample(docs: DataFrame, targetPred: Column,
+                 k: Int = SampleK, seed: Long = SampleSeed): DataFrame =
+    dsirSampleWith(dsirCounts(docs, targetPred), docs, k, seed)
 }

@@ -235,13 +235,56 @@ class LmSpec extends AnyFunSuite {
       s"top-$n en share ${en.toDouble / n} should beat base rate $baseEn")
   }
 
+  // ---- dsirSample (Gumbel-top-k importance resampling) ----
+
+  test("dsirSample: keys are weight + the seeded Gumbel arm, exactly") {
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val en = col("lang") === lit("en")
+    val model = Lm.dsirCounts(docs, en)
+    val out = Lm.dsirSampleWith(model, docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    val n = docs.count()
+    assert(out.size == math.min(Lm.SampleK.toLong, n).toInt)
+    assert(out.map(_._1).distinct.size == out.size, "without replacement")
+    // keys sorted (desc, doc_id asc on ties)
+    assert(out == out.sortBy { case (id, _, k) => (-k, id) })
+    // each key replays from doc_id + weight alone
+    val m = 2147483647L
+    out.foreach { case (id, w, key) =>
+      val x0 = (id + Lm.SampleSeed) % (m - 1) + 1
+      val h = (((x0 * 48271L) % m) * 48271L) % m
+      val eFp = 31L * 65536 - kernels.ilog2fp(h)
+      assert(key == w + 16L * 65536 - kernels.ilog2fp(eFp),
+        s"doc $id key mismatch")
+    }
+  }
+
+  test("dsirSample: seed changes the draw; heavy weights win more") {
+    // 1 target doc, 1 target-like raw doc (high weight), 18 junk docs
+    val docs = ((1L, "good clean text tokens good clean", "en") +:
+      (2L, "good clean text tokens clean good", "xx") +:
+      (3L to 20L).map(i => (i, s"junk noise junk blob noise$i junk", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val model = Lm.dsirCounts(docs, col("lang") === lit("en"))
+    val draws = (1 to 12).map { s =>
+      Lm.dsirSampleWith(model, docs, k = 3, seed = 1000L * s)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(draws.distinct.size > 1, "different seeds should vary the draw")
+    // the two target-like docs carry far more weight than any junk doc:
+    // they should make the top-3 in a clear majority of draws
+    val hits = draws.count(d => d.contains(1L) && d.contains(2L))
+    assert(hits >= 8, s"target-like docs sampled in only $hits/12 draws")
+  }
+
   // ---- plan shape ----
 
   test("plans: model lookups broadcast; no sort-merge join anywhere") {
     val docs = Tables.documents(spark, SparkTestSession.Sf)
     Seq(
       Lm.perplexity(docs, col("lang") === lit("en")),
-      Lm.dsirWeights(docs, col("lang") === lit("en"))
+      Lm.dsirWeights(docs, col("lang") === lit("en")),
+      Lm.dsirSample(docs, col("lang") === lit("en"))
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), "expected broadcast lookups")
