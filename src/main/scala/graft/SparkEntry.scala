@@ -356,6 +356,12 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, dir) =>
       Lm.dsirWeights(documents(s, dir), col("lang") === lit("en"))),
 
+    // E5 depth: DSIR's actual selection — importance RESAMPLING via
+    // the seeded Gumbel-top-k trick (without replacement, ∝ weight),
+    // fully fixed-point so the draw itself is oracle-replayable
+    "q_dsir_sample" -> ((s, dir) =>
+      Lm.dsirSample(documents(s, dir), col("lang") === lit("en"))),
+
     // E3 depth: BPE merge training — the tokenizer itself. One
     // corpus-scale word count, then O(vocab) merge iterations with a
     // 1-row argmax collect each (bounded: BpeMergeCount rows of
@@ -364,6 +370,27 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       Bpe.sharedTrain(documents(s, dir), col("text"), BpeMergeCount, Some(dir))
         .merges.orderBy(col("rank"))),
+
+    // E3 depth: the OTHER real-world subword tokenizer — unigram-LM
+    // (SentencePiece; Kudo 2018) hard-EM training in integer
+    // fixed-point logprobs. The corpus is touched once (word freq);
+    // every EM iteration runs over the distinct-word table with a
+    // bounded vocabulary collect. Oracle replays seed + both EM
+    // rounds, Viterbi DP and all (generated unrolled-DP SQL).
+    "q_unigram_train" -> ((s, dir) =>
+      Unigram.sharedTrain(documents(s, dir), col("text"), Some(dir)).vocab
+        .orderBy(desc("cnt"), asc("piece"))),
+
+    // E3 depth: tokenize the corpus under the trained unigram model —
+    // distinct words Viterbi-segment once, the corpus explode joins
+    // the broadcast per-word stats. (doc_id, n_words, n_pieces,
+    // nll_fp); the oracle replays the same final-cost DP.
+    "q_unigram_tokenize" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Unigram.tokenCounts(docs, col("doc_id"), col("text"),
+          Unigram.sharedTrain(docs, col("text"), Some(dir)))
+        .orderBy("doc_id")
+    }),
 
     // E3 depth: apply the learned merges — per-doc BPE token counts
     // via a broadcast join against the vocabulary's final segmentation
@@ -1751,6 +1778,158 @@ object SparkEntry {
     sb.toString
   }
 
+  // -- Unigram-LM tokenizer oracle (graft.ops.Unigram): the hard-EM
+  // trainer and the Viterbi segmenter are pure integer programs
+  // (ilog2fp costs, total-order tie-breaks), so DuckDB replays them
+  // exactly — the DP unrolls into generated columns (candidate-cost
+  // pivot -> dp0..dp12 nested LEASTs -> first-match backpointer CASEs
+  // -> unrolled backwalk), one block per EM iteration plus one for the
+  // final segmentation.
+
+  /** Shared base: word frequencies, DP blocks, weighted substring
+    * counts, the seed vocabulary (top-SeedSize multis + all chars).
+    */
+  private def unigramBase: String = {
+    val w = graft.ops.Unigram.MaxWordLen
+    val m = graft.ops.Unigram.MaxPieceLen
+    val seed = graft.ops.Unigram.SeedSize
+    s"""wcu AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+blk AS MATERIALIZED (
+  SELECT w, sum(freq)::BIGINT AS c FROM (
+    SELECT substr(word, k * $w + 1, $w) AS w, freq
+    FROM wcu, unnest(range(0, (length(word) - 1) // $w + 1)) AS uk(k))
+  GROUP BY w),
+subs AS MATERIALIZED (
+  SELECT p, sum(c)::BIGINT AS s FROM (
+    SELECT substr(w, j, l) AS p, c
+    FROM blk, unnest(range(1, length(w) + 1)) AS uj(j),
+         unnest(range(1, ${m + 1})) AS ul(l)
+    WHERE j + l - 1 <= length(w))
+  GROUP BY p),
+chars AS MATERIALIZED (SELECT p, s FROM subs WHERE length(p) = 1),
+v0 AS MATERIALIZED (
+  SELECT p, s AS cnt FROM (
+    SELECT p, s FROM subs WHERE length(p) > 1 ORDER BY s DESC, p LIMIT $seed)
+  UNION ALL SELECT p, s FROM chars)"""
+  }
+
+  /** Smoothed cost table for vocabulary CTE `v\$k`. */
+  private def unigramCostSql(k: Int): String =
+    s"""t$k AS (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM v$k),
+c$k AS MATERIALIZED (
+  SELECT p, ${duckIlog2("t + v")} - ${duckIlog2("cnt + 1")} AS cost
+  FROM v$k, t$k)"""
+
+  /** The Viterbi DP over `blk` under cost CTE `costCte`, unrolled:
+    * emits cand_/pv_/bw_`tag` with dp values d1..dW, backpointers
+    * b1..bW (FIRST j attaining the min — the smallest-start tie-break
+    * [[graft.ops.Unigram.segmentBlock]] uses), and the backwalk
+    * (e0,s0)..(eW−1,sW−1).
+    */
+  private def unigramDpSql(tag: String, costCte: String): String = {
+    val w = graft.ops.Unigram.MaxWordLen
+    val m = graft.ops.Unigram.MaxPieceLen
+    val inf = graft.ops.Unigram.Inf
+    def arms(i: Int) = math.max(0, i - m) until i
+    val pivotCols = (for { i <- 1 to w; j <- arms(i) }
+      yield s"MAX(CASE WHEN j=$j AND i=$i THEN cost END) AS c${j}_$i")
+      .mkString(", ")
+    var q = s"SELECT *, 0::BIGINT AS d0 FROM pv_$tag"
+    for (i <- 1 to w) {
+      val a = arms(i).map(j => s"d$j + coalesce(c${j}_$i, $inf)")
+      q = s"SELECT *, least(${a.mkString(", ")}) AS d$i FROM ($q)"
+    }
+    val bCols = (1 to w).map { i =>
+      val whens = arms(i)
+        .map(j => s"WHEN d$i = d$j + coalesce(c${j}_$i, $inf) THEN $j")
+      s"CASE ${whens.mkString(" ")} END AS b$i"
+    }
+    q = s"SELECT *, ${bCols.mkString(", ")} FROM ($q)"
+    q = s"SELECT *, length(w) AS e0 FROM ($q)"
+    for (r <- 0 until w) {
+      val whens = (1 to w).map(i => s"WHEN $i THEN b$i").mkString(" ")
+      q = s"SELECT *, CASE e$r $whens END AS s$r FROM ($q)"
+      if (r < w - 1) q = s"SELECT *, s$r AS e${r + 1} FROM ($q)"
+    }
+    s"""cand_$tag AS (
+  SELECT b.w, b.c, uj.j, ui.i, cc.cost
+  FROM blk b
+  CROSS JOIN range(0, $w) AS uj(j)
+  CROSS JOIN range(1, ${w + 1}) AS ui(i)
+  JOIN $costCte cc ON ui.i > uj.j AND ui.i - uj.j <= $m
+    AND ui.i <= length(b.w) AND cc.p = substr(b.w, uj.j + 1, ui.i - uj.j)),
+pv_$tag AS MATERIALIZED (SELECT w, c, $pivotCols FROM cand_$tag GROUP BY w, c),
+bw_$tag AS MATERIALIZED ($q)"""
+  }
+
+  /** Weighted piece-usage counts from a backwalk CTE. */
+  private def unigramUseSql(tag: String): String = {
+    val w = graft.ops.Unigram.MaxWordLen
+    val unions = (0 until w).map(r =>
+      s"SELECT substr(w, s$r + 1, e$r - s$r) AS p, c FROM bw_$tag " +
+        s"WHERE e$r > 0 AND s$r IS NOT NULL").mkString(" UNION ALL ")
+    s"use_$tag AS MATERIALIZED (SELECT p, sum(c)::BIGINT AS u FROM ($unions) GROUP BY p)"
+  }
+
+  /** M-step prune: top-VocabSize multi-char pieces by (count desc,
+    * piece asc) plus every char (0 when unused).
+    */
+  private def unigramVocabSql(k: Int, useTag: String): String =
+    s"""v$k AS MATERIALIZED (
+  SELECT p, u AS cnt FROM (
+    SELECT p, u FROM use_$useTag WHERE length(p) > 1
+    ORDER BY u DESC, p LIMIT ${graft.ops.Unigram.VocabSize})
+  UNION ALL
+  SELECT ch.p, coalesce(u.u, 0)::BIGINT
+  FROM chars ch LEFT JOIN use_$useTag u ON u.p = ch.p)"""
+
+  /** The full train chain (seed -> EM iteration 1 -> EM iteration 2)
+    * plus the final-cost segmentation pass the tokenize oracle reads.
+    */
+  private def unigramCtes: String = Seq(
+    unigramBase,
+    unigramCostSql(0),
+    unigramDpSql("i1", "c0"), unigramUseSql("i1"), unigramVocabSql(1, "i1"),
+    unigramCostSql(1),
+    unigramDpSql("i2", "c1"), unigramUseSql("i2"), unigramVocabSql(2, "i2"),
+    unigramCostSql(2),
+    unigramDpSql("fin", "c2")
+  ).mkString(",\n")
+
+  private def unigramTrainSql: String =
+    s"""WITH $unigramCtes
+SELECT p AS piece, cnt, ${duckIlog2("t + v")} - ${duckIlog2("cnt + 1")} AS cost_fp
+FROM v2, t2 ORDER BY cnt DESC, piece"""
+
+  private def unigramTokenizeSql: String = {
+    val w = graft.ops.Unigram.MaxWordLen
+    val nb = (0 until w)
+      .map(r => s"CASE WHEN e$r > 0 AND s$r IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val nll = (1 to w).map(i => s"WHEN $i THEN d$i").mkString(" ")
+    s"""WITH $unigramCtes,
+bs AS MATERIALIZED (
+  SELECT w, ($nb)::BIGINT AS nb,
+         (CASE length(w) $nll END)::BIGINT AS nll
+  FROM bw_fin),
+wb AS (
+  SELECT word, substr(word, k * $w + 1, $w) AS w
+  FROM wcu, unnest(range(0, (length(word) - 1) // $w + 1)) AS uk(k)),
+ws AS MATERIALIZED (
+  SELECT word, sum(nb)::BIGINT AS n_pieces, sum(nll)::BIGINT AS nll_fp
+  FROM wb JOIN bs USING (w) GROUP BY word)
+SELECT doc_id, count(*) AS n_words,
+       sum(ws.n_pieces)::BIGINT AS n_pieces, sum(ws.nll_fp)::BIGINT AS nll_fp
+FROM (SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents) WHERE word <> '') dw
+JOIN ws USING (word)
+GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   // -- LSH / ANN oracle generators. Every hash in the MinHash/SimHash
   // family is pure 64-bit integer arithmetic over codepoints
   // (graft.functions.kernels.polyHash), band/chunk keys are integer
@@ -1876,9 +2055,8 @@ ppl AS MATERIALIZED (
     * via [[duckIlog2]], top-[[graft.ops.Lm.TopK]] by (weight desc,
     * doc_id) — mirrors [[graft.ops.Lm.dsirWeights]].
     */
-  private def dsirWeightsSql: String = {
+  private def dsirCtes: String = {
     val b = graft.ops.Lm.Buckets
-    val k = graft.ops.Lm.TopK
     val seed = graft.ops.Lm.HashSeed
     s"""WITH $LmTokCte,
 feats AS MATERIALIZED (
@@ -1896,10 +2074,37 @@ tot AS (SELECT sum(r)::BIGINT AS rt, sum(t)::BIGINT AS tt FROM bk),
 bw AS MATERIALIZED (
   SELECT b, (${duckIlog2("t + 1")} - ${duckIlog2(s"tt + $b")}) -
             (${duckIlog2("r + 1")} - ${duckIlog2(s"rt + $b")}) AS w_fp
-  FROM bk, tot)
-SELECT doc_id, count(*) AS n_feats, sum(w_fp)::BIGINT AS weight_fp
-FROM feats JOIN bw USING (b)
-GROUP BY doc_id ORDER BY weight_fp DESC, doc_id LIMIT $k"""
+  FROM bk, tot),
+scored AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_feats, sum(w_fp)::BIGINT AS weight_fp
+  FROM feats JOIN bw USING (b) GROUP BY doc_id)"""
+  }
+
+  private def dsirWeightsSql: String =
+    s"""$dsirCtes
+SELECT doc_id, n_feats, weight_fp
+FROM scored ORDER BY weight_fp DESC, doc_id LIMIT ${graft.ops.Lm.TopK}"""
+
+  /** Oracle for q_dsir_sample: the shared [[dsirCtes]] scoring, then
+    * the seeded Gumbel-top-k draw — two MINSTD Lehmer steps for the
+    * per-doc uniform, base-2 Gumbel in [[duckIlog2]] fixed point,
+    * top-[[graft.ops.Lm.SampleK]] by (key desc, doc_id) — mirrors
+    * [[graft.ops.Lm.dsirSampleWith]] arm for arm.
+    */
+  private def dsirSampleSql: String = {
+    val s0 = graft.ops.Lm.SampleSeed
+    s"""$dsirCtes,
+rng AS (
+  SELECT doc_id, weight_fp,
+         ((((doc_id + $s0) % 2147483646) + 1) * 48271) % 2147483647 AS x1
+  FROM scored),
+rng2 AS (
+  SELECT doc_id, weight_fp, (x1 * 48271) % 2147483647 AS h FROM rng),
+gum AS (
+  SELECT doc_id, weight_fp, 2031616 - ${duckIlog2("h")} AS e_fp FROM rng2)
+SELECT doc_id, weight_fp,
+       (weight_fp + 1048576 - ${duckIlog2("e_fp")})::BIGINT AS key_fp
+FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
   }
 
   /** Index-order double cosine over dim-64 lists — mirrors
@@ -2691,6 +2896,9 @@ GROUP BY doc_id ORDER BY weight_fp DESC, doc_id LIMIT $k"""
       "WITH " + bpeCtes(BpeMergeCount) + s" SELECT * FROM ($union) ORDER BY rank"
     },
 
+    "q_unigram_train" -> unigramTrainSql,
+    "q_unigram_tokenize" -> unigramTokenizeSql,
+
     "q_bpe_apply" ->
       ("WITH " + bpeCtes(BpeMergeCount) +
         ", d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)" +
@@ -2741,6 +2949,7 @@ GROUP BY doc_id ORDER BY weight_fp DESC, doc_id LIMIT $k"""
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_ppl_buckets" -> pplBucketsSql,
     "q_dsir_weights" -> dsirWeightsSql,
+    "q_dsir_sample" -> dsirSampleSql,
 
     "q_quality_score" ->
       ("WITH t AS (SELECT doc_id, text, " +
