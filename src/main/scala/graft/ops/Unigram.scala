@@ -229,10 +229,13 @@ object Unigram {
     val cost = model.vocab.collect()
       .map(r => (r.getString(0), r.getLong(2))).toMap
     // plain Tuple2 return (a nested case class would trip the known
-    // Janino struct-accessor rejection and fall back to interpreted)
+    // Janino struct-accessor rejection and fall back to interpreted).
+    // Pieces outside the vocabulary (possible only for CHARACTERS the
+    // training corpus never saw — the streaming-OOV case) price at
+    // [[Inf]], the <unk>-penalty contract of a shipped tokenizer.
     val seg = udf { (w: String) =>
       val ps = blocks(w).flatMap(b => segmentBlock(b, cost))
-      (ps.length.toLong, ps.map(cost).sum)
+      (ps.length.toLong, ps.map(cost.getOrElse(_, Inf)).sum)
     }
     val words = docs.select(explode(split(textCol, " ")).as("word"))
       .filter(length(col("word")) > 0).distinct()

@@ -208,6 +208,17 @@ object ScaleSmoke {
         Bpe.train(inflateDocs(Tables.documents(spark, sfDir), f),
           col("text"), nMerges = 16).merges
       },
+      "unigram_tokenize" -> { f =>
+        // train + tokenize under replication: disjoint replica
+        // vocabularies multiply the distinct-word table (the EM
+        // working set) and the corpus by F; per-replica DP work per
+        // word is constant, the per-round driver collect stays
+        // vocab-bounded, and tokenization is one corpus pass against
+        // broadcast word stats. Output rows = docs ×F exactly.
+        val d = inflateDocs(Tables.documents(spark, sfDir), f)
+        Unigram.tokenCounts(d, col("doc_id"), col("text"),
+          Unigram.train(d, col("text")))
+      },
       "media_neardup" -> { f =>
         // the Hamming-banded join under replication: XOR-namespace each
         // replica's hashes — Hamming distance is invariant under a
