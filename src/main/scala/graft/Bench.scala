@@ -261,7 +261,7 @@ object Bench {
     val streamNames = Seq("s_stream_dedup", "s_stream_decontam",
       "s_stream_sessionize", "s_stream_neardup", "s_stream_media",
       "s_stream_audio", "s_stream_video", "s_stream_semdecontam",
-      "s_stream_bpe", "s_stream_lm")
+      "s_stream_bpe", "s_stream_lm", "s_stream_unigram")
     val streamResults: Map[String, Double] =
       if (remainingMs < 60000) streamNames.map(_ -> -1.0).toMap
       else try {
@@ -280,6 +280,7 @@ object Bench {
           graft.streaming.StreamBench.stageEmbeddings(spark, sfDir, nFiles = 8))
         val mb = graft.streaming.StreamBench.benchBpeTokenize(spark, sfDir, docDir)
         val ml = graft.streaming.StreamBench.benchLmScore(spark, sfDir, docDir)
+        val mu = graft.streaming.StreamBench.benchUnigramTokenize(spark, sfDir, docDir)
         def det(m: graft.streaming.StreamBench.StreamMetrics): String =
           s"""{"rows":${m.rows},"rows_per_sec":${m.rowsPerSec.toLong},"avg_batch_ms":${m.avgBatchMs.toLong},"batches":${m.batches}}"""
         streamDetail =
@@ -287,12 +288,13 @@ object Bench {
           s""""neardup":${det(mn)},"media_neardup":${det(mm)},""" +
           s""""audio_neardup":${det(ma)},"video_neardup":${det(mv)},""" +
           s""""sem_decontam":${det(msd)},"bpe_tokenize":${det(mb)},""" +
-          s""""lm_score":${det(ml)}}"""
+          s""""lm_score":${det(ml)},"unigram_tokenize":${det(mu)}}"""
         Map("s_stream_dedup" -> md.elapsedSec, "s_stream_decontam" -> mdc.elapsedSec,
           "s_stream_sessionize" -> ms.elapsedSec, "s_stream_neardup" -> mn.elapsedSec,
           "s_stream_media" -> mm.elapsedSec, "s_stream_audio" -> ma.elapsedSec,
           "s_stream_video" -> mv.elapsedSec, "s_stream_semdecontam" -> msd.elapsedSec,
-          "s_stream_bpe" -> mb.elapsedSec, "s_stream_lm" -> ml.elapsedSec)
+          "s_stream_bpe" -> mb.elapsedSec, "s_stream_lm" -> ml.elapsedSec,
+          "s_stream_unigram" -> mu.elapsedSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming micro-bench failed: $e")
         streamNames.map(_ -> -1.0).toMap

@@ -501,6 +501,25 @@ object SparkEntry {
         col("text"), windowTokens = 8)
         .orderBy(col("doc_id"))),
 
+    // E1 depth: EXACT suffix-array machinery (prefix doubling — the
+    // Lee et al. suffix-array form next to the rolling-hash windows
+    // above). q_sa_ranks = lexicographic suffix dense ranks at
+    // comparison depth 64 (log-depth rounds of pair-rank refinement,
+    // PrefixScan dense ranks, never a global window); the oracle is a
+    // DIRECT DuckDB suffix sort — an independent check of the whole
+    // algorithm, not a replay.
+    "q_sa_ranks" -> ((s, dir) =>
+      SuffixArray.suffixRanks(documents(s, dir), col("doc_id"),
+        col("text"), maxDepth = 64)
+        .orderBy(col("doc_id"), col("pos"))),
+    // E1 depth: exact cross-document repeated 32-grams with canonical
+    // class labels — collision-free repeat classes (rank equality at
+    // depth 32 IS string equality of the 32-char prefix)
+    "q_sa_repeats" -> ((s, dir) =>
+      SuffixArray.repeatGroups(documents(s, dir), col("doc_id"),
+        col("text"), minLen = 32)
+        .orderBy(col("doc_id"), col("pos"))),
+
     // window functions: per-user running sum in event order
     "q_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -3014,6 +3033,29 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
         "CAST(least(64, len(toks) - st) AS BIGINT) AS n_tokens, " +
         "array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text " +
         "FROM s ORDER BY doc_id, chunk_idx"),
+
+    // the suffix-array pair: DIRECT suffix sorts (dense_rank over the
+    // suffix / 32-gram strings) — an independent oracle for the whole
+    // prefix-doubling algorithm, not a step replay
+    "q_sa_ranks" ->
+      ("WITH p AS (SELECT doc_id, unnest(range(0, length(text))) AS pos, text " +
+        "FROM documents) " +
+        "SELECT doc_id, pos, " +
+        "dense_rank() OVER (ORDER BY substr(text, pos + 1, 64)) AS r " +
+        "FROM p ORDER BY doc_id, pos"),
+
+    "q_sa_repeats" ->
+      ("WITH p AS (SELECT doc_id, unnest(range(0, length(text))) AS pos, text " +
+        "FROM documents), " +
+        "e AS (SELECT doc_id, pos, substr(text, pos + 1, 32) AS pre FROM p " +
+        "WHERE length(text) - pos >= 32), " +
+        "g AS (SELECT pre, min(doc_id * 4294967296 + pos) AS gkey, " +
+        "count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs " +
+        "FROM e GROUP BY pre) " +
+        "SELECT e.doc_id, e.pos, g.gkey // 4294967296 AS grp_did, " +
+        "g.gkey % 4294967296 AS grp_pos " +
+        "FROM e JOIN g USING (pre) WHERE g.n_occ >= 2 AND g.n_docs >= 2 " +
+        "ORDER BY doc_id, pos"),
 
     "q_substr_spans" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DISTRIBUTED SUFFIX RANKING by prefix doubling (Manber & Myers
+  * 1990; the Flick & Aluru 2015 distributed formulation) — the exact
+  * foundation under suffix-array substring dedup of training corpora
+  * (Lee et al., ACL 2022), complementing [[SubstringDedup]]'s
+  * rolling-hash windows with EXACT (collision-free) repeat classes.
+  *
+  * Semantics: one suffix per character position, never crossing a
+  * document boundary; suffixes are ranked globally in lexicographic
+  * order (dense ranks — identical suffix strings share a rank; a
+  * proper prefix sorts before its extensions). After k doubling
+  * rounds the rank key compares exactly the first 2^k characters, by
+  * induction: round k refines (rank_{k−1}(p), rank_{k−1}(p+2^{k−1}))
+  * with an exhausted-suffix sentinel 0 that sorts below every real
+  * rank (dense ranks start at 1).
+  *
+  * Everything distributes: each round is (a) the 2^{k−1}-shifted rank
+  * fetched by a PER-DOCUMENT `lead()` window (positions are
+  * consecutive within a document by construction — one doc-keyed
+  * shuffle, never a corpus×corpus self-join, never a global window),
+  * (b) an exact dense rank of the (r1, r2) pairs via the
+  * [[PrefixScan]] two-pass scan over range-partitioned sorted pairs
+  * (NO global window — the [[Rank]] discipline), and (c) a join back.
+  * O(log maxLen) rounds; driver traffic per round is numPartitions
+  * prefix accumulators + one distinct-count scalar (the early-unique
+  * stop). Lineage is pinned per round (eager localCheckpoint — the
+  * [[ConnectedComponents]] loop discipline).
+  *
+  * Scale note: a character-level suffix table is CORPUS-SIZED (one
+  * row per byte) — at 100 TB this op is the per-shard/per-partition
+  * repeat miner (exactly how suffix-array dedup pipelines run it),
+  * not a whole-corpus single pass; each round's shuffles are linear
+  * in the shard and the round count is log(maxDocLen), independent of
+  * corpus size.
+  */
+object SuffixArray {
+
+  /** One row per character position:
+    * (did, pos 0-based, slen = suffix length, ch).
+    *
+    * Chars come from ONE linear `split` pass per document (a
+    * transform/substring per position is O(pos) each on UTF8String —
+    * quadratic per doc, measured minutes-for-seconds at ×64), with
+    * empties filtered order-preserving (split('') emits boundary
+    * empties). The pre-explode repartition matters: a small parquet
+    * source arrives as ONE partition, and without the shuffle the
+    * whole corpus-sized explode + first rank round would run as a
+    * single task.
+    */
+  private def positions(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("did"), textCol.as("t"))
+      .repartition(col("did"))
+      .select(col("did"), length(col("t")).cast("long").as("len"),
+        posexplode(expr("filter(split(t, ''), x -> x != '')"))
+          .as(Seq("pos", "ch")))
+      .select(col("did"), col("pos").cast("long").as("pos"),
+        (col("len") - col("pos")).as("slen"), col("ch"))
+
+  /** Exact dense rank of the distinct (r1, r2) pairs — range-partition
+    * + in-partition sort + [[PrefixScan]] running count; returns
+    * (r1, r2, nr) with nr ∈ [1, #distinct], PINNED (the scan requires
+    * it, and callers count + join it).
+    */
+  private def densePairRanks(paired: DataFrame): DataFrame = {
+    val spark = paired.sparkSession
+    import spark.implicits._
+    val pairs = paired.select(col("r1"), col("r2")).distinct()
+      .repartitionByRange(32, col("r1"), col("r2"))
+      .sortWithinPartitions(col("r1"), col("r2"))
+      .as[(Long, Long)]
+      .localCheckpoint()
+    PrefixScan.scan(pairs, 0L)((a, _) => a + 1L)(_ + _)
+      .map { case ((a, b), below, _) => (a, b, below + 1L) }
+      .toDF("r1", "r2", "nr")
+  }
+
+  /** Run `doublings` rounds (comparison depth 2^doublings), stopping
+    * early once every suffix has a unique rank if `stopWhenUnique`.
+    * Returns (did, pos, slen, r) — unless `rankLast` is false, in
+    * which case the LAST round's pair is returned un-renumbered as
+    * (did, pos, slen, r1, r2): the pair partitions positions exactly
+    * as its dense rank would, so equality consumers
+    * ([[repeatGroups]]) can skip a whole rank-and-join round.
+    *
+    * The 2^{k−1} shift is a per-document `lead()` — positions are
+    * consecutive within a document by construction, so the window
+    * (partitioned by doc, never global) replaces a corpus×corpus
+    * self-join; the lead default 0 IS the exhausted-suffix sentinel.
+    */
+  private def doublingRanks(docs: DataFrame, idCol: Column, textCol: Column,
+                            doublings: Int, stopWhenUnique: Boolean,
+                            rankLast: Boolean = true): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("did").orderBy("pos")
+    val pos = positions(docs, idCol, textCol)
+    // round 0: rank single characters. The window runs over the
+    // ALPHABET (distinct chars — bounded by construction, the
+    // Bpe.tokenIds pattern), never the corpus.
+    val charRanks = pos.select(col("ch")).distinct()
+      .withColumn("r", dense_rank()
+        .over(org.apache.spark.sql.expressions.Window.orderBy("ch"))
+        .cast("long"))
+    var cur = pos.join(broadcast(charRanks), Seq("ch"))
+      .select(col("did"), col("pos"), col("slen"), col("r"))
+      .localCheckpoint()
+    val n = if (stopWhenUnique) cur.count() else -1L
+    var width = 1
+    var k = 0
+    var done = false
+    while (k < doublings && !done) {
+      val paired = cur.select(col("did"), col("pos"), col("slen"),
+        col("r").as("r1"),
+        lead(col("r"), width, 0L).over(byDoc).as("r2"))
+      if (k == doublings - 1 && !rankLast) return paired.localCheckpoint()
+      val ranks = densePairRanks(paired)
+      // the rank table is corpus-sized in the worst case (one row per
+      // distinct pair) but comes from an RDD with unknown stats —
+      // never let the planner broadcast it (measured: driver OOM at
+      // ×64), and never hash-build it either (a shuffled hash join's
+      // per-partition build maps OOM'd a 32-thread executor at ×64
+      // where sort-merge spills and completes)
+      cur = paired.join(ranks.hint("merge"), Seq("r1", "r2"))
+        .select(col("did"), col("pos"), col("slen"), col("nr").as("r"))
+        .localCheckpoint()
+      if (stopWhenUnique && ranks.count() == n) done = true
+      width *= 2
+      k += 1
+    }
+    cur
+  }
+
+  /** Lexicographic suffix ranks: (doc_id, pos, r) — r is the dense
+    * rank of the suffix among ALL suffixes of the corpus, comparing at
+    * most `maxDepth` leading characters (pass the default for FULL
+    * suffix order). Rounds run until the comparison depth covers
+    * min(maxDepth, longest document) — one bounded scalar collect —
+    * or ranks go unique, whichever is first. A bounded depth is the
+    * standard dedup-pipeline variant (repeats longer than the depth
+    * are what the miner is after; the round count is log2(depth),
+    * independent of document length).
+    */
+  def suffixRanks(docs: DataFrame, idCol: Column, textCol: Column,
+                  maxDepth: Int = Int.MaxValue): DataFrame = {
+    val maxLen = docs.agg(max(length(textCol))).collect()(0).getInt(0).toLong
+    val target = math.min(maxLen, maxDepth.toLong)
+    var d = 0
+    while ((1L << d) < target) d += 1
+    doublingRanks(docs, idCol, textCol, d, stopWhenUnique = true)
+      .select(col("did").as("doc_id"), col("pos"), col("r"))
+  }
+
+  /** EXACT cross-document repeated `minLen`-grams (minLen a power of
+    * two): every position whose suffix is ≥ minLen long and whose
+    * first minLen characters recur in ≥ 2 positions across ≥ 2
+    * documents, labeled by its repeat class (the class's minimum
+    * (doc, pos), a canonical engine-independent id). Exactly
+    * log2(minLen) doubling rounds — the rank key then compares
+    * precisely the first minLen characters, so classes are exact
+    * string equality, no hash collisions. Output:
+    * (doc_id, pos, grp_did, grp_pos).
+    */
+  def repeatGroups(docs: DataFrame, idCol: Column, textCol: Column,
+                   minLen: Int): DataFrame = {
+    require(minLen >= 2 && (minLen & (minLen - 1)) == 0,
+      s"minLen must be a power of two, got $minLen")
+    val d = java.lang.Integer.numberOfTrailingZeros(minLen)
+    // the final round's (r1, r2) pair partitions eligible positions
+    // exactly as its dense rank would — group on it directly and
+    // skip the last rank-and-join round
+    val elig = doublingRanks(docs, idCol, textCol, d,
+        stopWhenUnique = false, rankLast = false)
+      .filter(col("slen") >= minLen)
+    // canonical class id: min packed (did, pos) — did < 2^31 and
+    // pos < 2^32 by construction, so the packing preserves the
+    // lexicographic (did, pos) order
+    val groups = elig.groupBy(col("r1"), col("r2")).agg(
+        min(col("did") * lit(4294967296L) + col("pos")).as("gkey"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("did")).as("n_docs"))
+      .filter(col("n_occ") >= 2 && col("n_docs") >= 2)
+    // groups can approach corpus size on repeat-heavy corpora — same
+    // no-broadcast, spill-safe sort-merge discipline as the rank join
+    elig.join(groups.hint("merge"), Seq("r1", "r2"))
+      .select(col("did").as("doc_id"), col("pos"),
+        expr("gkey div 4294967296").as("grp_did"),
+        expr("gkey % 4294967296").as("grp_pos"))
+  }
+}

@@ -284,6 +284,32 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** Unigram tokenize-the-crawl twin: the standing
+    * [[graft.ops.Unigram]] vocabulary is trained once untimed; each
+    * micro-batch Viterbi-segments its distinct words under the
+    * broadcast cost map and aggregates per doc. Reads the same docs
+    * replay as the BPE twin.
+    */
+  def benchUnigramTokenize(spark: SparkSession, sfDir: String,
+                           replayDir: String): StreamMetrics = {
+    val model = graft.ops.Unigram.train(
+      graft.Tables.documents(spark, sfDir), col("text"))
+    model.vocab.queryExecution.toRdd.count() // materialize untimed
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Unigram.tokenCounts(b, col("doc_id"), col("text"), model).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** LM scoring throughput: a standing bigram model (trained untimed
     * on the sfDir corpus's lang='en' slice, lookup tables
     * materialized once) perplexity-scores the replayed document
@@ -476,6 +502,7 @@ object StreamBench {
       line("neardup", f, benchNearDup(spark, sfDir, docs))
       line("bpe_tokenize", f, benchBpeTokenize(spark, sfDir, docs))
       line("lm_score", f, benchLmScore(spark, sfDir, docs))
+      line("unigram_tokenize", f, benchUnigramTokenize(spark, sfDir, docs))
       cleanup(keep = before) // reclaim THIS factor's replays only
     }
     Runtime.getRuntime.halt(0)

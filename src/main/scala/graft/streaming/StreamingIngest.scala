@@ -375,6 +375,33 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming twin of the unigram-LM tokenizer
+    * ([[graft.ops.Unigram]]): every micro-batch of a document stream
+    * is Viterbi-tokenized against a STANDING vocabulary trained once
+    * before the stream starts. The batch's DISTINCT words segment
+    * under the broadcast cost map; characters the model never saw
+    * (the case streaming exists for) price at the Inf `<unk>`
+    * penalty rather than failing. Per-batch work is the batch's
+    * words, never the corpus. Same exactly-once `ingest_batch=N`
+    * overwrite contract as [[nearDupBatches]].
+    */
+  def unigramTokenizeBatches(docs: DataFrame,
+                             model: graft.ops.Unigram.UnigramModel,
+                             outDir: String,
+                             checkpointDir: Option[String] = None): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Unigram
+          .tokenCounts(batch, col("doc_id"), col("text"), model)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("unigram_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming twin of the LM quality gate: every micro-batch of a
     * document stream is perplexity-scored against a STANDING
     * [[graft.ops.Lm.LmModel]] trained once before the stream starts

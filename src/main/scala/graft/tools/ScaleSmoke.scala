@@ -208,6 +208,16 @@ object ScaleSmoke {
         Bpe.train(inflateDocs(Tables.documents(spark, sfDir), f),
           col("text"), nMerges = 16).merges
       },
+      "sa_repeats" -> { f =>
+        // prefix-doubling repeat mining under replication: disjoint
+        // replica vocabularies (every token carries the replica
+        // suffix) mean no 32-gram can recur across replicas, so each
+        // replica keeps its exact class set and members are exactly
+        // ×F. Work = 5 rounds of corpus-sized joins + PrefixScan
+        // dense ranks — the linear-per-round claim under test.
+        SuffixArray.repeatGroups(inflateDocs(Tables.documents(spark, sfDir), f),
+          col("doc_id"), col("text"), minLen = 32)
+      },
       "unigram_tokenize" -> { f =>
         // train + tokenize under replication: disjoint replica
         // vocabularies multiply the distinct-word table (the EM

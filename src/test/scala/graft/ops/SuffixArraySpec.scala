@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** E1 depth: distributed suffix ranking by prefix doubling, checked
+  * against brute-force suffix sorts (the strongest possible check —
+  * the op's whole output, not single properties).
+  */
+class SuffixArraySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Brute-force dense suffix ranks capped at `cap` chars. */
+  private def bruteRanks(docs: Seq[(Long, String)], cap: Int): Seq[(Long, Long, Long)] = {
+    val sufs = for ((id, t) <- docs; p <- 0 until t.length)
+      yield (id, p.toLong, t.substring(p).take(cap))
+    val rank = sufs.map(_._3).distinct.sorted.zipWithIndex.toMap
+    sufs.map { case (id, p, s) => (id, p, rank(s) + 1L) }
+      .sortBy(x => (x._1, x._2))
+  }
+
+  test("suffixRanks: equals a brute-force suffix sort (hand corpus)") {
+    val docs = Seq((1L, "banana"), (2L, "ana"), (3L, "bandana"))
+    val got = SuffixArray.suffixRanks(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(got == bruteRanks(docs, Int.MaxValue))
+    // dense semantics: doc 2's "ana" suffixes tie doc 1's exactly
+    val r = got.map { case (d, p, rk) => (d, p) -> rk }.toMap
+    assert(r((2L, 0L)) == r((1L, 3L)), "identical suffixes share a rank")
+    assert(r((2L, 2L)) < r((1L, 1L)), "'a' sorts before 'anana' (prefix first)")
+  }
+
+  test("suffixRanks: full corpus equals brute force at sf0.001") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val got = SuffixArray.suffixRanks(docsDf, col("doc_id"), col("text"),
+        maxDepth = 64)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(got == bruteRanks(docs, 64))
+  }
+
+  test("suffixRanks: partitioning-independent") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val a = SuffixArray.suffixRanks(docsDf, col("doc_id"), col("text"),
+        maxDepth = 16)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    val b = SuffixArray.suffixRanks(docsDf.repartition(7), col("doc_id"),
+        col("text"), maxDepth = 16)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("repeatGroups: exact cross-doc classes with canonical labels") {
+    val shared = "the quick brown fox jumps over a dam" // 36 chars
+    val docs = Seq(
+      (1L, s"xx$shared tail one"),
+      (2L, s"$shared tail two"),
+      (3L, s"unrelated $shared"),
+      // internal repeat only (same doc twice) must NOT qualify
+      (4L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz qq " +
+        "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    val got = SuffixArray.repeatGroups(docs, col("doc_id"), col("text"),
+        minLen = 32)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the three planted copies of `shared` (positions 2, 0, 10) are in
+    // one class labeled by its minimum (doc, pos) = (1, 2)
+    val planted = got.filter { case (_, _, gd, gp) => gd == 1L && gp == 2L }
+    assert(planted.map(t => (t._1, t._2)).toSet
+      .intersect(Set((1L, 2L), (2L, 0L), (3L, 10L))) ==
+      Set((1L, 2L), (2L, 0L), (3L, 10L)))
+    assert(!got.exists(_._1 == 4L),
+      "within-doc-only repeats are excluded (n_docs >= 2)")
+    // every class label is a member of its own class
+    val byGrp = got.groupBy(t => (t._3, t._4))
+    byGrp.foreach { case ((gd, gp), ms) =>
+      assert(ms.exists(m => m._1 == gd && m._2 == gp))
+      assert(ms.map(_._1).distinct.size >= 2)
+    }
+  }
+
+  test("repeatGroups: equals brute-force 32-gram grouping at sf0.001") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val elig = for ((id, t) <- docs; p <- 0 to t.length - 32)
+      yield (id, p.toLong, t.substring(p, p + 32))
+    val expected = elig.groupBy(_._3).values
+      .filter(g => g.size >= 2 && g.map(_._1).distinct.size >= 2)
+      .flatMap { g =>
+        val (gd, gp, _) = g.minBy(x => (x._1, x._2))
+        g.map(m => (m._1, m._2, gd, gp))
+      }.toSeq.sortBy(x => (x._1, x._2))
+    val got = SuffixArray.repeatGroups(docsDf, col("doc_id"), col("text"),
+        minLen = 32)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+}

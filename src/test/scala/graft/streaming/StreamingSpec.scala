@@ -347,6 +347,48 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("streaming unigram tokenization equals the batch operator (incl. OOV chars)") {
+    import graft.ops.Unigram
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+      .select("doc_id", "text").cache()
+    val model = Unigram.train(docs, col("text"))
+    // ingest = the corpus plus one doc with CHARACTERS the model never
+    // saw: the <unk> Inf-penalty arm must price them, identically in
+    // both modes, instead of failing
+    val ingest = docs.unionByName(
+      Seq((9000011L, "Z9@X qqq#Q")).toDF("doc_id", "text")).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("sug_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sug_out").toString
+    ingest.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(ingest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.unigramTokenizeBatches(stream, model, outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_words", "n_pieces", "nll_fp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Unigram.tokenCounts(ingest, col("doc_id"), col("text"), model)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._1 == 9000011L), "OOV-char doc must be tokenized")
+    docs.unpersist(); ingest.unpersist()
+  }
+
+  test("unigramTokenizeBatches restart: checkpoint resume is exactly-once") {
+    import graft.ops.Unigram
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+      .select("doc_id", "text").cache()
+    val model = Unigram.train(docs, col("text"))
+    val wave1 = docs.filter(col("doc_id") % 5 === 1)
+      .unionByName(Seq((9000012L, "Q9#z xx")).toDF("doc_id", "text")).cache()
+    val wave2 = docs.filter(col("doc_id") % 5 === 2)
+      .unionByName(Seq((9000013L, "zz 9#Qx")).toDF("doc_id", "text")).cache()
+    restartContract("sugr", wave1, wave2,
+      (st, out, ck) => StreamingIngest.unigramTokenizeBatches(st, model, out, ck),
+      b => Unigram.tokenCounts(b, col("doc_id"), col("text"), model),
+      Seq("doc_id", "n_words", "n_pieces", "nll_fp"))
+    docs.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("lmScoreBatches restart: checkpoint resume is exactly-once") {
     import graft.ops.Lm
     val docs = Tables.documents(spark, SparkTestSession.Sf).cache()
