@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** DISTRIBUTED SUFFIX RANKING by prefix doubling (Manber & Myers
   * 1990; the Flick & Aluru 2015 distributed formulation) — the exact
@@ -22,10 +23,11 @@ import org.apache.spark.sql.functions._
   * fetched by a PER-DOCUMENT `lead()` window (positions are
   * consecutive within a document by construction — one doc-keyed
   * shuffle, never a corpus×corpus self-join, never a global window),
-  * (b) an exact dense rank of the (r1, r2) pairs via the
-  * [[PrefixScan]] two-pass scan over range-partitioned sorted pairs
-  * (NO global window — the [[Rank]] discipline), and (c) a join back.
-  * O(log maxLen) rounds; driver traffic per round is numPartitions
+  * and (b) an exact dense rank computed IN a [[PrefixScan]] two-pass
+  * scan over the range-partitioned sorted pairs (NO global window —
+  * the [[Rank]] discipline — and no rank-table join-back either; see
+  * [[scanRanks]]). O(log maxLen) rounds; driver traffic per round is
+  * numPartitions
   * prefix accumulators + one distinct-count scalar (the early-unique
   * stop). Lineage is pinned per round (eager localCheckpoint — the
   * [[ConnectedComponents]] loop discipline).
@@ -60,22 +62,46 @@ object SuffixArray {
       .select(col("did"), col("pos").cast("long").as("pos"),
         (col("len") - col("pos")).as("slen"), col("ch"))
 
-  /** Exact dense rank of the distinct (r1, r2) pairs — range-partition
-    * + in-partition sort + [[PrefixScan]] running count; returns
-    * (r1, r2, nr) with nr ∈ [1, #distinct], PINNED (the scan requires
-    * it, and callers count + join it).
+  /** Dense-rank the (r1, r2) pairs IN the scan: one range-partitioned
+    * sort of the full position table, then a [[PrefixScan]] whose
+    * monoid is the segmented distinct-count
+    * (first pair, last pair, #distinct) — merging adjacent summaries
+    * subtracts the boundary duplicate. Each row's dense rank falls out
+    * of its exclusive prefix directly, so there is NO distinct pass
+    * and NO corpus-sized rank join-back (the first cut of this op did
+    * both — 2× the round cost and two OOM modes at ×64: an AQE
+    * broadcast of the RDD-derived rank table, then a shuffled-hash
+    * build; the scan form needs neither join). Returns
+    * (did, pos, slen, r), lineage cut at the pinned sort.
     */
-  private def densePairRanks(paired: DataFrame): DataFrame = {
+  private def scanRanks(paired: DataFrame): DataFrame = {
     val spark = paired.sparkSession
     import spark.implicits._
-    val pairs = paired.select(col("r1"), col("r2")).distinct()
+    val sorted = paired
+      .select(col("did"), col("pos"), col("slen"), col("r1"), col("r2"))
       .repartitionByRange(32, col("r1"), col("r2"))
       .sortWithinPartitions(col("r1"), col("r2"))
-      .as[(Long, Long)]
-      .localCheckpoint()
-    PrefixScan.scan(pairs, 0L)((a, _) => a + 1L)(_ + _)
-      .map { case ((a, b), below, _) => (a, b, below + 1L) }
-      .toDF("r1", "r2", "nr")
+      .as[(Long, Long, Long, Long, Long)]
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // A = (first r1, first r2, last r1, last r2, distinct count);
+    // count 0 is the empty identity
+    type A = (Long, Long, Long, Long, Long)
+    val zero: A = (0L, 0L, 0L, 0L, 0L)
+    def fold(a: A, t: (Long, Long, Long, Long, Long)): A =
+      if (a._5 == 0L) (t._4, t._5, t._4, t._5, 1L)
+      else if (a._3 == t._4 && a._4 == t._5) a
+      else (a._1, a._2, t._4, t._5, a._5 + 1L)
+    def merge(a: A, b: A): A =
+      if (a._5 == 0L) b
+      else if (b._5 == 0L) a
+      else (a._1, a._2, b._3, b._4,
+        a._5 + b._5 - (if (a._3 == b._1 && a._4 == b._2) 1L else 0L))
+    PrefixScan.scan(sorted, zero)(fold)(merge)
+      .map { case ((did, pos, slen, r1, r2), ex, _) =>
+        val r = if (ex._5 != 0L && ex._3 == r1 && ex._4 == r2) ex._5
+                else ex._5 + 1L
+        (did, pos, slen, r)
+      }.toDF("did", "pos", "slen", "r")
   }
 
   /** Run `doublings` rounds (comparison depth 2^doublings), stopping
@@ -106,7 +132,7 @@ object SuffixArray {
         .cast("long"))
     var cur = pos.join(broadcast(charRanks), Seq("ch"))
       .select(col("did"), col("pos"), col("slen"), col("r"))
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val n = if (stopWhenUnique) cur.count() else -1L
     var width = 1
     var k = 0
@@ -115,18 +141,13 @@ object SuffixArray {
       val paired = cur.select(col("did"), col("pos"), col("slen"),
         col("r").as("r1"),
         lead(col("r"), width, 0L).over(byDoc).as("r2"))
-      if (k == doublings - 1 && !rankLast) return paired.localCheckpoint()
-      val ranks = densePairRanks(paired)
-      // the rank table is corpus-sized in the worst case (one row per
-      // distinct pair) but comes from an RDD with unknown stats —
-      // never let the planner broadcast it (measured: driver OOM at
-      // ×64), and never hash-build it either (a shuffled hash join's
-      // per-partition build maps OOM'd a 32-thread executor at ×64
-      // where sort-merge spills and completes)
-      cur = paired.join(ranks.hint("merge"), Seq("r1", "r2"))
-        .select(col("did"), col("pos"), col("slen"), col("nr").as("r"))
-        .localCheckpoint()
-      if (stopWhenUnique && ranks.count() == n) done = true
+      if (k == doublings - 1 && !rankLast)
+        return paired.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      cur = scanRanks(paired)
+      // distinct-pair count = the max dense rank — one map pass over
+      // the round's pinned sort, no extra shuffle
+      if (stopWhenUnique &&
+        cur.agg(max(col("r"))).collect()(0).getLong(0) == n) done = true
       width *= 2
       k += 1
     }

@@ -211,10 +211,13 @@ object ScaleSmoke {
       "sa_repeats" -> { f =>
         // prefix-doubling repeat mining under replication: disjoint
         // replica vocabularies (every token carries the replica
-        // suffix) mean no 32-gram can recur across replicas, so each
-        // replica keeps its exact class set and members are exactly
-        // ×F. Work = 5 rounds of corpus-sized joins + PrefixScan
-        // dense ranks — the linear-per-round claim under test.
+        // suffix) mean no 32-gram can recur across replicas — the
+        // leak-free property under test. Members are exactly ×F only
+        // while suffixes share a digit length (×4 is exact); replicas
+        // ≥ 10 carry a longer suffix, which changes that replica's
+        // window geometry and its per-replica answer size — growth
+        // stays per-replica-independent, not quadratic. Work =
+        // log2(minLen) rounds of window + scan-ranked sorts.
         SuffixArray.repeatGroups(inflateDocs(Tables.documents(spark, sfDir), f),
           col("doc_id"), col("text"), minLen = 32)
       },
