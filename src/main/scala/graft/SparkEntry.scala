@@ -1905,23 +1905,30 @@ bw_$tag AS MATERIALIZED ($q)"""
   SELECT ch.p, coalesce(u.u, 0)::BIGINT
   FROM chars ch LEFT JOIN use_$useTag u ON u.p = ch.p)"""
 
-  /** The full train chain (seed -> EM iteration 1 -> EM iteration 2)
-    * plus the final-cost segmentation pass the tokenize oracle reads.
+  /** The full train chain (seed -> Unigram.EmIters E+M rounds) plus
+    * the final-cost segmentation pass the tokenize oracle reads —
+    * generated FROM the EmIters constant like every other
+    * hyper-parameter, so a Scala-side change cannot silently
+    * desynchronize the replay.
     */
-  private def unigramCtes: String = Seq(
-    unigramBase,
-    unigramCostSql(0),
-    unigramDpSql("i1", "c0"), unigramUseSql("i1"), unigramVocabSql(1, "i1"),
-    unigramCostSql(1),
-    unigramDpSql("i2", "c1"), unigramUseSql("i2"), unigramVocabSql(2, "i2"),
-    unigramCostSql(2),
-    unigramDpSql("fin", "c2")
-  ).mkString(",\n")
+  private def unigramCtes: String = {
+    val it = graft.ops.Unigram.EmIters
+    val rounds = (1 to it).flatMap { k =>
+      Seq(unigramCostSql(k - 1),
+        unigramDpSql(s"i$k", s"c${k - 1}"),
+        unigramUseSql(s"i$k"),
+        unigramVocabSql(k, s"i$k"))
+    }
+    (unigramBase +: rounds :+ unigramCostSql(it) :+
+      unigramDpSql("fin", s"c$it")).mkString(",\n")
+  }
 
-  private def unigramTrainSql: String =
+  private def unigramTrainSql: String = {
+    val it = graft.ops.Unigram.EmIters
     s"""WITH $unigramCtes
 SELECT p AS piece, cnt, ${duckIlog2("t + v")} - ${duckIlog2("cnt + 1")} AS cost_fp
-FROM v2, t2 ORDER BY cnt DESC, piece"""
+FROM v$it, t$it ORDER BY cnt DESC, piece"""
+  }
 
   private def unigramTokenizeSql: String = {
     val w = graft.ops.Unigram.MaxWordLen
@@ -2115,7 +2122,8 @@ FROM scored ORDER BY weight_fp DESC, doc_id LIMIT ${graft.ops.Lm.TopK}"""
     s"""$dsirCtes,
 rng AS (
   SELECT doc_id, weight_fp,
-         ((((doc_id + $s0) % 2147483646) + 1) * 48271) % 2147483647 AS x1
+         (((((doc_id + $s0) % 2147483646 + 2147483646) % 2147483646) + 1)
+          * 48271) % 2147483647 AS x1
   FROM scored),
 rng2 AS (
   SELECT doc_id, weight_fp, (x1 * 48271) % 2147483647 AS h FROM rng),

@@ -108,7 +108,7 @@ object ConnectedComponents {
     * RDD persist, invisible to `Dataset.unpersist`/CacheManager; find
     * the `LogicalRDD` leaf and unpersist its RDD directly.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[ops] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

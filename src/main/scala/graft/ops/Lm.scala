@@ -443,7 +443,10 @@ object Lm {
                      k: Int = SampleK, seed: Long = SampleSeed): DataFrame = {
     val m = 2147483647L // 2^31 − 1 (MINSTD modulus)
     dsirScored(model, docs)
-      .withColumn("x0", ((col("doc_id") + lit(seed)) % lit(m - 1L)) + lit(1L))
+      // pmod, not %: a negative doc_id (or negative caller seed) must
+      // still land in [1, m−1] — Scala % would hand ilog2fp a
+      // non-positive value and throw on the executor
+      .withColumn("x0", pmod(col("doc_id") + lit(seed), lit(m - 1L)) + lit(1L))
       .withColumn("h",
         (((col("x0") * lit(48271L)) % lit(m)) * lit(48271L)) % lit(m))
       .withColumn("e_fp",

@@ -72,9 +72,10 @@ object SuffixArray {
     * both — 2× the round cost and two OOM modes at ×64: an AQE
     * broadcast of the RDD-derived rank table, then a shuffled-hash
     * build; the scan form needs neither join). Returns
-    * (did, pos, slen, r), lineage cut at the pinned sort.
+    * ((did, pos, slen, r), the pinned sort backing it) — the caller
+    * unpersists the pin once the NEXT round is materialized.
     */
-  private def scanRanks(paired: DataFrame): DataFrame = {
+  private def scanRanks(paired: DataFrame): (DataFrame, DataFrame) = {
     val spark = paired.sparkSession
     import spark.implicits._
     val sorted = paired
@@ -96,12 +97,13 @@ object SuffixArray {
       else if (b._5 == 0L) a
       else (a._1, a._2, b._3, b._4,
         a._5 + b._5 - (if (a._3 == b._1 && a._4 == b._2) 1L else 0L))
-    PrefixScan.scan(sorted, zero)(fold)(merge)
+    val ranked = PrefixScan.scan(sorted, zero)(fold)(merge)
       .map { case ((did, pos, slen, r1, r2), ex, _) =>
         val r = if (ex._5 != 0L && ex._3 == r1 && ex._4 == r2) ex._5
                 else ex._5 + 1L
         (did, pos, slen, r)
       }.toDF("did", "pos", "slen", "r")
+    (ranked, sorted.toDF)
   }
 
   /** Run `doublings` rounds (comparison depth 2^doublings), stopping
@@ -133,17 +135,31 @@ object SuffixArray {
     var cur = pos.join(broadcast(charRanks), Seq("ch"))
       .select(col("did"), col("pos"), col("slen"), col("r"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // each round pins a corpus-sized sort; once the NEXT round's pin
+    // is materialized the previous one is dead weight — drop it (the
+    // ConnectedComponents loop discipline; without this, O(log depth)
+    // corpus-sized snapshots pile up in the block manager — ~20 GB of
+    // pinned state at the ×64 curve point)
+    var prevPin: DataFrame = cur
     val n = if (stopWhenUnique) cur.count() else -1L
     var width = 1
     var k = 0
-    var done = false
+    // an empty position table (all-NULL text) is vacuously unique —
+    // skip the loop rather than NPE on the max-rank probe
+    var done = stopWhenUnique && n == 0L
     while (k < doublings && !done) {
       val paired = cur.select(col("did"), col("pos"), col("slen"),
         col("r").as("r1"),
         lead(col("r"), width, 0L).over(byDoc).as("r2"))
-      if (k == doublings - 1 && !rankLast)
-        return paired.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-      cur = scanRanks(paired)
+      if (k == doublings - 1 && !rankLast) {
+        val out = paired.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        ConnectedComponents.unpersistCheckpoint(prevPin)
+        return out
+      }
+      val (ranked, pin) = scanRanks(paired)
+      cur = ranked
+      ConnectedComponents.unpersistCheckpoint(prevPin)
+      prevPin = pin
       // distinct-pair count = the max dense rank — one map pass over
       // the round's pinned sort, no extra shuffle
       if (stopWhenUnique &&
@@ -155,18 +171,26 @@ object SuffixArray {
   }
 
   /** Lexicographic suffix ranks: (doc_id, pos, r) — r is the dense
-    * rank of the suffix among ALL suffixes of the corpus, comparing at
-    * most `maxDepth` leading characters (pass the default for FULL
-    * suffix order). Rounds run until the comparison depth covers
-    * min(maxDepth, longest document) — one bounded scalar collect —
-    * or ranks go unique, whichever is first. A bounded depth is the
+    * rank of the suffix among ALL suffixes of the corpus, at a
+    * comparison depth of min(maxDepth ROUNDED UP to a power of two,
+    * longest document) leading characters — pass a power of two (the
+    * intended usage; the doubling rounds can only realize those) or
+    * the default for FULL suffix order. Rounds run until the depth is
+    * covered — one bounded scalar collect for the max length — or
+    * ranks go unique, whichever is first. A bounded depth is the
     * standard dedup-pipeline variant (repeats longer than the depth
     * are what the miner is after; the round count is log2(depth),
-    * independent of document length).
+    * independent of document length). An empty (or all-NULL-text)
+    * corpus returns an empty frame.
     */
   def suffixRanks(docs: DataFrame, idCol: Column, textCol: Column,
                   maxDepth: Int = Int.MaxValue): DataFrame = {
-    val maxLen = docs.agg(max(length(textCol))).collect()(0).getInt(0).toLong
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxLenRow = docs.agg(max(length(textCol))).collect()(0)
+    if (maxLenRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long)].toDF("doc_id", "pos", "r")
+    val maxLen = maxLenRow.getInt(0).toLong
     val target = math.min(maxLen, maxDepth.toLong)
     var d = 0
     while ((1L << d) < target) d += 1

@@ -76,18 +76,30 @@ object Unigram {
     */
   final case class UnigramModel(vocab: DataFrame)
 
-  /** Split a word into its independent DP blocks. */
-  private[ops] def blocks(word: String): Seq[String] =
-    word.grouped(MaxWordLen).toSeq
+  /** Split a word into its independent DP blocks — by CODEPOINTS, not
+    * UTF-16 code units: the Spark-SQL `substring`/`length` enumeration
+    * in [[blockFreq]] and the DuckDB oracle both count codepoints, so
+    * a code-unit split here would carve lone surrogates on non-BMP
+    * text and break both the oracle replay and the train/tokenize
+    * consistency.
+    */
+  private[ops] def blocks(word: String): Seq[String] = {
+    val cps = word.codePoints.toArray
+    cps.grouped(MaxWordLen).map(a => new String(a, 0, a.length)).toSeq
+  }
 
   /** Viterbi-segment one block under `cost` (piece → fixed-point
     * cost). dp[i] = min over j ∈ [i−MaxPieceLen, i−1] of
     * dp[j] + cost(w[j..i)); ties keep the SMALLEST j (scan ascending,
     * strict improvement only). Returns the piece list, left to right.
+    * Indexes are CODEPOINTS (see [[blocks]]) — pieces never split a
+    * surrogate pair.
     */
   private[ops] def segmentBlock(w: String, cost: Map[String, Long]): Seq[String] = {
-    val n = w.length
+    val cps = w.codePoints.toArray
+    val n = cps.length
     if (n == 0) return Seq.empty
+    def piece(j: Int, i: Int) = new String(cps, j, i - j)
     val dp = Array.fill(n + 1)(Inf * (MaxWordLen + 1))
     val bp = Array.fill(n + 1)(-1)
     dp(0) = 0L
@@ -95,7 +107,7 @@ object Unigram {
     while (i <= n) {
       var j = math.max(0, i - MaxPieceLen)
       while (j < i) {
-        val c = dp(j) + cost.getOrElse(w.substring(j, i), Inf)
+        val c = dp(j) + cost.getOrElse(piece(j, i), Inf)
         if (c < dp(i)) { dp(i) = c; bp(i) = j }
         j += 1
       }
@@ -104,7 +116,7 @@ object Unigram {
     // walk back (bp is always set: single chars are always in vocab)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var e = n
-    while (e > 0) { val s = bp(e); out += w.substring(s, e); e = s }
+    while (e > 0) { val s = bp(e); out += piece(s, e); e = s }
     out.reverse.toSeq
   }
 

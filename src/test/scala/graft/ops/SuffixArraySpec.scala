@@ -55,6 +55,16 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("suffixRanks: empty and all-NULL corpora return empty, not NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixArray.suffixRanks(empty, col("doc_id"), col("text"))
+      .collect().isEmpty)
+    val nulls = Seq((1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(SuffixArray.suffixRanks(nulls, col("doc_id"), col("text"))
+      .collect().isEmpty)
+  }
+
   test("repeatGroups: exact cross-doc classes with canonical labels") {
     val shared = "the quick brown fox jumps over a dam" // 36 chars
     val docs = Seq(

@@ -42,6 +42,32 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.blocks("short") == Seq("short"))
   }
 
+  test("codepoint contract: non-BMP text never splits a surrogate pair") {
+    // U+1F600 is two UTF-16 code units; blocks and the DP must index
+    // by CODEPOINTS (matching Spark-SQL substring and DuckDB substr),
+    // never carving lone surrogates
+    val emoji = "😀" // 😀
+    val w = emoji * 13 // 13 codepoints = 26 code units -> blocks 12 + 1
+    assert(Unigram.blocks(w) == Seq(emoji * 12, emoji))
+    val cost = Map(emoji -> 0L, (emoji + emoji) -> 0L)
+    Unigram.segmentBlock(emoji * 3, cost).foreach { p =>
+      assert(!p.exists(c => Character.isHighSurrogate(c) &&
+        p.indexOf(c) == p.length - 1), s"lone surrogate in piece [$p]")
+      assert(cost.contains(p), s"piece [$p] not a whole-codepoint vocab entry")
+    }
+    // end-to-end: a tiny corpus with a supplementary-plane word trains
+    // and tokenizes consistently (UDF segmentation == SQL-side counts)
+    val docs = Seq((1L, s"$emoji$emoji ab ab"), (2L, s"ab $emoji$emoji"))
+      .toDF("doc_id", "text")
+    val model = Unigram.train(docs, col("text"))
+    val out = Unigram.tokenCounts(docs, col("doc_id"), col("text"), model)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(3L, 2L), "word counts")
+    assert(out.forall(_._4 < Unigram.Inf), "no <unk>-priced pieces on own corpus")
+    val pieces = model.vocab.collect().map(_.getString(0))
+    assert(pieces.forall(p => p.codePointCount(0, p.length) <= Unigram.MaxPieceLen))
+  }
+
   test("train: deterministic vocab, chars kept, budget respected") {
     val docs = Tables.documents(spark, SparkTestSession.Sf)
     val m1 = Unigram.train(docs, col("text")).vocab
