@@ -381,6 +381,14 @@ object SparkEntry {
       Unigram.sharedTrain(documents(s, dir), col("text"), Some(dir)).vocab
         .orderBy(desc("cnt"), asc("piece"))),
 
+    // E3 depth: the unigram tokenizer's shipped ID table — stable ids
+    // by the trainer's own (cnt desc, piece) total order; the window
+    // runs over the bounded vocabulary, never the corpus
+    "q_unigram_ids" -> ((s, dir) =>
+      Unigram.tokenIds(Unigram.sharedTrain(documents(s, dir), col("text"),
+          Some(dir)))
+        .orderBy("token_id")),
+
     // E3 depth: tokenize the corpus under the trained unigram model —
     // distinct words Viterbi-segment once, the corpus explode joins
     // the broadcast per-word stats. (doc_id, n_words, n_pieces,
@@ -2924,6 +2932,13 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
     },
 
     "q_unigram_train" -> unigramTrainSql,
+    "q_unigram_ids" -> {
+      val it = graft.ops.Unigram.EmIters
+      s"""WITH $unigramCtes
+SELECT row_number() OVER (ORDER BY cnt DESC, p) - 1 AS token_id,
+       p AS piece, cnt
+FROM v$it ORDER BY token_id"""
+    },
     "q_unigram_tokenize" -> unigramTokenizeSql,
 
     "q_bpe_apply" ->

@@ -221,6 +221,20 @@ object Unigram {
     })
   }
 
+  /** The tokenizer's ID TABLE — what a pipeline actually ships:
+    * every piece gets a stable id by (count desc, piece asc), the
+    * same total order the trainer prunes with. The window runs over
+    * the VOCABULARY (≤ VocabSize + alphabet rows — bounded by
+    * construction, the [[Bpe.tokenIds]] pattern), never the corpus.
+    */
+  def tokenIds(model: UnigramModel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    model.vocab.withColumn("token_id",
+      (row_number().over(
+        Window.orderBy(desc("cnt"), asc("piece"))) - 1).cast("long"))
+      .select(col("token_id"), col("piece"), col("cnt"))
+  }
+
   /** PERSIST / load the vocabulary artifact (`path/vocab`) — the
     * tokenizer file a pipeline ships; same discipline as
     * [[Bpe.saveModel]].

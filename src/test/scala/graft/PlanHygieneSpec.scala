@@ -341,4 +341,26 @@ class PlanHygieneSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }
 
+  test("q_sa_repeats group join is sort-merge, never broadcast/product") {
+    // the repeat-class stats table is corpus-sized in the worst case
+    // and RDD-derived (no stats): the join back to members must stay
+    // the spill-safe sort-merge — a broadcast here OOM'd the ×64 curve
+    val plan = finalPlan(q("q_sa_repeats"))
+    assert(plan.contains("SortMergeJoin"), s"group join not SMJ:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
+  }
+
+  test("q_sa_ranks final round has no join and no corpus-wide window") {
+    // the visible plan is the last scan-ranked round over its pinned
+    // sort: rank attach is the PrefixScan map (no rank-table join),
+    // and the only windows in the whole op are per-document (lead)
+    // and per-alphabet (char ranks) — a global ORDER BY window would
+    // print as 'Window [..]' with no PartitionBy inside this plan
+    val plan = finalPlan(q("q_sa_ranks"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rank attach regressed to a join:\n$plan")
+  }
+
 }
