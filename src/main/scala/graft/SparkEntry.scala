@@ -524,9 +524,17 @@ object SparkEntry {
     // class labels — collision-free repeat classes (rank equality at
     // depth 32 IS string equality of the 32-char prefix)
     "q_sa_repeats" -> ((s, dir) =>
-      SuffixArray.repeatGroups(documents(s, dir), col("doc_id"),
-        col("text"), minLen = 32)
+      SuffixArray.sharedRepeatGroups(documents(s, dir), col("doc_id"),
+        col("text"), minLen = 32, Some(dir))
         .orderBy(col("doc_id"), col("pos"))),
+    // E1 depth: the pipeline's last step — EXACT-substring scrub off
+    // the suffix-array classes (one canonical copy of every repeated
+    // 32-gram survives; covered chars drop). Shares the session's one
+    // repeat-mining pass with q_sa_repeats.
+    "q_sa_scrub" -> ((s, dir) =>
+      SuffixArray.scrubRepeats(documents(s, dir), col("doc_id"),
+        col("text"), minLen = 32, Some(dir))
+        .orderBy(col("doc_id"))),
 
     // window functions: per-user running sum in event order
     "q_window" -> ((s, dir) => {
@@ -3079,6 +3087,27 @@ FROM v$it ORDER BY token_id"""
         "g.gkey % 4294967296 AS grp_pos " +
         "FROM e JOIN g USING (pre) WHERE g.n_occ >= 2 AND g.n_docs >= 2 " +
         "ORDER BY doc_id, pos"),
+
+    "q_sa_scrub" ->
+      ("WITH p AS (SELECT doc_id, unnest(range(0, length(text))) AS pos, text " +
+        "FROM documents), " +
+        "e AS (SELECT doc_id, pos, substr(text, pos + 1, 32) AS pre FROM p " +
+        "WHERE length(text) - pos >= 32), " +
+        "g AS (SELECT pre, min(doc_id * 4294967296 + pos) AS gkey, " +
+        "count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs " +
+        "FROM e GROUP BY pre), " +
+        "mem AS (SELECT e.doc_id, e.pos, g.gkey FROM e JOIN g USING (pre) " +
+        "WHERE g.n_occ >= 2 AND g.n_docs >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, pos + u.i AS pos FROM mem, " +
+        "unnest(range(0, 32)) AS u(i) " +
+        "WHERE NOT (doc_id = gkey // 4294967296 AND pos = gkey % 4294967296)), " +
+        "kept AS (SELECT p.doc_id, p.pos, substr(p.text, p.pos + 1, 1) AS ch " +
+        "FROM p ANTI JOIN cov USING (doc_id, pos)), " +
+        "agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS clean_text, " +
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
+        "(length(d.text) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"),
 
     "q_substr_spans" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +

@@ -234,4 +234,62 @@ object SuffixArray {
         expr("gkey div 4294967296").as("grp_did"),
         expr("gkey % 4294967296").as("grp_pos"))
   }
+
+  /** [[repeatGroups]] behind the session artifact cache — the repeat
+    * inventory is mined once per (corpus, minLen) and every consumer
+    * ([[repeatGroups]] reporting, [[scrubRepeats]]) reads the same
+    * table; the log-depth doubling rounds run once per session (the
+    * `Tfidf.pairsCache` / `sharedImageHashes` discipline).
+    */
+  def sharedRepeatGroups(docs: DataFrame, idCol: Column, textCol: Column,
+                         minLen: Int,
+                         cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case None => repeatGroups(docs, idCol, textCol, minLen)
+      case Some(src) => SessionArtifactCache.getOrBuild(
+        docs.select(idCol, textCol), tag = s"sa_repeats:$src",
+        params = s"minLen=$minLen") {
+        repeatGroups(docs, idCol, textCol, minLen)
+      }
+    }
+
+  /** EXACT-substring SCRUB (the Lee et al. pipeline's last step, on
+    * the suffix-array classes instead of hash windows): every
+    * character covered by a NON-CANONICAL occurrence of a cross-doc
+    * repeated minLen-gram is removed; the class's canonical occurrence
+    * (its min-(doc, pos) member) survives, so exactly one copy of
+    * every repeated span remains in the corpus. Overlapping covers
+    * union position-wise. Output: (doc_id, clean_text, n_dropped),
+    * one row per input document.
+    *
+    * Scale: the cover table is |members|·minLen rows (bounded by the
+    * mining output, not the corpus²); reassembly is one groupBy(doc)
+    * whose collect_list is bounded by the document length.
+    */
+  def scrubRepeats(docs: DataFrame, idCol: Column, textCol: Column,
+                   minLen: Int,
+                   cacheKey: Option[String] = None): DataFrame = {
+    val members = sharedRepeatGroups(docs, idCol, textCol, minLen, cacheKey)
+    val covered = members
+      .filter(!(col("doc_id") === col("grp_did") &&
+        col("pos") === col("grp_pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1L)))
+          .as("pos"))
+      .distinct()
+    val kept = positions(docs, idCol, textCol)
+      .withColumnRenamed("did", "doc_id")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("pos"), col("ch")))),
+          x => x.getField("ch"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(idCol.as("doc_id"),
+        length(textCol).cast("long").as("len"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("len") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

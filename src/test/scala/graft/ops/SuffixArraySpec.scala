@@ -94,6 +94,51 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("scrubRepeats: equals an independent brute-force scrub at sf0.001") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    // independent path: brute 32-gram classes -> union of non-canonical
+    // covers -> strip
+    val elig = for ((id, t) <- docs; p <- 0 to t.length - 32)
+      yield (id, p, t.substring(p, p + 32))
+    val covered = elig.groupBy(_._3).values
+      .filter(g => g.size >= 2 && g.map(_._1).distinct.size >= 2)
+      .flatMap { g =>
+        val canon = g.minBy(x => (x._1, x._2))
+        g.filterNot(_ == canon).flatMap(m => (m._2 until m._2 + 32).map((m._1, _)))
+      }.toSet
+    val expected = docs.sortBy(_._1).map { case (id, t) =>
+      val keptChars = t.zipWithIndex.collect {
+        case (c, i) if !covered((id, i)) => c
+      }.mkString
+      (id, keptChars, (t.length - keptChars.length).toLong)
+    }
+    val got = SuffixArray.scrubRepeats(docsDf, col("doc_id"), col("text"),
+        minLen = 32)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == expected)
+    // accounting: n_dropped is exactly the character delta, per doc
+    got.foreach { case (id, t, d) =>
+      val orig = docs.find(_._1 == id).get._2
+      assert(d == orig.length - t.length, s"doc $id accounting")
+    }
+    assert(got.exists(_._3 > 0), "fixture must actually scrub something")
+  }
+
+  test("sharedRepeatGroups: session cache never aliases across corpora") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val a = SuffixArray.sharedRepeatGroups(docsDf, col("doc_id"),
+      col("text"), 32, Some("specA")).count()
+    val b = SuffixArray.sharedRepeatGroups(docsDf, col("doc_id"),
+      col("text"), 32, Some("specA")).count()
+    assert(a == b, "same corpus + key must reuse the artifact")
+    val half = docsDf.filter(col("doc_id") % 2 === 0)
+    val c = SuffixArray.sharedRepeatGroups(half, col("doc_id"),
+      col("text"), 32, Some("specA")).count()
+    assert(c != a, "a different corpus under the same key must rebuild")
+  }
+
   test("repeatGroups: equals brute-force 32-gram grouping at sf0.001") {
     val docsDf = Tables.documents(spark, SparkTestSession.Sf)
     val docs = docsDf.select(col("doc_id"), col("text"))
