@@ -535,6 +535,18 @@ object SparkEntry {
       SuffixArray.scrubRepeats(documents(s, dir), col("doc_id"),
         col("text"), minLen = 32, Some(dir))
         .orderBy(col("doc_id"))),
+    // E1 depth, corpus-scale orchestration: the sharded miner — docs
+    // hash-shard, each shard mines its repeat classes SEQUENTIALLY
+    // (peak memory = one shard's doubling rounds), a rolling-
+    // fingerprint completion pass recovers the classes sharding
+    // splits, and the union (exactly the global inventory, any shard
+    // count) feeds the block-segmented scrub. Deliberately NOT the
+    // session-cached path: this query exercises the sharded driver
+    // end to end.
+    "q_sa_shard_scrub" -> ((s, dir) =>
+      SuffixArray.shardedScrub(documents(s, dir), col("doc_id"),
+        col("text"), minLen = 32, nShards = 3)
+        .orderBy(col("doc_id"))),
 
     // window functions: per-user running sum in event order
     "q_window" -> ((s, dir) => {
@@ -2026,6 +2038,33 @@ GROUP BY doc_id ORDER BY doc_id"""
       "'[ \\t\\n\\x0B\\f\\r]+'), " +
       "t -> t <> '') AS ts FROM documents WHERE text IS NOT NULL)"
 
+  /** Oracle for q_sa_scrub AND q_sa_shard_scrub: the direct global
+    * scrub replay — group the literal 32-grams, cover every
+    * non-canonical occurrence, reassemble. The sharded engine path is
+    * exact for every shard count, so both queries share this one
+    * global-truth oracle.
+    */
+  private def saScrubSql: String =
+    "WITH p AS (SELECT doc_id, unnest(range(0, length(text))) AS pos, text " +
+      "FROM documents), " +
+      "e AS (SELECT doc_id, pos, substr(text, pos + 1, 32) AS pre FROM p " +
+      "WHERE length(text) - pos >= 32), " +
+      "g AS (SELECT pre, min(doc_id * 4294967296 + pos) AS gkey, " +
+      "count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs " +
+      "FROM e GROUP BY pre), " +
+      "mem AS (SELECT e.doc_id, e.pos, g.gkey FROM e JOIN g USING (pre) " +
+      "WHERE g.n_occ >= 2 AND g.n_docs >= 2), " +
+      "cov AS (SELECT DISTINCT doc_id, pos + u.i AS pos FROM mem, " +
+      "unnest(range(0, 32)) AS u(i) " +
+      "WHERE NOT (doc_id = gkey // 4294967296 AND pos = gkey % 4294967296)), " +
+      "kept AS (SELECT p.doc_id, p.pos, substr(p.text, p.pos + 1, 1) AS ch " +
+      "FROM p ANTI JOIN cov USING (doc_id, pos)), " +
+      "agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS clean_text, " +
+      "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
+      "(length(d.text) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"
+
   /** Oracle for q_lm_perplexity: rebuild the cutoff vocabulary, the
     * unk-mapped reference bigram/prefix counts, and the three logprob
     * arms with [[duckIlog2]], then score every document — identical
@@ -2984,9 +3023,13 @@ FROM v$it ORDER BY token_id"""
         "unnest(range(1, len(ws) + 1)) AS u(p)), " +
         s"dj AS (SELECT dw.doc_id, dw.pos, CAST(len(w.syms) AS BIGINT) AS cost " +
         s"FROM dw JOIN w$BpeMergeCount w ON w.word = dw.word WHERE dw.word <> ''), " +
+        // CAST the window sum: DuckDB's SUM(BIGINT) yields HUGEINT, and
+        // HUGEINT survives fetchall() but turns float64 through pandas
+        // (driver path) — "0.0" vs "0" failed the r10 driver hash while
+        // every local fetchall() check passed
         "dc AS (SELECT doc_id, cost, " +
-        "SUM(cost) OVER (PARTITION BY doc_id ORDER BY pos) - cost AS start FROM dj) " +
-        "SELECT doc_id, start // 96 AS chunk_id, " +
+        "CAST(SUM(cost) OVER (PARTITION BY doc_id ORDER BY pos) - cost AS BIGINT) AS start FROM dj) " +
+        "SELECT doc_id, CAST(start // 96 AS BIGINT) AS chunk_id, " +
         "CAST(count(*) AS BIGINT) AS n_units, " +
         "CAST(SUM(cost) AS BIGINT) AS n_tokens " +
         "FROM dc GROUP BY doc_id, start // 96 ORDER BY doc_id, chunk_id"),
@@ -3088,26 +3131,12 @@ FROM v$it ORDER BY token_id"""
         "FROM e JOIN g USING (pre) WHERE g.n_occ >= 2 AND g.n_docs >= 2 " +
         "ORDER BY doc_id, pos"),
 
-    "q_sa_scrub" ->
-      ("WITH p AS (SELECT doc_id, unnest(range(0, length(text))) AS pos, text " +
-        "FROM documents), " +
-        "e AS (SELECT doc_id, pos, substr(text, pos + 1, 32) AS pre FROM p " +
-        "WHERE length(text) - pos >= 32), " +
-        "g AS (SELECT pre, min(doc_id * 4294967296 + pos) AS gkey, " +
-        "count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs " +
-        "FROM e GROUP BY pre), " +
-        "mem AS (SELECT e.doc_id, e.pos, g.gkey FROM e JOIN g USING (pre) " +
-        "WHERE g.n_occ >= 2 AND g.n_docs >= 2), " +
-        "cov AS (SELECT DISTINCT doc_id, pos + u.i AS pos FROM mem, " +
-        "unnest(range(0, 32)) AS u(i) " +
-        "WHERE NOT (doc_id = gkey // 4294967296 AND pos = gkey % 4294967296)), " +
-        "kept AS (SELECT p.doc_id, p.pos, substr(p.text, p.pos + 1, 1) AS ch " +
-        "FROM p ANTI JOIN cov USING (doc_id, pos)), " +
-        "agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS clean_text, " +
-        "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
-        "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
-        "(length(d.text) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped " +
-        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"),
+    "q_sa_scrub" -> saScrubSql,
+
+    // the sharded miner is EXACT (per-shard classes + the spanning
+    // completion pass reconstruct the global inventory for every
+    // nShards), so its oracle is the same direct global scrub replay
+    "q_sa_shard_scrub" -> saScrubSql,
 
     "q_substr_spans" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +

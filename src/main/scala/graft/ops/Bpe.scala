@@ -220,13 +220,28 @@ object Bpe {
       spark.read.parquet(s"$path/merges"),
       spark.read.parquet(s"$path/vocab"))
 
+  /** Split a word into single-CODEPOINT symbols — the training-side
+    * enumeration (Spark-SQL `substring` in [[trainFromWords]]) and the
+    * DuckDB oracle both count codepoints, so a UTF-16 code-unit split
+    * (`w.map(_.toString)`) would carve lone surrogates out of non-BMP
+    * words and segment them inconsistently with the trained vocab
+    * (the same trap [[Unigram.blocks]] guards against).
+    */
+  private[ops] def codepointSyms(w: String): Seq[String] = {
+    val cps = w.codePoints.toArray
+    cps.map(cp => new String(Character.toChars(cp))).toSeq
+  }
+
   /** Per-document BPE token counts: explode words, broadcast-join the
     * vocabulary's final symbol lengths (the vocab table is the small
     * side by construction), aggregate. Out-of-vocabulary words — the
     * streaming-ingest case, where a batch carries words the model
     * never saw — segment on the fly by applying the merge list in
-    * rank order (the merges collect is nMerges rows, bounded). The
-    * corpus is touched once. Output: (doc_id, n_words, n_tokens).
+    * rank order. The collected merge list (nMerges rows) rides a
+    * Spark broadcast variable, shipped once per executor — at a real
+    * 32k-merge vocab a per-task closure copy would dominate task
+    * serialization. The corpus is touched once.
+    * Output: (doc_id, n_words, n_tokens).
     */
   def tokenCounts(docs: DataFrame, idCol: Column, textCol: Column,
                   model: BpeModel): DataFrame = {
@@ -234,8 +249,9 @@ object Bpe {
     val merges = model.merges.orderBy(col("rank"))
       .select(col("lft"), col("rgt")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
+    val mergesBc = docs.sparkSession.sparkContext.broadcast(merges)
     val oovLen = udf((w: String) =>
-      applyMerges(w.map(_.toString), merges).length.toLong)
+      applyMerges(codepointSyms(w), mergesBc.value).length.toLong)
     docs.select(idCol.as("doc_id"), explode(split(textCol, " ")).as("word"))
       .filter(length(col("word")) > 0)
       .join(broadcast(lens), Seq("word"), "left")

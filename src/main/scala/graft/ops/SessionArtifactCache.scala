@@ -28,12 +28,27 @@ private[graft] object SessionArtifactCache {
   private final case class Key(sessionId: String, tag: String,
                                planHash: Int, params: String)
 
+  /** Memoized build slot: computeIfAbsent installs the (cheap) memo
+    * under the map's bin lock, and the actual Spark build then runs
+    * under the MEMO's own lazy-val lock — so concurrent builds of
+    * different keys never serialize on a shared bin, and a build that
+    * transitively re-enters getOrBuild (artifact-on-artifact) can
+    * never hit ConcurrentHashMap's recursive-update IllegalState.
+    * `completed` exposes the value only once built, so the eviction
+    * sweep never forces a build.
+    */
+  private final class Memo[T](thunk: () => T) {
+    @volatile private var built: Option[T] = None
+    lazy val value: T = { val v = thunk(); built = Some(v); v }
+    def completed: Option[T] = built
+  }
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Key, DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[Key, Memo[DataFrame]]
   // driver-side value artifacts (trained codebooks, centroid arrays):
   // plain objects, no Spark blocks — evicted with the session's keys
   private val valueCache =
-    new java.util.concurrent.ConcurrentHashMap[Key, AnyRef]
+    new java.util.concurrent.ConcurrentHashMap[Key, Memo[AnyRef]]
   // sessions that already carry the eviction listener (by session id)
   private val evictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -51,9 +66,10 @@ private[graft] object SessionArtifactCache {
   def getOrBuild(projectedInput: DataFrame, tag: String, params: String)
                 (build: => DataFrame): DataFrame = {
     val key = makeKey(projectedInput, tag, params)
-    cache.entrySet.removeIf(
-      _.getValue.sparkSession.sparkContext.isStopped)
-    cache.computeIfAbsent(key, _ => build.localCheckpoint())
+    cache.entrySet.removeIf(_.getValue.completed
+      .exists(_.sparkSession.sparkContext.isStopped))
+    cache.computeIfAbsent(key,
+      _ => new Memo(() => build.localCheckpoint())).value
   }
 
   /** Like [[getOrBuild]] but for a DRIVER-SIDE value derived from the
@@ -66,7 +82,7 @@ private[graft] object SessionArtifactCache {
   def getOrCompute[T <: AnyRef](projectedInput: DataFrame, tag: String,
                                 params: String)(compute: => T): T =
     valueCache.computeIfAbsent(makeKey(projectedInput, tag, params),
-      _ => compute).asInstanceOf[T]
+      _ => new Memo[AnyRef](() => compute)).value.asInstanceOf[T]
 
   private def makeKey(projectedInput: DataFrame, tag: String,
                       params: String): Key = {

@@ -78,9 +78,14 @@ object SuffixArray {
   private def scanRanks(paired: DataFrame): (DataFrame, DataFrame) = {
     val spark = paired.sparkSession
     import spark.implicits._
+    // parallelism follows the session's shuffle width, not a constant:
+    // a hardcoded 32 was both a ceiling (1000-executor cluster ranks
+    // in 32 tasks) and a per-partition memory cliff (corpus/32 rows
+    // per sort partition regardless of corpus size)
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val sorted = paired
       .select(col("did"), col("pos"), col("slen"), col("r1"), col("r2"))
-      .repartitionByRange(32, col("r1"), col("r2"))
+      .repartitionByRange(nPart, col("r1"), col("r2"))
       .sortWithinPartitions(col("r1"), col("r2"))
       .as[(Long, Long, Long, Long, Long)]
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
@@ -219,9 +224,21 @@ object SuffixArray {
     val elig = doublingRanks(docs, idCol, textCol, d,
         stopWhenUnique = false, rankLast = false)
       .filter(col("slen") >= minLen)
-    // canonical class id: min packed (did, pos) — did < 2^31 and
-    // pos < 2^32 by construction, so the packing preserves the
-    // lexicographic (did, pos) order
+    // canonical class id: min packed (did, pos) — the packing
+    // preserves lexicographic (did, pos) order only for
+    // did ∈ [0, 2^31) (pos < 2^32 holds by construction: it is a
+    // string offset). Fail loudly on out-of-range ids instead of
+    // silently corrupting grp_did/grp_pos (the Sharding.assign
+    // precedent); one bounded-scalar aggregate, no extra pass over
+    // the (larger) position table.
+    val idBounds = docs.agg(min(idCol).cast("long"), max(idCol).cast("long"))
+      .collect()(0)
+    if (!idBounds.isNullAt(0)) {
+      val (lo, hi) = (idBounds.getLong(0), idBounds.getLong(1))
+      require(lo >= 0L && hi < (1L << 31),
+        s"repeatGroups packs doc ids as did*2^32+pos: ids must be in " +
+          s"[0, 2^31), got [$lo, $hi]")
+    }
     val groups = elig.groupBy(col("r1"), col("r2")).agg(
         min(col("did") * lit(4294967296L) + col("pos")).as("gkey"),
         count(lit(1)).as("n_occ"),
@@ -263,13 +280,38 @@ object SuffixArray {
     * one row per input document.
     *
     * Scale: the cover table is |members|·minLen rows (bounded by the
-    * mining output, not the corpus²); reassembly is one groupBy(doc)
-    * whose collect_list is bounded by the document length.
+    * mining output, not the corpus²); reassembly is block-segmented
+    * (see [[scrubFromMembers]]) so no single aggregation buffer ever
+    * holds a whole document.
     */
   def scrubRepeats(docs: DataFrame, idCol: Column, textCol: Column,
                    minLen: Int,
-                   cacheKey: Option[String] = None): DataFrame = {
-    val members = sharedRepeatGroups(docs, idCol, textCol, minLen, cacheKey)
+                   cacheKey: Option[String] = None): DataFrame =
+    scrubFromMembers(docs, idCol, textCol, minLen,
+      sharedRepeatGroups(docs, idCol, textCol, minLen, cacheKey))
+
+  /** Reassembly block width (characters): bounds every per-group
+    * collect_list buffer in [[scrubFromMembers]] at one block of
+    * (pos, ch) structs instead of a whole document — a book-length
+    * document is thousands of block rows, never one million-struct
+    * aggregation buffer.
+    */
+  private[ops] val ScrubBlockChars = 4096L
+
+  /** Scrub `docs` against an explicit repeat-member inventory
+    * (doc_id, pos, grp_did, grp_pos) — the shared tail of
+    * [[scrubRepeats]] and [[shardedScrub]]. Reassembly is TWO-LEVEL:
+    * chars fold into `blockChars`-wide blocks first (buffers bounded
+    * by the block width), then each document concatenates its
+    * (already-string) blocks — doc-length/blockChars rows per doc.
+    * Block order and in-block order compose to global position order,
+    * so the output is byte-identical to a single-level reassembly.
+    */
+  private[ops] def scrubFromMembers(docs: DataFrame, idCol: Column,
+                                    textCol: Column, minLen: Int,
+                                    members: DataFrame,
+                                    blockChars: Long = ScrubBlockChars): DataFrame = {
+    require(blockChars >= 1, s"blockChars must be positive, got $blockChars")
     val covered = members
       .filter(!(col("doc_id") === col("grp_did") &&
         col("pos") === col("grp_pos")))
@@ -277,14 +319,21 @@ object SuffixArray {
         explode(sequence(col("pos"), col("pos") + lit(minLen - 1L)))
           .as("pos"))
       .distinct()
-    val kept = positions(docs, idCol, textCol)
+    val blocks = positions(docs, idCol, textCol)
       .withColumnRenamed("did", "doc_id")
       .join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id").agg(
+      .groupBy(col("doc_id"), (col("pos") / blockChars).cast("long").as("blk"))
+      .agg(
         concat_ws("", transform(
           array_sort(collect_list(struct(col("pos"), col("ch")))),
-          x => x.getField("ch"))).as("clean_text"),
+          x => x.getField("ch"))).as("btxt"),
         count(lit(1)).as("n_kept"))
+    val kept = blocks
+      .groupBy("doc_id").agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("blk"), col("btxt")))),
+          x => x.getField("btxt"))).as("clean_text"),
+        sum("n_kept").as("n_kept"))
     docs.select(idCol.as("doc_id"),
         length(textCol).cast("long").as("len"))
       .join(kept, Seq("doc_id"), "left")
@@ -292,4 +341,140 @@ object SuffixArray {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("len") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  // ---- corpus-scale sharded mining --------------------------------
+
+  // Rabin–Karp gram fingerprints: two independent 31-bit polynomial
+  // hashes over CODEPOINTS, packed into one positive long (h1·2^31 +
+  // h2, effectively 62 bits — collisions only cost verification work,
+  // never correctness; the completion pass re-groups candidates by
+  // the literal gram string).
+  private val FpB1 = 31L;  private val FpM1 = 2147483647L // 2^31 − 1
+  private val FpB2 = 131L; private val FpM2 = 2147483629L // prime < 2^31
+
+  /** All `minLen`-gram fingerprints of `text`, one (pos, packedHash)
+    * per codepoint position with at least `minLen` codepoints left —
+    * a single linear rolling pass per document (the per-position
+    * `substring` alternative is O(len²) on UTF8String; the
+    * [[positions]] lesson).
+    */
+  private[ops] def gramHashes(text: String, minLen: Int): Array[(Int, Long)] = {
+    if (text == null) return Array.empty
+    val cps = text.codePoints.toArray
+    val n = cps.length
+    if (n < minLen) return Array.empty
+    // B^(minLen−1) mod M — the drop-term multiplier
+    var p1 = 1L; var p2 = 1L
+    var i = 0
+    while (i < minLen - 1) { p1 = p1 * FpB1 % FpM1; p2 = p2 * FpB2 % FpM2; i += 1 }
+    var h1 = 0L; var h2 = 0L
+    i = 0
+    while (i < minLen) { h1 = (h1 * FpB1 + cps(i)) % FpM1; h2 = (h2 * FpB2 + cps(i)) % FpM2; i += 1 }
+    val out = new Array[(Int, Long)](n - minLen + 1)
+    out(0) = (0, h1 * 2147483648L + h2)
+    var s = 1
+    while (s <= n - minLen) {
+      h1 = ((h1 - cps(s - 1) * p1 % FpM1 + FpM1) * FpB1 + cps(s + minLen - 1)) % FpM1
+      h2 = ((h2 - cps(s - 1) * p2 % FpM2 + FpM2) * FpB2 + cps(s + minLen - 1)) % FpM2
+      out(s) = (s, h1 * 2147483648L + h2)
+      s += 1
+    }
+    out
+  }
+
+  /** Literal `minLen`-grams at the given codepoint positions — one
+    * linear pass per document over the candidate set (bounded by the
+    * verified repeat mass, not the corpus).
+    */
+  private[ops] def gramsAt(text: String, ps: Seq[Long], minLen: Int): Array[(Long, String)] = {
+    val cps = text.codePoints.toArray
+    ps.map(p => (p, new String(cps, p.toInt, minLen))).toArray
+  }
+
+  /** [[repeatGroups]] at corpus scale: hash-shard documents
+    * (`pmod(doc_id, nShards)`), mine each shard's repeat classes
+    * SEQUENTIALLY (the outer loop the per-shard heap contract
+    * promises — peak memory is one shard's doubling rounds, 1/nShards
+    * of the corpus, regardless of corpus size), then recover the
+    * classes sharding splits with an EXACT completion pass:
+    *
+    *  1. one linear rolling-fingerprint pass over the corpus
+    *     ([[gramHashes]] — an 8-byte shuffle key, the
+    *     [[SubstringDedup]] discipline);
+    *  2. fingerprint groups spanning ≥ 2 shards are the only possible
+    *     cross-shard classes (equal grams hash equal) — everything
+    *     else is already exact within its shard;
+    *  3. candidates verify by the LITERAL gram string ([[gramsAt]],
+    *     bounded by the candidate mass), keeping verified classes
+    *     that truly span shards.
+    *
+    * Union: spanning classes from the completion pass (global
+    * canonical labels) + per-shard classes not superseded by one
+    * (anti-join on member identity). The result is EXACTLY the global
+    * [[repeatGroups]] output for every nShards ≥ 1 — shard count
+    * changes the memory/wall-clock trade, never the answer.
+    */
+  def shardedRepeatGroups(docs: DataFrame, idCol: Column, textCol: Column,
+                          minLen: Int, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
+    // phase A: per-shard mining, one shard at a time — the eager
+    // checkpoint materializes shard s before shard s+1 starts, so
+    // the rounds of two shards never coexist in executor memory
+    val perShard = (0 until nShards).map { s =>
+      repeatGroups(src.filter(pmod(col("doc_id"), lit(nShards.toLong)) === s),
+          col("doc_id"), col("t"), minLen)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    val membersA = perShard.reduce(_ unionByName _)
+    if (nShards == 1) return membersA
+    // phase B: exact cross-shard completion
+    val fpUdf = udf((t: String) => gramHashes(t, minLen))
+    val fps = src
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(fpUdf(col("t"))).as("ph"))
+      .select(col("doc_id"), col("ph._1").cast("long").as("pos"),
+        col("ph._2").as("h"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+    val spanning = fps.groupBy("h")
+      .agg(countDistinct(col("shard")).as("n_shards"))
+      .filter(col("n_shards") >= 2)
+      .select("h")
+    val candPos = fps.join(spanning, Seq("h"), "left_semi")
+    val gramUdf = udf((t: String, ps: Seq[Long]) => gramsAt(t, ps, minLen))
+    val grams = candPos.groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("ps"))
+      .join(src, Seq("doc_id"))
+      .select(col("doc_id"), explode(gramUdf(col("t"), col("ps"))).as("pg"))
+      .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("gram"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+    // verified classes that REALLY span shards (a fingerprint
+    // collision can only add candidates that this exact re-group
+    // filters back out) — disjoint from phase A by construction,
+    // since a within-shard class never spans
+    val classes = grams.groupBy("gram").agg(
+        min(col("doc_id") * lit(4294967296L) + col("pos")).as("gkey"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("shard")).as("n_shards"))
+      .filter(col("n_occ") >= 2 && col("n_docs") >= 2 && col("n_shards") >= 2)
+    val membersB = grams.join(classes.hint("merge"), Seq("gram"))
+      .select(col("doc_id"), col("pos"),
+        expr("gkey div 4294967296").as("grp_did"),
+        expr("gkey % 4294967296").as("grp_pos"))
+    // a spanning class supersedes any within-shard fragment of itself
+    // that shard-local mining emitted (with a shard-local label)
+    membersB.unionByName(
+      membersA.join(membersB.select(col("doc_id"), col("pos")).hint("merge"),
+        Seq("doc_id", "pos"), "left_anti"))
+  }
+
+  /** [[scrubRepeats]] at corpus scale: the sharded miner's exact
+    * inventory ([[shardedRepeatGroups]] — identical to the global
+    * answer for every shard count) feeding the block-segmented scrub.
+    */
+  def shardedScrub(docs: DataFrame, idCol: Column, textCol: Column,
+                   minLen: Int, nShards: Int): DataFrame =
+    scrubFromMembers(docs, idCol, textCol, minLen,
+      shardedRepeatGroups(docs, idCol, textCol, minLen, nShards))
 }

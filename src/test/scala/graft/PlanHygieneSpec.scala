@@ -341,12 +341,27 @@ class PlanHygieneSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }
 
-  test("q_sa_repeats group join is sort-merge, never broadcast/product") {
+  test("repeatGroups (uncached build) group join is sort-merge, never broadcast/product") {
     // the repeat-class stats table is corpus-sized in the worst case
     // and RDD-derived (no stats): the join back to members must stay
-    // the spill-safe sort-merge — a broadcast here OOM'd the ×64 curve
-    val plan = finalPlan(q("q_sa_repeats"))
+    // the spill-safe sort-merge — a broadcast here OOM'd the ×64 curve.
+    // Pin the UNCACHED build: q_sa_repeats itself reads the session
+    // artifact (SessionArtifactCache eagerly localCheckpoints, so the
+    // query's visible plan is Scan ExistingRDD + sort and can never
+    // show the build's SMJ)
+    import org.apache.spark.sql.functions.col
+    val plan = finalPlan(
+      ops.SuffixArray.repeatGroups(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), minLen = 32))
     assert(plan.contains("SortMergeJoin"), s"group join not SMJ:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
+  }
+
+  test("q_sa_repeats cached read never degenerates to a product") {
+    // the query-visible plan after the artifact checkpoint: a cached
+    // read plus the output sort — no join of any kind should survive
+    val plan = finalPlan(q("q_sa_repeats"))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }

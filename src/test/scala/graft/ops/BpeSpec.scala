@@ -104,6 +104,32 @@ class BpeSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"lossy segmentation for: ${bad.take(5).toSeq}")
   }
 
+  test("OOV segmentation splits by codepoints: non-BMP words never carve surrogates") {
+    // training enumerates symbols codepoint-wise (Spark-SQL substring);
+    // the OOV arm must agree — a UTF-16 code-unit split counts 𝕏 (one
+    // codepoint, two code units) as 2 symbols and desyncs n_tokens
+    // from training semantics on real multilingual crawl
+    assert(Bpe.codepointSyms("𝕏𝕏a") ==
+      Seq("𝕏", "𝕏", "a"))
+    val train = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val model = Bpe.train(train, col("text"), nMerges = 2)
+    // astral-plane OOV word: 3 codepoints (𝕏𝕏a), 5 UTF-16 units
+    val docs = Seq((9L, "𝕏𝕏a low")).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, col("doc_id"), col("text"), model)
+      .as[(Long, Long, Long)].collect().toSeq
+    val lowLen = model.vocab.filter(col("word") === "low")
+      .select(size(col("syms"))).as[Int].collect()(0)
+    assert(got == Seq((9L, 2L, (3 + lowLen).toLong)),
+      s"OOV token count not codepoint-based: $got")
+    // lossless even through merges that DO apply inside a non-BMP word
+    val m2 = Bpe.train(Seq((1L, "𝕏a 𝕏a")).toDF("doc_id", "text"),
+      col("text"), nMerges = 1)
+    val pairs = m2.merges.orderBy("rank").as[(Int, String, String, Long)]
+      .collect().map(m => (m._2, m._3)).toSeq
+    assert(Bpe.applyMerges(Bpe.codepointSyms("𝕏a𝕏a"), pairs)
+      .mkString == "𝕏a𝕏a")
+  }
+
   test("null and empty text: dropped from training, absent from counts") {
     val docs = Seq((1L, "ab ab"), (2L, null.asInstanceOf[String]), (3L, ""))
       .toDF("doc_id", "text")

@@ -156,4 +156,87 @@ class SuffixArraySpec extends AnyFunSuite {
       .orderBy("doc_id", "pos").as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == expected)
   }
+
+  test("repeatGroups fails loudly on ids outside the packing range") {
+    val docs = Seq((1L << 31, "a" * 64), (3L, "a" * 64)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SuffixArray.repeatGroups(docs, col("doc_id"), col("text"), minLen = 32)
+    }
+    assert(e.getMessage.contains("2^31"))
+  }
+
+  test("gramHashes: rolling fingerprints agree with direct per-gram hashes") {
+    // equal grams MUST collide (the completion pass's necessary
+    // condition); on this fixture distinct grams must not
+    val t = "abcabcabcXabcabcabcY𝕏abc𝕏abc𝕏ab"
+    val hs = SuffixArray.gramHashes(t, 4).toMap
+    val cps = t.codePoints.toArray
+    def gram(p: Int) = new String(cps, p, 4)
+    val byGram = hs.groupBy { case (p, _) => gram(p) }
+    byGram.foreach { case (g, m) =>
+      assert(m.values.toSet.size == 1, s"equal grams '$g' hashed apart") }
+    assert(byGram.map(_._2.values.head).toSet.size == byGram.size,
+      "distinct grams collided on the fixture")
+    assert(hs.size == cps.length - 3, "one fingerprint per eligible position")
+    assert(SuffixArray.gramHashes(null, 4).isEmpty)
+    assert(SuffixArray.gramHashes("abc", 4).isEmpty)
+  }
+
+  test("shardedRepeatGroups: shard-count independent and equal to the global miner") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val global = SuffixArray.repeatGroups(docsDf, col("doc_id"), col("text"),
+        minLen = 32)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long, Long)].collect().toSeq
+    for (n <- Seq(1, 3, 7)) {
+      val sharded = SuffixArray.shardedRepeatGroups(docsDf, col("doc_id"),
+          col("text"), minLen = 32, nShards = n)
+        .orderBy("doc_id", "pos").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(sharded == global, s"nShards=$n diverged from the global miner")
+    }
+  }
+
+  test("shardedRepeatGroups finds classes sharding splits (cross-shard 1+1)") {
+    val shared = "the quick brown fox jumps over a dam" // 36 chars
+    // ids 0 and 1 land in DIFFERENT shards at nShards=2; each shard
+    // sees ONE occurrence, so per-shard mining alone can never find
+    // the class — only the completion pass can
+    val docs = Seq(
+      (0L, s"$shared padding zero"),
+      (1L, s"xx$shared padding one")).toDF("doc_id", "text")
+    val got = SuffixArray.shardedRepeatGroups(docs, col("doc_id"),
+        col("text"), minLen = 32, nShards = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty, "cross-shard class missed")
+    val labels = got.map(t => (t._3, t._4)).toSet
+    assert(labels.forall(_._1 == 0L), s"canonical labels not global mins: $labels")
+    assert(got.exists(m => m._1 == 0L && m._2 == 0L) &&
+      got.exists(m => m._1 == 1L && m._2 == 2L))
+  }
+
+  test("shardedScrub == scrubRepeats; segmented reassembly == whole-doc reassembly") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val direct = SuffixArray.scrubRepeats(docsDf, col("doc_id"), col("text"),
+        minLen = 32)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val sharded = SuffixArray.shardedScrub(docsDf, col("doc_id"), col("text"),
+        minLen = 32, nShards = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(sharded == direct)
+    // block width must be invisible in the output: a 7-char block on a
+    // long planted doc exercises many blocks + dropped spans crossing
+    // block boundaries
+    val longDoc = ("abcdefgh" * 300) + ("x" * 40) // 2440 chars, repeats inside
+    val docs2 = Seq((1L, longDoc), (2L, "prefix " + longDoc.substring(0, 64)))
+      .toDF("doc_id", "text")
+    val members = SuffixArray.repeatGroups(docs2, col("doc_id"), col("text"),
+      minLen = 32)
+    val wide = SuffixArray.scrubFromMembers(docs2, col("doc_id"), col("text"),
+        32, members, blockChars = 1L << 30)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val narrow = SuffixArray.scrubFromMembers(docs2, col("doc_id"), col("text"),
+        32, members, blockChars = 7L)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(narrow == wide, "block-segmented reassembly diverged")
+    assert(wide.exists(_._3 > 0), "fixture must actually scrub something")
+  }
 }

@@ -5,6 +5,17 @@ parquet tables, and compare with the Spark result parquet
 (columns sorted by name, rows in output order, values stringified).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json OUT.json]
+           [--query NAME[,NAME...]]
+
+--query restricts the run to the named queries and, on any mismatch,
+dumps the first differing row with per-value Python types on both
+sides (the r10 q_chunk_bpe driver red was a type divergence invisible
+to the value dump alone).
+
+Every oracle's output schema is also audited for DuckDB types that do
+not survive a pandas conversion losslessly (HUGEINT -> float64 etc.);
+those WARN even when the fetchall() comparison passes, because the
+driver's fetch path may differ from this script's.
 
 With --json, also writes a CORRECTNESS_r{N}.json-shaped record
 (per-query rows_match/schema_match/hash_match/spark_rows/oracle_rows/
@@ -19,6 +30,18 @@ if "--json" in sys.argv:
     i = sys.argv.index("--json")
     json_out = sys.argv[i + 1]
     del sys.argv[i:i + 2]
+
+only = None
+if "--query" in sys.argv:
+    i = sys.argv.index("--query")
+    only = set(sys.argv[i + 1].split(","))
+    del sys.argv[i:i + 2]
+
+# DuckDB output types that a pandas/arrow fetch renders differently
+# than fetchall() (HUGEINT -> float64, DECIMAL -> Decimal/float):
+# a driver using a dataframe fetch diverges even when this script's
+# tuple compare passes.
+LOSSY_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL")
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -54,10 +77,19 @@ def main():
         rec[name] = {"rows_match": rows, "schema_match": schema,
                      "hash_match": hash_, "spark_rows": spark_rows,
                      "oracle_rows": oracle_rows, "err": err}
+    lossy = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         try:
             o = con.sql(sql)
             o_cols = [c.lower() for c in o.columns]
+            sus = [(c, str(t)) for c, t in zip(o.columns, o.types)
+                   if any(str(t).startswith(lt) for lt in LOSSY_TYPES)]
+            if sus:
+                print(f"WARN {name}: pandas-lossy oracle output types {sus} "
+                      f"- CAST them (driver fetch path may not be fetchall)")
+                lossy += 1
             o_rows = o.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
@@ -91,6 +123,13 @@ def main():
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(ot)} rows differ; first row {i}:")
             print(f"  oracle: {a}\n  spark : {b}")
+            if only is not None:
+                order = sorted(range(len(o_cols)), key=lambda k: o_cols[k])
+                oraw = tuple(o_rows[i][k] for k in order)
+                sraw = tuple(s_rows[i][k] for k in order)
+                print(f"  cols  : {[o_cols[k] for k in order]}")
+                print(f"  oracle raw: {[(v, type(v).__name__) for v in oraw]}")
+                print(f"  spark  raw: {[(v, type(v).__name__) for v in sraw]}")
             note(name, True, True, False, len(st), len(ot),
                  f"{len(bad)} rows differ")
             fail += 1
@@ -98,10 +137,14 @@ def main():
             print(f"OK   {name} ({len(ot)} rows)")
             note(name, True, True, True, len(st), len(ot))
             ok += 1
+    if lossy:
+        print(f"WARN {lossy} oracle(s) emit pandas-lossy types (see above)")
     # rows-only check for oracle-less queries
     import os
     declared = set(oracle)
     for d in sorted(os.listdir(out_dir)):
+        if only is not None:
+            break
         if d.startswith("q_") and d not in declared:
             files = glob.glob(f"{out_dir}/{d}/*.parquet")
             n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
@@ -112,7 +155,9 @@ def main():
     # Spark run, left no dir, and the report looked green); diff against
     # the manifest so absence is a hard failure, not a blind spot.
     manifest = f"{out_dir}/declared_queries.json"
-    if os.path.exists(manifest):
+    if only is not None:
+        manifest = ""  # subset run: parity over all declared is meaningless
+    if manifest and os.path.exists(manifest):
         all_declared = set(json.load(open(manifest)))
         absent = sorted(n for n in all_declared
                         if not glob.glob(f"{out_dir}/{n}/*.parquet"))
@@ -120,7 +165,7 @@ def main():
             print(f"FAIL parity: {len(absent)} declared queries produced no "
                   f"output: {absent}")
             fail += len(absent)
-    else:
+    elif only is None:
         print("WARN parity: no declared_queries.json manifest "
               "(re-run Verify to generate it)")
     if json_out:
