@@ -75,14 +75,9 @@ object SuffixArray {
     * ((did, pos, slen, r), the pinned sort backing it) — the caller
     * unpersists the pin once the NEXT round is materialized.
     */
-  private def scanRanks(paired: DataFrame): (DataFrame, DataFrame) = {
+  private def scanRanks(paired: DataFrame, nPart: Int): (DataFrame, DataFrame) = {
     val spark = paired.sparkSession
     import spark.implicits._
-    // parallelism follows the session's shuffle width, not a constant:
-    // a hardcoded 32 was both a ceiling (1000-executor cluster ranks
-    // in 32 tasks) and a per-partition memory cliff (corpus/32 rows
-    // per sort partition regardless of corpus size)
-    val nPart = spark.sessionState.conf.numShufflePartitions
     val sorted = paired
       .select(col("did"), col("pos"), col("slen"), col("r1"), col("r2"))
       .repartitionByRange(nPart, col("r1"), col("r2"))
@@ -124,11 +119,30 @@ object SuffixArray {
     * (partitioned by doc, never global) replaces a corpus×corpus
     * self-join; the lead default 0 IS the exhausted-suffix sentinel.
     */
+  /** Measured per-shard sizing rule for the doubling sorts (BASELINE
+    * ×64 curve: ~4M positions per 2 GB-heap core) — range partitions
+    * grow with the corpus so one sort partition never outgrows the
+    * rule.
+    */
+  private val PositionsPerPartition = 4000000L
+
   private def doublingRanks(docs: DataFrame, idCol: Column, textCol: Column,
                             doublings: Int, stopWhenUnique: Boolean,
                             rankLast: Boolean = true): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("did").orderBy("pos")
+    // partition sizing for every ranked round: never below the
+    // session's shuffle width (the cluster-parallelism knob — the old
+    // hardcoded 32 capped a 1000-executor cluster at 32 tasks), and
+    // grows with the corpus per the heap rule (one cheap narrow agg
+    // over the doc table, amortized across all log-depth rounds)
+    val totalPos = docs.agg(sum(length(textCol))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val nPart = math.max(
+      docs.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      totalPos / PositionsPerPartition + 1L).toInt
     val pos = positions(docs, idCol, textCol)
     // round 0: rank single characters. The window runs over the
     // ALPHABET (distinct chars — bounded by construction, the
@@ -161,7 +175,7 @@ object SuffixArray {
         ConnectedComponents.unpersistCheckpoint(prevPin)
         return out
       }
-      val (ranked, pin) = scanRanks(paired)
+      val (ranked, pin) = scanRanks(paired, nPart)
       cur = ranked
       ConnectedComponents.unpersistCheckpoint(prevPin)
       prevPin = pin

@@ -197,9 +197,12 @@ object StreamingIngest {
     * with the exactly-once `ingest_batch=N` contract), then FOLDED
     * INTO the index via [[graft.ops.MinHash.extend]], so a duplicate
     * arriving in a LATER batch of the same stream is caught even when
-    * its original was never in the seed corpus. Extension is guarded
-    * by batchId, so a retried micro-batch re-probes (and overwrites
-    * its own output) without double-inserting its rows.
+    * its original was never in the seed corpus. The WHOLE batch body
+    * is guarded by batchId: a retried micro-batch (its first attempt
+    * already wrote and extended) neither re-probes nor re-extends —
+    * re-probing against the already-extended index would match the
+    * batch's own entries and overwrite the first attempt's output
+    * with different rows.
     *
     * The evolving index is process state, not checkpoint state: on
     * restart, rebuild it from the seed corpus plus previously accepted
@@ -218,10 +221,16 @@ object StreamingIngest {
     var lastExtended = -1L
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.ops.MinHash
-          .probe(idx, batch, col("doc_id"), col("text"), threshold)
-          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        // the WHOLE body is guarded, not just the fold-in: a retried
+        // batch (batchId <= lastExtended, so the first attempt's write
+        // completed) must not re-probe against the already-extended
+        // index — batch rows would match their own entries and the
+        // overwrite would differ from the first attempt, breaking the
+        // exactly-once output contract
         if (batchId > lastExtended) {
+          graft.ops.MinHash
+            .probe(idx, batch, col("doc_id"), col("text"), threshold)
+            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
           idx = graft.ops.MinHash.extend(idx, batch, col("doc_id"), col("text"))
           lastExtended = batchId
         }
@@ -258,12 +267,15 @@ object StreamingIngest {
     var lastExtended = -1L
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val accepted = graft.ops.Lm.scoreWith(model, batch)
-          .filter(col("bits_fp") <= lit(gateBitsFp))
-          .localCheckpoint()
-        accepted.write.mode("overwrite")
-          .parquet(s"$outDir/ingest_batch=$batchId")
+        // whole-body retry guard (see selfNearDupBatches): re-scoring
+        // a retried batch against the already-extended model would
+        // overwrite the first attempt's output with different scores
         if (batchId > lastExtended) {
+          val accepted = graft.ops.Lm.scoreWith(model, batch)
+            .filter(col("bits_fp") <= lit(gateBitsFp))
+            .localCheckpoint()
+          accepted.write.mode("overwrite")
+            .parquet(s"$outDir/ingest_batch=$batchId")
           val acceptedDocs = batch.join(
             accepted.select(col("doc_id")), Seq("doc_id"), "leftsemi")
           val m = graft.ops.Lm.extend(model, acceptedDocs, lit(true))
@@ -299,15 +311,17 @@ object StreamingIngest {
     var lastExtended = -1L
     val q = media.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // one decode+hash pass serves BOTH the probe and the extension
-        val bHashes = graft.multimodal.PerceptualHash.imageHashes(batch)
-          .select(col("media_id").as("pid"), col("ahash").as("ph"))
-          .localCheckpoint()
-        graft.multimodal.PerceptualHash
-          .probeHashes(idx, bHashes.select(col("pid").as("batch_id"),
-            col("ph").as("bh")), maxDist)
-          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        // whole-body retry guard (see selfNearDupBatches): a retried
+        // batch must not re-probe the index it already extended
         if (batchId > lastExtended) {
+          // one decode+hash pass serves BOTH the probe and the extension
+          val bHashes = graft.multimodal.PerceptualHash.imageHashes(batch)
+            .select(col("media_id").as("pid"), col("ahash").as("ph"))
+            .localCheckpoint()
+          graft.multimodal.PerceptualHash
+            .probeHashes(idx, bHashes.select(col("pid").as("batch_id"),
+              col("ph").as("bh")), maxDist)
+            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
           idx = graft.multimodal.PerceptualHash.extendHashIndex(idx, bHashes)
           lastExtended = batchId
         }
