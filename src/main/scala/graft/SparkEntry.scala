@@ -288,6 +288,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // E2 graph family: the k-NN GRAPH artifact — cell-blocked exact
+    // build (same-cell equi self-join, never corpus²), top-5 out-edges
+    // per node. The navigable structure HNSW's layer 0 approximates;
+    // at scale a write-once edge table bucketed by src
+    "q_knn_graph" -> ((s, dir) =>
+      KnnGraph.build(Tables.embeddings(s, dir), k = 5)
+        .orderBy(col("src"), col("rank"))),
+
+    // E2 graph family: HNSW layer-0 BEAM SEARCH over the k-NN graph —
+    // entry at the query's top-2 centroid nodes, 4 rounds of
+    // broadcast-frontier edge expansion, beam 16, exact re-scoring;
+    // fully deterministic (round-6 scores, (score, vec_id) ties), so
+    // the oracle replays graph + unrolled rounds
+    "q_graph_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      KnnGraph.beamSearch(emb, KnnGraph.build(emb, k = 5),
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, beam = 16, rounds = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // E7+E2: SEMANTIC decontamination — corpus embeddings cosine-close
     // to any held-out benchmark embedding (every 25th vector), via the
     // IVF-bucketed bipartite probe (bench broadcasts its probe cells;
@@ -2509,6 +2531,63 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
       "FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id JOIN probes p ON cl.cell = p.probe, q " +
       "WHERE e.vec_id <> 0 ORDER BY score DESC, e.vec_id LIMIT 20"
 
+  /** k-NN graph CTEs (mirrors KnnGraph.build(emb, 5, 16)): candidate
+    * pairs sharing ANY of each vector's top-2 probe cells (the
+    * multi-probe blocking that puts cross-cell edges in the graph),
+    * deduped, exact round-6 cosine, top-5 out-edges per src with the
+    * (score DESC, dst) tie-break. Ends with a trailing ", " like
+    * [[ivfCellsSql]].
+    */
+  private lazy val knnEdgesSql: String =
+    ivfCellsSql +
+      "pcells AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn " +
+      "FROM cscore) t WHERE rn <= 2), " +
+      "eg AS (SELECT DISTINCT pa.vec_id AS src, pb.vec_id AS dst " +
+      "FROM pcells pa JOIN pcells pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id), " +
+      s"egs AS (SELECT eg.src, eg.dst, " +
+      s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS score " +
+      "FROM eg JOIN embeddings a ON a.vec_id = eg.src " +
+      "JOIN embeddings b ON b.vec_id = eg.dst), " +
+      "edges AS (SELECT src, dst, score, rank FROM (SELECT src, dst, score, " +
+      "row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank FROM egs) t " +
+      "WHERE rank <= 5), "
+
+  private lazy val knnGraphOracle: String =
+    "WITH " + knnEdgesSql.stripSuffix(", ") +
+      " SELECT src, dst, score, rank FROM edges ORDER BY src, rank"
+
+  /** Mirrors KnnGraph.beamSearch(emb, build(emb,5), vec_id<8, k=5,
+    * beam=16, rounds=4): top-2 centroid entries (self-excluded), four
+    * unrolled rounds of frontier ∪ out-neighbors → round-6 re-score →
+    * top-16 per query, then the final top-5.
+    */
+  private lazy val graphAnnOracle: String = {
+    val score = duckCos("em.embedding", "q.q_emb")
+    def scoredSel(src: String) =
+      s"SELECT c.query_id, c.vec, round($score, 6) AS score FROM $src c " +
+        "JOIN embeddings em ON em.vec_id = c.vec " +
+        "JOIN q ON q.query_id = c.query_id"
+    val rounds = (1 to 4).map { i =>
+      s"c$i AS (SELECT f.query_id, g.dst AS vec FROM f${i - 1} f " +
+        "JOIN edges g ON g.src = f.vec WHERE g.dst <> f.query_id " +
+        s"UNION SELECT query_id, vec FROM f${i - 1}), " +
+        s"s$i AS (${scoredSel(s"c$i")}), " +
+        s"f$i AS (SELECT query_id, vec, score FROM (SELECT query_id, vec, score, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec) AS rn " +
+        s"FROM s$i) t WHERE rn <= 16)"
+    }.mkString(", ")
+    "WITH " + knnEdgesSql +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8), " +
+      "ent AS (SELECT query_id, vec FROM (SELECT vec_id AS query_id, cid AS vec, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn " +
+      "FROM cscore WHERE vec_id < 8) t WHERE rn <= 2 AND vec <> query_id), " +
+      s"f0 AS (${scoredSel("ent")}), " + rounds +
+      " SELECT query_id, vec AS vec_id, score, rank FROM (SELECT query_id, vec, score, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec) AS rank FROM f4) t " +
+      "WHERE rank <= 5 ORDER BY query_id, rank"
+  }
+
   /** One unrolled Lloyd iteration mirroring Similarity.kmeansCentroids:
     * normalize `prev` centroids, assign cells by index-order dot
     * argmax, recompute fixed-point (2⁻³⁰) per-(cell, dim) means —
@@ -4245,6 +4324,8 @@ FROM v$it ORDER BY token_id"""
     "q_ann_lsh" -> annLshOracle,
     "q_ann_batch" -> annBatchOracle,
     "q_ivf_ann" -> ivfAnnOracle,
+    "q_knn_graph" -> knnGraphOracle,
+    "q_graph_ann" -> graphAnnOracle,
     "q_ivf_batch" -> ivfBatchOracle,
 
     // trained IVF — fixed-point k-means means are exact integer sums,

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GRAPH-based ANN (north-star E2 depth): a k-NN graph over the
+  * embedding corpus plus a beam search over it — the graph family
+  * (HNSW, Malkov & Yashunin 2016; NSG, Fu et al. 2019) next to the
+  * repo's IVF / PQ / LSH paths. The Spark-native decomposition:
+  *
+  *  - [[build]]: the k-NN GRAPH, constructed cell-blocked — candidates
+  *    are same-IVF-cell pairs (the `semanticContamination` blocking
+  *    discipline: a cell-keyed equi self-join, never corpus²), exactly
+  *    re-ranked by cosine, top-k per source node. This is the
+  *    navigable graph HNSW's layer 0 approximates; at 100 TB the edge
+  *    table is a write-once artifact bucketed by `src`.
+  *  - [[beamSearch]]: HNSW's layer-0 query loop (greedy best-first
+  *    with beam width ef) with the beam width as the frontier bound
+  *    and a FIXED round count instead of a convergence test — each
+  *    round expands the whole frontier at once (batch-friendly), so
+  *    R rounds reach anything within R hops of the entry point. All
+  *    queries advance together: one broadcast-frontier join against
+  *    the edge table per round, never a per-query driver loop.
+  *
+  * Determinism (the oracle contract): cell assignment uses the seed
+  * centroids ([[Similarity.ivfCentroids]] — the proven replayable
+  * geometry), scores are `round(cosine, 6)` with (score DESC, vec_id)
+  * tie-breaks, and the entry point is the query's nearest centroid —
+  * every step is a total order, so the DuckDB oracle replays the
+  * graph and the unrolled beam rounds exactly.
+  */
+object KnnGraph {
+
+  /** Multi-probe exact k-NN graph: (src, dst, score, rank), rank
+    * 1..k per src by (cosine DESC, dst). Candidates are pairs sharing
+    * ANY of each vector's top-2 IVF cells — the multi-probe blocking
+    * every blocked k-NN-graph builder makes (NN-Descent refines
+    * exactly such a seed graph), and the probe-2 overlap is what puts
+    * CROSS-CELL edges in the graph: a same-cell-only build is
+    * cell-disconnected, and a beam search over it could never leave
+    * its entry cells (measured: recall collapsed to the IVF-probe
+    * baseline). The join is cell-keyed equi (≤ 4 duplicate candidate
+    * pairs, dropped by a pre-scoring distinct); per-cell work is
+    * quadratic in the CELL population (skew-capped at scale: k-means
+    * balance, or the [[Salting]] fan-out on a hot cell), never in
+    * the corpus.
+    */
+  def build(embeddings: DataFrame, k: Int, nCentroids: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val cents = Similarity.ivfCentroids(embeddings, nCentroids)
+    val probed = embeddings
+      .select(col("vec_id"),
+        explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("cell"))
+    val pairs = probed.select(col("cell"), col("vec_id").as("src"))
+      .join(probed.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("score").desc, col("dst").asc)
+    pairs
+      .join(embeddings.select(col("vec_id").as("src"), col("embedding").as("se")),
+        Seq("src"))
+      .join(embeddings.select(col("vec_id").as("dst"), col("embedding").as("de")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(Similarity.cosine(col("se"), col("de")), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Beam search over a k-NN graph for a broadcast-sized query set:
+    * per query, start at its nearest seed centroid's node, then
+    * `rounds` times expand the frontier's out-edges, score every
+    * candidate against the query, and keep the best `beam` nodes
+    * (frontier ∪ neighbors — monotone: a best-so-far node is never
+    * lost). Returns the final frontier's top `k` per query:
+    * (query_id, vec_id, score, rank).
+    *
+    * Scale shape: the frontier is |queries|·beam rows — broadcast on
+    * every round's edge join, so the corpus-sized edge table never
+    * shuffles; per-round scoring joins |frontier|·k candidate ids
+    * back to the embedding table by vec_id (bucket-friendly). Query
+    * nodes themselves are excluded from candidacy (the ANN-query
+    * convention of the other E2 paths).
+    */
+  def beamSearch(embeddings: DataFrame, graph: DataFrame, queries: DataFrame,
+                 k: Int, beam: Int = 8, rounds: Int = 3,
+                 nCentroids: Int = 16): DataFrame = {
+    require(k <= beam, s"k ($k) must not exceed the beam width ($beam)")
+    val cents = Similarity.ivfCentroids(embeddings, nCentroids)
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    // score a (query_id, vec_id) frontier/candidate set: one vec_id
+    // join to the embedding table + the broadcast query set
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+    // entries: the query's top-2 centroid nodes (the IVF probe kernel,
+    // so the oracle's cscore CTE replays the choice) — two entries so
+    // a query that IS a centroid node still has one after the
+    // self-exclusion below
+    var frontier = scored(queries
+      .select(col("query_id"),
+        explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("ent"))
+      .select(col("query_id"), col("ent").cast("long").as("vec_id"))
+      .filter(col("vec_id") =!= col("query_id")))
+    var i = 0
+    while (i < rounds) {
+      // the frontier (|queries|·beam rows) broadcasts; the corpus-
+      // sized edge table stays put — one map-side join per round
+      val neighbors = graph.select(col("src").as("vec_id"), col("dst"))
+        .join(broadcast(frontier.select(col("query_id"), col("vec_id"))),
+          Seq("vec_id"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .distinct()
+      frontier = scored(neighbors)
+        .unionByName(frontier)
+        .groupBy(col("query_id"), col("vec_id")) // dedup: scores are functional
+        .agg(max(col("score")).as("score"))
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= beam)
+        .drop("rn")
+      i += 1
+    }
+    frontier
+      .withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+}

@@ -366,6 +366,24 @@ class PlanHygieneSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }
 
+  test("q_knn_graph pair join is cell-keyed equi, never a product") {
+    // the graph build's candidate set is same-cell pairs — a product
+    // here is corpus² and the exact failure blocking exists to avoid
+    val plan = finalPlan(q("q_knn_graph"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
+  }
+
+  test("q_graph_ann walk joins broadcast the frontier, never a product") {
+    // each beam round joins the |queries|·beam frontier to the edge
+    // table: the frontier side must broadcast (the corpus-sized edge
+    // table never shuffles for the walk)
+    val plan = finalPlan(q("q_graph_ann"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
+  }
+
   test("q_sa_ranks final round has no join and no corpus-wide window") {
     // the visible plan is the last scan-ranked round over its pinned
     // sort: rank attach is the PrefixScan map (no rank-table join),

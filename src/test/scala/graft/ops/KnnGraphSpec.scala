@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** E2 graph family: k-NN graph build + beam search, cross-checked
+  * against independent Scala replications of the exact contracts
+  * (same index-order float math, same tie-breaks).
+  */
+class KnnGraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def cos(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  private def unitNorm(c: Array[Double]): Array[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) c else c.map(_ / n)
+  }
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, SparkTestSession.Sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+  private lazy val cents: Array[Array[Double]] =
+    vecs.filter(_._1 < 16).toSeq.sortBy(_._1).map(x => unitNorm(x._2)).toArray
+  private def probe2(e: Array[Double]): Seq[Int] = {
+    val scores = cents.map(c => dot(e, c))
+    val first = scores.indices.minBy(i => (-scores(i), i))
+    val rest = scores.indices.filter(_ != first)
+    Seq(first, rest.minBy(i => (-scores(i), i)))
+  }
+
+  /** Independent brute force of KnnGraph.build(emb, 5): pairs sharing
+    * any top-2 probe cell, round-6 cosine, (score DESC, dst) top-5
+    * per src.
+    */
+  private lazy val bruteEdges: Map[Long, Seq[(Long, Double, Long)]] = {
+    val probes = vecs.map { case (id, e) => id -> probe2(e).toSet }
+    val byCell = probes.toSeq
+      .flatMap { case (id, cs) => cs.map(c => c -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    vecs.map { case (src, se) =>
+      val peers = probes(src).flatMap(byCell(_)) - src
+      val ranked = peers.toSeq.map { dst => (dst, r6(cos(se, vecs(dst)))) }
+        .sortBy { case (dst, s) => (-s, dst) }.take(5)
+        .zipWithIndex.map { case ((dst, s), i) => (dst, s, (i + 1).toLong) }
+      src -> ranked
+    }
+  }
+
+  test("build equals the Scala brute-force cell-blocked top-5 at sf0.001") {
+    val got = KnnGraph.build(Tables.embeddings(spark, SparkTestSession.Sf), k = 5)
+      .orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val expected = bruteEdges.toSeq.sortBy(_._1).flatMap { case (src, es) =>
+      es.map { case (dst, s, r) => (src, dst, s, r) }
+    }
+    assert(got == expected)
+    // every node with a non-singleton cell has out-edges
+    assert(got.map(_._1).distinct.size == bruteEdges.count(_._2.nonEmpty))
+  }
+
+  test("beamSearch equals a Scala replay of the unrolled rounds") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val got = KnnGraph.beamSearch(emb, KnnGraph.build(emb, k = 5),
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, beam = 16, rounds = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val expected = (0L until 8L).flatMap { q =>
+      val qe = vecs(q)
+      var frontier = probe2(qe).map(_.toLong).filter(_ != q)
+        .map(v => (v, r6(cos(vecs(v), qe))))
+      for (_ <- 1 to 4) {
+        val neigh = frontier.map(_._1)
+          .flatMap(v => bruteEdges(v).map(_._1)).filter(_ != q).distinct
+        val all = (frontier.map(_._1) ++ neigh).distinct
+          .map(v => (v, r6(cos(vecs(v), qe))))
+        frontier = all.sortBy { case (v, s) => (-s, v) }.take(16)
+      }
+      frontier.sortBy { case (v, s) => (-s, v) }.take(5)
+        .zipWithIndex.map { case ((v, s), i) => (q, v, s, (i + 1).toLong) }
+    }
+    assert(got == expected)
+    // the query node never ranks itself; ranks are dense from 1
+    assert(got.forall { case (q, v, _, _) => q != v })
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted == (1L to rs.size.toLong)) }
+  }
+
+  test("beamSearch finds true neighbors the entry cell alone would miss or keep") {
+    // sanity on the fixture: per query, the beam result overlaps the
+    // exact global top-5 (graph walks should not be garbage) — a
+    // recall floor, not an equality (ANN is approximate by design)
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val got = KnnGraph.beamSearch(emb, KnnGraph.build(emb, k = 5),
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, beam = 16, rounds = 4)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val hits = (0L until 8L).count { q =>
+      val qe = vecs(q)
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (v, e) => (v, r6(cos(e, qe))) }
+        .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1).toSet
+      got.filter(_._1 == q).map(_._2).exists(exact)
+    }
+    assert(hits >= 6, s"beam search missed the exact top-5 entirely for ${8 - hits}/8 queries")
+  }
+}
