@@ -296,6 +296,29 @@ object SparkEntry {
       KnnGraph.build(Tables.embeddings(s, dir), k = 5)
         .orderBy(col("src"), col("rank"))),
 
+    // E2 graph family: one NN-Descent round — each node re-ranked
+    // against neighbors ∪ reverse neighbors ∪ neighbors-of-neighbors
+    // (n·k² candidates, linear in the corpus); the convergence loop
+    // at scale iterates this operator
+    "q_knn_refine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      KnnGraph.refine(emb, KnnGraph.build(emb, k = 5), k = 5)
+        .orderBy(col("src"), col("rank"))
+    }),
+
+    // E2 graph family, INDEX MAINTENANCE: fold the last 250 vectors
+    // into a graph built over the first 250 — candidates are the
+    // standing edges + new-side probe pairs only (the old corpus is
+    // never re-paired), and the result provably equals the full
+    // rebuild, so the oracle IS q_knn_graph's full-rebuild replay
+    "q_knn_extend" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val old = emb.filter(col("vec_id") < 250)
+      KnnGraph.extend(old, emb.filter(col("vec_id") >= 250),
+          KnnGraph.build(old, k = 5), k = 5)
+        .orderBy(col("src"), col("rank"))
+    }),
+
     // E2 graph family: HNSW layer-0 BEAM SEARCH over the k-NN graph —
     // entry at the query's top-2 centroid nodes, 4 rounds of
     // broadcast-frontier edge expansion, beam 16, exact re-scoring;
@@ -2557,6 +2580,24 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
     "WITH " + knnEdgesSql.stripSuffix(", ") +
       " SELECT src, dst, score, rank FROM edges ORDER BY src, rank"
 
+  /** Mirrors KnnGraph.refine(emb, build(emb,5), 5): one NN-Descent
+    * round — candidates are edges ∪ reversed edges ∪ two-hop pairs,
+    * deduped, exact round-6 re-rank, top-5 per src.
+    */
+  private lazy val knnRefineOracle: String =
+    "WITH " + knnEdgesSql +
+      "rev AS (SELECT dst AS src, src AS dst FROM edges), " +
+      "hop2 AS (SELECT a.src, b.dst FROM edges a JOIN edges b " +
+      "ON a.dst = b.src WHERE a.src <> b.dst), " +
+      "cand AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM rev " +
+      "UNION SELECT src, dst FROM hop2), " +
+      s"cs AS (SELECT c.src, c.dst, round(${duckCos("a.embedding", "b.embedding")}, 6) AS score " +
+      "FROM cand c JOIN embeddings a ON a.vec_id = c.src " +
+      "JOIN embeddings b ON b.vec_id = c.dst) " +
+      "SELECT src, dst, score, rank FROM (SELECT src, dst, score, " +
+      "row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank FROM cs) t " +
+      "WHERE rank <= 5 ORDER BY src, rank"
+
   /** Mirrors KnnGraph.beamSearch(emb, build(emb,5), vec_id<8, k=5,
     * beam=16, rounds=4): top-2 centroid entries (self-excluded), four
     * unrolled rounds of frontier ∪ out-neighbors → round-6 re-score →
@@ -4325,6 +4366,10 @@ FROM v$it ORDER BY token_id"""
     "q_ann_batch" -> annBatchOracle,
     "q_ivf_ann" -> ivfAnnOracle,
     "q_knn_graph" -> knnGraphOracle,
+    // extend == full rebuild by construction (spec-pinned), so the
+    // incremental path verifies against the rebuild's direct replay
+    "q_knn_extend" -> knnGraphOracle,
+    "q_knn_refine" -> knnRefineOracle,
     "q_graph_ann" -> graphAnnOracle,
     "q_ivf_batch" -> ivfBatchOracle,
 

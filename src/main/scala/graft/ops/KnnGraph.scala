@@ -57,6 +57,15 @@ object KnnGraph {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .distinct()
+    rankTopK(embeddings, pairs, k)
+  }
+
+  /** Shared edge-scoring tail: exact round-6 cosine over candidate
+    * (src, dst) pairs, top-k per src with the (score DESC, dst)
+    * tie-break. The two vec_id joins are bucket-joins at scale (the
+    * embedding table is the bucketed artifact).
+    */
+  private def rankTopK(embeddings: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("score").desc, col("dst").asc)
     pairs
@@ -68,6 +77,60 @@ object KnnGraph {
         round(Similarity.cosine(col("se"), col("de")), 6).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** One NN-DESCENT round (Dong et al., WWW 2011): refine the graph
+    * by re-ranking each node against its current neighbors, REVERSE
+    * neighbors, and neighbors-of-neighbors — "a neighbor of my
+    * neighbor is probably my neighbor". Candidates are |E|·k two-hop
+    * pairs (n·k² — linear in the corpus, never corpus²); iterating
+    * [[refine]] to a fixed point is the standard convergence loop, and
+    * the candidate set is a superset of the current edges, so per-node
+    * neighbor quality (the score multiset) improves monotonically.
+    */
+  def refine(embeddings: DataFrame, graph: DataFrame, k: Int): DataFrame = {
+    val e = graph.select(col("src"), col("dst"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val hop2 = e.select(col("src"), col("dst").as("mid"))
+      .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    rankTopK(embeddings, e.unionByName(rev).unionByName(hop2).distinct(), k)
+  }
+
+  /** INDEX MAINTENANCE for the graph — the crawl-loop accounting the
+    * other standing indexes (MinHash/HashIndex/SemIndex/LM) follow:
+    * fold a new-vector batch into an existing graph WITHOUT re-pairing
+    * the old corpus. Candidates are the standing edges plus every
+    * multi-probe pair with a NEW side (old↔old pairs outside the
+    * standing top-k can never re-enter any top-k: adding vectors only
+    * pushes them further down), so the result is EXACTLY
+    * `build(old ∪ new, k)` under the standing coarse-quantizer
+    * geometry — spec-pinned, and the shipped query's oracle IS the
+    * full-rebuild oracle. Cost is O(batch · cell occupancy) + one
+    * re-rank of touched sources, never O(corpus²).
+    *
+    * `oldEmb` must contain the geometry's seed ids (vec_id <
+    * nCentroids) — the coarse quantizer is the published artifact and
+    * does not move when a batch arrives.
+    */
+  def extend(oldEmb: DataFrame, newEmb: DataFrame, oldGraph: DataFrame,
+             k: Int, nCentroids: Int = 16): DataFrame = {
+    val cents = Similarity.ivfCentroids(oldEmb, nCentroids)
+    val all = oldEmb.unionByName(newEmb)
+    def probes(df: DataFrame) = df.select(col("vec_id"),
+      explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("cell"))
+    val pAll = probes(all)
+    val pNew = probes(newEmb)
+    val newPairs = pNew.select(col("cell"), col("vec_id").as("src"))
+      .join(pAll.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
+      .unionByName(
+        pAll.select(col("cell"), col("vec_id").as("src"))
+          .join(pNew.select(col("cell"), col("vec_id").as("dst")), Seq("cell")))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    rankTopK(all,
+      oldGraph.select(col("src"), col("dst")).unionByName(newPairs).distinct(), k)
   }
 
   /** Beam search over a k-NN graph for a broadcast-sized query set:

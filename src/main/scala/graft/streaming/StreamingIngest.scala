@@ -363,6 +363,75 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming twin of the graph-ANN query path
+    * ([[graft.ops.KnnGraph.beamSearch]]): every micro-batch of query
+    * vectors beam-searches a STANDING k-NN graph (embedding table +
+    * edge artifact built once before the stream starts — the
+    * write-once-probe-many accounting of the other standing indexes).
+    * Per-batch work is |batch|·beam frontier rows per round against
+    * the standing edges, never a corpus scan. Same exactly-once
+    * `ingest_batch=N` overwrite contract as [[nearDupBatches]].
+    */
+  def graphAnnBatches(queries: DataFrame, embeddings: DataFrame,
+                      graph: DataFrame, k: Int, beam: Int, rounds: Int,
+                      outDir: String,
+                      checkpointDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = queries.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.KnnGraph.beamSearch(embeddings, graph,
+            batch.select(col("vec_id").as("query_id"), col("embedding")),
+            k, beam, rounds)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("gann_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** SELF-MAINTAINING graph index — [[selfNearDupBatches]]'s shape
+    * for the ANN graph: each micro-batch of new vectors beam-searches
+    * the STANDING graph (hits land exactly-once), then folds in via
+    * [[graft.ops.KnnGraph.extend]]. Because extend provably equals
+    * the full rebuild, the standing graph after any number of batches
+    * IS `build(everything seen)` — fold-in order invisible
+    * (spec-pinned). Same whole-body retry guard and process-state
+    * restart contract as the other self loops; `seedEmb` must carry
+    * the coarse-quantizer seed ids (the published geometry). Returns
+    * the final (embeddings, graph) pair.
+    */
+  def selfKnnBatches(newVecs: DataFrame, seedEmb: DataFrame,
+                     seedGraph: DataFrame, k: Int, beam: Int, rounds: Int,
+                     outDir: String,
+                     checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    var emb = seedEmb.select(col("vec_id"), col("embedding"))
+    var graph = seedGraph
+    var lastExtended = -1L
+    val q = newVecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastExtended) {
+          val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
+          graft.ops.KnnGraph.beamSearch(emb, graph,
+              b.select(col("vec_id").as("query_id"), col("embedding")),
+              k, beam, rounds)
+            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+          graph = graft.ops.KnnGraph.extend(emb, b, graph, k).localCheckpoint()
+          emb = emb.unionByName(b).localCheckpoint()
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("selfknn_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (emb, graph)
+  }
+
   /** Streaming twin of the BPE tokenizer ([[graft.ops.Bpe]]): every
     * micro-batch of a document stream is tokenized against a STANDING
     * [[graft.ops.Bpe.BpeModel]] trained once before the stream starts

@@ -100,6 +100,56 @@ class KnnGraphSpec extends AnyFunSuite {
       assert(rs.map(_._4).sorted == (1L to rs.size.toLong)) }
   }
 
+  test("refine equals the Scala NN-Descent round; neighbor quality never degrades") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val got = KnnGraph.refine(emb, KnnGraph.build(emb, k = 5), k = 5)
+      .orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // independent replay: edges ∪ reverse ∪ two-hop, re-ranked
+    val fwd = bruteEdges.map { case (s, es) => s -> es.map(_._1).toSet }
+    val rev = bruteEdges.toSeq
+      .flatMap { case (s, es) => es.map(e => e._1 -> s) }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val expected = vecs.keys.toSeq.sorted.flatMap { src =>
+      val hop2 = fwd(src).flatMap(fwd(_))
+      val cand = (fwd(src) ++ rev.getOrElse(src, Set.empty) ++ hop2) - src
+      cand.toSeq.map(d => (d, r6(cos(vecs(src), vecs(d)))))
+        .sortBy { case (d, s) => (-s, d) }.take(5)
+        .zipWithIndex.map { case ((d, s), i) => (src, d, s, (i + 1).toLong) }
+    }
+    assert(got == expected)
+    // monotone: per src, the refined score multiset dominates the
+    // original (candidates are a superset of the current edges)
+    val newBySrc = got.groupBy(_._1)
+    bruteEdges.foreach { case (src, es) =>
+      val olds = es.map(_._2).sorted.reverse
+      val news = newBySrc.getOrElse(src, Seq.empty).map(_._3).sorted.reverse
+      olds.zip(news).foreach { case (o, n) =>
+        assert(n >= o, s"src $src: refined rank scored below original") }
+    }
+  }
+
+  test("extend == build on the union: the old corpus is never re-paired, the answer is identical") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val old = emb.filter(col("vec_id") < 250)
+    val incr = KnnGraph.extend(old, emb.filter(col("vec_id") >= 250),
+        KnnGraph.build(old, k = 5), k = 5)
+      .orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val full = KnnGraph.build(emb, k = 5)
+      .orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(incr == full)
+    // and a different split point gives the same answer — the fold-in
+    // order is invisible
+    val old2 = emb.filter(col("vec_id") < 400)
+    val incr2 = KnnGraph.extend(old2, emb.filter(col("vec_id") >= 400),
+        KnnGraph.build(old2, k = 5), k = 5)
+      .orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(incr2 == full)
+  }
+
   test("beamSearch finds true neighbors the entry cell alone would miss or keep") {
     // sanity on the fixture: per query, the beam result overlaps the
     // exact global top-5 (graph walks should not be garbage) — a

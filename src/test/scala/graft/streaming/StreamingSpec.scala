@@ -306,6 +306,66 @@ class StreamingSpec extends AnyFunSuite {
     emb.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("streaming graph ANN equals the batch beam search") {
+    import graft.ops.KnnGraph
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+      .select("vec_id", "embedding").cache()
+    val graph = KnnGraph.build(emb, k = 5)
+    val queries = emb.filter(col("vec_id") >= 480).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("gann_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gann_out").toString
+    queries.repartition(2).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.graphAnnBatches(stream, emb, graph,
+      k = 5, beam = 16, rounds = 4, outDir = outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("query_id", "vec_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val batch = KnnGraph.beamSearch(emb, graph,
+        queries.select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, beam = 16, rounds = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    emb.unpersist(); queries.unpersist()
+  }
+
+  test("selfKnnBatches: the standing graph after every wave equals the one-shot build") {
+    import graft.ops.KnnGraph
+    val all = Tables.embeddings(spark, SparkTestSession.Sf)
+      .select("vec_id", "embedding").cache()
+    val seed = all.filter(col("vec_id") < 250)
+    val wave1 = all.filter(col("vec_id") >= 250 && col("vec_id") < 375).cache()
+    val wave2 = all.filter(col("vec_id") >= 375).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("sknn_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sknn_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("sknn_ck").toString
+    def stream() = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val g0 = KnnGraph.build(seed, k = 5)
+    // run 1: wave 1 folds in batch by batch
+    wave1.repartition(2).write.mode("append").parquet(inDir)
+    val (emb1, g1) = StreamingIngest.selfKnnBatches(stream(), seed, g0,
+      k = 5, beam = 16, rounds = 4, outDir, Some(ckptDir))
+    // run 2 (checkpoint resume): wave 2 probes the evolved state
+    wave2.repartition(2).write.mode("append").parquet(inDir)
+    val (_, g2) = StreamingIngest.selfKnnBatches(stream(), emb1, g1,
+      k = 5, beam = 16, rounds = 4, outDir, Some(ckptDir))
+    // the standing graph is EXACTLY the one-shot build over everything
+    // seen — fold-in order (4 micro-batches across 2 runs) invisible
+    val incr = g2.orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val full = KnnGraph.build(all, k = 5).orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(incr == full, "self-maintained graph diverged from the rebuild")
+    // every micro-batch wrote its probe output exactly once
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .count(_.getName.startsWith("ingest_batch="))
+    assert(batchDirs == 4, s"expected 4 batch outputs, got $batchDirs")
+    all.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming BPE tokenization equals the batch operator (incl. OOV words)") {
     import graft.ops.Bpe
     val docs = Tables.documents(spark, SparkTestSession.Sf)
