@@ -46,6 +46,14 @@ object KnnGraph {
     * balance, or the [[Salting]] fan-out on a hot cell), never in
     * the corpus.
     */
+  /** Sizing at scale: candidates are n·cellPop·(probes²) and the cell
+    * assignment is n·nCentroids dots — balanced at nCentroids ∝ √n
+    * (the standard IVF nlist rule); holding cellPop constant instead
+    * (nCentroids ∝ n) buys linear candidates at quadratic-ish
+    * assignment. The ScaleSmoke `knn_graph` curve runs the latter
+    * (constant cell population) and is measured near-flat at the
+    * smoke's sizes.
+    */
   def build(embeddings: DataFrame, k: Int, nCentroids: Int = 16): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val cents = Similarity.ivfCentroids(embeddings, nCentroids)

@@ -298,6 +298,22 @@ object ScaleSmoke {
             col("ahash").bitwiseXOR(mask).as("ahash"))
         graft.multimodal.PerceptualHash.frameOverlapPairs(inflated,
           minShared = 2)
+      },
+      "knn_graph" -> { f =>
+        // graph build under growth: deterministic synthetic vectors
+        // (hash-derived per (id, dim) — fresh data, not replicas:
+        // duplicated vectors would share cells and grow pairs
+        // quadratically by construction), with the coarse quantizer
+        // sized by the DEPLOYMENT rule nCentroids ∝ corpus so the
+        // per-cell population — the quadratic term in the candidate
+        // count — stays constant. Candidates are then ~n·cellPop·4:
+        // expected near-linear time; output is ~k·n rows exactly.
+        val n = 500L * f
+        val emb = spark.range(n).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), j -> " +
+            "cast(cast(pmod(hash(id, j), 1000) AS double) / 500.0 - 1.0 AS float))")
+            .as("embedding"))
+        KnnGraph.build(emb, k = 5, nCentroids = 16 * f)
       })
 
     val opFilter = args.lift(2).map(_.split(",").toSet)
