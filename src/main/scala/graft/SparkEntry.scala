@@ -296,6 +296,28 @@ object SparkEntry {
       KnnGraph.build(Tables.embeddings(s, dir), k = 5)
         .orderBy(col("src"), col("rank"))),
 
+    // E2∘E1 composition: SEMANTIC dup clusters straight off the graph
+    // artifact — qualifying edges (cosine ≥ 0.35) are near-dup pairs,
+    // ConnectedComponents labels them; at scale the write-once edge
+    // table serves dedup, hubness, and ANN from one build
+    "q_graph_clusters" -> ((s, dir) => {
+      val edges = KnnGraph.build(Tables.embeddings(s, dir), k = 5)
+        .filter(col("score") >= 0.35)
+      ConnectedComponents.components(edges, "src", "dst")
+        .orderBy(col("id"))
+    }),
+
+    // E2 diagnostics: HUBNESS — in-degree over the k-NN graph (hub
+    // vectors that appear in everyone's neighbor list distort
+    // retrieval and semantic dedup; the standard embedding-health
+    // signal, one aggregation over the edge artifact)
+    "q_graph_hubs" -> ((s, dir) =>
+      KnnGraph.build(Tables.embeddings(s, dir), k = 5)
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("in_deg"))
+        .select(col("dst").as("vec_id"), col("in_deg"))
+        .orderBy(col("in_deg").desc, col("vec_id"))),
+
     // E2 graph family: one NN-Descent round — each node re-ranked
     // against neighbors ∪ reverse neighbors ∪ neighbors-of-neighbors
     // (n·k² candidates, linear in the corpus); the convergence loop
@@ -4370,6 +4392,20 @@ FROM v$it ORDER BY token_id"""
     // incremental path verifies against the rebuild's direct replay
     "q_knn_extend" -> knnGraphOracle,
     "q_knn_refine" -> knnRefineOracle,
+
+    // graph-edge closure (the q_dup_clusters recursive-CTE shape over
+    // the knn edge CTEs) and the in-degree aggregate
+    "q_graph_clusters" ->
+      ("WITH RECURSIVE " + knnEdgesSql +
+        "qe AS (SELECT src, dst FROM edges WHERE score >= 0.35), " +
+        "ue AS (SELECT src AS u, dst AS v FROM qe UNION SELECT dst, src FROM qe), " +
+        "reach(id, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ue) n " +
+        "UNION SELECT reach.id, e2.v FROM reach JOIN ue e2 ON reach.r = e2.u) " +
+        "SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"),
+    "q_graph_hubs" ->
+      ("WITH " + knnEdgesSql.stripSuffix(", ") +
+        " SELECT dst AS vec_id, CAST(count(*) AS BIGINT) AS in_deg FROM edges " +
+        "GROUP BY dst ORDER BY in_deg DESC, vec_id"),
     "q_graph_ann" -> graphAnnOracle,
     "q_ivf_batch" -> ivfBatchOracle,
 
