@@ -384,6 +384,26 @@ class PlanHygieneSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }
 
+  test("q_knn_refine and q_knn_extend never degenerate to a product") {
+    // refine's two-hop join and extend's new-side probe pairs are both
+    // equi-keyed; a product here is the corpus² failure the candidate
+    // discipline exists to avoid
+    for (name <- Seq("q_knn_refine", "q_knn_extend")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$plan")
+    }
+  }
+
+  test("q_sa_shard_scrub completion pass keeps equi joins only") {
+    // the sharded miner's fingerprint completion (hash groups, literal
+    // verification, member anti-join) and the scrub covers are all
+    // equi-keyed; the corpus must never cross-join itself
+    val plan = finalPlan(q("q_sa_shard_scrub"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
+  }
+
   test("q_sa_ranks final round has no join and no corpus-wide window") {
     // the visible plan is the last scan-ranked round over its pinned
     // sort: rank attach is the PrefixScan map (no rank-table join),
