@@ -60,6 +60,40 @@ object Curate {
         col("contamination"))
   }
 
+  /** [[curate]] with a SEMANTIC-dedup stage (E11∘E2): qualifying
+    * k-NN-graph edges (cosine ≥ `semThreshold`) are near-duplicate
+    * pairs, [[ConnectedComponents]] labels their clusters, and every
+    * NON-CANONICAL member (id ≠ its cluster's min label — the
+    * first-wins convention of the exact-dedup stage) is dropped from
+    * the curated survivors. The edge table is the session's shared
+    * graph artifact ([[KnnGraph.sharedGraph]]) — at scale ONE
+    * write-once build serves ANN, hubness, cluster reporting, and
+    * this curation gate; the composition costs one more doc-keyed
+    * anti-join on top of [[curate]]'s plan.
+    *
+    * `embeddings.vec_id` must key the same documents as `idCol` (the
+    * embedding table is the corpus's embedding column, stored
+    * columnar-separate the way a 100 TB pipeline would).
+    */
+  def curateSem(corpus: DataFrame, bench: DataFrame, embeddings: DataFrame,
+                idCol: Column, textCol: Column,
+                minQuality: Double = 0.45,
+                maxTopGram: Double = 0.6,
+                maxContamination: Double = 0.6,
+                sampleBp: Int = 8000,
+                semThreshold: Double = 0.35,
+                k: Int = 5,
+                graphCacheKey: Option[String] = None): DataFrame = {
+    val edges = KnnGraph.sharedGraph(embeddings, k, cacheKey = graphCacheKey)
+      .filter(col("score") >= semThreshold)
+    val nonCanonical = ConnectedComponents.components(edges, "src", "dst")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id"))
+    curate(corpus, bench, idCol, textCol, minQuality, maxTopGram,
+        maxContamination, sampleBp)
+      .join(nonCanonical, Seq("id"), "left_anti")
+  }
+
   /** Raw corpus → packed training sequences, one flow: [[curate]] the
     * survivors, [[Chunking]] them into context-window chunks, then
     * [[Packing]] the chunks into fixed token-budget packs. This is

@@ -54,18 +54,109 @@ object KnnGraph {
     * (constant cell population) and is measured near-flat at the
     * smoke's sizes.
     */
-  def build(embeddings: DataFrame, k: Int, nCentroids: Int = 16): DataFrame = {
+  def build(embeddings: DataFrame, k: Int, nCentroids: Int = 16,
+            cellCap: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val cents = Similarity.ivfCentroids(embeddings, nCentroids)
-    val probed = embeddings
+    val probed0 = embeddings
       .select(col("vec_id"),
         explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("cell"))
+    // HOT-CELL CAP: a cell whose probe population exceeds `cellCap`
+    // contributes NO candidate pairs (its quadratic fan-out is the
+    // one term the blocking cannot bound when the quantizer loses a
+    // skewed mode) — the bandCapAudit discipline: capped, never
+    // silent ([[graphCapAudit]] is the visibility query). Nodes of a
+    // capped cell still pair through their OTHER probe cell, so the
+    // graph degrades locally instead of the build degenerating
+    // globally; at deployment the remedy is re-training the
+    // quantizer (k-means) or [[Salting]]-fanning the hot cell.
+    val probed = cellCap match {
+      case None => probed0
+      case Some(cap) =>
+        require(cap >= 1, s"cellCap must be positive, got $cap")
+        val ok = probed0.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= cap)
+          .select(col("cell"))
+        probed0.join(ok, Seq("cell"), "left_semi")
+    }
     val pairs = probed.select(col("cell"), col("vec_id").as("src"))
       .join(probed.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .distinct()
     rankTopK(embeddings, pairs, k)
+  }
+
+  /** Cap AUDIT for [[build]]'s hot-cell cap (the `bandCapAudit` /
+    * `q_cap_audit` pattern): every coarse cell with its multi-probe
+    * population and whether `cellCap` would silence it — so a capped
+    * cell is a visible, queryable fact, never a silent hole in the
+    * graph. Bounded output: nCentroids rows.
+    */
+  def graphCapAudit(embeddings: DataFrame, nCentroids: Int = 16,
+                    cellCap: Long = 10000L): DataFrame = {
+    val cents = Similarity.ivfCentroids(embeddings, nCentroids)
+    embeddings
+      .select(col("vec_id"),
+        explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("population"))
+      .select(col("cell").cast("long").as("cell"), col("population"),
+        (col("population") > cellCap).as("capped"))
+  }
+
+  /** [[build]] behind the session artifact cache — the edge table is
+    * the write-once artifact all graph consumers (clusters, hubness,
+    * refinement, beam search, curation's semantic stage) read from
+    * ONE build per (session, corpus, k, nCentroids); the
+    * `sharedRepeatGroups` / `sharedImageHashes` discipline.
+    */
+  def sharedGraph(embeddings: DataFrame, k: Int, nCentroids: Int = 16,
+                  cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case None => build(embeddings, k, nCentroids)
+      case Some(src) => SessionArtifactCache.getOrBuild(
+        embeddings.select(col("vec_id"), col("embedding")),
+        tag = s"knn_graph:$src", params = s"k=$k,nc=$nCentroids") {
+        build(embeddings, k, nCentroids)
+      }
+    }
+
+  /** The durable k-NN graph artifact: the edge table plus the build
+    * parameters that define its geometry — what [[extend]] and
+    * [[beamSearch]] need to keep probing/maintaining it across
+    * sessions (the `MinHash.CorpusIndex` shape). The embedding table
+    * itself is a separate standing table (saved once, by its owner).
+    */
+  final case class GraphArtifact(edges: DataFrame, k: Int, nCentroids: Int)
+
+  /** Persist a [[GraphArtifact]]: edge parquet + params manifest —
+    * at scale the write is `partitionBy`/bucketed by `src` so a
+    * beam-search probe reads only the frontier's buckets.
+    */
+  def saveGraph(g: GraphArtifact, path: String): Unit = {
+    g.edges.write.mode("overwrite").parquet(s"$path/edges")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "params.json"),
+      s"""{"k":${g.k},"nCentroids":${g.nCentroids}}""".getBytes("UTF-8"))
+  }
+
+  /** Load a persisted [[GraphArtifact]]; refuses a manifest missing
+    * its geometry (a graph probed under the wrong `nCentroids` would
+    * silently use a different coarse quantizer).
+    */
+  def loadGraph(spark: org.apache.spark.sql.SparkSession,
+                path: String): GraphArtifact = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    def intOf(key: String): Int = {
+      val m = s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+      require(m.isDefined, s"params.json missing $key")
+      m.get.group(1).toInt
+    }
+    GraphArtifact(spark.read.parquet(s"$path/edges"),
+      intOf("k"), intOf("nCentroids"))
   }
 
   /** Shared edge-scoring tail: exact round-6 cosine over candidate
@@ -104,6 +195,42 @@ object KnnGraph {
       .select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     rankTopK(embeddings, e.unionByName(rev).unionByName(hop2).distinct(), k)
+  }
+
+  /** NN-DESCENT to its fixed point (Dong et al., WWW 2011 §2.3): the
+    * convergence driver over [[refine]] — iterate until an iteration
+    * changes at most `tolUpdates` edges (the paper's `updates <
+    * δ·n·k` early stop; the default 0 runs to the exact fixed point)
+    * or `maxRounds` is hit. Per-round lineage cut (localCheckpoint,
+    * the `ConnectedComponents`/`PageRank` discipline), and the
+    * per-round cost stays n·k² candidate pairs. Returns the settled
+    * graph and the number of refine rounds actually applied.
+    *
+    * Fixed-point algebra the shipped oracle leans on: the refine
+    * candidate set contains the current edges, so each node's
+    * neighbor-score multiset improves monotonically, and an
+    * unchanged edge set is a true fixed point — `refine(g) == g`
+    * implies every further round is identity. A converged result
+    * therefore equals `refine^maxRounds(g)` exactly, which is what
+    * lets a FIXED unroll replay a dynamic loop.
+    */
+  def refineToConvergence(embeddings: DataFrame, graph: DataFrame, k: Int,
+                          maxRounds: Int = 10,
+                          tolUpdates: Long = 0L): (DataFrame, Int) = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    var cur = graph.localCheckpoint()
+    var rounds = 0
+    var settled = false
+    while (rounds < maxRounds && !settled) {
+      val next = refine(embeddings, cur, k).localCheckpoint()
+      // edge-set delta, both directions bounded by one exceptAll:
+      // |next| == |cur| == n·k rows, so next\cur empty ⇒ cur\next empty
+      val updates = next.select(col("src"), col("dst"))
+        .exceptAll(cur.select(col("src"), col("dst"))).count()
+      if (updates <= tolUpdates) settled = true
+      else { cur = next; rounds += 1 }
+    }
+    (cur, rounds)
   }
 
   /** INDEX MAINTENANCE for the graph — the crawl-loop accounting the
@@ -160,7 +287,20 @@ object KnnGraph {
                  k: Int, beam: Int = 8, rounds: Int = 3,
                  nCentroids: Int = 16): DataFrame = {
     require(k <= beam, s"k ($k) must not exceed the beam width ($beam)")
-    val cents = Similarity.ivfCentroids(embeddings, nCentroids)
+    // Seed ids AND vectors in one bounded collect: the probe kernel
+    // returns a CELL INDEX into the (possibly compacted) centroid
+    // array — when a seed id is absent, `ivfCentroids` compacts, so
+    // the index is NOT a vec_id. Resolve entry nodes through the
+    // actual seed-id array (same filter + order as ivfCentroids, so
+    // the geometries are identical); a cast-to-vec_id shortcut would
+    // silently drop queries whose entry resolved to a missing node.
+    val seeds = embeddings.filter(col("vec_id") < nCentroids)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+    require(seeds.nonEmpty,
+      s"beamSearch needs at least one seed vector with vec_id < $nCentroids")
+    val cents = seeds.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val seedIds = seeds.map(_.getLong(0)).toSeq
     val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
     val byQ = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -178,7 +318,8 @@ object KnnGraph {
     var frontier = scored(queries
       .select(col("query_id"),
         explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("ent"))
-      .select(col("query_id"), col("ent").cast("long").as("vec_id"))
+      .select(col("query_id"),
+        element_at(typedLit(seedIds), col("ent") + 1).as("vec_id"))
       .filter(col("vec_id") =!= col("query_id")))
     var i = 0
     while (i < rounds) {

@@ -21,7 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    session's entries even if no artifact op runs again in this JVM
   *    (long-lived test JVMs cycling many sessions); (b) an
   *    opportunistic sweep of entries whose cached frame's context has
-  *    stopped, covering sessions hooked before (a) existed.
+  *    stopped, covering sessions hooked before (a) existed — keyed on
+  *    the context recorded at memo INSTALL time, so a build that was
+  *    in flight or threw when its context died is evicted too, not
+  *    just completed ones.
   */
 private[graft] object SessionArtifactCache {
 
@@ -37,10 +40,18 @@ private[graft] object SessionArtifactCache {
     * `completed` exposes the value only once built, so the eviction
     * sweep never forces a build.
     */
-  private final class Memo[T](thunk: () => T) {
+  private final class Memo[T](ctx: org.apache.spark.SparkContext,
+                              thunk: () => T) {
     @volatile private var built: Option[T] = None
     lazy val value: T = { val v = thunk(); built = Some(v); v }
     def completed: Option[T] = built
+    /** True once the installing session's context has stopped —
+      * covers builds that never completed (in flight or threw when
+      * the context died), which `completed`-based sweeping missed:
+      * such a memo would otherwise pin a dead context's thunk
+      * forever and rebuild against it on the next same-key hit.
+      */
+    def stale: Boolean = ctx.isStopped
   }
 
   private val cache =
@@ -66,10 +77,11 @@ private[graft] object SessionArtifactCache {
   def getOrBuild(projectedInput: DataFrame, tag: String, params: String)
                 (build: => DataFrame): DataFrame = {
     val key = makeKey(projectedInput, tag, params)
-    cache.entrySet.removeIf(_.getValue.completed
-      .exists(_.sparkSession.sparkContext.isStopped))
+    cache.entrySet.removeIf(_.getValue.stale)
+    valueCache.entrySet.removeIf(_.getValue.stale)
+    val ctx = projectedInput.sparkSession.sparkContext
     cache.computeIfAbsent(key,
-      _ => new Memo(() => build.localCheckpoint())).value
+      _ => new Memo(ctx, () => build.localCheckpoint())).value
   }
 
   /** Like [[getOrBuild]] but for a DRIVER-SIDE value derived from the
@@ -80,9 +92,12 @@ private[graft] object SessionArtifactCache {
     * session's keys.
     */
   def getOrCompute[T <: AnyRef](projectedInput: DataFrame, tag: String,
-                                params: String)(compute: => T): T =
+                                params: String)(compute: => T): T = {
+    valueCache.entrySet.removeIf(_.getValue.stale)
     valueCache.computeIfAbsent(makeKey(projectedInput, tag, params),
-      _ => new Memo[AnyRef](() => compute)).value.asInstanceOf[T]
+      _ => new Memo[AnyRef](projectedInput.sparkSession.sparkContext,
+        () => compute)).value.asInstanceOf[T]
+  }
 
   private def makeKey(projectedInput: DataFrame, tag: String,
                       params: String): Key = {

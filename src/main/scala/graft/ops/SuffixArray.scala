@@ -444,19 +444,33 @@ object SuffixArray {
     if (nShards == 1) return membersA
     // phase B: exact cross-shard completion
     val fpUdf = udf((t: String) => gramHashes(t, minLen))
+    // pinned: `fps` (the corpus-wide rolling-fingerprint explode) is
+    // consumed twice below (spanning aggregate + left_semi) — without
+    // the cut the whole corpus pass would run twice
     val fps = src
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(fpUdf(col("t"))).as("ph"))
       .select(col("doc_id"), col("ph._1").cast("long").as("pos"),
         col("ph._2").as("h"),
         pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val spanning = fps.groupBy("h")
       .agg(countDistinct(col("shard")).as("n_shards"))
       .filter(col("n_shards") >= 2)
       .select("h")
     val candPos = fps.join(spanning, Seq("h"), "left_semi")
     val gramUdf = udf((t: String, ps: Seq[Long]) => gramsAt(t, ps, minLen))
-    val grams = candPos.groupBy("doc_id")
+    // candidate positions group by (doc_id, pos div ScrubBlockChars) —
+    // the scrubFromMembers block discipline: a repeat-heavy
+    // book-length document (≈ every position a candidate) becomes
+    // len/4096 block rows of ≤ 4096 positions each, never one
+    // doc-length aggregation buffer. The text joins once per BLOCK
+    // row (bounded by candidate mass / blockChars), and gramsAt
+    // indexes absolute positions, so the block split changes buffer
+    // shape only, never the emitted grams.
+    val grams = candPos
+      .groupBy(col("doc_id"),
+        (col("pos") / lit(ScrubBlockChars)).cast("long").as("blk"))
       .agg(collect_list(col("pos")).as("ps"))
       .join(src, Seq("doc_id"))
       .select(col("doc_id"), explode(gramUdf(col("t"), col("ps"))).as("pg"))

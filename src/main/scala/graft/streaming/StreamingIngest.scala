@@ -375,13 +375,14 @@ object StreamingIngest {
   def graphAnnBatches(queries: DataFrame, embeddings: DataFrame,
                       graph: DataFrame, k: Int, beam: Int, rounds: Int,
                       outDir: String,
-                      checkpointDir: Option[String] = None): Unit = {
+                      checkpointDir: Option[String] = None,
+                      nCentroids: Int = 16): Unit = {
     import org.apache.spark.sql.functions.col
     val q = queries.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.KnnGraph.beamSearch(embeddings, graph,
             batch.select(col("vec_id").as("query_id"), col("embedding")),
-            k, beam, rounds)
+            k, beam, rounds, nCentroids)
           .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
         ()
       }
@@ -405,7 +406,8 @@ object StreamingIngest {
   def selfKnnBatches(newVecs: DataFrame, seedEmb: DataFrame,
                      seedGraph: DataFrame, k: Int, beam: Int, rounds: Int,
                      outDir: String,
-                     checkpointDir: Option[String] = None)
+                     checkpointDir: Option[String] = None,
+                     nCentroids: Int = 16)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
     var emb = seedEmb.select(col("vec_id"), col("embedding"))
@@ -417,9 +419,10 @@ object StreamingIngest {
           val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
           graft.ops.KnnGraph.beamSearch(emb, graph,
               b.select(col("vec_id").as("query_id"), col("embedding")),
-              k, beam, rounds)
+              k, beam, rounds, nCentroids)
             .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
-          graph = graft.ops.KnnGraph.extend(emb, b, graph, k).localCheckpoint()
+          graph = graft.ops.KnnGraph.extend(emb, b, graph, k, nCentroids)
+            .localCheckpoint()
           emb = emb.unionByName(b).localCheckpoint()
           lastExtended = batchId
         }
