@@ -262,7 +262,8 @@ object Bench {
     val streamNames = Seq("s_stream_dedup", "s_stream_decontam",
       "s_stream_sessionize", "s_stream_neardup", "s_stream_media",
       "s_stream_audio", "s_stream_video", "s_stream_semdecontam",
-      "s_stream_bpe", "s_stream_lm", "s_stream_unigram")
+      "s_stream_bpe", "s_stream_lm", "s_stream_unigram",
+      "s_stream_graph", "s_stream_selfknn")
     val streamResults: Map[String, Double] =
       if (remainingMs < 60000) streamNames.map(_ -> -1.0).toMap
       else try {
@@ -277,8 +278,10 @@ object Bench {
         val ma = graft.streaming.StreamBench.benchAudioNearDup(spark, sfDir, mediaDir)
         val mv = graft.streaming.StreamBench.benchVideoNearDup(spark, sfDir,
           graft.streaming.StreamBench.stageVideo(spark, sfDir, nFiles = 8))
-        val msd = graft.streaming.StreamBench.benchSemDecontam(spark, sfDir,
-          graft.streaming.StreamBench.stageEmbeddings(spark, sfDir, nFiles = 8))
+        val embDir = graft.streaming.StreamBench.stageEmbeddings(spark, sfDir, nFiles = 8)
+        val msd = graft.streaming.StreamBench.benchSemDecontam(spark, sfDir, embDir)
+        val mg = graft.streaming.StreamBench.benchGraphAnn(spark, sfDir, embDir)
+        val mk = graft.streaming.StreamBench.benchSelfKnn(spark, sfDir, embDir)
         val mb = graft.streaming.StreamBench.benchBpeTokenize(spark, sfDir, docDir)
         val ml = graft.streaming.StreamBench.benchLmScore(spark, sfDir, docDir)
         val mu = graft.streaming.StreamBench.benchUnigramTokenize(spark, sfDir, docDir)
@@ -289,13 +292,15 @@ object Bench {
           s""""neardup":${det(mn)},"media_neardup":${det(mm)},""" +
           s""""audio_neardup":${det(ma)},"video_neardup":${det(mv)},""" +
           s""""sem_decontam":${det(msd)},"bpe_tokenize":${det(mb)},""" +
-          s""""lm_score":${det(ml)},"unigram_tokenize":${det(mu)}}"""
+          s""""lm_score":${det(ml)},"unigram_tokenize":${det(mu)},""" +
+          s""""graph_ann":${det(mg)},"self_knn":${det(mk)}}"""
         Map("s_stream_dedup" -> md.elapsedSec, "s_stream_decontam" -> mdc.elapsedSec,
           "s_stream_sessionize" -> ms.elapsedSec, "s_stream_neardup" -> mn.elapsedSec,
           "s_stream_media" -> mm.elapsedSec, "s_stream_audio" -> ma.elapsedSec,
           "s_stream_video" -> mv.elapsedSec, "s_stream_semdecontam" -> msd.elapsedSec,
           "s_stream_bpe" -> mb.elapsedSec, "s_stream_lm" -> ml.elapsedSec,
-          "s_stream_unigram" -> mu.elapsedSec)
+          "s_stream_unigram" -> mu.elapsedSec,
+          "s_stream_graph" -> mg.elapsedSec, "s_stream_selfknn" -> mk.elapsedSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming micro-bench failed: $e")
         streamNames.map(_ -> -1.0).toMap

@@ -259,6 +259,76 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** Graph-ANN probe twin ([[StreamingIngest.graphAnnBatches]]'s
+    * shape): the standing k-NN graph + embedding table are built and
+    * materialized UNTIMED (the write-once edge artifact), then each
+    * micro-batch of query vectors beam-searches the standing edges —
+    * per-batch work is the |batch|·beam broadcast frontier per round,
+    * never a corpus scan.
+    */
+  def benchGraphAnn(spark: SparkSession, sfDir: String,
+                    replayDir: String): StreamMetrics = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val graph = graft.ops.KnnGraph.build(emb, k = 5).localCheckpoint()
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val qs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = qs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.KnnGraph.beamSearch(emb, graph,
+          b.select(col("vec_id").as("query_id"), col("embedding")),
+          k = 5, beam = 16, rounds = 4).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
+  /** SELF-MAINTAINING graph twin ([[StreamingIngest.selfKnnBatches]]'s
+    * loop, inlined so the replay drives it): each micro-batch of NEW
+    * vectors (ids shifted out of the standing range) beam-searches the
+    * standing graph, then folds in via [[graft.ops.KnnGraph.extend]] —
+    * the standing graph after every batch equals the one-shot build
+    * over everything seen, so per-batch cost grows with the corpus,
+    * which is exactly the accounting this twin measures.
+    */
+  def benchSelfKnn(spark: SparkSession, sfDir: String,
+                   replayDir: String, nCentroids: Int = 16): StreamMetrics = {
+    // the caller sizes nCentroids with the factor (the ScaleSmoke
+    // knn_graph deployment rule): a fixed cell count under a ×f
+    // corpus makes the per-cell pair fan-out quadratic in f
+    var emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    var graph = graft.ops.KnnGraph.build(emb, k = 5, nCentroids)
+      .localCheckpoint()
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val vs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = vs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // replayed ids shift well past the standing range (seed ids
+        // stay < 16·replicas·1e9) so the fold-in never collides
+        val batch = b.select((col("vec_id") + lit(1000000000000L)).as("vec_id"),
+          col("embedding")).localCheckpoint()
+        graft.ops.KnnGraph.beamSearch(emb, graph,
+          batch.select(col("vec_id").as("query_id"), col("embedding")),
+          k = 5, beam = 16, rounds = 4, nCentroids).count()
+        graph = graft.ops.KnnGraph.extend(emb, batch, graph, k = 5, nCentroids)
+          .localCheckpoint()
+        emb = emb.unionByName(batch).localCheckpoint()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** BPE tokenize-the-crawl twin: the standing [[graft.ops.Bpe]] model
     * is trained once untimed; each micro-batch broadcast-joins the
     * vocabulary's end-state segmentation (OOV words segment on the
@@ -496,8 +566,10 @@ object StreamBench {
       line("video_neardup", f, benchVideoNearDup(spark, sfDir, stageVideo(spark, sfDir, 8, f)))
       line("dedup", f, benchDedup(spark, ev))
       line("decontam", f, benchDecontam(spark, sfDir, docs))
-      line("sem_decontam", f, benchSemDecontam(spark, sfDir,
-        stageEmbeddings(spark, sfDir, 8, f)))
+      lazy val embs = stageEmbeddings(spark, sfDir, 8, f)
+      line("sem_decontam", f, benchSemDecontam(spark, sfDir, embs))
+      line("graph_ann", f, benchGraphAnn(spark, sfDir, embs))
+      line("self_knn", f, benchSelfKnn(spark, sfDir, embs, nCentroids = 16 * f))
       line("sessionize", f, benchSessions(spark, ev))
       line("neardup", f, benchNearDup(spark, sfDir, docs))
       line("bpe_tokenize", f, benchBpeTokenize(spark, sfDir, docs))

@@ -150,6 +150,142 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(incr2 == full)
   }
 
+  test("refineToConvergence reaches a true fixed point and equals the unrolled rounds") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val seed = KnnGraph.build(emb, k = 5)
+    val (settled, rounds) = KnnGraph.refineToConvergence(emb, seed, k = 5,
+      maxRounds = 10)
+    val settledRows = settled.orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // (a) the result IS a fixed point: one more refine changes nothing
+    val once = KnnGraph.refine(emb, settled, k = 5).orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(once == settledRows, "converged graph changed under one more refine")
+    // (b) it equals refine applied `rounds` times to the seed — the
+    // driver applies exactly the rounds it reports
+    var unrolled = seed
+    for (_ <- 1 to rounds) unrolled = KnnGraph.refine(emb, unrolled, k = 5)
+    assert(unrolled.orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq == settledRows)
+    // (c) monotone per-node quality vs the seed graph
+    val seedBySrc = seed.orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq.groupBy(_._1)
+    val newBySrc = settledRows.groupBy(_._1)
+    seedBySrc.foreach { case (src, es) =>
+      val olds = es.map(_._3).sorted.reverse
+      val news = newBySrc.getOrElse(src, Seq.empty).map(_._3).sorted.reverse
+      olds.zip(news).foreach { case (o, n) =>
+        assert(n >= o, s"src $src: converged rank scored below seed") }
+    }
+    assert(rounds < 10, "fixture did not converge within the round cap")
+  }
+
+  test("hot-cell cap drops exactly the over-cap cells' pairs; the audit flags them") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    // pick a cap that splits the cell-population distribution so the
+    // over-cap arm is actually exercised on the fixture
+    val pops = KnnGraph.graphCapAudit(emb, nCentroids = 16, cellCap = 1L)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    val cap = pops.values.toSeq.sorted.apply(pops.size / 2).toLong
+    val hot = pops.filter(_._2 > cap).keys.map(_.toInt).toSet
+    assert(hot.nonEmpty && hot.size < pops.size, "cap must split the cells")
+    // audit agrees with the chosen cap
+    val audit = KnnGraph.graphCapAudit(emb, nCentroids = 16, cellCap = cap)
+      .as[(Long, Long, Boolean)].collect()
+    assert(audit.forall { case (c, n, f) => f == (n > cap) })
+    assert(audit.count(_._3) == hot.size)
+    // capped build == brute force with over-cap cells removed from the
+    // blocking (nodes still pair through their surviving probe cells)
+    val got = KnnGraph.build(emb, k = 5, cellCap = Some(cap))
+      .orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val probes = vecs.map { case (id, e) => id -> (probe2(e).toSet -- hot) }
+    val byCell = probes.toSeq
+      .flatMap { case (id, cs) => cs.map(c => c -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val expected = vecs.toSeq.sortBy(_._1).flatMap { case (src, se) =>
+      val peers = probes(src).flatMap(byCell(_)) - src
+      peers.toSeq.map { dst => (dst, r6(cos(se, vecs(dst)))) }
+        .sortBy { case (dst, s) => (-s, dst) }.take(5)
+        .zipWithIndex.map { case ((dst, s), i) => (src, dst, s, (i + 1).toLong) }
+    }
+    assert(got == expected)
+    assert(got.size < bruteEdges.values.map(_.size).sum,
+      "capping the hot cells must actually remove edges on this fixture")
+  }
+
+  test("saveGraph/loadGraph round-trips bitwise; the loaded graph probes and extends identically") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val old = emb.filter(col("vec_id") < 250)
+    val built = KnnGraph.build(old, k = 5)
+    val dir = java.nio.file.Files.createTempDirectory("knn_graph_art").toString
+    KnnGraph.saveGraph(KnnGraph.GraphArtifact(built, 5, 16), dir)
+    val loaded = KnnGraph.loadGraph(spark, dir)
+    assert(loaded.k == 5 && loaded.nCentroids == 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "score", "rank").orderBy("src", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(rows(loaded.edges) == rows(built))
+    // probes identically
+    val q = old.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(
+      KnnGraph.beamSearch(old, loaded.edges, q, k = 3, beam = 8, rounds = 2,
+          nCentroids = loaded.nCentroids)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq ==
+      KnnGraph.beamSearch(old, built, q, k = 3, beam = 8, rounds = 2)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq)
+    // keeps extending: fold-in over the LOADED artifact == full rebuild
+    assert(
+      rows(KnnGraph.extend(old, emb.filter(col("vec_id") >= 250),
+        loaded.edges, loaded.k, loaded.nCentroids)) ==
+      rows(KnnGraph.build(emb, k = 5)))
+  }
+
+  test("beamSearch entries resolve through actual seed ids when a seed is missing") {
+    // drop seed vec_id 3: the centroid array compacts to 15 entries,
+    // so cell index i >= 3 names seed id i+1 — the cast-to-vec_id
+    // shortcut would walk from the WRONG node (or a ghost). Full
+    // replay under the compacted geometry must match.
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+      .filter(col("vec_id") =!= 3)
+    val vs = vecs - 3L
+    val seedIds = vs.keys.filter(_ < 16).toSeq.sorted
+    val cents2 = seedIds.map(id => unitNorm(vs(id))).toArray
+    def probe2b(e: Array[Double]): Seq[Int] = {
+      val scores = cents2.map(c => dot(e, c))
+      val first = scores.indices.minBy(i => (-scores(i), i))
+      Seq(first, scores.indices.filter(_ != first).minBy(i => (-scores(i), i)))
+    }
+    val graph = KnnGraph.build(emb, k = 5)
+    val fwd = graph.select("src", "dst").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSeq }
+    val got = KnnGraph.beamSearch(emb, graph,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, beam = 16, rounds = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val expected = (0L until 8L).filter(_ != 3L).flatMap { qid =>
+      val qe = vs(qid)
+      var frontier = probe2b(qe).map(ci => seedIds(ci)).filter(_ != qid)
+        .distinct.map(v => (v, r6(cos(vs(v), qe))))
+      for (_ <- 1 to 4) {
+        val neigh = frontier.map(_._1)
+          .flatMap(v => fwd.getOrElse(v, Seq.empty)).filter(_ != qid).distinct
+        val all = (frontier.map(_._1) ++ neigh).distinct
+          .map(v => (v, r6(cos(vs(v), qe))))
+        frontier = all.sortBy { case (v, s) => (-s, v) }.take(16)
+      }
+      frontier.sortBy { case (v, s) => (-s, v) }.take(5)
+        .zipWithIndex.map { case ((v, s), i) => (qid, v, s, (i + 1).toLong) }
+    }
+    assert(got == expected)
+    assert(got.map(_._1).distinct.size == 7, "every surviving query answered")
+  }
+
   test("beamSearch finds true neighbors the entry cell alone would miss or keep") {
     // sanity on the fixture: per query, the beam result overlaps the
     // exact global top-5 (graph walks should not be garbage) — a

@@ -213,6 +213,32 @@ class SuffixArraySpec extends AnyFunSuite {
       got.exists(m => m._1 == 1L && m._2 == 2L))
   }
 
+  test("completion pass handles a repeat-heavy book-length doc (block-bounded candidate buffers)") {
+    // doc 0: a 64-char sentence repeated 400 times (25,600 chars);
+    // doc 1 (other shard at nShards=2) carries ONE copy, so every
+    // sentence 32-gram is a cross-shard spanning fingerprint and doc
+    // 0 contributes ~13k candidate positions — the exact shape that
+    // used to land in ONE collect_list buffer and now lands in
+    // pos-div-4096 blocks. The block split must be invisible: the
+    // sharded answer still equals the global miner's.
+    val sentence = "the rain in spain stays mainly on the plain, so they say 01234. "
+    assert(sentence.length == 64)
+    val docs = Seq(
+      (0L, sentence * 400),
+      (1L, "yy" + sentence + "trailing padding text")).toDF("doc_id", "text")
+    val global = SuffixArray.repeatGroups(docs, col("doc_id"), col("text"),
+        minLen = 32)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long, Long)].collect().toSeq
+    val sharded = SuffixArray.shardedRepeatGroups(docs, col("doc_id"),
+        col("text"), minLen = 32, nShards = 2)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sharded == global)
+    // the fixture really exercised multi-block candidates: doc 0's
+    // member positions span several 4096-char blocks
+    val blocks = sharded.filter(_._1 == 0L).map(_._2 / 4096L).distinct
+    assert(blocks.size >= 4, s"expected multi-block candidates, got $blocks")
+  }
+
   test("shardedScrub == scrubRepeats; segmented reassembly == whole-doc reassembly") {
     val docsDf = Tables.documents(spark, SparkTestSession.Sf)
     val direct = SuffixArray.scrubRepeats(docsDf, col("doc_id"), col("text"),
