@@ -386,6 +386,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // E2 graph family: the SAMPLED-ENTRY beam search — the HNSW upper
+    // layer compressed to one deterministic level (query's exact top-2
+    // of the vec_id%25==0 sample as entries), measured to restore the
+    // recall centroid entries lose under corpus growth (GraphRecall
+    // ×64, BASELINE.md r12); same unrolled rounds, same shared edge
+    // artifact, fully oracle-replayable
+    "q_graph_ann_layered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      KnnGraph.beamSearchSampled(emb,
+        KnnGraph.sharedGraph(emb, k = 5, cacheKey = Some(dir)),
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, beam = 16, rounds = 4, entryStep = 25L)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // E7+E2: SEMANTIC decontamination — corpus embeddings cosine-close
     // to any held-out benchmark embedding (every 25th vector), via the
     // IVF-bucketed bipartite probe (bench broadcasts its probe cells;
@@ -2672,7 +2688,12 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
     * unrolled rounds of frontier ∪ out-neighbors → round-6 re-score →
     * top-16 per query, then the final top-5.
     */
-  private lazy val graphAnnOracle: String = {
+  /** Mirrors the shared beam loop from an `ent(query_id, vec)` entry
+    * CTE: four unrolled rounds of frontier ∪ out-neighbors → round-6
+    * re-score → top-16 per query, then the final top-5. The entry CTE
+    * is the one thing the two shipped searches differ in.
+    */
+  private def graphAnnRoundsSql(entCte: String): String = {
     val score = duckCos("em.embedding", "q.q_emb")
     def scoredSel(src: String) =
       s"SELECT c.query_id, c.vec, round($score, 6) AS score FROM $src c " +
@@ -2689,14 +2710,33 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
     }.mkString(", ")
     "WITH " + knnEdgesSql +
       "q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8), " +
-      "ent AS (SELECT query_id, vec FROM (SELECT vec_id AS query_id, cid AS vec, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn " +
-      "FROM cscore WHERE vec_id < 8) t WHERE rn <= 2 AND vec <> query_id), " +
+      entCte + ", " +
       s"f0 AS (${scoredSel("ent")}), " + rounds +
       " SELECT query_id, vec AS vec_id, score, rank FROM (SELECT query_id, vec, score, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec) AS rank FROM f4) t " +
       "WHERE rank <= 5 ORDER BY query_id, rank"
   }
+
+  /** Mirrors KnnGraph.beamSearch(emb, build(emb,5), vec_id<8, k=5,
+    * beam=16, rounds=4): top-2 centroid entries (self-excluded) into
+    * the unrolled beam rounds.
+    */
+  private lazy val graphAnnOracle: String = graphAnnRoundsSql(
+    "ent AS (SELECT query_id, vec FROM (SELECT vec_id AS query_id, cid AS vec, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn " +
+      "FROM cscore WHERE vec_id < 8) t WHERE rn <= 2 AND vec <> query_id)")
+
+  /** Mirrors KnnGraph.beamSearchSampled(..., entryStep=25): entries
+    * are the query's exact top-2 of the vec_id%25==0 sample (round-6
+    * scores, (score DESC, vec_id) ties, self-excluded), then the same
+    * unrolled rounds.
+    */
+  private lazy val graphAnnLayeredOracle: String = graphAnnRoundsSql(
+    "ent AS (SELECT query_id, vec FROM (SELECT q.query_id, e.vec_id AS vec, " +
+      s"row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+      s"round(${duckCos("e.embedding", "q.q_emb")}, 6) DESC, e.vec_id) AS rn " +
+      "FROM embeddings e CROSS JOIN q " +
+      "WHERE e.vec_id % 25 = 0 AND e.vec_id <> q.query_id) t WHERE rn <= 2)")
 
   /** One unrolled NN-Descent round over edge CTE `prev` → `next`
     * (mirrors KnnGraph.refine): reverse + two-hop candidates, round-6
@@ -4522,6 +4562,7 @@ FROM v$it ORDER BY token_id"""
         " SELECT dst AS vec_id, CAST(count(*) AS BIGINT) AS in_deg FROM edges " +
         "GROUP BY dst ORDER BY in_deg DESC, vec_id"),
     "q_graph_ann" -> graphAnnOracle,
+    "q_graph_ann_layered" -> graphAnnLayeredOracle,
     "q_ivf_batch" -> ivfBatchOracle,
 
     // trained IVF — fixed-point k-means means are exact integer sums,

@@ -276,6 +276,22 @@ object KnnGraph {
     * lost). Returns the final frontier's top `k` per query:
     * (query_id, vec_id, score, rank).
     *
+    * SCOPE, from the GraphRecall ×64 curves (BASELINE.md r12): the
+    * graph family's scale strength is the EDGE ARTIFACT for
+    * corpus-member queries — on cluster-structured data the
+    * [[refineToConvergence]]d graph's own out-edges hit recall 1.000
+    * through ×64 (clusters, hubness, semantic dedup, kNN joins read
+    * it directly). Single-layer beam search for OUT-OF-CORPUS queries
+    * is entry-coverage-bound (see [[beamSearchSampled]]): recall
+    * tracks the fraction of clusters the entries reach, so at large n
+    * either pay entry coverage (smaller `entryStep`), use the
+    * oracle-backed IVF path (`Similarity.ivfTopKBatch` — the
+    * out-of-corpus workhorse, trained quantizer + multi-probe), or
+    * add the full HNSW log-n hierarchy (the known upgrade; not built
+    * because IVF already serves that workload here). On iid-random
+    * vectors every sublinear method including IVF degrades — that
+    * curve is recorded as the honest worst case, not a target.
+    *
     * Scale shape: the frontier is |queries|·beam rows — broadcast on
     * every round's edge join, so the corpus-sized edge table never
     * shuffles; per-round scoring joins |frontier|·k candidate ids
@@ -301,6 +317,66 @@ object KnnGraph {
       s"beamSearch needs at least one seed vector with vec_id < $nCentroids")
     val cents = seeds.map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val seedIds = seeds.map(_.getLong(0)).toSeq
+    // entries: the query's top-2 centroid nodes (the IVF probe kernel,
+    // so the oracle's cscore CTE replays the choice) — two entries so
+    // a query that IS a centroid node still has one after the
+    // self-exclusion in beamLoop
+    val entries = queries
+      .select(col("query_id"),
+        explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("ent"))
+      .select(col("query_id"),
+        element_at(typedLit(seedIds), col("ent") + 1).as("vec_id"))
+    beamLoop(embeddings, graph, queries, entries, k, beam, rounds)
+  }
+
+  /** [[beamSearch]] with a SAMPLED-ENTRY upper layer — the HNSW
+    * hierarchy compressed to one deterministic level. Entry nodes are
+    * the query's top-2 of the `vec_id % entryStep == 0` sample
+    * (exactly scored — corpus/entryStep rows per query, the
+    * broadcast-query scan an upper layer replaces with a walk), then
+    * the usual layer-0 beam rounds.
+    *
+    * WHY (measured, GraphRecall ×64, BASELINE.md r12): single-layer
+    * beam recall is ENTRY-COVERAGE-bound. On cluster-structured data
+    * (the regime real embeddings live in) the measured recall ≈ the
+    * fraction of clusters the entry set can reach — centroid entries
+    * give ≈ nCentroids/#clusters (0.313 flat, = 16f/(50f) coverage),
+    * a √n sample gives ≈ √n/#clusters (0.93 at ×4 → 0.06 at ×64).
+    * `entryStep` is therefore the recall/cost dial: corpus/entryStep
+    * rows scanned per query, recall ∝ that coverage. Every step stays
+    * a total order (the oracle replays sample scan + unrolled rounds
+    * verbatim). See [[beamSearch]]'s scaladoc for when to prefer the
+    * IVF path instead.
+    */
+  def beamSearchSampled(embeddings: DataFrame, graph: DataFrame,
+                        queries: DataFrame, k: Int, beam: Int = 8,
+                        rounds: Int = 3, entryStep: Long = 16L): DataFrame = {
+    require(k <= beam, s"k ($k) must not exceed the beam width ($beam)")
+    require(entryStep >= 1, s"entryStep must be positive, got $entryStep")
+    val entries = embeddings
+      .filter(pmod(col("vec_id"), lit(entryStep)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries.select(col("query_id"),
+        col("embedding").as("q_emb"))), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rn") <= 2)
+      .select(col("query_id"), col("vec_id"))
+    beamLoop(embeddings, graph, queries, entries, k, beam, rounds)
+  }
+
+  /** The shared layer-0 loop: from `entries` (query_id, vec_id),
+    * `rounds` broadcast-frontier expansions, keep-best-beam, final
+    * top-k. The corpus-sized edge table never shuffles; per-round
+    * scoring joins |frontier|·k candidate ids back to the embedding
+    * table by vec_id (bucket-friendly). Query nodes are excluded from
+    * candidacy (the ANN-query convention of the other E2 paths).
+    */
+  private def beamLoop(embeddings: DataFrame, graph: DataFrame,
+                       queries: DataFrame, entries: DataFrame, k: Int,
+                       beam: Int, rounds: Int): DataFrame = {
     val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
     val byQ = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -311,16 +387,7 @@ object KnnGraph {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
-    // entries: the query's top-2 centroid nodes (the IVF probe kernel,
-    // so the oracle's cscore CTE replays the choice) — two entries so
-    // a query that IS a centroid node still has one after the
-    // self-exclusion below
-    var frontier = scored(queries
-      .select(col("query_id"),
-        explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("ent"))
-      .select(col("query_id"),
-        element_at(typedLit(seedIds), col("ent") + 1).as("vec_id"))
-      .filter(col("vec_id") =!= col("query_id")))
+    var frontier = scored(entries.filter(col("vec_id") =!= col("query_id")))
     var i = 0
     while (i < rounds) {
       // the frontier (|queries|·beam rows) broadcasts; the corpus-

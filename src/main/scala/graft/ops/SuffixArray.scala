@@ -52,6 +52,14 @@ object SuffixArray {
     * source arrives as ONE partition, and without the shuffle the
     * whole corpus-sized explode + first rank round would run as a
     * single task.
+    *
+    * Granularity note: repartitioning BY `did` makes one document one
+    * task for this explode stage — a pathologically long document is
+    * one long task here (document-bounded by design; every downstream
+    * round re-range-partitions by rank, so the skew does not
+    * propagate). Splitting a document across tasks would need a
+    * (did, block) salt and an extra length join for `slen`; not worth
+    * it while documents ≪ partition budget.
     */
   private def positions(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
     docs.select(idCol.as("did"), textCol.as("t"))

@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{KnnGraph, Similarity}
+
+/** Beam-search RECALL curve under corpus growth (VERDICT r11 task 5):
+  * at each factor, build the k-NN graph over fresh deterministic
+  * synthetic vectors (the ScaleSmoke `knn_graph` generator and its
+  * nCentroids ∝ corpus sizing), then measure beamSearch recall@5
+  * against the exact brute-force top-5 for a 16-query panel, as a
+  * function of (beam, rounds).
+  *
+  * The question this answers: does IVF-centroid ENTRY quality decay
+  * as n grows (the thing HNSW's upper layers buy), or do the
+  * broadcast-frontier rounds recover it? The decision — hierarchy or
+  * documented sufficiency — is recorded in [[KnnGraph.beamSearch]]'s
+  * scaladoc from this tool's committed numbers (BASELINE.md r12).
+  *
+  * Run: `sbt "runMain graft.tools.GraphRecall [maxFactor]"` (64).
+  */
+object GraphRecall {
+  def main(args: Array[String]): Unit = {
+    val maxF = args.headOption.map(_.toInt).getOrElse(64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val factors = Iterator.iterate(1)(_ * 4).takeWhile(_ <= maxF).toSeq
+    println(f"${"gen"}%-10s ${"factor"}%-7s ${"n"}%-7s ${"graph"}%-9s ${"entry"}%-9s beam  rounds  recall@5")
+    // two deterministic generators: `uniform` (iid hash-random — NO
+    // neighbor structure; the provable worst case for EVERY sublinear
+    // index, graph or inverted) and `clustered` (10-member clusters,
+    // center + small noise — the manifold structure real embeddings
+    // have and the regime ANN methods are built for)
+    def gen(kind: String, n: Long): String =
+      if (kind == "uniform")
+        "transform(sequence(0, 63), j -> " +
+          "cast(cast(pmod(hash(id, j), 1000) AS double) / 500.0 - 1.0 AS float))"
+      else {
+        val nClusters = math.max(1L, n / 10L)
+        "transform(sequence(0, 63), j -> cast(" +
+          s"(cast(pmod(hash(id % $nClusters, j), 1000) AS double) / 500.0 - 1.0) + " +
+          "(cast(pmod(hash(id, j), 101) AS double) - 50.0) / 250.0 AS float))"
+      }
+    val summary = (for (kind <- Seq("clustered", "uniform"); f <- factors) yield {
+      val n = 500L * f
+      val nc = 16 * f
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+          expr(gen(kind, n)).as("embedding"))
+        .localCheckpoint()
+      val graph = KnnGraph.build(emb, k = 5, nCentroids = nc).localCheckpoint()
+      val qIds = (0 until 16).map(i => i.toLong * (n / 16))
+      val queries = emb.filter(col("vec_id").isInCollection(qIds))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      // exact top-5: 16 broadcast queries against the full corpus
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val exact = emb.join(broadcast(queries),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("vec_id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val qdf = queries.select(col("query_id"), col("q_emb").as("embedding"))
+      val step = math.max(1L, math.round(math.sqrt(n.toDouble)))
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select(col("query_id"), col("vec_id"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        exact.toSeq.map { case (q, ex) =>
+          got.getOrElse(q, Set.empty).count(ex).toDouble / ex.size
+        }.sum / exact.size
+      }
+      // EDGE recall: are a panel node's graph out-edges its true
+      // top-5? Separates graph quality from walk/entry quality.
+      def edgeRecall(g: org.apache.spark.sql.DataFrame): Double =
+        recallOf(g.filter(col("src").isInCollection(qIds))
+          .select(col("src").as("query_id"), col("dst").as("vec_id")))
+      val refined = KnnGraph
+        .refineToConvergence(emb, graph, k = 5, maxRounds = 4)._1
+        .localCheckpoint()
+      println(f"$kind%-10s x$f%-6d $n%-7d edges     raw:  ${edgeRecall(graph)}%.3f   " +
+        f"refined(NN-Descent<=4): ${edgeRecall(refined)}%.3f")
+      val combos = for (gname <- Seq("raw", "refined");
+                        entry <- Seq("centroid", "sampled")) yield {
+        val g = if (gname == "raw") graph else refined
+        val res =
+          if (entry == "centroid")
+            KnnGraph.beamSearch(emb, g, qdf, k = 5, beam = 16,
+              rounds = 4, nCentroids = nc)
+          else
+            KnnGraph.beamSearchSampled(emb, g, qdf, k = 5, beam = 16,
+              rounds = 4, entryStep = step)
+        val recall = recallOf(res)
+        println(f"$kind%-10s x$f%-6d $n%-7d $gname%-9s $entry%-9s 16    4       $recall%.3f")
+        (gname, entry, recall)
+      }
+      (kind, f) -> combos
+    })
+    println()
+    summary.foreach { case ((kind, f), cs) =>
+      cs.foreach { case (g, e, r) =>
+        println(f"RECALL $kind%-10s x$f%-5d $g%-9s $e%-9s $r%.3f")
+      }
+    }
+    Runtime.getRuntime.halt(0)
+  }
+}

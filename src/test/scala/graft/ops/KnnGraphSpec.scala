@@ -150,6 +150,32 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(incr2 == full)
   }
 
+  test("beamSearchSampled equals a Scala replay with sampled-top-2 entries") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val got = KnnGraph.beamSearchSampled(emb, KnnGraph.build(emb, k = 5),
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, beam = 16, rounds = 4, entryStep = 5L)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val expected = (0L until 8L).flatMap { q =>
+      val qe = vecs(q)
+      val sample = vecs.keys.filter(v => v % 5 == 0 && v != q).toSeq
+      var frontier = sample.map(v => (v, r6(cos(vecs(v), qe))))
+        .sortBy { case (v, s) => (-s, v) }.take(2)
+      for (_ <- 1 to 4) {
+        val neigh = frontier.map(_._1)
+          .flatMap(v => bruteEdges(v).map(_._1)).filter(_ != q).distinct
+        val all = (frontier.map(_._1) ++ neigh).distinct
+          .map(v => (v, r6(cos(vecs(v), qe))))
+        frontier = all.sortBy { case (v, s) => (-s, v) }.take(16)
+      }
+      frontier.sortBy { case (v, s) => (-s, v) }.take(5)
+        .zipWithIndex.map { case ((v, s), i) => (q, v, s, (i + 1).toLong) }
+    }
+    assert(got == expected)
+  }
+
   test("refineToConvergence reaches a true fixed point and equals the unrolled rounds") {
     val emb = Tables.embeddings(spark, SparkTestSession.Sf)
     val seed = KnnGraph.build(emb, k = 5)
