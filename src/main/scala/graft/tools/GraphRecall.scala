@@ -107,7 +107,15 @@ object GraphRecall {
         println(f"$kind%-10s x$f%-6d $n%-7d $gname%-9s $entry%-9s 16    4       $recall%.3f")
         (gname, entry, recall)
       }
-      (kind, f) -> combos
+      // the repo's out-of-corpus workhorse as the comparison baseline:
+      // trained IVF, nProbe 4 (self-exclusion matches the panel setup)
+      val ivf = recallOf(Similarity.ivfTopKBatch(
+          emb.join(broadcast(qdf.select(col("query_id").as("vec_id"))),
+            Seq("vec_id"), "left_anti"),
+          qdf.select(col("query_id"), col("embedding")),
+          k = 5, nCentroids = nc, nProbe = 4, trainIterations = 2))
+      println(f"$kind%-10s x$f%-6d $n%-7d ivf(train2,probe4)           $ivf%.3f")
+      (kind, f) -> (combos :+ ("ivf", "probe4", ivf))
     })
     println()
     summary.foreach { case ((kind, f), cs) =>

@@ -240,6 +240,23 @@ class KnnGraphSpec extends AnyFunSuite {
       "capping the hot cells must actually remove edges on this fixture")
   }
 
+  test("sharedGraph: one build per (session, corpus, params); params never alias") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val a = KnnGraph.sharedGraph(emb, k = 5, cacheKey = Some("spec"))
+    val b = KnnGraph.sharedGraph(emb, k = 5, cacheKey = Some("spec"))
+    // the SAME memoized artifact object — consumers literally share
+    // one materialized build, the one-build-many-consumers contract
+    assert(a eq b)
+    // different params → different artifact, never aliased
+    val c = KnnGraph.sharedGraph(emb, k = 3, cacheKey = Some("spec"))
+    assert(!(c eq a))
+    // and the artifact equals a fresh uncached build row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src", "rank").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(rows(a) == rows(KnnGraph.build(emb, k = 5)))
+    assert(rows(c) == rows(KnnGraph.build(emb, k = 3)))
+  }
+
   test("saveGraph/loadGraph round-trips bitwise; the loaded graph probes and extends identically") {
     val emb = Tables.embeddings(spark, SparkTestSession.Sf)
     val old = emb.filter(col("vec_id") < 250)
