@@ -374,6 +374,15 @@ object KnnGraph {
     * scoring joins |frontier|·k candidate ids back to the embedding
     * table by vec_id (bucket-friendly). Query nodes are excluded from
     * candidacy (the ANN-query convention of the other E2 paths).
+    *
+    * The frontier is CHECKPOINTED every round (it is only
+    * |queries|·beam rows): each round's plan references the previous
+    * frontier twice (neighbor expansion + the keep-best union), so an
+    * unbroken lineage doubles the plan per round — 2^rounds copies of
+    * the entry scan and 2^(rounds−1) re-SCANS of the corpus-sized
+    * edge table at execution (scans, unlike exchanges, are not
+    * deduplicated by reuse). With the cut, the edge table is scanned
+    * exactly once per round — the cost model the scaladoc states.
     */
   private def beamLoop(embeddings: DataFrame, graph: DataFrame,
                        queries: DataFrame, entries: DataFrame, k: Int,
@@ -389,6 +398,7 @@ object KnnGraph {
       .select(col("query_id"), col("vec_id"),
         round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
     var frontier = scored(entries.filter(col("vec_id") =!= col("query_id")))
+      .localCheckpoint()
     var i = 0
     while (i < rounds) {
       // the frontier (|queries|·beam rows) broadcasts; the corpus-
@@ -406,6 +416,7 @@ object KnnGraph {
         .withColumn("rn", row_number().over(byQ))
         .filter(col("rn") <= beam)
         .drop("rn")
+        .localCheckpoint()
       i += 1
     }
     frontier

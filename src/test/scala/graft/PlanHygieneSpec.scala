@@ -374,12 +374,15 @@ class PlanHygieneSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }
 
-  test("q_graph_ann walk joins broadcast the frontier, never a product") {
-    // each beam round joins the |queries|·beam frontier to the edge
-    // table: the frontier side must broadcast (the corpus-sized edge
-    // table never shuffles for the walk)
+  test("q_graph_ann walk never degenerates to a product") {
+    // the walk's rounds run under per-round frontier checkpoints
+    // (round-12: an unbroken lineage re-scanned the corpus-sized edge
+    // table 2^(rounds−1) times), so the final plan is the last
+    // ranking over a checkpoint read — no join of any kind survives
+    // (the q_sa_repeats repointing precedent); the
+    // frontier-broadcasts-per-round shape is the op's documented
+    // internal contract, row-verified by KnnGraphSpec's replays
     val plan = finalPlan(q("q_graph_ann"))
-    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }
@@ -393,6 +396,25 @@ class PlanHygieneSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$plan")
     }
+  }
+
+  test("round-12 graph queries: no products; layered entry is the one bounded BNLJ") {
+    // q_knn_converged (checkpointed fixed point + sort), q_curate_sem
+    // (equi gates + CC components + anti-join) and q_graph_cap_audit
+    // (one aggregation) must never degenerate to a product
+    for (name <- Seq("q_knn_converged", "q_curate_sem", "q_graph_cap_audit")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$plan")
+    }
+    // q_graph_ann_layered's entry stage is a deliberate bounded scan
+    // (corpus/entryStep rows against the broadcast query panel — a
+    // BroadcastNestedLoopJoin by construction), but it runs under the
+    // entry checkpoint; the FINAL plan, like q_graph_ann's, is the
+    // last ranking over a checkpoint read with no surviving join
+    val plan = finalPlan(q("q_graph_ann_layered"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }
 
   test("q_sa_shard_scrub completion pass keeps equi joins only") {
