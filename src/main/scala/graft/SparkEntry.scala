@@ -388,10 +388,11 @@ object SparkEntry {
 
     // E2 graph family: the SAMPLED-ENTRY beam search — the HNSW upper
     // layer compressed to one deterministic level (query's exact top-2
-    // of the vec_id%25==0 sample as entries), measured to restore the
-    // recall centroid entries lose under corpus growth (GraphRecall
-    // ×64, BASELINE.md r12); same unrolled rounds, same shared edge
-    // artifact, fully oracle-replayable
+    // of the vec_id%25==0 sample as entries). entryStep is the
+    // measured recall/cost dial: single-layer beam recall ≈ the
+    // entry set's cluster coverage (GraphRecall ×64, BASELINE.md
+    // r12); same unrolled rounds, same shared edge artifact, fully
+    // oracle-replayable
     "q_graph_ann_layered" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       KnnGraph.beamSearchSampled(emb,

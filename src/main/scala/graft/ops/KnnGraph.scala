@@ -223,8 +223,10 @@ object KnnGraph {
     var settled = false
     while (rounds < maxRounds && !settled) {
       val next = refine(embeddings, cur, k).localCheckpoint()
-      // edge-set delta, both directions bounded by one exceptAll:
-      // |next| == |cur| == n·k rows, so next\cur empty ⇒ cur\next empty
+      // one-sided exceptAll suffices: refine's candidates contain the
+      // current edges, so every src keeps at least its current
+      // out-degree — |next| ≥ |cur|; next\cur empty then forces
+      // next == cur (a strict subset would be smaller)
       val updates = next.select(col("src"), col("dst"))
         .exceptAll(cur.select(col("src"), col("dst"))).count()
       if (updates <= tolUpdates) settled = true
