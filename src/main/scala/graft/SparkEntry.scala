@@ -1465,6 +1465,24 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("term"))),
 
+    // E10 INDEX MAINTENANCE: the standing document-frequency artifact
+    // — train on one crawl wave, FOLD the next in (df adds by term;
+    // provably == retraining on the union, spec-pinned), then score a
+    // fresh batch against corpus-wide salience with one vocab-keyed
+    // join and no corpus rescan. Unseen terms price at df=1 (maximally
+    // salient); the oracle rebuilds df over the union directly
+    "q_tfidf_standing" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val model = Tfidf.extendDfStats(
+        Tfidf.trainDfStats(d.filter(col("doc_id") % 4 === 0),
+          col("doc_id"), col("text")),
+        d.filter(col("doc_id") % 4 === 2), col("doc_id"), col("text"))
+      Tfidf.topTermsAgainst(model, d.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
     // inverted-index sparse similarity: postings self-join on the
     // TERM (pair space = per-term df_top^2, never corpus^2),
     // integer-exact scoring
@@ -4155,6 +4173,27 @@ FROM v$it ORDER BY token_id"""
         "CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS rk " +
         "FROM tfc JOIN dfc USING (term) CROSS JOIN nn) " +
         "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score " +
+        "FROM s WHERE rk <= 3 ORDER BY doc_id, term"),
+
+    // standing df = train(doc_id%4=0) + extend(doc_id%4=2) == df over
+    // doc_id%2=0 directly (the extend==retrain identity); batch tf
+    // over doc_id%2=1; unseen terms df→1
+    "q_tfidf_standing" ->
+      ("WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0), " +
+        "ctk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corp), " +
+        "ctf AS (SELECT doc_id, term FROM ctk GROUP BY doc_id, term), " +
+        "dfc AS (SELECT term, count(*) AS df FROM ctf GROUP BY term), " +
+        "nn AS (SELECT count(*) AS n FROM corp), " +
+        "btk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "tfc AS (SELECT doc_id, term, count(*) AS tf FROM btk GROUP BY doc_id, term), " +
+        "s AS (SELECT t.doc_id, t.term, t.tf, " +
+        "greatest(COALESCE(d.df, 0), 1) AS dfx, " +
+        "CAST(t.tf * n AS DOUBLE) / CAST(greatest(COALESCE(d.df, 0), 1) AS DOUBLE) AS score, " +
+        "row_number() OVER (PARTITION BY t.doc_id ORDER BY " +
+        "CAST(t.tf * n AS DOUBLE) / CAST(greatest(COALESCE(d.df, 0), 1) AS DOUBLE) DESC, t.term ASC) AS rk " +
+        "FROM tfc t LEFT JOIN dfc d USING (term) CROSS JOIN nn) " +
+        "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(dfx AS BIGINT) AS df, score " +
         "FROM s WHERE rk <= 3 ORDER BY doc_id, term"),
 
     // same top-k tf-idf postings (k=5), inverted-index self-join,

@@ -250,6 +250,16 @@ object KnnGraph {
     * `oldEmb` must contain the geometry's seed ids (vec_id <
     * nCentroids) — the coarse quantizer is the published artifact and
     * does not move when a batch arrives.
+    *
+    * Cap note: [[build]]'s `cellCap` is a BUILD-time guard with no
+    * extend counterpart by design. A cell that crosses the cap only
+    * after extensions would, under a capped rebuild, lose its pairs
+    * entirely — but extend can never retract standing edges (the
+    * index is monotone), so `extend == build(union, cap)` cannot hold
+    * and is deliberately not offered. The crawl loop's skew remedy is
+    * the audit ([[graphCapAudit]] over the grown corpus) followed by
+    * a scheduled capped REBUILD — the same periodic-compaction
+    * accounting every monotone index follows.
     */
   def extend(oldEmb: DataFrame, newEmb: DataFrame, oldGraph: DataFrame,
              k: Int, nCentroids: Int = 16): DataFrame = {

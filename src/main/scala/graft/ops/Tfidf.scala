@@ -205,4 +205,92 @@ object Tfidf {
       .select(col("id"), col("nbr"), col("n_shared"), col("overlap"),
         col("rk").cast("long").as("rk"))
   }
+
+  // ---- standing document-frequency artifact (index maintenance) ----
+
+  /** The STANDING tf-idf state: the additive document-frequency table
+    * `(term, df)` plus the document count — raw counts only (the LM
+    * lesson: a derived/pruned table is unreplayable after extension;
+    * raw counts fold). With it, a crawl batch scores against
+    * corpus-wide salience WITHOUT rescanning the corpus — the last
+    * member of the standing-index family (MinHash / HashIndex /
+    * SemIndex / BPE / Unigram / PQ / LM / KnnGraph) to get the
+    * train-once / extend-at-O(batch) / persist treatment.
+    */
+  final case class DfStats(df: DataFrame, nDocs: Long)
+
+  /** One corpus pass: per-document distinct terms → `(term, df)`
+    * (vocab-sized, map-side combinable) plus the doc count; the df
+    * table is eagerly checkpointed — it is the artifact.
+    */
+  def trainDfStats(docs: DataFrame, idCol: Column, textCol: Column): DfStats = {
+    val df = docs
+      .select(idCol.as("id"), explode(TextStats.tokens(textCol)).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    DfStats(df, docs.count())
+  }
+
+  /** Fold a batch of NEW documents (ids disjoint from everything the
+    * model has seen — the crawl-batch convention of `extendWordFreq` /
+    * `Lm.extendCounts`) into the standing stats at O(batch + vocab)
+    * cost: df adds by term, nDocs adds. Provably equal to retraining
+    * on the union (document frequency is a per-document indicator
+    * sum), spec-pinned.
+    */
+  def extendDfStats(model: DfStats, batch: DataFrame, idCol: Column,
+                    textCol: Column): DfStats = {
+    val b = batch
+      .select(idCol.as("id"), explode(TextStats.tokens(textCol)).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val merged = model.df.unionByName(b)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+    DfStats(merged, model.nDocs + batch.count())
+  }
+
+  /** Persist [[DfStats]]: df parquet + params manifest (the
+    * `MinHash.saveIndex` shape).
+    */
+  def saveDfStats(m: DfStats, path: String): Unit = {
+    m.df.write.mode("overwrite").parquet(s"$path/df")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "params.json"),
+      s"""{"nDocs":${m.nDocs}}""".getBytes("UTF-8"))
+  }
+
+  def loadDfStats(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DfStats = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    val m = """"nDocs"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+    require(m.isDefined, "params.json missing nDocs")
+    DfStats(spark.read.parquet(s"$path/df"), m.get.group(1).toLong)
+  }
+
+  /** Score a batch against the STANDING stats: tf from the batch, df
+    * and N from the model — one vocab-keyed join, no corpus rescan. A
+    * term the model has never seen prices at df = 1 (maximally
+    * salient — the new-term convention; exact integers throughout, so
+    * the DuckDB oracle hash-matches). Output as [[topTerms]]:
+    * (id, term, tf, df, score), top-k per document by
+    * (score desc, term asc).
+    */
+  def topTermsAgainst(model: DfStats, batch: DataFrame, idCol: Column,
+                      textCol: Column, k: Int = 3): DataFrame = {
+    val tf = batch
+      .select(idCol.as("id"), explode(TextStats.tokens(textCol)).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val byScore = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(model.df, Seq("term"), "left")
+      .withColumn("df", greatest(coalesce(col("df"), lit(0L)), lit(1L)))
+      .withColumn("score",
+        (col("tf") * lit(model.nDocs)).cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

@@ -159,4 +159,45 @@ class TfidfSpec extends AnyFunSuite {
       k = 2, minShared = 1)
     assert(uncapped.count() == 3L) // all three pairs
   }
+
+  test("DfStats: extend == retrain on the union; terms crossing the split add") {
+    import spark.implicits._
+    // "shared" lives in BOTH waves so its df must add across the fold
+    val waveA = Seq((0L, "shared alpha alpha"), (2L, "shared beta"))
+      .toDF("doc_id", "text")
+    val waveB = Seq((4L, "shared gamma"), (6L, "delta"))
+      .toDF("doc_id", "text")
+    val folded = Tfidf.extendDfStats(
+      Tfidf.trainDfStats(waveA, col("doc_id"), col("text")),
+      waveB, col("doc_id"), col("text"))
+    val retrained = Tfidf.trainDfStats(waveA.unionByName(waveB),
+      col("doc_id"), col("text"))
+    assert(folded.nDocs == 4L && retrained.nDocs == 4L)
+    def rows(m: Tfidf.DfStats) = m.df.orderBy("term")
+      .as[(String, Long)].collect().toSeq
+    assert(rows(folded) == rows(retrained))
+    assert(rows(folded).toMap.apply("shared") == 3L)
+  }
+
+  test("DfStats: save/load round-trips; the loaded model scores identically; unseen df=1") {
+    import spark.implicits._
+    val corpus = Seq((0L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val m = Tfidf.trainDfStats(corpus, col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("df_stats").toString
+    Tfidf.saveDfStats(m, dir)
+    val loaded = Tfidf.loadDfStats(spark, dir)
+    assert(loaded.nDocs == m.nDocs)
+    val batch = Seq((1L, "alpha zeta zeta")).toDF("doc_id", "text")
+    def score(mm: Tfidf.DfStats) =
+      Tfidf.topTermsAgainst(mm, batch, col("doc_id"), col("text"), k = 3)
+        .orderBy("term").as[(Long, String, Long, Long, Double)].collect().toSeq
+    val got = score(loaded)
+    assert(got == score(m))
+    // unseen "zeta" prices at df=1: score = tf*N/1 = 2*2 = 4.0, and
+    // outranks the corpus-wide "alpha" (df=2 → 1*2/2 = 1.0)
+    assert(got.find(_._2 == "zeta").get._4 == 1L)
+    assert(got.find(_._2 == "zeta").get._5 == 4.0)
+    assert(got.find(_._2 == "alpha").get._5 == 1.0)
+  }
 }
