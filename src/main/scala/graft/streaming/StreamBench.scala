@@ -259,6 +259,32 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** Standing tf-idf scoring twin: [[graft.ops.Tfidf.DfStats]] trained
+    * untimed (its df table is an eager checkpoint), each micro-batch
+    * pays one explode + one vocab-keyed join
+    * ([[StreamingIngest.dfScoreBatches]]'s shape). Reads the docs
+    * replay the other text twins use.
+    */
+  def benchTfidfScore(spark: SparkSession, sfDir: String,
+                      replayDir: String): StreamMetrics = {
+    val model = graft.ops.Tfidf.trainDfStats(
+      graft.Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Tfidf.topTermsAgainst(model, b,
+          col("doc_id"), col("text"), k = 3).count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** Graph-ANN probe twin ([[StreamingIngest.graphAnnBatches]]'s
     * shape): the standing k-NN graph + embedding table are built and
     * materialized UNTIMED (the write-once edge artifact), then each
@@ -575,6 +601,7 @@ object StreamBench {
       line("bpe_tokenize", f, benchBpeTokenize(spark, sfDir, docs))
       line("lm_score", f, benchLmScore(spark, sfDir, docs))
       line("unigram_tokenize", f, benchUnigramTokenize(spark, sfDir, docs))
+      line("tfidf_score", f, benchTfidfScore(spark, sfDir, docs))
       cleanup(keep = before) // reclaim THIS factor's replays only
     }
     Runtime.getRuntime.halt(0)

@@ -519,6 +519,73 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming twin of the standing tf-idf scorer
+    * ([[graft.ops.Tfidf.topTermsAgainst]]): every micro-batch of a
+    * document stream scores against a STANDING [[graft.ops.Tfidf
+    * .DfStats]] (trained once before the stream starts; its df table
+    * is already a materialized checkpoint) — per-batch work is the
+    * batch explode plus ONE vocab-keyed join, never a corpus rescan.
+    * Same exactly-once `ingest_batch=N` overwrite contract as the
+    * other probe twins.
+    */
+  def dfScoreBatches(docs: DataFrame, model: graft.ops.Tfidf.DfStats,
+                     k: Int, outDir: String,
+                     checkpointDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Tfidf.topTermsAgainst(model, batch,
+            col("doc_id"), col("text"), k)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("dfscore_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** SELF-MAINTAINING df stats — [[selfNearDupBatches]]'s shape for
+    * the salience reference: each micro-batch scores against the
+    * STANDING stats (hits land exactly-once), then folds in via
+    * [[graft.ops.Tfidf.extendDfStats]] (additive df counts,
+    * O(batch + vocab)), so corpus-wide salience tracks everything the
+    * crawl has seen. Because extend provably equals retraining on the
+    * union, the standing stats after any number of batches ARE
+    * `trainDfStats(everything seen)` — fold-in order invisible
+    * (spec-pinned). Same whole-body retry guard and restart contract
+    * as the other self loops. Returns the final stats.
+    */
+  def selfDfBatches(docs: DataFrame, seed: graft.ops.Tfidf.DfStats,
+                    k: Int, outDir: String,
+                    checkpointDir: Option[String] = None)
+      : graft.ops.Tfidf.DfStats = {
+    import org.apache.spark.sql.functions.col
+    var model = seed
+    var lastExtended = -1L
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // whole-body retry guard (see selfNearDupBatches): a retried
+        // batch re-scored against the already-extended stats would
+        // overwrite the first attempt's output with different scores
+        if (batchId > lastExtended) {
+          val b = batch.localCheckpoint()
+          graft.ops.Tfidf.topTermsAgainst(model, b,
+              col("doc_id"), col("text"), k)
+            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+          model = graft.ops.Tfidf.extendDfStats(model, b,
+            col("doc_id"), col("text"))
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("selfdf_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    model
+  }
+
   /** Streaming twin of the PERCEPTUAL image near-dup gate: every
     * micro-batch of a media stream (a crawl's image payloads) is
     * decoded, aHashed, and Hamming-probed against a STANDING

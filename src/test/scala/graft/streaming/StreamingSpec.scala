@@ -464,6 +464,49 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("dfScoreBatches restart: checkpoint resume is exactly-once") {
+    import graft.ops.Tfidf
+    val docs = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val model = Tfidf.trainDfStats(docs.filter(col("doc_id") % 5 === 0),
+      col("doc_id"), col("text"))
+    val wave1 = docs.filter(col("doc_id") % 5 === 1)
+      .select("doc_id", "text").cache()
+    val wave2 = docs.filter(col("doc_id") % 5 === 2)
+      .select("doc_id", "text").cache()
+    restartContract("dfsr", wave1, wave2,
+      (st, out, ck) => StreamingIngest.dfScoreBatches(st, model, 3, out, ck),
+      b => Tfidf.topTermsAgainst(model, b, col("doc_id"), col("text"), 3),
+      Seq("id", "term", "tf", "df", "score"))
+    docs.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
+  test("selfDfBatches: standing stats after every wave equal the one-shot training") {
+    import graft.ops.Tfidf
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val seedDocs = docs.filter(col("doc_id") % 5 === 0).cache()
+    val waves = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text").cache()
+    val inDir = java.nio.file.Files.createTempDirectory("sdf_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sdf_out").toString
+    waves.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(waves.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val finalStats = StreamingIngest.selfDfBatches(stream,
+      Tfidf.trainDfStats(seedDocs, col("doc_id"), col("text")), 3, outDir)
+    // extend == retrain, folded across arbitrary micro-batch cuts:
+    // the standing stats equal one-shot training over everything seen
+    val oneShot = Tfidf.trainDfStats(seedDocs.select("doc_id", "text")
+      .unionByName(waves), col("doc_id"), col("text"))
+    assert(finalStats.nDocs == oneShot.nDocs)
+    assert(finalStats.df.orderBy("term").as[(String, Long)].collect().toSeq ==
+      oneShot.df.orderBy("term").as[(String, Long)].collect().toSeq)
+    // every wave's scores landed exactly once
+    val streamedDocs = spark.read.parquet(outDir)
+      .select("id").distinct().count()
+    assert(streamedDocs == waves.count())
+    seedDocs.unpersist(); waves.unpersist()
+  }
+
   test("streaming perceptual image near-dup equals the batch probe") {
     import graft.multimodal.{Multimodal, PerceptualHash}
     val media = Multimodal.realMedia(
