@@ -357,4 +357,27 @@ object GraftProps extends Properties("graft") {
         (math.log(hi.toDouble) - math.log(lo.toDouble)) / math.log(2.0))
       dFp >= 0L && ratioErr < 1.3e-4
     }
+
+  // ---- standing df stats: extend == retrain for ANY split ----
+
+  private val docGen: Gen[String] = Gen.listOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2"))
+    .map(_.take(6).mkString(" "))
+
+  property("dfStats: extend == retrain on every corpus split") =
+    forAll(Gen.listOf(docGen).map(_.take(8)),
+           Gen.choose(0, 8)) { (texts, cut) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (a, b) = docs.splitAt(math.min(cut, docs.size))
+      val aDf = a.toDF("doc_id", "text")
+      val bDf = b.toDF("doc_id", "text")
+      val folded = Tfidf.extendDfStats(
+        Tfidf.trainDfStats(aDf, col("doc_id"), col("text")),
+        bDf, col("doc_id"), col("text"))
+      val retrained = Tfidf.trainDfStats(aDf.unionByName(bDf),
+        col("doc_id"), col("text"))
+      def rows(m: Tfidf.DfStats) =
+        m.df.orderBy("term").as[(String, Long)].collect().toSeq
+      folded.nDocs == retrained.nDocs && rows(folded) == rows(retrained)
+    }
 }
