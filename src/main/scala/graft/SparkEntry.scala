@@ -1081,6 +1081,17 @@ object SparkEntry {
         threshold = 0.3, shingleN = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E1∘E11 policy composition: KEEP-BEST near-dup dedup — MinHash
+    // clusters (exact-Jaccard-verified, CC-closed) keep their
+    // highest-quality member ((quality DESC, id) total order) instead
+    // of the lowest id: the canonical-copy policy a production
+    // pipeline wants. Oracle: minhash pairs + recursive closure +
+    // the q_quality_score formula + the same window cut
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestNearDup(documents(s, dir), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // E1 near, incremental: which NEW-batch docs near-duplicate the
     // EXISTING corpus (bipartite band join — the daily-ingest LSH
     // dedup gate; cost tracks the batch, not the corpus). Oracle-backed.
@@ -4513,6 +4524,34 @@ FROM v$it ORDER BY token_id"""
     // LSH dedup family — engine-portable integer hashing makes the full
     // pipeline (signatures, buckets, candidates, verify) recomputable
     "q_minhash_dedup" -> minhashOracle,
+    // pairs + recursive closure + quality argmax (the composition of
+    // three individually-proven oracles; quality doubles are
+    // IEEE-identical across engines, so the DESC order matches)
+    "q_dedup_keep_best" ->
+      ("WITH RECURSIVE " + minhashSigCtes + ", " +
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM idx a JOIN idx b " +
+        "ON a.band = b.band AND a.bh = b.bh AND a.id < b.id), " +
+        "pr AS (SELECT id_a, id_b FROM (SELECT c.id_a, c.id_b, " +
+        "round(len(list_intersect(x.sset, y.sset))::DOUBLE / " +
+        "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))), 4) AS jac " +
+        "FROM cand c JOIN sig x ON x.id = c.id_a JOIN sig y ON y.id = c.id_b) t " +
+        "WHERE jac >= 0.3), " +
+        "ue AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr), " +
+        "reach(id, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ue) n " +
+        "UNION SELECT reach.id, e2.v FROM reach JOIN ue e2 ON reach.r = e2.u), " +
+        "comp AS (SELECT id, min(r) AS cmp FROM reach GROUP BY id), " +
+        "qq AS (SELECT doc_id AS id, " +
+        "least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4 + " +
+        "(1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / " +
+        "greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3 + " +
+        s"least(CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($EnMarkers, x))) AS DOUBLE) / " +
+        "greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3 AS quality " +
+        "FROM documents), " +
+        "losers AS (SELECT id FROM (SELECT q.id, " +
+        "row_number() OVER (PARTITION BY c.cmp ORDER BY q.quality DESC, q.id ASC) AS rn " +
+        "FROM qq q JOIN comp c USING (id)) t WHERE rn > 1) " +
+        "SELECT id AS doc_id, quality FROM qq " +
+        "WHERE id NOT IN (SELECT id FROM losers) ORDER BY doc_id"),
     "q_incr_neardup" -> incrNearDupOracle,
     "q_simhash_dedup" -> simhashOracle,
 

@@ -129,4 +129,36 @@ object Dedup {
       .select(md5(lower(trim(textCol))).as("__fp")).distinct()
     batch.join(seen, md5(lower(trim(textCol))) === col("__fp"), "left_anti")
   }
+
+  /** KEEP-BEST near-dup dedup (E1∘E11): near-duplicate clusters keep
+    * their highest-QUALITY member instead of the lowest id — the
+    * policy a production pipeline actually wants (the canonical copy
+    * of a boilerplate-mangled article family is the cleanest one, not
+    * the first-crawled one). Clusters come from the banded-MinHash
+    * near-dup pairs ([[MinHash.nearDupPairs]], exact-Jaccard-verified)
+    * closed by [[ConnectedComponents]]; within a cluster the keeper is
+    * argmax [[TextStats.qualityScore]] with the (quality DESC, id ASC)
+    * total order, so the choice is deterministic and oracle-replayable.
+    * Documents in no cluster survive untouched. Output: one row per
+    * SURVIVOR, (id, quality).
+    *
+    * Scale shape: everything here is the already-bounded machinery —
+    * LSH-banded pairs (never corpus²), O(log diameter) CC rounds, one
+    * doc-keyed quality projection, a cluster-keyed window over cluster
+    * members only (a vanishing fraction of the corpus), one anti-join.
+    */
+  def keepBestNearDup(docs: DataFrame, idCol: Column, textCol: Column,
+                      threshold: Double = 0.3): DataFrame = {
+    val pairs = MinHash.nearDupPairs(docs, idCol, textCol, threshold)
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+    val scored = docs.select(idCol.as("id"),
+      TextStats.qualityScore(textCol).as("quality"))
+    val byBest = Window.partitionBy(col("comp"))
+      .orderBy(col("quality").desc, col("id").asc)
+    val losers = scored.join(comp, Seq("id"))
+      .withColumn("rn", row_number().over(byBest))
+      .filter(col("rn") > 1)
+      .select(col("id"))
+    scored.join(losers, Seq("id"), "left_anti")
+  }
 }

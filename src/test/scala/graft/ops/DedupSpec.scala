@@ -104,4 +104,21 @@ class DedupSpec extends AnyFunSuite {
     // both survive: incrementalNew is batch-vs-corpus, not batch-vs-self
     assert(out.count() == 2)
   }
+
+  test("keepBestNearDup keeps the highest-QUALITY cluster member, not the lowest id") {
+    // near-dup pair: same long sentence, but doc 7 is mangled with
+    // punctuation noise (lower quality) while doc 9 is clean — the
+    // first-wins policy would keep 7; keep-best must keep 9. Doc 20
+    // is unrelated and survives untouched.
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to the hills where it rests for a while in peace"
+    val docs = Seq(
+      (7L, base + " ~~!!##$$%%^^&&**(())__++"),
+      (9L, base),
+      (20L, "completely unrelated text about spark physical planning"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepBestNearDup(docs, col("doc_id"), col("text"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(9L, 20L), s"keep-best picked $kept")
+  }
 }
