@@ -417,6 +417,17 @@ class PlanHygieneSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }
 
+  test("q_tfidf_standing and q_dedup_keep_best never degenerate to a product") {
+    // standing-df scoring is one vocab-keyed (broadcastable) join;
+    // keep-best is banded pairs + CC + a cluster-keyed window + one
+    // anti-join — all equi-keyed
+    for (name <- Seq("q_tfidf_standing", "q_dedup_keep_best")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$plan")
+    }
+  }
+
   test("q_sa_shard_scrub completion pass keeps equi joins only") {
     // the sharded miner's fingerprint completion (hash groups, literal
     // verification, member anti-join) and the scrub covers are all

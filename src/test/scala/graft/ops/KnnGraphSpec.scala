@@ -176,6 +176,22 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("beamSearchSampled: a one-node sample still answers every query (walk recovers)") {
+    // entryStep beyond the max vec_id samples only node 0: every
+    // query enters there and the walk must still return k ranked
+    // results per query (monotone keep-best never loses the entry)
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val got = KnnGraph.beamSearchSampled(emb, KnnGraph.build(emb, k = 5),
+        emb.filter(col("vec_id") >= 1 && col("vec_id") < 9)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, beam = 16, rounds = 4, entryStep = 1000000L)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got.map(_._1).distinct.size == 8, "every query answered")
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted == (1L to rs.size.toLong) && rs.size == 5)
+    }
+  }
+
   test("refineToConvergence reaches a true fixed point and equals the unrolled rounds") {
     val emb = Tables.embeddings(spark, SparkTestSession.Sf)
     val seed = KnnGraph.build(emb, k = 5)
