@@ -355,7 +355,7 @@ object SparkEntry {
     // capped cell is a queryable fact, never a silent hole
     "q_graph_cap_audit" -> ((s, dir) =>
       KnnGraph.graphCapAudit(Tables.embeddings(s, dir), nCentroids = 16,
-          cellCap = 64L)
+          cellCap = GraphAuditCellCap)
         .orderBy(col("cell"))),
 
     // E2 graph family, INDEX MAINTENANCE: fold the last 250 vectors
@@ -2797,14 +2797,22 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
       refineRoundSql("rr1", "rr2") +
       " SELECT src, dst, score, rank FROM rr2 ORDER BY src, rank"
 
-  /** Mirrors KnnGraph.graphCapAudit(emb, 16, 64): per-cell multi-probe
-    * population off the same pcells CTE the edge oracle uses (unused
-    * downstream CTEs are never evaluated), capped = population > 64.
+  /** The q_graph_cap_audit cap — ONE constant interpolated into both
+    * the Spark call and the oracle SQL, so the two sides cannot
+    * silently drift apart.
+    */
+  private val GraphAuditCellCap = 64L
+
+  /** Mirrors KnnGraph.graphCapAudit(emb, 16, [[GraphAuditCellCap]]):
+    * per-cell multi-probe population off the same pcells CTE the edge
+    * oracle uses (unused downstream CTEs are never evaluated),
+    * capped = population > cap.
     */
   private lazy val graphCapAuditOracle: String =
     "WITH " + knnEdgesSql.stripSuffix(", ") +
       " SELECT cell, CAST(count(*) AS BIGINT) AS population, " +
-      "count(*) > 64 AS capped FROM pcells GROUP BY cell ORDER BY cell"
+      s"count(*) > $GraphAuditCellCap AS capped " +
+      "FROM pcells GROUP BY cell ORDER BY cell"
 
   /** The curate-pipeline CTE chain (every stage mirrors its standalone
     * oracle: q_quality_score, q_repetition, q_decontaminate, q_dedup's

@@ -229,8 +229,14 @@ object KnnGraph {
       // next == cur (a strict subset would be smaller)
       val updates = next.select(col("src"), col("dst"))
         .exceptAll(cur.select(col("src"), col("dst"))).count()
+      // take the already-computed `next` whenever it differs — a
+      // sub-tolerance final iteration is still a strictly better
+      // graph (discarding it would return a result one round stale
+      // for any tolUpdates > 0 caller); at updates == 0 next == cur,
+      // so skipping the assignment keeps the fixed-point algebra and
+      // the round count the unrolled oracle replays
+      if (updates > 0L) { cur = next; rounds += 1 }
       if (updates <= tolUpdates) settled = true
-      else { cur = next; rounds += 1 }
     }
     (cur, rounds)
   }
@@ -413,21 +419,7 @@ object KnnGraph {
       .localCheckpoint()
     var i = 0
     while (i < rounds) {
-      // the frontier (|queries|·beam rows) broadcasts; the corpus-
-      // sized edge table stays put — one map-side join per round
-      val neighbors = graph.select(col("src").as("vec_id"), col("dst"))
-        .join(broadcast(frontier.select(col("query_id"), col("vec_id"))),
-          Seq("vec_id"))
-        .select(col("query_id"), col("dst").as("vec_id"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .distinct()
-      frontier = scored(neighbors)
-        .unionByName(frontier)
-        .groupBy(col("query_id"), col("vec_id")) // dedup: scores are functional
-        .agg(max(col("score")).as("score"))
-        .withColumn("rn", row_number().over(byQ))
-        .filter(col("rn") <= beam)
-        .drop("rn")
+      frontier = beamRound(embeddings, graph, q, frontier, beam)
         .localCheckpoint()
       i += 1
     }
@@ -435,5 +427,40 @@ object KnnGraph {
       .withColumn("rank", row_number().over(byQ).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /** ONE beam round, un-checkpointed — the per-round plan [[beamLoop]]
+    * pins its cost model on: the frontier (|queries|·beam rows)
+    * BROADCASTS into the edge join, so the corpus-sized edge table
+    * never shuffles; candidate scoring joins frontier·k ids back to
+    * the embedding table by vec_id. Package-private so the broadcast
+    * shape is plan-pinnable in specs (the checkpointed loop's final
+    * plan is just a checkpoint read and can't carry the assertion).
+    * `q` is (query_id, q_emb).
+    */
+  private[ops] def beamRound(embeddings: DataFrame, graph: DataFrame,
+                             q: DataFrame, frontier: DataFrame,
+                             beam: Int): DataFrame = {
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    // the frontier (|queries|·beam rows) broadcasts; the corpus-
+    // sized edge table stays put — one map-side join per round
+    val neighbors = graph.select(col("src").as("vec_id"), col("dst"))
+      .join(broadcast(frontier.select(col("query_id"), col("vec_id"))),
+        Seq("vec_id"))
+      .select(col("query_id"), col("dst").as("vec_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .distinct()
+    neighbors
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+      .unionByName(frontier)
+      .groupBy(col("query_id"), col("vec_id")) // dedup: scores are functional
+      .agg(max(col("score")).as("score"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= beam)
+      .drop("rn")
   }
 }

@@ -335,19 +335,26 @@ object StreamBench {
     val staged = replay.count()
     val vs = spark.readStream.schema(replay.schema)
       .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    // the selfKnnBatches whole-body retry guard: a retried micro-batch
+    // would otherwise fold the same shifted vec_ids into the standing
+    // graph/embeddings twice, breaking extend's disjoint-id contract
+    var lastExtended = -1L
     val t0 = System.nanoTime()
     val q = vs.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // replayed ids shift well past the standing range (seed ids
-        // stay < 16·replicas·1e9) so the fold-in never collides
-        val batch = b.select((col("vec_id") + lit(1000000000000L)).as("vec_id"),
-          col("embedding")).localCheckpoint()
-        graft.ops.KnnGraph.beamSearch(emb, graph,
-          batch.select(col("vec_id").as("query_id"), col("embedding")),
-          k = 5, beam = 16, rounds = 4, nCentroids).count()
-        graph = graft.ops.KnnGraph.extend(emb, batch, graph, k = 5, nCentroids)
-          .localCheckpoint()
-        emb = emb.unionByName(batch).localCheckpoint()
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastExtended) {
+          // replayed ids shift well past the standing range (seed ids
+          // stay < 16·replicas·1e9) so the fold-in never collides
+          val batch = b.select((col("vec_id") + lit(1000000000000L)).as("vec_id"),
+            col("embedding")).localCheckpoint()
+          graft.ops.KnnGraph.beamSearch(emb, graph,
+            batch.select(col("vec_id").as("query_id"), col("embedding")),
+            k = 5, beam = 16, rounds = 4, nCentroids).count()
+          graph = graft.ops.KnnGraph.extend(emb, batch, graph, k = 5, nCentroids)
+            .localCheckpoint()
+          emb = emb.unionByName(batch).localCheckpoint()
+          lastExtended = batchId
+        }
         ()
       }
       .option("checkpointLocation", ckpt()).start()

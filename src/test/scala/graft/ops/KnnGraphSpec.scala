@@ -364,4 +364,66 @@ class KnnGraphSpec extends AnyFunSuite {
     }
     assert(hits >= 6, s"beam search missed the exact top-5 entirely for ${8 - hits}/8 queries")
   }
+
+  test("beamRound plan: the frontier broadcasts into the edge join (cost contract)") {
+    // the per-round checkpoint truncates the loop's final lineage, so
+    // the broadcast-per-round cost contract is pinned HERE, on one
+    // un-checkpointed round's plan: both the frontier→edge join and
+    // the query-set scoring join must be broadcast (the corpus-sized
+    // edge/embedding tables never shuffle for the frontier)
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val graph = KnnGraph.build(emb, k = 5).localCheckpoint()
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val frontier = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), (col("vec_id") + 16).as("vec_id"),
+        lit(0.5).as("score"))
+      .localCheckpoint()
+    val round = KnnGraph.beamRound(emb, graph, q, frontier, beam = 16)
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"beam round lost its broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"beam round shuffles or crosses a corpus-sized side:\n$plan")
+    // and the round itself behaves: every query keeps <= beam rows
+    val perQ = round.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perQ.values.forall(_ <= 16L))
+  }
+
+  test("refineToConvergence with tolUpdates > 0 returns the post-final-iteration graph") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+    val seed = KnnGraph.build(emb, k = 5)
+    // measure the true per-round update trajectory first
+    var cur = seed
+    var updates = Seq.empty[Long]
+    var r = 0
+    while (r < 10 && (updates.isEmpty || updates.last > 0L)) {
+      val next = KnnGraph.refine(emb, cur, k = 5).localCheckpoint()
+      updates = updates :+ next.select(col("src"), col("dst"))
+        .exceptAll(cur.select(col("src"), col("dst"))).count()
+      if (updates.last > 0L) { cur = next; r += 1 }
+    }
+    // pick a tolerance that stops mid-trajectory (some round's update
+    // count is <= tol while > 0) when the fixture allows it; the
+    // contract under test: the returned graph equals refine applied
+    // `rounds` times AND includes the sub-tolerance final iteration
+    val tol = updates.filter(_ > 0L).lastOption.getOrElse(0L)
+    val (settled, rounds) = KnnGraph.refineToConvergence(emb, seed, k = 5,
+      maxRounds = 10, tolUpdates = tol)
+    var unrolled = seed
+    for (_ <- 1 to rounds) unrolled = KnnGraph.refine(emb, unrolled, k = 5)
+    val settledRows = settled.orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(unrolled.orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq == settledRows)
+    // the stopping round's strictly-better graph is RETURNED, not
+    // discarded: rounds counts every applied (updates > 0) iteration
+    // up to and INCLUDING the first sub-tolerance one
+    val expectedRounds =
+      updates.take(updates.indexWhere(_ <= tol) + 1).count(_ > 0L)
+    assert(rounds == expectedRounds,
+      s"expected the sub-tolerance final iteration applied: " +
+        s"rounds=$rounds, expected=$expectedRounds, trajectory=$updates, tol=$tol")
+  }
 }
