@@ -662,6 +662,23 @@ object SparkEntry {
       SuffixArray.shardedScrub(documents(s, dir), col("doc_id"),
         col("text"), minLen = 32, nShards = 3)
         .orderBy(col("doc_id"))),
+    // E1 depth, standing-index loop: the exact-substring inventory's
+    // crawl accounting — train on the standing half (even ids), fold
+    // the new batch (odd ids) in via the BIPARTITE completion pass
+    // (O(batch + candidates), never a corpus re-mine), report the new
+    // docs' duplicated 32-gram spans. extend == re-mine is
+    // spec-pinned, so the oracle is the global-truth repeat grouping
+    // restricted to the batch side.
+    "q_incr_substr" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val standingDocs = d.filter(col("doc_id") % 2 === 0)
+      val standing = SuffixArray.trainRepeatGroups(standingDocs,
+        col("doc_id"), col("text"), minLen = 32)
+      SuffixArray.extendRepeatGroups(standing, standingDocs,
+          d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+        .members.filter(col("doc_id") % 2 === 1)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
 
     // window functions: per-user running sum in event order
     "q_window" -> ((s, dir) => {
@@ -1430,6 +1447,21 @@ object SparkEntry {
         d.filter(col("doc_id") % 20 === 0),
         col("doc_id"), col("text"), n = 3)
         .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // E7's VERBATIM arm: per corpus doc, the character-32-gram
+    // positions that reproduce a benchmark span EXACTLY — bench
+    // fingerprints broadcast for the probe, candidates verified by
+    // the literal gram (the bipartite completion-pass shape); catches
+    // whitespace/tokenization-perturbed verbatim leakage the token-
+    // SET gate above blurs
+    "q_substr_decontam" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Decontaminate.verbatimContamination(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"), minLen = 32)
         .orderBy(col("doc_id"))
     }),
 
@@ -3484,6 +3516,21 @@ FROM v$it ORDER BY token_id"""
     // nShards), so its oracle is the same direct global scrub replay
     "q_sa_shard_scrub" -> saScrubSql,
 
+    // extend == re-mine (spec-pinned), so the incremental query's
+    // oracle is the global-truth grouping restricted to batch docs
+    "q_incr_substr" ->
+      ("WITH p AS (SELECT doc_id, unnest(range(0, length(text))) AS pos, text " +
+        "FROM documents), " +
+        "e AS (SELECT doc_id, pos, substr(text, pos + 1, 32) AS pre FROM p " +
+        "WHERE length(text) - pos >= 32), " +
+        "g AS (SELECT pre, min(doc_id * 4294967296 + pos) AS gkey, " +
+        "count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs " +
+        "FROM e GROUP BY pre) " +
+        "SELECT e.doc_id, e.pos, g.gkey // 4294967296 AS grp_did, " +
+        "g.gkey % 4294967296 AS grp_pos " +
+        "FROM e JOIN g USING (pre) WHERE g.n_occ >= 2 AND g.n_docs >= 2 " +
+        "AND e.doc_id % 2 = 1 ORDER BY doc_id, pos"),
+
     "q_substr_spans" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "w AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS i, toks " +
@@ -4147,6 +4194,27 @@ FROM v$it ORDER BY token_id"""
         "SELECT t.doc_id, t.n_grams, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
         "CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS contamination " +
         "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY t.doc_id"),
+
+    // verbatim arm: direct character-32-gram containment — every
+    // corpus gram position whose literal 32-char substring appears
+    // anywhere in the bench slice (engine-independent: substr/length
+    // are codepoints in both engines, like the sa-family oracles)
+    "q_substr_decontam" ->
+      ("WITH bg AS (SELECT DISTINCT substr(text, pos + 1, 32) AS g " +
+        "FROM (SELECT text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
+        "FROM documents WHERE doc_id % 20 = 0)), " +
+        "cg AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
+        "FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
+        "FROM documents WHERE doc_id % 20 <> 0)), " +
+        "hits AS (SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (g) " +
+        "GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(greatest(length(d.text) - 31, 0) AS BIGINT) AS n_grams, " +
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "CASE WHEN length(d.text) - 31 <= 0 THEN 0.0 " +
+        "ELSE CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / " +
+        "CAST(greatest(length(d.text) - 31, 0) AS DOUBLE) END AS contamination " +
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id " +
+        "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
 
     // same Java/RE2-shared patterns and injection arithmetic as the
     // Spark side; 'g' = replace-all (Spark's default)

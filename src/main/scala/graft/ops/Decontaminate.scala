@@ -77,4 +77,57 @@ object Decontaminate {
       .select(col("id").as("_keep_id"))
     corpus.join(keep, idCol === col("_keep_id"), "left_semi")
   }
+
+  /** VERBATIM leakage — the E7 family's third arm next to the
+    * token-n-gram [[contamination]] and the semantic
+    * `Similarity.semanticContamination`: per corpus document, how
+    * many of its character `minLen`-gram positions reproduce a
+    * benchmark span EXACTLY (the Lee et al. ACL'22 exact-substring
+    * use-case: whitespace/tokenization-perturbed verbatim copies that
+    * token-SET overlap blurs still match character-for-character).
+    * Output: (doc_id, n_grams, n_hits, contamination) with
+    * contamination = n_hits / n_grams (0.0 for docs shorter than
+    * minLen).
+    *
+    * Scale shape — the [[SuffixArray.extendRepeatGroups]] bipartite
+    * completion applied corpus×bench: the bench side is SMALL by
+    * construction, so its distinct gram FINGERPRINTS broadcast
+    * (8 bytes/gram, the cheap probe); the corpus side is one linear
+    * rolling-fingerprint pass ([[SuffixArray.gramFps]]) filtered by
+    * the broadcast set — candidate mass is the true overlap plus
+    * fingerprint collisions, never the corpus. Candidates then verify
+    * by the LITERAL gram string ([[SuffixArray.literalGrams]],
+    * block-bounded buffers) against the bench's distinct literal
+    * grams (broadcast — a collision can only add candidates the
+    * exact join filters back out). The per-doc gram TOTAL is
+    * arithmetic on the text length — no second corpus pass.
+    */
+  def verbatimContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: Column, textCol: Column,
+                            minLen: Int = 32): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val corpusSrc = corpus.select(idCol.as("doc_id"), textCol.as("t"))
+    val benchSrc = bench.select(idCol.as("doc_id"), textCol.as("t"))
+    val benchFps = SuffixArray.gramFps(benchSrc, minLen)
+    val candPos = SuffixArray.gramFps(corpusSrc, minLen)
+      .join(broadcast(benchFps.select(col("h")).distinct()),
+        Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val benchGrams = SuffixArray.literalGrams(
+        benchFps.select(col("doc_id"), col("pos")), benchSrc, minLen)
+      .select(col("gram")).distinct()
+    val hits = SuffixArray.literalGrams(candPos, corpusSrc, minLen)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    corpusSrc
+      .select(col("doc_id"),
+        greatest(length(col("t")) - lit(minLen - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("contamination"))
+  }
 }

@@ -413,91 +413,147 @@ object SuffixArray {
     ps.map(p => (p, new String(cps, p.toInt, minLen))).toArray
   }
 
+  /** The corpus-wide rolling-fingerprint table: one
+    * (doc_id, pos, h) row per `minLen`-gram position — ONE linear
+    * [[gramHashes]] pass per document (8-byte probe keys, the
+    * [[SubstringDedup]] discipline). `src` is (doc_id, t); the
+    * pre-explode repartition is the [[positions]] lesson (a small
+    * parquet source arrives as one partition).
+    */
+  private[ops] def gramFps(src: DataFrame, minLen: Int): DataFrame = {
+    val fpUdf = udf((t: String) => gramHashes(t, minLen))
+    src.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(fpUdf(col("t"))).as("ph"))
+      .select(col("doc_id"), col("ph._1").cast("long").as("pos"),
+        col("ph._2").as("h"))
+  }
+
+  /** Literal `minLen`-grams at candidate positions: candPos
+    * (doc_id, pos) → (doc_id, pos, gram). Candidates group by
+    * (doc_id, pos div ScrubBlockChars) — the [[scrubFromMembers]]
+    * block discipline: a repeat-heavy book-length document (≈ every
+    * position a candidate) becomes len/4096 block rows of ≤ 4096
+    * positions each, never one doc-length aggregation buffer. The
+    * text joins once per BLOCK row (bounded by candidate mass /
+    * blockChars), and [[gramsAt]] indexes absolute positions, so the
+    * block split changes buffer shape only, never the emitted grams.
+    */
+  private[ops] def literalGrams(candPos: DataFrame, src: DataFrame,
+                                minLen: Int): DataFrame = {
+    val gramUdf = udf((t: String, ps: Seq[Long]) => gramsAt(t, ps, minLen))
+    candPos
+      .groupBy(col("doc_id"),
+        (col("pos") / lit(ScrubBlockChars)).cast("long").as("blk"))
+      .agg(collect_list(col("pos")).as("ps"))
+      .join(src, Seq("doc_id"))
+      .select(col("doc_id"), explode(gramUdf(col("t"), col("ps"))).as("pg"))
+      .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("gram"))
+  }
+
+  /** Exact verified repeat classes over a literal-gram table with a
+    * per-class spanning predicate: group by the GRAM STRING (a
+    * fingerprint collision can only add candidates this exact
+    * re-group filters back out), keep classes with ≥ 2 occurrences
+    * across ≥ 2 documents that `spanPred` accepts, and emit their
+    * members under the class's global canonical label.
+    */
+  private def verifiedMembers(grams: DataFrame,
+                              extraAggs: Seq[Column],
+                              spanPred: Column): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_occ"),
+      countDistinct(col("doc_id")).as("n_docs")) ++ extraAggs
+    val classes = grams.groupBy("gram")
+      .agg(min(col("doc_id") * lit(4294967296L) + col("pos")).as("gkey"),
+        aggs: _*)
+      .filter(col("n_occ") >= 2 && col("n_docs") >= 2 && spanPred)
+    grams.join(classes.hint("merge"), Seq("gram"))
+      .select(col("doc_id"), col("pos"),
+        expr("gkey div 4294967296").as("grp_did"),
+        expr("gkey % 4294967296").as("grp_pos"))
+  }
+
   /** [[repeatGroups]] at corpus scale: hash-shard documents
     * (`pmod(doc_id, nShards)`), mine each shard's repeat classes
-    * SEQUENTIALLY (the outer loop the per-shard heap contract
-    * promises — peak memory is one shard's doubling rounds, 1/nShards
-    * of the corpus, regardless of corpus size), then recover the
-    * classes sharding splits with an EXACT completion pass:
+    * in bounded-width waves (the per-shard heap contract — peak
+    * memory is `maxConcurrentShards` shards' doubling rounds,
+    * 1/nShards of the corpus each, regardless of corpus size), then
+    * recover the classes sharding splits with an EXACT completion
+    * pass:
     *
     *  1. one linear rolling-fingerprint pass over the corpus
-    *     ([[gramHashes]] — an 8-byte shuffle key, the
+    *     ([[gramFps]] — an 8-byte shuffle key, the
     *     [[SubstringDedup]] discipline);
     *  2. fingerprint groups spanning ≥ 2 shards are the only possible
     *     cross-shard classes (equal grams hash equal) — everything
     *     else is already exact within its shard;
-    *  3. candidates verify by the LITERAL gram string ([[gramsAt]],
-    *     bounded by the candidate mass), keeping verified classes
-    *     that truly span shards.
+    *  3. candidates verify by the LITERAL gram string
+    *     ([[literalGrams]], bounded by the candidate mass), keeping
+    *     verified classes that truly span shards.
     *
     * Union: spanning classes from the completion pass (global
     * canonical labels) + per-shard classes not superseded by one
     * (anti-join on member identity). The result is EXACTLY the global
-    * [[repeatGroups]] output for every nShards ≥ 1 — shard count
-    * changes the memory/wall-clock trade, never the answer.
+    * [[repeatGroups]] output for every nShards ≥ 1 and every
+    * concurrency width — shard count and wave width change the
+    * memory/wall-clock trade, never the answer.
+    *
+    * `maxConcurrentShards` is the wall-clock escape hatch the strict
+    * sequential loop lacked: at hundreds of shards a width-1 driver
+    * loop leaves the cluster idle while one shard mines. Width P
+    * submits P shards' jobs concurrently (Spark schedules concurrent
+    * actions fine-grained across executors); the default 1 keeps the
+    * original one-shard-at-a-time heap contract.
     */
   def shardedRepeatGroups(docs: DataFrame, idCol: Column, textCol: Column,
-                          minLen: Int, nShards: Int): DataFrame = {
+                          minLen: Int, nShards: Int,
+                          maxConcurrentShards: Int = 1): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(maxConcurrentShards >= 1,
+      s"maxConcurrentShards must be >= 1, got $maxConcurrentShards")
     val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
-    // phase A: per-shard mining, one shard at a time — the eager
-    // checkpoint materializes shard s before shard s+1 starts, so
-    // the rounds of two shards never coexist in executor memory
-    val perShard = (0 until nShards).map { s =>
+    // phase A: per-shard mining in waves of maxConcurrentShards — the
+    // eager checkpoint materializes a wave's shards before the next
+    // wave starts, so at most `maxConcurrentShards` shards' rounds
+    // coexist in executor memory
+    def mine(s: Int): DataFrame =
       repeatGroups(src.filter(pmod(col("doc_id"), lit(nShards.toLong)) === s),
           col("doc_id"), col("t"), minLen)
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    }
+    val perShard: Seq[DataFrame] =
+      (0 until nShards).grouped(maxConcurrentShards).flatMap { wave =>
+        if (wave.size == 1) wave.map(mine)
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(wave.size)
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          try Await.result(
+            Future.sequence(wave.map(s => Future(mine(s))).toSeq), Duration.Inf)
+          finally pool.shutdown()
+        }
+      }.toSeq
     val membersA = perShard.reduce(_ unionByName _)
     if (nShards == 1) return membersA
-    // phase B: exact cross-shard completion
-    val fpUdf = udf((t: String) => gramHashes(t, minLen))
-    // pinned: `fps` (the corpus-wide rolling-fingerprint explode) is
-    // consumed twice below (spanning aggregate + left_semi) — without
-    // the cut the whole corpus pass would run twice
-    val fps = src
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(fpUdf(col("t"))).as("ph"))
-      .select(col("doc_id"), col("ph._1").cast("long").as("pos"),
-        col("ph._2").as("h"),
-        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+    // phase B: exact cross-shard completion. Pinned: `fps` (the
+    // corpus-wide rolling-fingerprint explode) is consumed twice
+    // below (spanning aggregate + left_semi) — without the cut the
+    // whole corpus pass would run twice.
+    val fps = gramFps(src, minLen)
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val spanning = fps.groupBy("h")
       .agg(countDistinct(col("shard")).as("n_shards"))
       .filter(col("n_shards") >= 2)
       .select("h")
     val candPos = fps.join(spanning, Seq("h"), "left_semi")
-    val gramUdf = udf((t: String, ps: Seq[Long]) => gramsAt(t, ps, minLen))
-    // candidate positions group by (doc_id, pos div ScrubBlockChars) —
-    // the scrubFromMembers block discipline: a repeat-heavy
-    // book-length document (≈ every position a candidate) becomes
-    // len/4096 block rows of ≤ 4096 positions each, never one
-    // doc-length aggregation buffer. The text joins once per BLOCK
-    // row (bounded by candidate mass / blockChars), and gramsAt
-    // indexes absolute positions, so the block split changes buffer
-    // shape only, never the emitted grams.
-    val grams = candPos
-      .groupBy(col("doc_id"),
-        (col("pos") / lit(ScrubBlockChars)).cast("long").as("blk"))
-      .agg(collect_list(col("pos")).as("ps"))
-      .join(src, Seq("doc_id"))
-      .select(col("doc_id"), explode(gramUdf(col("t"), col("ps"))).as("pg"))
-      .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("gram"),
-        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
-    // verified classes that REALLY span shards (a fingerprint
-    // collision can only add candidates that this exact re-group
-    // filters back out) — disjoint from phase A by construction,
-    // since a within-shard class never spans
-    val classes = grams.groupBy("gram").agg(
-        min(col("doc_id") * lit(4294967296L) + col("pos")).as("gkey"),
-        count(lit(1)).as("n_occ"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        countDistinct(col("shard")).as("n_shards"))
-      .filter(col("n_occ") >= 2 && col("n_docs") >= 2 && col("n_shards") >= 2)
-    val membersB = grams.join(classes.hint("merge"), Seq("gram"))
-      .select(col("doc_id"), col("pos"),
-        expr("gkey div 4294967296").as("grp_did"),
-        expr("gkey % 4294967296").as("grp_pos"))
+    val grams = literalGrams(candPos, src, minLen)
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+    // verified classes that REALLY span shards — disjoint from phase
+    // A by construction, since a within-shard class never spans
+    val membersB = verifiedMembers(grams,
+      Seq(countDistinct(col("shard")).as("n_shards")),
+      col("n_shards") >= 2)
     // a spanning class supersedes any within-shard fragment of itself
     // that shard-local mining emitted (with a shard-local label)
     membersB.unionByName(
@@ -513,4 +569,150 @@ object SuffixArray {
                    minLen: Int, nShards: Int): DataFrame =
     scrubFromMembers(docs, idCol, textCol, minLen,
       shardedRepeatGroups(docs, idCol, textCol, minLen, nShards))
+
+  // ---- standing exact-substring inventory (index maintenance) ------
+
+  /** The STANDING exact-substring state — the last member of the
+    * standing-index family (MinHash / HashIndex / SemIndex / BPE /
+    * Unigram / PQ / LM / KnnGraph / Tfidf.DfStats) to get the
+    * train-once / extend-at-O(batch) / persist treatment. Two tables:
+    *
+    *  - `members` — the verified repeat-class inventory
+    *    (doc_id, pos, grp_did, grp_pos), exactly [[repeatGroups]]'s
+    *    output over everything seen;
+    *  - `fps` — the ADDITIVE rolling-fingerprint table
+    *    (doc_id, pos, h), one row per gram position (the LM lesson:
+    *    raw additive state folds, a derived/pruned table is
+    *    unreplayable after extension). At deployment it is the
+    *    h-bucketed parquet artifact, so a batch probe reads only its
+    *    matching buckets.
+    *
+    * The corpus TEXT itself is a separate standing table (saved once,
+    * by its owner — the [[KnnGraph.GraphArtifact]] embedding-table
+    * convention); [[extendRepeatGroups]] takes it as an argument for
+    * the literal-gram verify, touching only candidate documents.
+    */
+  final case class RepeatInventory(members: DataFrame, fps: DataFrame,
+                                   minLen: Int)
+
+  /** Mine the full standing inventory: one [[shardedRepeatGroups]]
+    * pass (nShards 1 = the plain global miner) plus the fingerprint
+    * table. Both tables are eagerly pinned — they ARE the artifact.
+    */
+  def trainRepeatGroups(docs: DataFrame, idCol: Column, textCol: Column,
+                        minLen: Int, nShards: Int = 1,
+                        maxConcurrentShards: Int = 1): RepeatInventory = {
+    val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
+    RepeatInventory(
+      shardedRepeatGroups(docs, idCol, textCol, minLen, nShards,
+        maxConcurrentShards)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER),
+      gramFps(src, minLen)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER),
+      minLen)
+  }
+
+  /** Fold a batch of NEW documents (ids disjoint from everything the
+    * inventory has seen — the crawl-batch convention of
+    * `Tfidf.extendDfStats` / `KnnGraph.extend`) into the standing
+    * inventory WITHOUT re-mining the corpus. The [[shardedRepeatGroups]]
+    * phase-B shape applied BIPARTITE, with the standing corpus as one
+    * side and the batch as the other:
+    *
+    *  1. mine the batch alone ([[repeatGroups]] — O(batch) doubling
+    *     rounds);
+    *  2. probe the batch's gram fingerprints against the STANDING
+    *     fingerprint table: hashes present on BOTH sides are the only
+    *     places a class can cross the boundary (equal grams hash
+    *     equal) — candidate mass, never a corpus re-mine;
+    *  3. verify candidates by the LITERAL gram string (touching only
+    *     candidate documents of `standingDocs`), keeping classes that
+    *     truly cross;
+    *  4. union: crossing classes (global canonical labels) supersede
+    *     the standing/batch fragments they absorb (anti-join on
+    *     member identity); everything untouched survives verbatim.
+    *
+    * The result is EXACTLY `trainRepeatGroups(standing ∪ batch)`
+    * (spec-pinned at two split points): an untouched class has
+    * identical membership in the union; a touched class's candidates
+    * include ALL its union occurrences, so its thresholds and min
+    * label are the union's. New work is O(batch + candidates); the
+    * standing fps table shuffles only its h-matching rows (bucketed
+    * at deployment).
+    */
+  def extendRepeatGroups(standing: RepeatInventory, standingDocs: DataFrame,
+                         batch: DataFrame, idCol: Column,
+                         textCol: Column): RepeatInventory = {
+    val minLen = standing.minLen
+    val oldSrc = standingDocs.select(idCol.as("doc_id"), textCol.as("t"))
+    val newSrc = batch.select(idCol.as("doc_id"), textCol.as("t"))
+    // (1) the batch's own classes — O(batch) mining
+    val membersNew = repeatGroups(batch, idCol, textCol, minLen)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // pinned: consumed by the probe AND by the folded fps artifact
+    val fpsNew = gramFps(newSrc, minLen)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // (2) bipartite probe: candidate positions are BOTH sides'
+    // occurrences of any hash present on both sides
+    val oldCand = standing.fps
+      .join(fpsNew.select("h").distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(false).as("is_new"))
+    val newCand = fpsNew
+      .join(standing.fps.select("h").distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(true).as("is_new"))
+    // (3) literal verify over candidate docs only; is_new is a
+    // function of doc_id (ids are disjoint), re-attached by max()
+    // through the block grouping
+    val sideOf = oldCand.unionByName(newCand)
+      .groupBy(col("doc_id")).agg(max(col("is_new")).as("is_new"))
+    val grams = literalGrams(
+        oldCand.unionByName(newCand).select(col("doc_id"), col("pos")),
+        oldSrc.unionByName(newSrc), minLen)
+      .join(sideOf, Seq("doc_id"))
+    // (4) crossing classes: thresholds + labels over the union
+    // occurrences (the candidate set contains ALL of them)
+    val membersX = verifiedMembers(grams,
+      Seq(max(col("is_new")).as("has_new"),
+        max(!col("is_new")).as("has_old")),
+      col("has_new") && col("has_old"))
+    val members = membersX
+      .unionByName(standing.members.join(
+        membersX.select(col("doc_id"), col("pos")).hint("merge"),
+        Seq("doc_id", "pos"), "left_anti"))
+      .unionByName(membersNew.join(
+        membersX.select(col("doc_id"), col("pos")).hint("merge"),
+        Seq("doc_id", "pos"), "left_anti"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // fps folds additively; the union stays LAZY over the pinned
+    // pieces (materializing it would copy the corpus-sized table per
+    // batch — the whole point of the additive artifact is not to)
+    RepeatInventory(members, standing.fps.unionByName(fpsNew), minLen)
+  }
+
+  /** Persist a [[RepeatInventory]]: members + fps parquet and a
+    * params manifest (the `KnnGraph.saveGraph` shape) — at scale the
+    * fps write is bucketed by `h` so a batch probe reads only its
+    * matching buckets.
+    */
+  def saveRepeatGroups(inv: RepeatInventory, path: String): Unit = {
+    inv.members.write.mode("overwrite").parquet(s"$path/members")
+    inv.fps.write.mode("overwrite").parquet(s"$path/fps")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "params.json"),
+      s"""{"minLen":${inv.minLen}}""".getBytes("UTF-8"))
+  }
+
+  /** Load a persisted [[RepeatInventory]]; refuses a manifest missing
+    * its geometry (an inventory probed under the wrong `minLen`
+    * would fingerprint different grams than its members describe).
+    */
+  def loadRepeatGroups(spark: org.apache.spark.sql.SparkSession,
+                       path: String): RepeatInventory = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    val m = """"minLen"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+    require(m.isDefined, "params.json missing minLen")
+    RepeatInventory(spark.read.parquet(s"$path/members"),
+      spark.read.parquet(s"$path/fps"), m.get.group(1).toInt)
+  }
 }

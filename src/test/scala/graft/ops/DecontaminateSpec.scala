@@ -68,4 +68,54 @@ class DecontaminateSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  /** Brute verbatim-32-gram containment for the fixture. */
+  private def bruteVerbatim(corpus: Seq[(Long, String)],
+                            bench: Seq[(Long, String)], minLen: Int) = {
+    val bg = bench.flatMap { case (_, t) =>
+      val cps = t.codePoints.toArray
+      (0 to cps.length - minLen).map(p => new String(cps, p, minLen))
+    }.toSet
+    corpus.map { case (id, t) =>
+      val cps = t.codePoints.toArray
+      val n = math.max(cps.length - minLen + 1, 0)
+      val hits = (0 until n).count(p => bg(new String(cps, p, minLen)))
+      (id, n.toLong, hits.toLong,
+        if (n == 0) 0.0 else hits.toDouble / n.toDouble)
+    }.sortBy(_._1)
+  }
+
+  test("verbatimContamination: exact 32-char containment incl. perturbed copies and short docs") {
+    val span = "The five boxing wizards jump quickly tonight" // 45 chars
+    val benchRows = Seq(100L -> s"Benchmark question: $span — answer below.")
+    val corpusRows = Seq(
+      // verbatim copy, different tokenization around it: the token-set
+      // gate blurs, the character gate must hit
+      1L -> s"noise   $span   more noise",
+      // whitespace-perturbed INSIDE the span: no 32-char verbatim run
+      2L -> s"noise ${span.replace(" jump ", "  jump ")} tail",
+      3L -> "completely unrelated text that is long enough to have grams",
+      4L -> "short doc") // < 32 chars: n_grams 0, contamination 0.0
+    val got = Decontaminate.verbatimContamination(
+        corpusRows.toDF("doc_id", "text"), benchRows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), minLen = 32)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == bruteVerbatim(corpusRows, benchRows, 32))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > 0L, "verbatim copy must hit")
+    assert(byId(2L) == 0L, "in-span perturbation must not hit at 32 chars")
+    assert(byId(3L) == 0L && byId(4L) == 0L)
+    assert(got.find(_._1 == 4L).get._2 == 0L)
+  }
+
+  test("verbatimContamination plan: bench probe + literal verify broadcast; corpus never shuffles for them") {
+    val bench = df(100L -> ("b" * 40))
+    val corpus = df(1L -> ("b" * 40 + " tail"), 2L -> ("z" * 40))
+    val plan = Decontaminate.verbatimContamination(corpus, bench,
+      col("doc_id"), col("text"), minLen = 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

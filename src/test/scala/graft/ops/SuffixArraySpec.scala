@@ -265,4 +265,104 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(narrow == wide, "block-segmented reassembly diverged")
     assert(wide.exists(_._3 > 0), "fixture must actually scrub something")
   }
+
+  test("shardedRepeatGroups: concurrency width never changes the answer (P in {1,2,4} at nShards 7)") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val seq = SuffixArray.shardedRepeatGroups(docsDf, col("doc_id"),
+        col("text"), minLen = 32, nShards = 7)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long, Long)].collect().toSeq
+    for (p <- Seq(2, 4)) {
+      val par = SuffixArray.shardedRepeatGroups(docsDf, col("doc_id"),
+          col("text"), minLen = 32, nShards = 7, maxConcurrentShards = p)
+        .orderBy("doc_id", "pos").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(par == seq, s"maxConcurrentShards=$p diverged from width 1")
+    }
+  }
+
+  private def inventoryRows(inv: SuffixArray.RepeatInventory) =
+    inv.members.orderBy("doc_id", "pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("extendRepeatGroups == re-mine on the union, at two split points") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val full = SuffixArray.repeatGroups(docsDf, col("doc_id"), col("text"),
+        minLen = 32)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long, Long)].collect().toSeq
+    for (split <- Seq(col("doc_id") % 2 === 0, col("doc_id") % 3 === 0)) {
+      val standingDocs = docsDf.filter(split)
+      val batch = docsDf.filter(!split)
+      val standing = SuffixArray.trainRepeatGroups(standingDocs,
+        col("doc_id"), col("text"), minLen = 32)
+      val extended = SuffixArray.extendRepeatGroups(standing, standingDocs,
+        batch, col("doc_id"), col("text"))
+      assert(inventoryRows(extended) == full, s"extend != re-mine at $split")
+      // the fps artifact folded additively: one row per gram position
+      // of the union
+      val nGrams = docsDf.select(col("doc_id"),
+          greatest(length(col("text")) - 31, lit(0)).cast("long").as("n"))
+        .agg(sum("n")).as[Long].collect().head
+      assert(extended.fps.count() == nGrams)
+    }
+  }
+
+  test("extendRepeatGroups finds the class only the bipartite completion can (1 standing + 1 batch occurrence)") {
+    val shared = "the quick brown fox jumps over a dam" // 36 chars
+    val standingDocs = Seq((0L, s"$shared padding zero"),
+      (2L, "nothing shared here at all, completely different text"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, s"xx$shared padding one")).toDF("doc_id", "text")
+    val standing = SuffixArray.trainRepeatGroups(standingDocs,
+      col("doc_id"), col("text"), minLen = 32)
+    // neither side alone has a class: standing has ONE occurrence,
+    // the batch has ONE — only the cross-boundary probe can pair them
+    assert(inventoryRows(standing).isEmpty)
+    val extended = SuffixArray.extendRepeatGroups(standing, standingDocs,
+      batch, col("doc_id"), col("text"))
+    val got = inventoryRows(extended)
+    assert(got.nonEmpty, "cross-boundary class missed")
+    // the shared run yields one class per overlapping 32-gram, all
+    // canonically labeled in the standing doc (the global min side)
+    val labels = got.map(t => (t._3, t._4)).toSet
+    assert(labels.forall(_._1 == 0L), s"canonical labels not global mins: $labels")
+    assert(labels.contains((0L, 0L)))
+    assert(got.exists(m => m._1 == 0L && m._2 == 0L) &&
+      got.exists(m => m._1 == 1L && m._2 == 2L))
+  }
+
+  test("saveRepeatGroups/loadRepeatGroups round-trips bitwise; the loaded inventory extends identically") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val standingDocs = docsDf.filter(col("doc_id") % 2 === 0)
+    val batch = docsDf.filter(col("doc_id") % 2 === 1)
+    val standing = SuffixArray.trainRepeatGroups(standingDocs,
+      col("doc_id"), col("text"), minLen = 32)
+    val dir = java.nio.file.Files.createTempDirectory("sa_inv").toString
+    try {
+      SuffixArray.saveRepeatGroups(standing, dir)
+      val loaded = SuffixArray.loadRepeatGroups(spark, dir)
+      assert(loaded.minLen == 32)
+      assert(inventoryRows(loaded) == inventoryRows(standing))
+      assert(loaded.fps.orderBy("doc_id", "pos")
+        .as[(Long, Long, Long)].collect().toSeq ==
+        standing.fps.orderBy("doc_id", "pos")
+          .as[(Long, Long, Long)].collect().toSeq)
+      // extending the LOADED inventory equals extending the live one
+      val a = inventoryRows(SuffixArray.extendRepeatGroups(loaded,
+        standingDocs, batch, col("doc_id"), col("text")))
+      val b = inventoryRows(SuffixArray.extendRepeatGroups(standing,
+        standingDocs, batch, col("doc_id"), col("text")))
+      assert(a == b)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("extendRepeatGroups: an empty batch is a no-op") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    val standing = SuffixArray.trainRepeatGroups(docsDf, col("doc_id"),
+      col("text"), minLen = 32)
+    val extended = SuffixArray.extendRepeatGroups(standing, docsDf,
+      docsDf.filter(lit(false)), col("doc_id"), col("text"))
+    assert(inventoryRows(extended) == inventoryRows(standing))
+  }
 }
