@@ -1832,19 +1832,17 @@ object SparkEntry {
       Rank.valueRanks(events(s, dir), col("value"), k = 8)
         .orderBy(col("v"))),
 
-    // EWMA (α=1/2) per user: per-key ordered fold over a bounded
-    // collected sequence — (acc+x)/2 is the same IEEE op sequence on
-    // both engines, so the final double hash-matches
+    // EWMA (α=1/2) per user, BLOCK-BOUNDED (Ewma.ewmaHalf): events
+    // fold in 4096-wide blocks, blocks compose in order as
+    // acc·2^{-m}+c — per-key state is one summary per block, never
+    // the full history (the r12 skew-hazard fix); the oracle replays
+    // the same blocked algorithm, which IS the plain fold for every
+    // key within one block
     "q_ewma" -> ((s, dir) => {
       val e = events(s, dir).withColumn("t", tsEpochSec)
-      e.groupBy(col("user_id"))
-        .agg(sort_array(collect_list(
-          struct(col("t"), col("event_id"), col("value")))).as("seq"))
-        .select(col("user_id"),
-          size(col("seq")).cast(LongType).as("n"),
-          aggregate(col("seq"), lit(null).cast(DoubleType),
-            (acc, x) => when(acc.isNull, x.getField("value"))
-              .otherwise((acc + x.getField("value")) / lit(2.0))).as("ewma"))
+      Ewma.ewmaHalf(e, col("user_id"), Seq(col("t"), col("event_id")),
+          col("value"))
+        .select(col("key").as("user_id"), col("n"), col("ewma"))
         .orderBy(col("user_id"))
     })
   )
@@ -2834,6 +2832,36 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
     * silently drift apart.
     */
   private val GraphAuditCellCap = 64L
+
+  /** Oracle for q_ewma: the blocked contract of [[graft.ops.Ewma]]
+    * replayed verbatim — the block width is interpolated from the
+    * operator's own constant (the generate-from-the-Scala-constant
+    * discipline), so the two sides cannot desync. The outer
+    * composition folds over INDICES with a scalar accumulator
+    * (DuckDB's list_reduce struct-accumulator bug never engages).
+    */
+  private lazy val ewmaOracle: String = {
+    val b = graft.ops.Ewma.BlockEvents
+    "WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+      "list(value ORDER BY epoch(date_trunc('second', ts)), event_id) AS vs " +
+      "FROM events GROUP BY 1), " +
+      s"bl AS (SELECT user_id, n, bi, vs[CAST(bi * $b + 1 AS BIGINT) : " +
+      s"CAST(least((bi + 1) * $b, len(vs)) AS BIGINT)] AS sub " +
+      s"FROM l, unnest(range(0, (len(vs) + $b - 1) // $b)) AS u(bi)), " +
+      "pc AS (SELECT user_id, n, bi, CAST(len(sub) AS BIGINT) AS m, " +
+      "CASE WHEN bi = 0 THEN list_reduce(sub, (a, x) -> (a + x) / 2) " +
+      "ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), sub), " +
+      "(a, x) -> (a + x) / 2) END AS c FROM bl), " +
+      "k AS (SELECT user_id, n, list(m ORDER BY bi) AS ms, " +
+      "list(c ORDER BY bi) AS cs FROM pc GROUP BY user_id, n) " +
+      "SELECT user_id, n, " +
+      "list_reduce(list_prepend(cs[1], " +
+      "list_transform(range(2, len(cs) + 1), i -> CAST(i AS DOUBLE))), " +
+      "(a, i) -> a * (CASE WHEN ms[CAST(i AS BIGINT)] >= 1075 THEN 0.0 " +
+      "ELSE power(2.0, -CAST(ms[CAST(i AS BIGINT)] AS DOUBLE)) END) + " +
+      "cs[CAST(i AS BIGINT)]) AS ewma " +
+      "FROM k ORDER BY user_id"
+  }
 
   /** Mirrors KnnGraph.graphCapAudit(emb, 16, [[GraphAuditCellCap]]):
     * per-cell multi-probe population off the same pcells CTE the edge
@@ -4587,15 +4615,13 @@ FROM v$it ORDER BY token_id"""
         "SELECT v, cnt, rnk, CAST((rnk - 1) * 8 // n + 1 AS BIGINT) AS bucket " +
         "FROM r CROSS JOIN n ORDER BY v"),
 
-    // same (acc+x)/2 fold over the same (t, event_id)-ordered values;
-    // list_reduce seeds with the first element, mirroring the
-    // null-seeded Spark fold
-    "q_ewma" ->
-      ("WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
-        "list(value ORDER BY epoch(date_trunc('second', ts)), event_id) AS vs " +
-        "FROM events GROUP BY 1) " +
-        "SELECT user_id, n, list_reduce(vs, (a, b) -> (a + b) / 2) AS ewma " +
-        "FROM l ORDER BY user_id"),
+    // the blocked replay, generated from the SAME BlockEvents
+    // constant the operator uses: per-block (a+x)/2 folds over the
+    // (t, event_id)-ordered values (block 0 seeds with its first
+    // element, later blocks with 0.0), then the in-order
+    // acc·2^{-m}+c composition — degenerates to the plain
+    // list_reduce fold whenever a key fits one block
+    "q_ewma" -> ewmaOracle,
 
     // LSH dedup family — engine-portable integer hashing makes the full
     // pipeline (signatures, buckets, candidates, verify) recomputable

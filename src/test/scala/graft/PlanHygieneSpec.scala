@@ -79,9 +79,16 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"per-value multiplicities not map-side combined:\n$plan")
   }
 
-  test("q_ewma folds inside one user-keyed aggregation, no window no product") {
+  test("q_ewma: block-bounded folds — a streaming row_number window, two key-bounded aggregations, no product") {
     val plan = finalPlan(q("q_ewma"))
-    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+    // the ONE window is the per-key row_number that assigns block
+    // indices — a streaming (sort-based, spilling) operator with no
+    // per-key buffer; the per-key history buffer the old single
+    // collect_list held is gone (two aggregations: per-(key, block)
+    // then per-key over block SUMMARIES)
+    assert("Window \\[".r.findAllIn(plan).size <= 1,
+      s"more than the block-index window in:\n$plan")
+    assert(plan.contains("row_number"), s"block-index window missing in:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"product in:\n$plan")
   }
