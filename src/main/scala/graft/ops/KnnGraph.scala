@@ -54,10 +54,21 @@ object KnnGraph {
     * (constant cell population) and is measured near-flat at the
     * smoke's sizes.
     */
+  /** `centroids` (opt-in): a TRAINED coarse quantizer
+    * ([[Similarity.kmeansCentroids]] — the replayable fixed-point
+    * k-means) instead of the seed-vector geometry. On skewed real
+    * embeddings the seed cells concentrate mass into hot cells that
+    * the cap then silences (pairs lost, audited); trained cells
+    * migrate toward the data's modes and rebalance — spec-pinned:
+    * fewer capped cells and no worse pair coverage on a clumped-seed
+    * fixture. The default stays the seed geometry (the oracle
+    * contract of the shipped queries).
+    */
   def build(embeddings: DataFrame, k: Int, nCentroids: Int = 16,
-            cellCap: Option[Long] = None): DataFrame = {
+            cellCap: Option[Long] = None,
+            centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val cents = Similarity.ivfCentroids(embeddings, nCentroids)
+    val cents = centroids.getOrElse(Similarity.ivfCentroids(embeddings, nCentroids))
     val probed0 = embeddings
       .select(col("vec_id"),
         explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("cell"))
@@ -95,8 +106,9 @@ object KnnGraph {
     * graph. Bounded output: nCentroids rows.
     */
   def graphCapAudit(embeddings: DataFrame, nCentroids: Int = 16,
-                    cellCap: Long = 10000L): DataFrame = {
-    val cents = Similarity.ivfCentroids(embeddings, nCentroids)
+                    cellCap: Long = 10000L,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(Similarity.ivfCentroids(embeddings, nCentroids))
     embeddings
       .select(col("vec_id"),
         explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("cell"))

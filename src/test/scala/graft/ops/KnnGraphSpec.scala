@@ -365,6 +365,43 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(hits >= 6, s"beam search missed the exact top-5 entirely for ${8 - hits}/8 queries")
   }
 
+  test("trained cells rebalance a clumped-seed fixture: fewer capped cells, pair coverage no worse") {
+    // seeds (ids 0..15) clumped in a tiny arc; the corpus spread over
+    // a quarter circle — under the SEED geometry nearly everything
+    // probes into the clump's widest cells, so a cap silences most
+    // pairs; three Lloyd iterations migrate centroids into the mass
+    val rnd = new scala.util.Random(7)
+    def vec(theta: Double) = Seq(math.cos(theta).toFloat,
+      math.sin(theta).toFloat, (rnd.nextDouble() * 0.01).toFloat,
+      (rnd.nextDouble() * 0.01).toFloat)
+    val rows = (0 until 16).map(i => (i.toLong, vec(i * 0.003))) ++
+      (16 until 216).map(i =>
+        (i.toLong, vec(0.05 + (i - 16) * (1.5 - 0.05) / 200.0)))
+    val emb = rows.toDF("vec_id", "embedding")
+    // Lloyd from clumped seeds migrates one boundary centroid at a
+    // time, so three iterations split the 403-probe hot mass into
+    // ~179+129+70+25 (measured): the HOTTEST cell and the capped MASS
+    // drop monotonically with iterations; cap 150 is where the capped
+    // COUNT visibly drops too (2 seed cells over it, 1 trained)
+    val trained = Similarity.kmeansCentroids(emb, 16, iterations = 3)
+    val cap = 150L
+    def audit(c: Option[Array[Array[Double]]]) =
+      KnnGraph.graphCapAudit(emb, 16, cap, c)
+        .as[(Long, Long, Boolean)].collect().toSeq
+    val seedAudit = audit(None)
+    val trainedAudit = audit(Some(trained))
+    assert(seedAudit.count(_._3) >= 1, s"fixture must cap under seed cells: $seedAudit")
+    assert(trainedAudit.count(_._3) < seedAudit.count(_._3),
+      s"trained cells did not reduce capped cells: seed=$seedAudit trained=$trainedAudit")
+    assert(trainedAudit.map(_._2).max < seedAudit.map(_._2).max,
+      "trained cells did not reduce the hottest cell")
+    def edges(c: Option[Array[Array[Double]]]) =
+      KnnGraph.build(emb, k = 5, nCentroids = 16, cellCap = Some(cap),
+        centroids = c).count()
+    assert(edges(Some(trained)) >= edges(None),
+      "trained cells lost pair coverage vs seed cells under the same cap")
+  }
+
   test("beamRound plan: the frontier broadcasts into the edge join (cost contract)") {
     // the per-round checkpoint truncates the loop's final lineage, so
     // the broadcast-per-round cost contract is pinned HERE, on one

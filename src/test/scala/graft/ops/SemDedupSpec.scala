@@ -76,6 +76,35 @@ class SemDedupSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
 
+  test("trained cells on a clumped-seed fixture: planted twins found under both geometries (recall no worse)") {
+    import spark.implicits._
+    // the clumped-seed skew shape (seeds in a tiny arc, corpus over a
+    // quarter circle) with exact twins planted in the broad region —
+    // a twin pair shares any geometry's cell, so BOTH geometries must
+    // catch every planted dup; trained cells may only ADD coverage
+    val rnd = new scala.util.Random(11)
+    def vec(theta: Double) = Seq(math.cos(theta).toFloat,
+      math.sin(theta).toFloat, (rnd.nextDouble() * 0.01).toFloat,
+      (rnd.nextDouble() * 0.01).toFloat)
+    val base = (0 until 16).map(i => (i.toLong, vec(i * 0.003))) ++
+      (16 until 116).map(i =>
+        (i.toLong, vec(0.05 + (i - 16) * 1.45 / 100.0)))
+    val twins = (0 until 10).map(j => (200L + j, base(16 + 5 * j)._2))
+    val skewed = (base ++ twins).toDF("vec_id", "embedding")
+    val planted = twins.map(_._1).toSet
+    def dupIds(c: Option[Array[Array[Double]]]) =
+      SemDedup.duplicates(skewed, nCells = 16, threshold = 0.9,
+          centroids = c)
+        .select("vec_id").as[Long].collect().toSet
+    val seedDups = dupIds(None)
+    val trainedDups = dupIds(
+      Some(Similarity.kmeansCentroids(skewed, 16, iterations = 3)))
+    assert(planted.subsetOf(seedDups), s"seed cells missed ${planted -- seedDups}")
+    assert(planted.subsetOf(trainedDups), s"trained cells missed ${planted -- trainedDups}")
+    assert(trainedDups.size >= seedDups.size,
+      "trained cells lost dedup coverage on the skewed fixture")
+  }
+
   test("blocking bounds the pair space: fewer verdicts than all-pairs at a loose threshold") {
     // with one cell the operator degenerates to all-pairs; with 16
     // cells a cross-cell near-dup pair is (correctly) not considered.
