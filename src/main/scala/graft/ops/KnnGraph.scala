@@ -384,8 +384,26 @@ object KnnGraph {
                         rounds: Int = 3, entryStep: Long = 16L): DataFrame = {
     require(k <= beam, s"k ($k) must not exceed the beam width ($beam)")
     require(entryStep >= 1, s"entryStep must be positive, got $entryStep")
-    val entries = embeddings
-      .filter(pmod(col("vec_id"), lit(entryStep)) === 0)
+    beamLoop(embeddings, graph, queries,
+      sampledEntries(embeddings, queries, entryStep), k, beam, rounds)
+  }
+
+  /** Exact integer power (layer step spacing). */
+  private def lpow(base: Long, exp: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < exp) { r = r * base; i += 1 }
+    r
+  }
+
+  /** Exact top-2 of the `vec_id % step == 0` sample per query — the
+    * shared entry scan of [[beamSearchSampled]] (step = entryStep)
+    * and [[beamSearchLayered]] (step = entryStep^nLayers, where the
+    * hierarchy makes the scanned sample geometrically smaller).
+    */
+  private def sampledEntries(embeddings: DataFrame, queries: DataFrame,
+                             step: Long): DataFrame =
+    embeddings
+      .filter(pmod(col("vec_id"), lit(step)) === 0)
       .select(col("vec_id"), col("embedding"))
       .join(broadcast(queries.select(col("query_id"),
         col("embedding").as("q_emb"))), col("vec_id") =!= col("query_id"))
@@ -395,7 +413,73 @@ object KnnGraph {
         .orderBy(col("score").desc, col("vec_id").asc)))
       .filter(col("rn") <= 2)
       .select(col("query_id"), col("vec_id"))
-    beamLoop(embeddings, graph, queries, entries, k, beam, rounds)
+
+  /** The MULTI-LEVEL graph artifact — HNSW's log-n hierarchy
+    * (Malkov & Yashunin 2016) in the repo's deterministic sampling
+    * frame: `layers(0)` is the layer-0 graph over the full corpus;
+    * `layers(ℓ)` is a k-NN graph over the nested sample
+    * `vec_id % entryStep^ℓ == 0` (each layer's node set ⊆ the layer
+    * below, exactly HNSW's level assignment with the random level
+    * replaced by the id-deterministic one — replayable, and at scale
+    * a pure partition-pruning predicate on the bucketed embedding
+    * table). Upper-layer edges are LONG-RANGE by construction: a
+    * sample with ≪ one node per neighborhood wires distant regions,
+    * which is what lets a walk descend to the right region before
+    * the dense layer-0 hops.
+    */
+  final case class LayeredGraph(layers: Seq[DataFrame], entryStep: Long)
+
+  /** Build the upper layers over an existing layer-0 graph (the
+    * session-shared artifact — one base build serves flat AND layered
+    * consumers). Layer ℓ's cell-blocked build keeps the base
+    * geometry's cell POPULATION: the seed-id bound scales by the
+    * sample spacing (`nCentroids · entryStep^ℓ`), so the sample holds
+    * ~nCentroids seeds and per-cell work stays bounded layer by
+    * layer. Upper layers are geometrically small (corpus/step^ℓ) —
+    * the whole hierarchy costs a constant factor over layer 0.
+    */
+  def buildLayered(embeddings: DataFrame, baseGraph: DataFrame, k: Int,
+                   nCentroids: Int = 16, entryStep: Long = 16L,
+                   nLayers: Int = 1): LayeredGraph = {
+    require(nLayers >= 1, s"nLayers must be >= 1, got $nLayers")
+    require(entryStep >= 2, s"entryStep must be >= 2, got $entryStep")
+    val uppers = (1 to nLayers).map { l =>
+      val stepL = lpow(entryStep, l)
+      val bound = math.min(nCentroids.toLong * stepL, Int.MaxValue.toLong).toInt
+      build(embeddings.filter(pmod(col("vec_id"), lit(stepL)) === 0),
+        k, nCentroids = bound)
+    }
+    LayeredGraph(baseGraph +: uppers, entryStep)
+  }
+
+  /** Beam search DOWN a [[LayeredGraph]] — the HNSW query loop: the
+    * exact entry scan touches only the TOP sample
+    * (corpus/entryStep^nLayers rows per query, geometrically cheaper
+    * than [[beamSearchSampled]]'s single-level scan), then each layer
+    * walks its graph from the layer above's best-2 and hands its
+    * best-2 down; layer 0 returns the final top-k. Entry COVERAGE is
+    * therefore set by the BOTTOM-MOST upper sample (corpus/entryStep)
+    * while the scan cost is set by the top — the hierarchy's whole
+    * point: a small entryStep's recall at a deep layer's cost. Every
+    * step stays a total order (round-6 scores, (score, vec_id) ties),
+    * so the unrolled oracle replays the full descent.
+    */
+  def beamSearchLayered(embeddings: DataFrame, lg: LayeredGraph,
+                        queries: DataFrame, k: Int, beam: Int = 8,
+                        rounds: Int = 3): DataFrame = {
+    require(k <= beam, s"k ($k) must not exceed the beam width ($beam)")
+    require(beam >= 2, s"layered descent hands best-2 down; beam ($beam) must be >= 2")
+    val nLayers = lg.layers.size - 1
+    var entries = sampledEntries(embeddings, queries,
+      lpow(lg.entryStep, nLayers))
+    var l = nLayers
+    while (l >= 1) {
+      entries = beamLoop(embeddings, lg.layers(l), queries, entries,
+          k = 2, beam, rounds)
+        .select(col("query_id"), col("vec_id"))
+      l -= 1
+    }
+    beamLoop(embeddings, lg.layers(0), queries, entries, k, beam, rounds)
   }
 
   /** The shared layer-0 loop: from `entries` (query_id, vec_id),
@@ -427,12 +511,36 @@ object KnnGraph {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
-    var frontier = scored(entries.filter(col("vec_id") =!= col("query_id")))
-      .localCheckpoint()
+    // checkpoint + CONSTRAINT SCRUB for every keep-best union child:
+    // localCheckpoint's LogicalRDD snapshots the origin plan's
+    // constraints, and a snapshot can reference attributes the plan
+    // projected away (seen with the centroid-entry lineage's
+    // element_at alias on non-nullable inputs) — the union's
+    // constraint rewrite then dies with NoSuchElementException in
+    // PruneFilters. Rebuilding the frame from the materialized RDD
+    // yields a constraint-free leaf; the frames are |queries|·beam·k
+    // rows, so the extra row round-trip is noise.
+    def pinned(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    var frontier = pinned(
+      scored(entries.filter(col("vec_id") =!= col("query_id"))))
     var i = 0
     while (i < rounds) {
-      frontier = beamRound(embeddings, graph, q, frontier, beam)
-        .localCheckpoint()
+      // the candidate expansion+scoring (the broadcast joins — see
+      // [[beamCandidates]]) materializes BEFORE the keep-best union:
+      // both frames are tiny, and scrubbed leaves keep the union's
+      // constraint rewrite trivially valid
+      val cand = pinned(beamCandidates(embeddings, graph, q, frontier))
+      frontier = cand
+        .unionByName(frontier)
+        .groupBy(col("query_id"), col("vec_id")) // dedup: scores are functional
+        .agg(max(col("score")).as("score"))
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= beam)
+        .drop("rn")
+      frontier = pinned(frontier)
       i += 1
     }
     frontier
@@ -441,20 +549,17 @@ object KnnGraph {
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }
 
-  /** ONE beam round, un-checkpointed — the per-round plan [[beamLoop]]
-    * pins its cost model on: the frontier (|queries|·beam rows)
-    * BROADCASTS into the edge join, so the corpus-sized edge table
-    * never shuffles; candidate scoring joins frontier·k ids back to
-    * the embedding table by vec_id. Package-private so the broadcast
-    * shape is plan-pinnable in specs (the checkpointed loop's final
-    * plan is just a checkpoint read and can't carry the assertion).
-    * `q` is (query_id, q_emb).
+  /** ONE round's candidate expansion + scoring, un-checkpointed — the
+    * per-round plan [[beamLoop]] pins its cost model on: the frontier
+    * (|queries|·beam rows) BROADCASTS into the edge join, so the
+    * corpus-sized edge table never shuffles; candidate scoring joins
+    * frontier·k candidate ids back to the embedding table by vec_id.
+    * Package-private so the broadcast shape is plan-pinnable in specs
+    * (the checkpointed loop's final plan is just a checkpoint read
+    * and can't carry the assertion). `q` is (query_id, q_emb).
     */
-  private[ops] def beamRound(embeddings: DataFrame, graph: DataFrame,
-                             q: DataFrame, frontier: DataFrame,
-                             beam: Int): DataFrame = {
-    val byQ = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
+  private[ops] def beamCandidates(embeddings: DataFrame, graph: DataFrame,
+                                  q: DataFrame, frontier: DataFrame): DataFrame = {
     // the frontier (|queries|·beam rows) broadcasts; the corpus-
     // sized edge table stays put — one map-side join per round
     val neighbors = graph.select(col("src").as("vec_id"), col("dst"))
@@ -468,11 +573,5 @@ object KnnGraph {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
-      .unionByName(frontier)
-      .groupBy(col("query_id"), col("vec_id")) // dedup: scores are functional
-      .agg(max(col("score")).as("score"))
-      .withColumn("rn", row_number().over(byQ))
-      .filter(col("rn") <= beam)
-      .drop("rn")
   }
 }

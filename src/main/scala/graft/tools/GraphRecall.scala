@@ -93,19 +93,33 @@ object GraphRecall {
         .localCheckpoint()
       println(f"$kind%-10s x$f%-6d $n%-7d edges     raw:  ${edgeRecall(graph)}%.3f   " +
         f"refined(NN-Descent<=4): ${edgeRecall(refined)}%.3f")
+      // layered hierarchy sizing (VERDICT r12 task 5): entryStep 4 so
+      // the bottom-most upper sample is n/4 (coverage ≈ (n/4)/clusters
+      // = 2.5 on the clustered generator — the recall target), depth
+      // so the TOP scanned sample stays ~512 rows (the cost target)
+      val lStep = 4L
+      val lLayers = math.max(1, (math.log(n.toDouble / 512.0) /
+        math.log(lStep.toDouble)).floor.toInt)
       val combos = for (gname <- Seq("raw", "refined");
-                        entry <- Seq("centroid", "sampled")) yield {
+                        entry <- Seq("centroid", "sampled", "layered")) yield {
         val g = if (gname == "raw") graph else refined
-        val res =
-          if (entry == "centroid")
+        val res = entry match {
+          case "centroid" =>
             KnnGraph.beamSearch(emb, g, qdf, k = 5, beam = 16,
               rounds = 4, nCentroids = nc)
-          else
+          case "sampled" =>
             KnnGraph.beamSearchSampled(emb, g, qdf, k = 5, beam = 16,
               rounds = 4, entryStep = step)
+          case _ =>
+            KnnGraph.beamSearchLayered(emb,
+              KnnGraph.buildLayered(emb, g, k = 5, nCentroids = nc,
+                entryStep = lStep, nLayers = lLayers),
+              qdf, k = 5, beam = 16, rounds = 4)
+        }
         val recall = recallOf(res)
-        println(f"$kind%-10s x$f%-6d $n%-7d $gname%-9s $entry%-9s 16    4       $recall%.3f")
-        (gname, entry, recall)
+        val tag = if (entry == "layered") s"layered(s$lStep,L$lLayers)" else entry
+        println(f"$kind%-10s x$f%-6d $n%-7d $gname%-9s $tag%-16s 16    4       $recall%.3f")
+        (gname, tag, recall)
       }
       // the repo's out-of-corpus workhorse as the comparison baseline:
       // trained IVF, nProbe 4 (self-exclusion matches the panel setup)

@@ -402,12 +402,79 @@ class KnnGraphSpec extends AnyFunSuite {
       "trained cells lost pair coverage vs seed cells under the same cap")
   }
 
-  test("beamRound plan: the frontier broadcasts into the edge join (cost contract)") {
-    // the per-round checkpoint truncates the loop's final lineage, so
+  test("beamSearchLayered: contract, determinism, and hierarchy beats flat at equal scan cost") {
+    // clustered fixture (the GraphRecall generator shape): 40 tight
+    // 8-member clusters; ids 0..15 double as layer seeds
+    val rnd = new scala.util.Random(3)
+    def cvec(c: Int) = Array.fill(8)(rnd.nextDouble() * 2 - 1)
+    val centers = (0 until 40).map(cvec)
+    val rows = (0 until 320).map { i =>
+      val c = i % 40
+      (i.toLong, centers(c).map(x =>
+        (x + (new scala.util.Random(i * 41 + 7).nextDouble() - 0.5) * 0.1)
+          .toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val base = KnnGraph.build(emb, k = 5, nCentroids = 16).localCheckpoint()
+    val queries = emb.filter(col("vec_id") % 37 === 1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val lg = KnnGraph.buildLayered(emb, base, k = 5, nCentroids = 16,
+      entryStep = 4L, nLayers = 2)
+    // nested deterministic samples: layer ℓ nodes are exactly the
+    // vec_id % 4^ℓ == 0 rows
+    assert(lg.layers.size == 3)
+    val l2Nodes = lg.layers(2).select("src").as[Long].collect().toSet
+    assert(l2Nodes.nonEmpty && l2Nodes.forall(_ % 16L == 0L))
+    val got = KnnGraph.beamSearchLayered(emb, lg, queries, k = 5,
+        beam = 16, rounds = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // contract: <= k ranked rows per query, never the query itself,
+    // scores are the round-6 cosines of the returned pairs
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.size <= 5 && rs.map(_._4).sorted == (1L to rs.size).toSeq)
+      assert(!rs.exists(_._2 == q))
+      rs.foreach { case (_, v, s, _) =>
+        val qe = rows(q.toInt)._2.map(_.toDouble).toArray
+        assert(s == r6(cos(qe, rows(v.toInt)._2.map(_.toDouble).toArray)))
+      }
+    }
+    // deterministic: a second run is bit-identical
+    val again = KnnGraph.beamSearchLayered(emb, lg, queries, k = 5,
+        beam = 16, rounds = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(again == got)
+    // the hierarchy's claim: at EQUAL top-scan cost (the flat scan
+    // uses entryStep 16 = 4², the same rows the layered top scan
+    // reads), the descent's coverage comes from the n/4 sample and
+    // must recall at least as much of the exact top-5
+    def recallOf(rs: Seq[(Long, Long, Double, Long)]): Double = {
+      val g = rs.groupBy(_._1)
+      val qs = queries.select("query_id").as[Long].collect().toSeq
+      qs.map { q =>
+        val qe = rows(q.toInt)._2.map(_.toDouble).toArray
+        val exact = rows.filter(_._1 != q)
+          .map { case (v, e) => (v, r6(cos(qe, e.map(_.toDouble).toArray))) }
+          .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1).toSet
+        g.getOrElse(q, Seq.empty).map(_._2).count(exact).toDouble / exact.size
+      }.sum / qs.size
+    }
+    val flat = KnnGraph.beamSearchSampled(emb, base, queries, k = 5,
+        beam = 16, rounds = 4, entryStep = 16L)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(recallOf(got) >= recallOf(flat),
+      s"hierarchy (${recallOf(got)}) under flat (${recallOf(flat)}) at equal scan cost")
+  }
+
+  test("beamCandidates plan: the frontier broadcasts into the edge join (cost contract)") {
+    // the per-round checkpoints truncate the loop's final lineage, so
     // the broadcast-per-round cost contract is pinned HERE, on one
-    // un-checkpointed round's plan: both the frontier→edge join and
-    // the query-set scoring join must be broadcast (the corpus-sized
-    // edge/embedding tables never shuffle for the frontier)
+    // un-checkpointed round's candidate plan: both the frontier→edge
+    // join and the query-set scoring join must be broadcast (the
+    // corpus-sized edge/embedding tables never shuffle for the
+    // frontier)
     val emb = Tables.embeddings(spark, SparkTestSession.Sf)
     val graph = KnnGraph.build(emb, k = 5).localCheckpoint()
     val q = emb.filter(col("vec_id") < 4)
@@ -416,16 +483,36 @@ class KnnGraphSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), (col("vec_id") + 16).as("vec_id"),
         lit(0.5).as("score"))
       .localCheckpoint()
-    val round = KnnGraph.beamRound(emb, graph, q, frontier, beam = 16)
-    val plan = round.queryExecution.executedPlan.toString
+    val cand = KnnGraph.beamCandidates(emb, graph, q, frontier)
+    val plan = cand.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"beam round lost its broadcast joins:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"beam round shuffles or crosses a corpus-sized side:\n$plan")
-    // and the round itself behaves: every query keeps <= beam rows
-    val perQ = round.groupBy("query_id").count()
-      .as[(Long, Long)].collect().toMap
-    assert(perQ.values.forall(_ <= 16L))
+    // and the expansion behaves: candidates are the frontier nodes'
+    // scored out-neighbors, never the query itself
+    val got = cand.as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (q0, v, _) => q0 != v })
+  }
+
+  test("beamSearch survives non-nullable (range-backed) inputs at rounds >= 2") {
+    // regression pin for the optimizer constraint-rewrite crash
+    // (NoSuchElementException in PruneFilters): an un-checkpointed
+    // candidate child in the keep-best union trips union constraint
+    // rewriting when inputs are non-nullable, which parquet-backed
+    // tables never exercise
+    val n = 200L
+    val embN = spark.range(n).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 7), j -> " +
+        "cast(cast(pmod(hash(id, j), 1000) AS double) / 500.0 - 1.0 AS float))")
+      .as("embedding")).localCheckpoint()
+    val graph = KnnGraph.build(embN, k = 5).localCheckpoint()
+    val qdf = embN.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val rows = KnnGraph.beamSearch(embN, graph, qdf, k = 5, beam = 16,
+      rounds = 4).count()
+    assert(rows > 0)
   }
 
   test("refineToConvergence with tolUpdates > 0 returns the post-final-iteration graph") {
