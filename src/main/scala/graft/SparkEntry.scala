@@ -386,20 +386,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // E2 graph family: the SAMPLED-ENTRY beam search — the HNSW upper
-    // layer compressed to one deterministic level (query's exact top-2
-    // of the vec_id%25==0 sample as entries). entryStep is the
-    // measured recall/cost dial: single-layer beam recall ≈ the
-    // entry set's cluster coverage (GraphRecall ×64, BASELINE.md
-    // r12); same unrolled rounds, same shared edge artifact, fully
-    // oracle-replayable
+    // E2 graph family: the MULTI-LEVEL sampled-entry beam search —
+    // HNSW's log-n hierarchy on deterministic nested samples
+    // (layer ℓ = vec_id % 5^ℓ == 0): exact top-2 entries from the
+    // TOP (%25) sample only, each layer's walk hands its best-2 down,
+    // layer 0 returns the top-5. Coverage is set by the BOTTOM upper
+    // sample (n/5) while the scan cost is the top's (n/25) — the
+    // de-aliased GraphRecall r13 curve: depth-2 recall 0.938–1.000
+    // through ×64 where flat sampling at the same scan cost
+    // collapses to 0.06. Layer 0 reads the session-shared edge
+    // artifact; upper layers are geometrically small builds. Fully
+    // oracle-replayable (every layer + round is a total order).
     "q_graph_ann_layered" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      KnnGraph.beamSearchSampled(emb,
-        KnnGraph.sharedGraph(emb, k = 5, cacheKey = Some(dir)),
+      KnnGraph.beamSearchLayered(emb,
+        KnnGraph.buildLayered(emb,
+          KnnGraph.sharedGraph(emb, k = 5, cacheKey = Some(dir)),
+          k = 5, nCentroids = 16, entryStep = 5L, nLayers = 2),
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("embedding")),
-        k = 5, beam = 16, rounds = 4, entryStep = 25L)
+        k = 5, beam = 16, rounds = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2717,7 +2723,7 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
       s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS score " +
       "FROM eg JOIN embeddings a ON a.vec_id = eg.src " +
       "JOIN embeddings b ON b.vec_id = eg.dst), " +
-      "edges AS (SELECT src, dst, score, rank FROM (SELECT src, dst, score, " +
+      "edges AS MATERIALIZED (SELECT src, dst, score, rank FROM (SELECT src, dst, score, " +
       "row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank FROM egs) t " +
       "WHERE rank <= 5), "
 
@@ -2764,14 +2770,14 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
         "JOIN edges g ON g.src = f.vec WHERE g.dst <> f.query_id " +
         s"UNION SELECT query_id, vec FROM f${i - 1}), " +
         s"s$i AS (${scoredSel(s"c$i")}), " +
-        s"f$i AS (SELECT query_id, vec, score FROM (SELECT query_id, vec, score, " +
+        s"f$i AS MATERIALIZED (SELECT query_id, vec, score FROM (SELECT query_id, vec, score, " +
         s"row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec) AS rn " +
         s"FROM s$i) t WHERE rn <= 16)"
     }.mkString(", ")
     "WITH " + knnEdgesSql +
       "q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8), " +
       entCte + ", " +
-      s"f0 AS (${scoredSel("ent")}), " + rounds +
+      s"f0 AS MATERIALIZED (${scoredSel("ent")}), " + rounds +
       " SELECT query_id, vec AS vec_id, score, rank FROM (SELECT query_id, vec, score, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec) AS rank FROM f4) t " +
       "WHERE rank <= 5 ORDER BY query_id, rank"
@@ -2786,17 +2792,83 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
       "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn " +
       "FROM cscore WHERE vec_id < 8) t WHERE rn <= 2 AND vec <> query_id)")
 
-  /** Mirrors KnnGraph.beamSearchSampled(..., entryStep=25): entries
-    * are the query's exact top-2 of the vec_id%25==0 sample (round-6
-    * scores, (score DESC, vec_id) ties, self-excluded), then the same
-    * unrolled rounds.
+  /** Layer-ℓ k-NN graph CTEs for the hierarchy (mirrors
+    * KnnGraph.buildLayered's `build(sample(step), k=5, nCentroids =
+    * 16·step)`) — [[knnEdgesSql]] restricted to the `vec_id % step ==
+    * 0` sample with the scaled seed bound; `cid` stays the seed's
+    * vec_id (order-identical to the probe kernel's array index, since
+    * seeds are ordered by vec_id). Suffixed so several layers
+    * coexist in one WITH chain; trailing ", ".
     */
-  private lazy val graphAnnLayeredOracle: String = graphAnnRoundsSql(
-    "ent AS (SELECT query_id, vec FROM (SELECT q.query_id, e.vec_id AS vec, " +
+  private def layerEdgesSql(step: Long, sfx: String): String =
+    s"cents$sfx AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE / " +
+      "sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS cv " +
+      s"FROM embeddings WHERE vec_id % $step = 0 AND vec_id < ${16L * step}), " +
+      s"cscore$sfx AS (SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, 65), " +
+      s"j -> e.embedding[j]::DOUBLE * c.cv[j])) AS s FROM embeddings e CROSS JOIN cents$sfx c " +
+      s"WHERE e.vec_id % $step = 0), " +
+      s"pcells$sfx AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cscore$sfx) t WHERE rn <= 2), " +
+      s"eg$sfx AS (SELECT DISTINCT pa.vec_id AS src, pb.vec_id AS dst " +
+      s"FROM pcells$sfx pa JOIN pcells$sfx pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id), " +
+      s"egs$sfx AS (SELECT eg.src, eg.dst, " +
+      s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS score " +
+      s"FROM eg$sfx eg JOIN embeddings a ON a.vec_id = eg.src " +
+      s"JOIN embeddings b ON b.vec_id = eg.dst), " +
+      s"edges$sfx AS MATERIALIZED (SELECT src, dst, score, rank FROM (SELECT src, dst, score, " +
+      s"row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank FROM egs$sfx) t " +
+      s"WHERE rank <= 5), "
+
+  /** One layer's unrolled beam walk from entry CTE `ent` over edge
+    * CTE `edges`: scored entries (f0), four rounds of frontier ∪
+    * out-neighbors → round-6 re-score → top-16 per query, ending at
+    * `out` = the final frontier's top-`keepK` (query_id, vec, score,
+    * rank). Trailing ", ".
+    */
+  private def beamWalkSql(ent: String, edges: String, sfx: String,
+                          out: String, keepK: Int): String = {
+    val score = duckCos("em.embedding", "q.q_emb")
+    def scoredSel(src: String) =
+      s"SELECT c.query_id, c.vec, round($score, 6) AS score FROM $src c " +
+        "JOIN embeddings em ON em.vec_id = c.vec " +
+        "JOIN q ON q.query_id = c.query_id"
+    val rounds = (1 to 4).map { i =>
+      s"c$i$sfx AS (SELECT f.query_id, g.dst AS vec FROM f${i - 1}$sfx f " +
+        s"JOIN $edges g ON g.src = f.vec WHERE g.dst <> f.query_id " +
+        s"UNION SELECT query_id, vec FROM f${i - 1}$sfx), " +
+        s"s$i$sfx AS (${scoredSel(s"c$i$sfx")}), " +
+        s"f$i$sfx AS MATERIALIZED (SELECT query_id, vec, score FROM (SELECT query_id, vec, score, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec) AS rn " +
+        s"FROM s$i$sfx) t WHERE rn <= 16)"
+    }.mkString(", ")
+    s"f0$sfx AS MATERIALIZED (${scoredSel(ent)}), " + rounds + ", " +
+      s"$out AS MATERIALIZED (SELECT query_id, vec, score, rank FROM (SELECT query_id, vec, score, " +
+      s"row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec) AS rank " +
+      s"FROM f4$sfx) t WHERE rank <= $keepK), "
+  }
+
+  /** Mirrors KnnGraph.beamSearchLayered(emb, buildLayered(emb, base,
+    * 5, 16, entryStep=5, nLayers=2), vec_id<8, k=5, beam=16,
+    * rounds=4) — the full HNSW-style descent: exact top-2 entries
+    * from the vec_id%25==0 TOP sample, a beam walk over the layer-2
+    * graph handing its best-2 down, the same over layer 1, then the
+    * layer-0 walk's top-5. Every layer graph and every round is a
+    * total order, so the whole descent unrolls.
+    */
+  private lazy val graphAnnLayeredOracle: String =
+    "WITH " + knnEdgesSql +
+      layerEdgesSql(5L, "_l1") + layerEdgesSql(25L, "_l2") +
+      "q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8), " +
+      "ent AS (SELECT query_id, vec FROM (SELECT q.query_id, e.vec_id AS vec, " +
       s"row_number() OVER (PARTITION BY q.query_id ORDER BY " +
       s"round(${duckCos("e.embedding", "q.q_emb")}, 6) DESC, e.vec_id) AS rn " +
       "FROM embeddings e CROSS JOIN q " +
-      "WHERE e.vec_id % 25 = 0 AND e.vec_id <> q.query_id) t WHERE rn <= 2)")
+      "WHERE e.vec_id % 25 = 0 AND e.vec_id <> q.query_id) t WHERE rn <= 2), " +
+      beamWalkSql("ent", "edges_l2", "_w2", "h2", 2) +
+      beamWalkSql("h2", "edges_l1", "_w1", "h1", 2) +
+      beamWalkSql("h1", "edges", "_w0", "fin", 5)
+        .stripSuffix(", ") +
+      " SELECT query_id, vec AS vec_id, score, rank FROM fin ORDER BY query_id, rank"
 
   /** One unrolled NN-Descent round over edge CTE `prev` → `next`
     * (mirrors KnnGraph.refine): reverse + two-hop candidates, round-6

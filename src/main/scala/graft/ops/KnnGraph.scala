@@ -464,18 +464,29 @@ object KnnGraph {
     * step stays a total order (round-6 scores, (score, vec_id) ties),
     * so the unrolled oracle replays the full descent.
     */
+  /** `handoff`: how many best nodes each layer seeds the next with
+    * (HNSW's ef-per-layer dial). Measured (GraphRecall r13, ×64
+    * clustered): widening it 2→8 does NOT move recall — each layer's
+    * keep-best frontier already converges to one neighborhood, so the
+    * extra seeds are its near-duplicates. DEPTH is the real dial:
+    * recall is set by the lowest layer whose sample the entry walk
+    * reaches confidently (×64: depth 2 = 0.938, depth 3 = 0.650 vs
+    * trained IVF 0.813 — pick depth so the top sample stays a few
+    * thousand rows rather than pushing a third hop).
+    */
   def beamSearchLayered(embeddings: DataFrame, lg: LayeredGraph,
                         queries: DataFrame, k: Int, beam: Int = 8,
-                        rounds: Int = 3): DataFrame = {
+                        rounds: Int = 3, handoff: Int = 2): DataFrame = {
     require(k <= beam, s"k ($k) must not exceed the beam width ($beam)")
-    require(beam >= 2, s"layered descent hands best-2 down; beam ($beam) must be >= 2")
+    require(handoff >= 1 && handoff <= beam,
+      s"handoff ($handoff) must be in [1, beam=$beam]")
     val nLayers = lg.layers.size - 1
     var entries = sampledEntries(embeddings, queries,
       lpow(lg.entryStep, nLayers))
     var l = nLayers
     while (l >= 1) {
       entries = beamLoop(embeddings, lg.layers(l), queries, entries,
-          k = 2, beam, rounds)
+          k = handoff, beam, rounds)
         .select(col("query_id"), col("vec_id"))
       l -= 1
     }
