@@ -285,6 +285,50 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** Self-maintaining exact-substring inventory twin
+    * ([[StreamingIngest.selfSubstrBatches]]'s loop, inlined so the
+    * replay drives it): the standing
+    * [[graft.ops.SuffixArray.RepeatInventory]] is mined once untimed;
+    * each micro-batch of NEW documents (ids shifted out of the
+    * standing range, still inside the 2³¹ packing bound) pays the
+    * batch mine + the bipartite completion probe — never a corpus
+    * re-mine. The replay re-plays the corpus's own text, so every
+    * batch is 100% verbatim-duplicated against the standing side:
+    * the measured per-batch cost is the candidate-mass WORST case.
+    */
+  def benchSubstrIncr(spark: SparkSession, sfDir: String,
+                      replayDir: String): StreamMetrics = {
+    val docs0 = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    var corpus = docs0
+    var model = graft.ops.SuffixArray.trainRepeatGroups(docs0,
+      col("doc_id"), col("text"), minLen = 32)
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    var lastExtended = -1L
+    val t0 = System.nanoTime()
+    val q = docs.writeStream
+      .foreachBatch { (b0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastExtended) {
+          val b = b0.select((col("doc_id") + lit(100000000L)).as("doc_id"),
+            col("text")).localCheckpoint()
+          model = graft.ops.SuffixArray.extendRepeatGroups(model, corpus, b,
+            col("doc_id"), col("text"))
+          model.members
+            .join(b.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .count()
+          corpus = corpus.unionByName(b)
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** Graph-ANN probe twin ([[StreamingIngest.graphAnnBatches]]'s
     * shape): the standing k-NN graph + embedding table are built and
     * materialized UNTIMED (the write-once edge artifact), then each
@@ -609,6 +653,7 @@ object StreamBench {
       line("lm_score", f, benchLmScore(spark, sfDir, docs))
       line("unigram_tokenize", f, benchUnigramTokenize(spark, sfDir, docs))
       line("tfidf_score", f, benchTfidfScore(spark, sfDir, docs))
+      line("substr_incr", f, benchSubstrIncr(spark, sfDir, docs))
       cleanup(keep = before) // reclaim THIS factor's replays only
     }
     Runtime.getRuntime.halt(0)

@@ -586,6 +586,55 @@ object StreamingIngest {
     model
   }
 
+  /** SELF-MAINTAINING exact-substring inventory —
+    * [[selfDfBatches]]'s shape for the repeat-class index: each
+    * micro-batch of NEW documents folds into the standing
+    * [[graft.ops.SuffixArray.RepeatInventory]] via the bipartite
+    * completion pass (O(batch + candidates), never a corpus
+    * re-mine), and the batch's own duplicated spans (vs everything
+    * the crawl has seen, this batch included) land exactly-once
+    * under `ingest_batch=N`. Because extend provably equals the full
+    * re-mine, the standing inventory after any number of batches IS
+    * `trainRepeatGroups(everything seen)` — fold-in order invisible
+    * (spec-pinned). The standing corpus TEXT grows as a lazy union of
+    * the checkpointed batches (the additive-artifact convention:
+    * only candidate documents of it are ever read). Same whole-body
+    * retry guard and restart contract as the other self loops.
+    * Returns the final (inventory, corpus) pair.
+    */
+  def selfSubstrBatches(docs: DataFrame, seedDocs: DataFrame,
+                        seed: graft.ops.SuffixArray.RepeatInventory,
+                        outDir: String,
+                        checkpointDir: Option[String] = None)
+      : (graft.ops.SuffixArray.RepeatInventory, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    var corpus = seedDocs.select(col("doc_id"), col("text"))
+    var model = seed
+    var lastExtended = -1L
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // whole-body retry guard: a retried batch would fold the same
+        // doc ids into the inventory twice, breaking extend's
+        // disjoint-id contract
+        if (batchId > lastExtended) {
+          val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          model = graft.ops.SuffixArray.extendRepeatGroups(model, corpus, b,
+            col("doc_id"), col("text"))
+          model.members
+            .join(b.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+          corpus = corpus.unionByName(b)
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("selfsubstr_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (model, corpus)
+  }
+
   /** Streaming twin of the PERCEPTUAL image near-dup gate: every
     * micro-batch of a media stream (a crawl's image payloads) is
     * decoded, aHashed, and Hamming-probed against a STANDING

@@ -507,6 +507,39 @@ class StreamingSpec extends AnyFunSuite {
     seedDocs.unpersist(); waves.unpersist()
   }
 
+  test("selfSubstrBatches: the standing inventory after every wave equals the one-shot re-mine") {
+    import graft.ops.SuffixArray
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val seedDocs = docs.filter(col("doc_id") % 5 === 0).cache()
+    val waves = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text").cache()
+    val inDir = java.nio.file.Files.createTempDirectory("ssub_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ssub_out").toString
+    waves.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(waves.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val (finalInv, _) = StreamingIngest.selfSubstrBatches(stream, seedDocs,
+      SuffixArray.trainRepeatGroups(seedDocs, col("doc_id"), col("text"),
+        minLen = 32), outDir)
+    // extend == re-mine, folded across arbitrary micro-batch cuts:
+    // the standing inventory equals the one-shot mine over everything
+    val oneShot = SuffixArray.repeatGroups(
+      seedDocs.select("doc_id", "text").unionByName(waves),
+      col("doc_id"), col("text"), minLen = 32)
+    assert(finalInv.members.orderBy("doc_id", "pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq ==
+      oneShot.orderBy("doc_id", "pos")
+        .as[(Long, Long, Long, Long)].collect().toSeq)
+    // batch outputs cover exactly the waves' member rows of the FINAL
+    // inventory that existed when their batch folded — at minimum,
+    // every span doc that landed is a wave doc, exactly once per batch
+    val landed = spark.read.parquet(outDir).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    val waveIds = waves.select("doc_id").as[Long].collect().toSet
+    assert(landed.subsetOf(waveIds))
+    seedDocs.unpersist(); waves.unpersist()
+  }
+
   test("streaming perceptual image near-dup equals the batch probe") {
     import graft.multimodal.{Multimodal, PerceptualHash}
     val media = Multimodal.realMedia(
