@@ -402,7 +402,8 @@ object SparkEntry {
       KnnGraph.beamSearchLayered(emb,
         KnnGraph.buildLayered(emb,
           KnnGraph.sharedGraph(emb, k = 5, cacheKey = Some(dir)),
-          k = 5, nCentroids = 16, entryStep = 5L, nLayers = 2),
+          k = 5, nCentroids = 16, entryStep = 5L, nLayers = 2,
+          cacheKey = Some(dir)),
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("embedding")),
         k = 5, beam = 16, rounds = 4)

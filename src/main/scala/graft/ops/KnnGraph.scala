@@ -440,14 +440,24 @@ object KnnGraph {
     */
   def buildLayered(embeddings: DataFrame, baseGraph: DataFrame, k: Int,
                    nCentroids: Int = 16, entryStep: Long = 16L,
-                   nLayers: Int = 1): LayeredGraph = {
+                   nLayers: Int = 1,
+                   cacheKey: Option[String] = None): LayeredGraph = {
     require(nLayers >= 1, s"nLayers must be >= 1, got $nLayers")
     require(entryStep >= 2, s"entryStep must be >= 2, got $entryStep")
     val uppers = (1 to nLayers).map { l =>
       val stepL = lpow(entryStep, l)
       val bound = math.min(nCentroids.toLong * stepL, Int.MaxValue.toLong).toInt
-      build(embeddings.filter(pmod(col("vec_id"), lit(stepL)) === 0),
+      def mk = build(embeddings.filter(pmod(col("vec_id"), lit(stepL)) === 0),
         k, nCentroids = bound)
+      cacheKey match {
+        // upper layers are write-once artifacts like the base edge
+        // table — one build per (session, corpus, geometry, layer)
+        case Some(src) => SessionArtifactCache.getOrBuild(
+          embeddings.select(col("vec_id"), col("embedding")),
+          tag = s"knn_graph_l$l:$src",
+          params = s"k=$k,nc=$nCentroids,step=$entryStep") { mk }
+        case None => mk
+      }
     }
     LayeredGraph(baseGraph +: uppers, entryStep)
   }
