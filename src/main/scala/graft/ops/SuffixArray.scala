@@ -374,13 +374,16 @@ object SuffixArray {
   private val FpB1 = 31L;  private val FpM1 = 2147483647L // 2^31 − 1
   private val FpB2 = 131L; private val FpM2 = 2147483629L // prime < 2^31
 
-  /** All `minLen`-gram fingerprints of `text`, one (pos, packedHash)
-    * per codepoint position with at least `minLen` codepoints left —
-    * a single linear rolling pass per document (the per-position
+  /** All `minLen`-gram fingerprints of `text`: `out(pos)` is the
+    * packed double hash of the gram starting at codepoint `pos`, one
+    * entry per position with at least `minLen` codepoints left — a
+    * single linear rolling pass per document (the per-position
     * `substring` alternative is O(len²) on UTF8String; the
-    * [[positions]] lesson).
+    * [[positions]] lesson). A PRIMITIVE long array (index =
+    * position), so the explode in [[gramFps]] ships unboxed longs,
+    * not boxed tuples.
     */
-  private[ops] def gramHashes(text: String, minLen: Int): Array[(Int, Long)] = {
+  private[ops] def gramHashes(text: String, minLen: Int): Array[Long] = {
     if (text == null) return Array.empty
     val cps = text.codePoints.toArray
     val n = cps.length
@@ -392,13 +395,13 @@ object SuffixArray {
     var h1 = 0L; var h2 = 0L
     i = 0
     while (i < minLen) { h1 = (h1 * FpB1 + cps(i)) % FpM1; h2 = (h2 * FpB2 + cps(i)) % FpM2; i += 1 }
-    val out = new Array[(Int, Long)](n - minLen + 1)
-    out(0) = (0, h1 * 2147483648L + h2)
+    val out = new Array[Long](n - minLen + 1)
+    out(0) = h1 * 2147483648L + h2
     var s = 1
     while (s <= n - minLen) {
       h1 = ((h1 - cps(s - 1) * p1 % FpM1 + FpM1) * FpB1 + cps(s + minLen - 1)) % FpM1
       h2 = ((h2 - cps(s - 1) * p2 % FpM2 + FpM2) * FpB2 + cps(s + minLen - 1)) % FpM2
-      out(s) = (s, h1 * 2147483648L + h2)
+      out(s) = h1 * 2147483648L + h2
       s += 1
     }
     out
@@ -423,9 +426,59 @@ object SuffixArray {
   private[ops] def gramFps(src: DataFrame, minLen: Int): DataFrame = {
     val fpUdf = udf((t: String) => gramHashes(t, minLen))
     src.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(fpUdf(col("t"))).as("ph"))
-      .select(col("doc_id"), col("ph._1").cast("long").as("pos"),
-        col("ph._2").as("h"))
+      .select(col("doc_id"), posexplode(fpUdf(col("t"))).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+  }
+
+  /** EXACT repeat classes from a fingerprint table: the Rabin–Karp
+    * candidate pass + literal verify, the same classes as
+    * [[repeatGroups]] without its log2(minLen) sorted doubling
+    * rounds. Candidates are positions whose 128-bit-ish double hash
+    * recurs (≥ 2 occurrences across ≥ 2 documents — any true class
+    * satisfies both, since equal grams hash equal); the literal
+    * re-group in [[verifiedMembers]] filters the collisions back
+    * out, so the output is exact string equality, identical to the
+    * doubling miner's (spec-pinned). Cost: ONE 8-byte-key shuffle of
+    * the fps table + a candidate-mass-bounded verify, vs five
+    * range-partitioned corpus sorts — the doubling miner stays for
+    * suffix RANKS ([[suffixRanks]]), which need order statistics a
+    * fingerprint cannot give.
+    */
+  private[ops] def membersFromFps(fps: DataFrame, src: DataFrame,
+                                  minLen: Int): DataFrame = {
+    val idBounds = src.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).collect()(0)
+    if (!idBounds.isNullAt(0)) {
+      val (lo, hi) = (idBounds.getLong(0), idBounds.getLong(1))
+      require(lo >= 0L && hi < (1L << 31),
+        s"repeat classes pack doc ids as did*2^32+pos: ids must be in " +
+          s"[0, 2^31), got [$lo, $hi]")
+    }
+    // candidate pass as ONE h-shuffle: full-frame windows keep the
+    // positions attached (a groupBy would need a second fps shuffle
+    // to join them back); an h hot enough to skew a window partition
+    // would skew the join's h partition identically, so this is the
+    // same worst case for strictly less data motion
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val whd = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      .orderBy("doc_id")
+    val candPos = fps
+      .withColumn("n_occ", count(lit(1)).over(wh))
+      .withColumn("n_docs", max(dense_rank().over(whd)).over(wh))
+      .filter(col("n_occ") >= 2 && col("n_docs") >= 2)
+      .select(col("doc_id"), col("pos"))
+    verifiedMembers(literalGrams(candPos, src, minLen), Seq.empty, lit(true))
+  }
+
+  /** [[repeatGroups]] semantics on the fingerprint path — exact, and
+    * free of the power-of-two restriction (the rolling hash covers
+    * any gram length); kept `private[ops]` with the equality spec as
+    * its contract.
+    */
+  private[ops] def repeatGroupsFp(docs: DataFrame, idCol: Column,
+                                  textCol: Column, minLen: Int): DataFrame = {
+    val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
+    membersFromFps(gramFps(src, minLen), src, minLen)
   }
 
   /** Literal `minLen`-grams at candidate positions: candPos
@@ -457,9 +510,14 @@ object SuffixArray {
     * across ≥ 2 documents that `spanPred` accepts, and emit their
     * members under the class's global canonical label.
     */
-  private def verifiedMembers(grams: DataFrame,
+  private def verifiedMembers(grams0: DataFrame,
                               extraAggs: Seq[Column],
                               spanPred: Column): DataFrame = {
+    // the gram table is consumed TWICE (class aggregate + member
+    // join-back); it is candidate-mass bounded, so pin it rather
+    // than re-run the literal-verify subtree (probe windows +
+    // gram-extraction UDF) per consumer
+    val grams = grams0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val aggs = Seq(count(lit(1)).as("n_occ"),
       countDistinct(col("doc_id")).as("n_docs")) ++ extraAggs
     val classes = grams.groupBy("gram")
@@ -551,9 +609,11 @@ object SuffixArray {
       .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
     // verified classes that REALLY span shards — disjoint from phase
     // A by construction, since a within-shard class never spans
+    // pinned: consumed twice (emitted + the supersession anti-join)
     val membersB = verifiedMembers(grams,
       Seq(countDistinct(col("shard")).as("n_shards")),
       col("n_shards") >= 2)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // a spanning class supersedes any within-shard fragment of itself
     // that shard-local mining emitted (with a shard-local label)
     membersB.unionByName(
@@ -595,21 +655,30 @@ object SuffixArray {
   final case class RepeatInventory(members: DataFrame, fps: DataFrame,
                                    minLen: Int)
 
-  /** Mine the full standing inventory: one [[shardedRepeatGroups]]
-    * pass (nShards 1 = the plain global miner) plus the fingerprint
-    * table. Both tables are eagerly pinned — they ARE the artifact.
+  /** Mine the full standing inventory: the fingerprint table (one
+    * linear pass) plus the members derived FROM it on the
+    * [[membersFromFps]] path — the fps table the inventory must
+    * carry anyway doubles as the miner's candidate index, so
+    * training costs one pass + one 8-byte-key shuffle, not the
+    * doubling rounds. Both tables are eagerly pinned — they ARE the
+    * artifact. `nShards > 1` keeps the [[shardedRepeatGroups]]
+    * doubling driver for callers that want its per-shard heap
+    * contract on the members side.
     */
   def trainRepeatGroups(docs: DataFrame, idCol: Column, textCol: Column,
                         minLen: Int, nShards: Int = 1,
                         maxConcurrentShards: Int = 1): RepeatInventory = {
     val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
+    val fps = gramFps(src, minLen)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val members =
+      if (nShards > 1)
+        shardedRepeatGroups(docs, idCol, textCol, minLen, nShards,
+          maxConcurrentShards)
+      else membersFromFps(fps, src, minLen)
     RepeatInventory(
-      shardedRepeatGroups(docs, idCol, textCol, minLen, nShards,
-        maxConcurrentShards)
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER),
-      gramFps(src, minLen)
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER),
-      minLen)
+      members.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER),
+      fps, minLen)
   }
 
   /** [[trainRepeatGroups]] behind the session artifact cache — the
@@ -625,16 +694,20 @@ object SuffixArray {
       case None => trainRepeatGroups(docs, idCol, textCol, minLen)
       case Some(src) =>
         val keyed = docs.select(idCol, textCol)
+        // fps builds (or resolves) FIRST so the members build derives
+        // from the already-cached table — one linear pass total, the
+        // trainRepeatGroups reuse applied across the two cache slots
+        val fps = SessionArtifactCache.getOrBuild(keyed,
+          tag = s"sa_inv_fps:$src", params = s"minLen=$minLen") {
+          gramFps(docs.select(idCol.as("doc_id"), textCol.as("t")), minLen)
+        }
         RepeatInventory(
           SessionArtifactCache.getOrBuild(keyed, tag = s"sa_inv_members:$src",
             params = s"minLen=$minLen") {
-            repeatGroups(docs, idCol, textCol, minLen)
+            membersFromFps(fps,
+              docs.select(idCol.as("doc_id"), textCol.as("t")), minLen)
           },
-          SessionArtifactCache.getOrBuild(keyed, tag = s"sa_inv_fps:$src",
-            params = s"minLen=$minLen") {
-            gramFps(docs.select(idCol.as("doc_id"), textCol.as("t")), minLen)
-          },
-          minLen)
+          fps, minLen)
     }
 
   /** Fold a batch of NEW documents (ids disjoint from everything the
@@ -671,35 +744,47 @@ object SuffixArray {
     val minLen = standing.minLen
     val oldSrc = standingDocs.select(idCol.as("doc_id"), textCol.as("t"))
     val newSrc = batch.select(idCol.as("doc_id"), textCol.as("t"))
-    // (1) the batch's own classes — O(batch) mining
-    val membersNew = repeatGroups(batch, idCol, textCol, minLen)
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    // pinned: consumed by the probe AND by the folded fps artifact
+    // pinned: consumed by the batch miner, the probe, AND the folded
+    // fps artifact — ONE linear fingerprint pass serves all three
     val fpsNew = gramFps(newSrc, minLen)
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    // (2) bipartite probe: candidate positions are BOTH sides'
-    // occurrences of any hash present on both sides
-    val oldCand = standing.fps
-      .join(fpsNew.select("h").distinct(), Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"), lit(false).as("is_new"))
-    val newCand = fpsNew
-      .join(standing.fps.select("h").distinct(), Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"), lit(true).as("is_new"))
+    // (1) the batch's own classes — O(batch) mining on the
+    // fingerprint path (the doubling rounds would re-sort the batch
+    // log2(minLen) times for classes the pinned fps already indexes);
+    // consumed once by the final union, so no intermediate pin
+    val membersNew = membersFromFps(fpsNew, newSrc, minLen)
+    // (2) bipartite probe as ONE h-shuffle of the tagged union:
+    // candidate positions are BOTH sides' occurrences of any hash
+    // present on both sides (full-frame window — the 2-distinct +
+    // 2-semi-join form shuffled the fps tables twice more for the
+    // same h-partition worst case)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    // pinned: consumed by the side map AND the literal verify — the
+    // pin caps the corpus-sized h-window at ONE evaluation per batch
+    val cand = standing.fps.withColumn("is_new", lit(false))
+      .unionByName(fpsNew.withColumn("is_new", lit(true)))
+      .withColumn("has_new", max(col("is_new")).over(wh))
+      .withColumn("has_old", max(!col("is_new")).over(wh))
+      .filter(col("has_new") && col("has_old"))
+      .select(col("doc_id"), col("pos"), col("is_new"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // (3) literal verify over candidate docs only; is_new is a
     // function of doc_id (ids are disjoint), re-attached by max()
     // through the block grouping
-    val sideOf = oldCand.unionByName(newCand)
+    val sideOf = cand
       .groupBy(col("doc_id")).agg(max(col("is_new")).as("is_new"))
     val grams = literalGrams(
-        oldCand.unionByName(newCand).select(col("doc_id"), col("pos")),
+        cand.select(col("doc_id"), col("pos")),
         oldSrc.unionByName(newSrc), minLen)
       .join(sideOf, Seq("doc_id"))
     // (4) crossing classes: thresholds + labels over the union
     // occurrences (the candidate set contains ALL of them)
+    // pinned: consumed three times by the supersession union below
     val membersX = verifiedMembers(grams,
       Seq(max(col("is_new")).as("has_new"),
         max(!col("is_new")).as("has_old")),
       col("has_new") && col("has_old"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val members = membersX
       .unionByName(standing.members.join(
         membersX.select(col("doc_id"), col("pos")).hint("merge"),

@@ -169,7 +169,8 @@ class SuffixArraySpec extends AnyFunSuite {
     // equal grams MUST collide (the completion pass's necessary
     // condition); on this fixture distinct grams must not
     val t = "abcabcabcXabcabcabcY𝕏abc𝕏abc𝕏ab"
-    val hs = SuffixArray.gramHashes(t, 4).toMap
+    val hs = SuffixArray.gramHashes(t, 4).zipWithIndex
+      .map { case (h, p) => (p, h) }.toMap
     val cps = t.codePoints.toArray
     def gram(p: Int) = new String(cps, p, 4)
     val byGram = hs.groupBy { case (p, _) => gram(p) }
@@ -379,5 +380,36 @@ class SuffixArraySpec extends AnyFunSuite {
     val extended = SuffixArray.extendRepeatGroups(standing, docsDf,
       docsDf.filter(lit(false)), col("doc_id"), col("text"))
     assert(inventoryRows(extended) == inventoryRows(standing))
+  }
+
+  test("repeatGroupsFp == repeatGroups (the fingerprint miner is exact)") {
+    // the inventory family mines on the Rabin–Karp candidate +
+    // literal-verify path; the doubling miner is its ground truth
+    val docsDf = Tables.documents(spark, SparkTestSession.Sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "pos")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows(SuffixArray.repeatGroupsFp(docsDf, col("doc_id"),
+        col("text"), minLen = 32)) ==
+      rows(SuffixArray.repeatGroups(docsDf, col("doc_id"),
+        col("text"), minLen = 32)))
+    // hand fixture: cross-doc class found, same-doc-only repeat
+    // rejected, canonical labels are global mins — on both miners
+    val shared = "the quick brown fox jumps over a dam" // 36 chars
+    val hand = Seq(
+      (1L, s"xx$shared tail one"),
+      (2L, s"$shared tail two"),
+      (4L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz qq " +
+        "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    assert(rows(SuffixArray.repeatGroupsFp(hand, col("doc_id"),
+        col("text"), minLen = 32)) ==
+      rows(SuffixArray.repeatGroups(hand, col("doc_id"),
+        col("text"), minLen = 32)))
+    // and free of the power-of-two restriction: minLen 33 mines the
+    // same class via brute substring truth
+    val got33 = rows(SuffixArray.repeatGroupsFp(hand, col("doc_id"),
+      col("text"), minLen = 33))
+    assert(got33.nonEmpty && got33.forall(m => Seq(1L, 2L).contains(m._1)))
   }
 }
