@@ -467,7 +467,8 @@ object SuffixArray {
       .withColumn("n_docs", max(dense_rank().over(whd)).over(wh))
       .filter(col("n_occ") >= 2 && col("n_docs") >= 2)
       .select(col("doc_id"), col("pos"))
-    verifiedMembers(literalGrams(candPos, src, minLen), Seq.empty, lit(true))
+    verifiedMembers(literalGrams(candPos, src, minLen), _ => Seq.empty,
+      lit(true))
   }
 
   /** [[repeatGroups]] semantics on the fingerprint path — exact, and
@@ -504,27 +505,35 @@ object SuffixArray {
   }
 
   /** Exact verified repeat classes over a literal-gram table with a
-    * per-class spanning predicate: group by the GRAM STRING (a
+    * per-class spanning predicate: window by the GRAM STRING (a
     * fingerprint collision can only add candidates this exact
     * re-group filters back out), keep classes with ≥ 2 occurrences
     * across ≥ 2 documents that `spanPred` accepts, and emit their
     * members under the class's global canonical label.
+    *
+    * Full-frame gram windows keep the member rows attached — the
+    * groupBy-then-join-back form shuffled the candidate table a
+    * second time AND evaluated its subtree twice (both join inputs);
+    * a hot gram skews one window partition exactly as it would skew
+    * the join's gram partition, so same worst case, half the motion.
+    * `extra` builds the span metrics over the class window (e.g.
+    * `max(is_new)`, or a `dense_rank` fold for a distinct count).
     */
-  private def verifiedMembers(grams0: DataFrame,
-                              extraAggs: Seq[Column],
+  private def verifiedMembers(grams: DataFrame,
+                              extra: org.apache.spark.sql.expressions.WindowSpec => Seq[(String, Column)],
                               spanPred: Column): DataFrame = {
-    // the gram table is consumed TWICE (class aggregate + member
-    // join-back); it is candidate-mass bounded, so pin it rather
-    // than re-run the literal-verify subtree (probe windows +
-    // gram-extraction UDF) per consumer
-    val grams = grams0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    val aggs = Seq(count(lit(1)).as("n_occ"),
-      countDistinct(col("doc_id")).as("n_docs")) ++ extraAggs
-    val classes = grams.groupBy("gram")
-      .agg(min(col("doc_id") * lit(4294967296L) + col("pos")).as("gkey"),
-        aggs: _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+      .orderBy("doc_id")
+    val base = grams
+      .withColumn("n_occ", count(lit(1)).over(w))
+      .withColumn("n_docs", max(dense_rank().over(wd)).over(w))
+      .withColumn("gkey",
+        min(col("doc_id") * lit(4294967296L) + col("pos")).over(w))
+    extra(w).foldLeft(base) { case (df, (name, c)) =>
+        df.withColumn(name, c)
+      }
       .filter(col("n_occ") >= 2 && col("n_docs") >= 2 && spanPred)
-    grams.join(classes.hint("merge"), Seq("gram"))
       .select(col("doc_id"), col("pos"),
         expr("gkey div 4294967296").as("grp_did"),
         expr("gkey % 4294967296").as("grp_pos"))
@@ -609,9 +618,14 @@ object SuffixArray {
       .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
     // verified classes that REALLY span shards — disjoint from phase
     // A by construction, since a within-shard class never spans
-    // pinned: consumed twice (emitted + the supersession anti-join)
+    // pinned: consumed twice (emitted + the supersession anti-join);
+    // the shard distinct-count folds through dense_rank (the
+    // membersFromFps n_docs discipline — countDistinct has no window
+    // form)
+    val wds = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+      .orderBy("shard")
     val membersB = verifiedMembers(grams,
-      Seq(countDistinct(col("shard")).as("n_shards")),
+      w => Seq("n_shards" -> max(dense_rank().over(wds)).over(w)),
       col("n_shards") >= 2)
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // a spanning class supersedes any within-shard fragment of itself
@@ -781,8 +795,8 @@ object SuffixArray {
     // occurrences (the candidate set contains ALL of them)
     // pinned: consumed three times by the supersession union below
     val membersX = verifiedMembers(grams,
-      Seq(max(col("is_new")).as("has_new"),
-        max(!col("is_new")).as("has_old")),
+      w => Seq("has_new" -> max(col("is_new")).over(w),
+        "has_old" -> max(!col("is_new")).over(w)),
       col("has_new") && col("has_old"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val members = membersX
