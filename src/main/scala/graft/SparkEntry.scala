@@ -1476,6 +1476,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // E7 verbatim arm, SAMPLED index: winnowed fingerprints (one
+    // selected k-gram per w-window, ~11% of positions at 32/16) +
+    // seed-pair run extension — identical answer to
+    // q_substr_decontam by the winnowing guarantee, at the fps
+    // density a 100 TB corpus-side index actually ships
+    "q_winnow_decontam" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Decontaminate.verbatimContaminationSampled(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"), minLen = 32, k = 16)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction: deterministic synthetic PII appended (the corpus
     // itself is clean), then scrubbed + audited — pure regexp
     // expressions over the scan, zero shuffles
@@ -2860,6 +2874,28 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
     * layer-0 walk's top-5. Every layer graph and every round is a
     * total order, so the whole descent unrolls.
     */
+  /** Verbatim 32-gram containment vs the bench slice — shared by the
+    * exhaustive (`q_substr_decontam`) and winnowed
+    * (`q_winnow_decontam`) physical paths, which compute the same
+    * answer by contract.
+    */
+  private lazy val substrDecontamOracle: String =
+    "WITH bg AS (SELECT DISTINCT substr(text, pos + 1, 32) AS g " +
+      "FROM (SELECT text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
+      "FROM documents WHERE doc_id % 20 = 0)), " +
+      "cg AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
+      "FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
+      "FROM documents WHERE doc_id % 20 <> 0)), " +
+      "hits AS (SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (g) " +
+      "GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(greatest(length(d.text) - 31, 0) AS BIGINT) AS n_grams, " +
+      "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+      "CASE WHEN length(d.text) - 31 <= 0 THEN 0.0 " +
+      "ELSE CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / " +
+      "CAST(greatest(length(d.text) - 31, 0) AS DOUBLE) END AS contamination " +
+      "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id " +
+      "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"
+
   private lazy val graphAnnLayeredOracle: String =
     "WITH " + knnEdgesSql +
       layerEdgesSql(5L, "_l1") + layerEdgesSql(25L, "_l2") +
@@ -4304,22 +4340,12 @@ FROM v$it ORDER BY token_id"""
     // corpus gram position whose literal 32-char substring appears
     // anywhere in the bench slice (engine-independent: substr/length
     // are codepoints in both engines, like the sa-family oracles)
-    "q_substr_decontam" ->
-      ("WITH bg AS (SELECT DISTINCT substr(text, pos + 1, 32) AS g " +
-        "FROM (SELECT text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
-        "FROM documents WHERE doc_id % 20 = 0)), " +
-        "cg AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
-        "FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
-        "FROM documents WHERE doc_id % 20 <> 0)), " +
-        "hits AS (SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (g) " +
-        "GROUP BY doc_id) " +
-        "SELECT d.doc_id, CAST(greatest(length(d.text) - 31, 0) AS BIGINT) AS n_grams, " +
-        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
-        "CASE WHEN length(d.text) - 31 <= 0 THEN 0.0 " +
-        "ELSE CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / " +
-        "CAST(greatest(length(d.text) - 31, 0) AS DOUBLE) END AS contamination " +
-        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id " +
-        "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
+    "q_substr_decontam" -> substrDecontamOracle,
+
+    // winnowed arm computes the SAME answer on sampled fingerprints
+    // (spec-pinned equal + the winnowing guarantee) — one oracle
+    // serves both physical paths
+    "q_winnow_decontam" -> substrDecontamOracle,
 
     // same Java/RE2-shared patterns and injection arithmetic as the
     // Spark side; 'g' = replace-all (Spark's default)

