@@ -1100,6 +1100,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // E5∘E1: leakage-safe train/val split — the split key is the
+    // near-dup CLUSTER (singletons are their own cluster), so
+    // near-copies never straddle the boundary; the cluster label
+    // rides the same layout-independent Knuth bucket as every sampler
+    "q_leakage_split" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.nearDupPairs(emb, col("label"),
+        threshold = 0.30)
+      Sampling.leakageSafeSplit(emb, col("vec_id"), pairs, valBp = 2000)
+        .orderBy(col("id"))
+    }),
+
     // E1 near, scale path: MinHash+LSH banded near-dup detection
     // (trigram shingles: selective banding — candidate volume tracks
     // true-duplicate volume, not pair count). Oracle-backed: the whole
@@ -2874,6 +2886,24 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
     * layer-0 walk's top-5. Every layer graph and every round is a
     * total order, so the whole descent unrolls.
     */
+  /** The near-dup closure CTE body (brute pairs within a label +
+    * transitive reach) — shared by the `q_dup_clusters` and
+    * `q_leakage_split` oracles.
+    */
+  private lazy val dupReachCte: String =
+    "e AS (SELECT vec_id, label, embedding, " +
+      "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm " +
+      "FROM embeddings), " +
+      "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b " +
+      "ON a.label = b.label AND a.vec_id < b.vec_id AND " +
+      "round(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) " +
+      "/ (a.nrm * b.nrm), 6) >= 0.30), " +
+      "edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(id, r) AS (" +
+      "SELECT u, u FROM (SELECT DISTINCT u FROM edges) n " +
+      "UNION " +
+      "SELECT reach.id, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u) "
+
   /** Verbatim 32-gram containment vs the bench slice — shared by the
     * exhaustive (`q_substr_decontam`) and winnowed
     * (`q_winnow_decontam`) physical paths, which compute the same
@@ -4530,20 +4560,22 @@ FROM v$it ORDER BY token_id"""
         " AND qq.doc_id NOT IN (SELECT id FROM semdup) ORDER BY qq.doc_id"),
 
     "q_dup_clusters" ->
-      ("WITH RECURSIVE " +
-        "e AS (SELECT vec_id, label, embedding, " +
-        "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm " +
-        "FROM embeddings), " +
-        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b " +
-        "ON a.label = b.label AND a.vec_id < b.vec_id AND " +
-        "round(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) " +
-        "/ (a.nrm * b.nrm), 6) >= 0.30), " +
-        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
-        "reach(id, r) AS (" +
-        "SELECT u, u FROM (SELECT DISTINCT u FROM edges) n " +
-        "UNION " +
-        "SELECT reach.id, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u) " +
+      ("WITH RECURSIVE " + dupReachCte +
         "SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"),
+
+    // same closure, then the split key is the CLUSTER label (rows
+    // without a pair are their own singleton cluster) through the
+    // Knuth bucket — engine-portable integer arithmetic like the
+    // other samplers
+    "q_leakage_split" ->
+      ("WITH RECURSIVE " + dupReachCte +
+        ", c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+        "SELECT emb.vec_id AS id, " +
+        "CAST(COALESCE(c.comp, emb.vec_id) AS BIGINT) AS group_id, " +
+        "CASE WHEN (COALESCE(c.comp, emb.vec_id) * 2654435761) % 10000 < 2000 " +
+        "THEN 'val' ELSE 'train' END AS split " +
+        "FROM embeddings emb LEFT JOIN c ON emb.vec_id = c.id " +
+        "ORDER BY id"),
 
     // width_bucket(v, 0, 350, 14) with an exact 25.0 bucket width:
     // floor(v/25)+1 inside the range, 0 / 15 outside — the same

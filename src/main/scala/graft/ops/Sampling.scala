@@ -174,4 +174,36 @@ object Sampling {
     }
     out.toMap
   }
+
+  /** LEAKAGE-SAFE train/validation split (E5∘E1): the split key is
+    * the row's NEAR-DUP CLUSTER, not the row — two near-duplicate
+    * documents can never straddle the boundary, so the validation set
+    * measures generalization, not memorized near-copies (splitting by
+    * row id silently leaks every duplicated document into both
+    * sides). `pairs` is any near-dup pair table (MinHash / SimHash /
+    * embedding — the E1 detectors all emit (id_a, id_b));
+    * [[graft.ops.ConnectedComponents]] closes it into clusters, rows
+    * without a pair are their own singleton cluster, and the cluster
+    * label hashes through [[hashBucket]] — layout-independent,
+    * re-runnable, oracle-verifiable like every sampler here.
+    *
+    * Scale shape: the component table is bounded by DUPLICATED rows
+    * (pair mass), not the corpus; the corpus pays one id-keyed join
+    * against it and a pure-arithmetic filter — no corpus shuffle
+    * beyond that join (bucket/co-partition it at deployment).
+    * Output: the input row ids with (group_id, split).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: Column, pairs: DataFrame,
+                       valBp: Int): DataFrame = {
+    require(valBp >= 0 && valBp <= 10000, "valBp is basis points in [0,10000]")
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
+    df.select(idCol.as("id"))
+      .join(comp, col("id") === col("__cc_id"), "left")
+      .select(col("id"),
+        coalesce(col("__cc_comp"), col("id")).as("group_id"))
+      .withColumn("split",
+        when(hashBucket(col("group_id"), 10000) < valBp, lit("val"))
+          .otherwise(lit("train")))
+  }
 }

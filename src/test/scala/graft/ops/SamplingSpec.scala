@@ -149,4 +149,35 @@ class SamplingSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 1, s"rank+count windows should share one shuffle:\n$plan")
   }
+
+  test("leakageSafeSplit: clusters never straddle the boundary; singletons split at the row rate") {
+    val rows = ids(4000)
+    // chain clusters of 4: (0,1),(1,2),(2,3), (4,5),(5,6),(6,7), ... over
+    // the first 2000 ids; ids 2000+ are singletons
+    val pairs = (0L until 2000L).filter(i => i % 4 != 3)
+      .map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(rows, col("id"), pairs, valBp = 2000)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.length == 4000)
+    // every member of a cluster carries the cluster min and ONE split
+    val byGroup = got.groupBy(_._2)
+    byGroup.foreach { case (g, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $g straddles")
+    }
+    for (i <- 0L until 2000L)
+      assert(got.find(_._1 == i).get._2 == (i / 4) * 4, s"id $i group")
+    // singletons are their own group and split like uniform(p)
+    val single = got.filter(_._1 >= 2000L)
+    assert(single.forall(r => r._2 == r._1))
+    val valFrac = single.count(_._3 == "val").toDouble / single.length
+    assert(valFrac > 0.15 && valFrac < 0.25, s"singleton val rate $valFrac")
+    // a duplicated pair's two sides agree even when the hash of their
+    // OWN ids would disagree (the leak the op exists to prevent)
+    val leaky = (0L until 2000L).exists { i =>
+      val r = got.find(_._1 == i).get
+      val own = (i * Sampling.KnuthC) % 10000 < 2000
+      (r._3 == "val") != own
+    }
+    assert(leaky, "fixture too weak: no row where cluster split != row split")
+  }
 }
