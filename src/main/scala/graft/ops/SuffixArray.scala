@@ -819,11 +819,20 @@ object SuffixArray {
     // candidate positions are BOTH sides' occurrences of any hash
     // present on both sides (full-frame window — the 2-distinct +
     // 2-semi-join form shuffled the fps tables twice more for the
-    // same h-partition worst case)
+    // same h-partition worst case). The STANDING side is bloom-pruned
+    // on the batch's hashes BEFORE its exchange (the [[BloomJoin]]
+    // discipline — the standing fps is the corpus-sized side, and
+    // without the prune every batch re-shuffles all of it): a false
+    // positive only adds a standing-only h group the has_new gate
+    // drops, so the answer is exact. Batches beyond ~1M gram
+    // positions should raise the runtime bloomFilter maxNumItems/
+    // maxNumBits confs (see [[BloomJoin.optimalNumBits]]).
+    val standingPruned = BloomJoin.prefilter(standing.fps, col("h"),
+      fpsNew, col("h"), expectedItems = math.max(fpsNew.count(), 1L))
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
     // pinned: consumed by the side map AND the literal verify — the
     // pin caps the corpus-sized h-window at ONE evaluation per batch
-    val cand = standing.fps.withColumn("is_new", lit(false))
+    val cand = standingPruned.withColumn("is_new", lit(false))
       .unionByName(fpsNew.withColumn("is_new", lit(true)))
       .withColumn("has_new", max(col("is_new")).over(wh))
       .withColumn("has_old", max(!col("is_new")).over(wh))
