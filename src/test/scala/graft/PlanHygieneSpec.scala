@@ -456,4 +456,32 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"rank attach regressed to a join:\n$plan")
   }
 
+  test("inventory extend probe: standing fps is bloom-pruned below its exchange") {
+    // the corpus-sized standing side must carry the batch-hash bloom
+    // probe in its scan-side filter — without it every crawl batch
+    // re-shuffles the whole standing fingerprint table
+    import org.apache.spark.sql.functions.col
+    val d = Tables.documents(spark, dir)
+    val standing = graft.ops.SuffixArray.trainRepeatGroups(
+      d.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), 32)
+    val ext = graft.ops.SuffixArray.extendRepeatGroups(standing,
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"))
+    // the probe ran during extend (eager pins); assert on the
+    // members artifact having folded AND on a fresh probe plan shape
+    assert(ext.members.count() > 0)
+    val probe = graft.ops.BloomJoin.prefilter(standing.fps, col("h"),
+      standing.fps, col("h"), expectedItems = 10L)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
+  }
+
+  test("q_winnow_decontam and q_leakage_split never degenerate to a product") {
+    for (name <- Seq("q_winnow_decontam", "q_leakage_split")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$plan")
+    }
+  }
+
 }
