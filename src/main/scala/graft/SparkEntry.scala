@@ -631,6 +631,15 @@ object SparkEntry {
         col("text"), windowTokens = 8)
         .orderBy(col("doc_id"))),
 
+    // E1 pair-level view on the winnowed index: document pairs
+    // sharing any verbatim >= 32-char run — seeds are the selected
+    // ~11% of gram positions, verified by maximal literal extension;
+    // the input the canonical-copy/cluster policies key on
+    "q_winnow_pairs" -> ((s, dir) =>
+      SubstringDedup.verbatimDupPairs(documents(s, dir), col("doc_id"),
+        col("text"), minLen = 32, k = 16)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // E1 depth: EXACT suffix-array machinery (prefix doubling — the
     // Lee et al. suffix-array form next to the rolling-hash windows
     // above). q_sa_ranks = lexicographic suffix dense ranks at
@@ -4376,6 +4385,16 @@ FROM v$it ORDER BY token_id"""
     // (spec-pinned equal + the winnowing guarantee) — one oracle
     // serves both physical paths
     "q_winnow_decontam" -> substrDecontamOracle,
+
+    // pair semantics: two docs share a verbatim >= 32-char run iff
+    // they share a literal 32-gram — the oracle enumerates grams
+    "q_winnow_pairs" ->
+      ("WITH g AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
+        "FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
+        "FROM documents)) " +
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id " +
+        "ORDER BY id_a, id_b"),
 
     // same Java/RE2-shared patterns and injection arithmetic as the
     // Spark side; 'g' = replace-all (Spark's default)

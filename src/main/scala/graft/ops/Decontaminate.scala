@@ -102,31 +102,34 @@ object Decontaminate {
     * exact join filters back out). The per-doc gram TOTAL is
     * arithmetic on the text length — no second corpus pass.
     */
-  /** Maximal verbatim run around an aligned k-gram seed: verifies the
-    * seed literally (a fingerprint collision returns null), then
-    * extends left/right while codepoints agree. Returns
-    * (runStart, runEndExcl) in CORPUS codepoint positions.
-    */
-  private val extendRunUdf = udf {
-    (ct: String, bt: String, cpos: Long, bpos: Long, k: Int) =>
-      val c = ct.codePoints.toArray
-      val b = bt.codePoints.toArray
-      val cp = cpos.toInt; val bp = bpos.toInt
-      var i = 0
-      var ok = cp + k <= c.length && bp + k <= b.length
-      while (ok && i < k) { ok = c(cp + i) == b(bp + i); i += 1 }
-      if (!ok) null
-      else {
-        var lo = 0
-        while (cp - lo - 1 >= 0 && bp - lo - 1 >= 0 &&
-          c(cp - lo - 1) == b(bp - lo - 1)) lo += 1
-        var hi = k
-        while (cp + hi < c.length && bp + hi < b.length &&
-          c(cp + hi) == b(bp + hi)) hi += 1
-        (cpos - lo, cpos + hi)
-      }
+  def verbatimContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: Column, textCol: Column,
+                            minLen: Int = 32): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val corpusSrc = corpus.select(idCol.as("doc_id"), textCol.as("t"))
+    val benchSrc = bench.select(idCol.as("doc_id"), textCol.as("t"))
+    val benchFps = SuffixArray.gramFps(benchSrc, minLen)
+    val candPos = SuffixArray.gramFps(corpusSrc, minLen)
+      .join(broadcast(benchFps.select(col("h")).distinct()),
+        Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val benchGrams = SuffixArray.literalGrams(
+        benchFps.select(col("doc_id"), col("pos")), benchSrc, minLen)
+      .select(col("gram")).distinct()
+    val hits = SuffixArray.literalGrams(candPos, corpusSrc, minLen)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    corpusSrc
+      .select(col("doc_id"),
+        greatest(length(col("t")) - lit(minLen - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("contamination"))
   }
-
   /** [[verbatimContamination]] on WINNOWED fingerprints — same answer
     * (spec-pinned equal), ~(w+1)/2× fewer probe rows: instead of one
     * fingerprint per gram position, both sides select only each
@@ -167,7 +170,7 @@ object Decontaminate {
       .join(broadcast(benchSrc.select(col("doc_id").as("bdoc"),
         col("t").as("bt"))), Seq("bdoc"))
       .select(col("doc_id"),
-        extendRunUdf(col("t"), col("bt"), col("pos"), col("bpos"),
+        SuffixArray.extendRunUdf(col("t"), col("bt"), col("pos"), col("bpos"),
           lit(k)).as("run"))
       .filter(col("run").isNotNull &&
         col("run._2") - col("run._1") >= minLen)
@@ -190,35 +193,6 @@ object Decontaminate {
       .groupBy(col("doc_id"), col("grp"))
       .agg((max(col("hi")) - min(col("lo")) + 1L).as("n"))
       .groupBy(col("doc_id")).agg(sum(col("n")).as("n_hits"))
-    corpusSrc
-      .select(col("doc_id"),
-        greatest(length(col("t")) - lit(minLen - 1), lit(0))
-          .cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        when(col("n_grams") === 0L, lit(0.0))
-          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
-            col("n_grams").cast("double")).as("contamination"))
-  }
-
-  def verbatimContamination(corpus: DataFrame, bench: DataFrame,
-                            idCol: Column, textCol: Column,
-                            minLen: Int = 32): DataFrame = {
-    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val corpusSrc = corpus.select(idCol.as("doc_id"), textCol.as("t"))
-    val benchSrc = bench.select(idCol.as("doc_id"), textCol.as("t"))
-    val benchFps = SuffixArray.gramFps(benchSrc, minLen)
-    val candPos = SuffixArray.gramFps(corpusSrc, minLen)
-      .join(broadcast(benchFps.select(col("h")).distinct()),
-        Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"))
-    val benchGrams = SuffixArray.literalGrams(
-        benchFps.select(col("doc_id"), col("pos")), benchSrc, minLen)
-      .select(col("gram")).distinct()
-    val hits = SuffixArray.literalGrams(candPos, corpusSrc, minLen)
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     corpusSrc
       .select(col("doc_id"),
         greatest(length(col("t")) - lit(minLen - 1), lit(0))

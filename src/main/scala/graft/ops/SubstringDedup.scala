@@ -165,4 +165,48 @@ object SubstringDedup {
             col("n_windows").cast("double"))
           .as("dup_ratio"))
   }
+
+  /** Document PAIRS sharing a verbatim character run of length ≥
+    * `minLen` — the pair-level view the window stats above cannot
+    * give (which documents copy from each other, the input the
+    * canonical-copy/cluster policies key on). On WINNOWED
+    * fingerprints: both occurrences of a shared ≥ minLen run select
+    * the same k-gram seed at the same relative offset
+    * ([[SuffixArray.winnowedPositions]], w = minLen − k + 1), so the
+    * self-join on the selected hashes finds every qualifying pair at
+    * ~2/(w+1) of the gram positions; each seed pair then verifies by
+    * maximal literal run extension (collision-proof). Output:
+    * (id_a, id_b) distinct with id_a < id_b.
+    *
+    * Scale shape: the join key is the 8-byte selected hash; candidate
+    * volume tracks TRUE shared-run mass (+ collisions), never
+    * corpus². The output itself is inherently quadratic in the
+    * multiplicity of a hot span (10^6 copies of one boilerplate run
+    * = C(10^6, 2) pairs — that IS the answer); feed the pairs to
+    * [[ConnectedComponents]] (the `q_dup_clusters` policy) instead of
+    * materializing them when multiplicities run hot.
+    */
+  def verbatimDupPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                       minLen: Int = 32, k: Int = 16): DataFrame = {
+    require(k >= 2 && k < minLen, s"need 2 <= k < minLen, got k=$k minLen=$minLen")
+    val w = minLen - k + 1
+    val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
+    val wfps = SuffixArray.winnowedFps(src, k, w)
+    val seeds = wfps.select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
+        col("h"))
+      .join(wfps.select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
+        col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"))
+    seeds
+      .join(src.select(col("doc_id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SuffixArray.extendRunUdf(col("ta"), col("tb"), col("pos_a"),
+          col("pos_b"), lit(k)).as("run"))
+      .filter(col("run").isNotNull &&
+        col("run._2") - col("run._1") >= minLen)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
 }

@@ -478,6 +478,34 @@ object SuffixArray {
         col("ph._2").as("h"))
   }
 
+  /** Maximal verbatim run around an aligned k-gram seed: verifies the
+    * seed literally (a fingerprint collision returns null), then
+    * extends left/right while codepoints agree. Returns
+    * (runStart, runEndExcl) in FIRST-argument codepoint positions —
+    * the verify kernel of the winnowed probes
+    * ([[graft.ops.Decontaminate.verbatimContaminationSampled]],
+    * [[graft.ops.SubstringDedup.verbatimDupPairs]]).
+    */
+  private[ops] val extendRunUdf = udf {
+    (ct: String, bt: String, cpos: Long, bpos: Long, k: Int) =>
+      val c = ct.codePoints.toArray
+      val b = bt.codePoints.toArray
+      val cp = cpos.toInt; val bp = bpos.toInt
+      var i = 0
+      var ok = cp + k <= c.length && bp + k <= b.length
+      while (ok && i < k) { ok = c(cp + i) == b(bp + i); i += 1 }
+      if (!ok) null
+      else {
+        var lo = 0
+        while (cp - lo - 1 >= 0 && bp - lo - 1 >= 0 &&
+          c(cp - lo - 1) == b(bp - lo - 1)) lo += 1
+        var hi = k
+        while (cp + hi < c.length && bp + hi < b.length &&
+          c(cp + hi) == b(bp + hi)) hi += 1
+        (cpos - lo, cpos + hi)
+      }
+  }
+
   /** EXACT repeat classes from a fingerprint table: the Rabin–Karp
     * candidate pass + literal verify, the same classes as
     * [[repeatGroups]] without its log2(minLen) sorted doubling

@@ -152,4 +152,49 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"window inventory should not shuffle:\n$plan")
   }
+
+  /** Brute doc pairs sharing a literal minLen-char run (codepoints). */
+  private def brutePairs(rows: Seq[(Long, String)], minLen: Int): Seq[(Long, Long)] = {
+    def grams(t: String): Set[String] = {
+      val cps = t.codePoints.toArray
+      (0 to cps.length - minLen).map(p => new String(cps, p, minLen)).toSet
+    }
+    val g = rows.map { case (id, t) => id -> grams(t) }
+    (for {
+      (a, ga) <- g; (b, gb) <- g
+      if a < b && (ga intersect gb).nonEmpty
+    } yield (a, b)).sortBy(identity)
+  }
+
+  test("verbatimDupPairs == brute gram-pair truth (winnowed pair probe is exact)") {
+    val span = "The five boxing wizards jump quickly tonight" // 45 chars
+    val rows = Seq(
+      1L -> s"xx$span tail one",
+      2L -> s"$span tail two",                       // pairs with 1, 4
+      3L -> "nothing shared with anyone, long enough to have grams here",
+      4L -> s"prefix then $span end",                // pairs with 1, 2
+      5L -> s"short${span.take(31)}",                // 31-char overlap: NO pair
+      // (no separator: a shared boundary space would extend the run to 32)
+      6L -> ("ab" * 30),                             // periodic self-content
+      7L -> ("zz" + "ab" * 20 + "qq"))               // periodic overlap with 6
+    val got = SubstringDedup.verbatimDupPairs(
+        rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        minLen = 32, k = 16)
+      .orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == brutePairs(rows, 32))
+    assert(got.contains((1L, 2L)) && got.contains((2L, 4L)) &&
+      got.contains((6L, 7L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L), "31-char overlap leaked")
+  }
+
+  test("verbatimDupPairs matches brute truth on the sf corpus") {
+    val d = graft.Tables.documents(spark, SparkTestSession.Sf)
+    val rows = d.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.filter(_._2 != null)
+    val got = SubstringDedup.verbatimDupPairs(d, col("doc_id"), col("text"),
+        minLen = 32, k = 16)
+      .orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == brutePairs(rows, 32))
+    assert(got.nonEmpty, "sf corpus has no verbatim pairs — fixture too weak")
+  }
 }
