@@ -57,6 +57,34 @@ object SparkEntry {
       .withColumn("custom_id",
         concat(lit("row_"), (col("event_id") + 1).cast(StringType)))
 
+  /** The planted hot-span fixture of `q_winnow_cap_audit`: a constant
+    * boilerplate run (all 16-grams distinct — asserted at oracle
+    * build) planted VERBATIM as the full text of every 5th document,
+    * so its winnowing selection — a pure function of the constant —
+    * is identical in every copy and each selected gram's audit bucket
+    * counts exactly the planted documents. Unplanted rows get a
+    * sub-32-char stub (no fingerprints at all), making the audit
+    * deterministic at EVERY scale factor — the natural corpus's own
+    * skew (hottest bucket 26 @ sf0.01 but 278 @ sf0.1) admits no
+    * fixed threshold that separates planted from natural across SFs;
+    * the natural-skew behavior is spec-pinned instead
+    * (SubstringDedupSpec's hot-span fixture).
+    */
+  private val WinnowHotSpan: String =
+    "graft winnow audit boilerplate alpha0 bravo1 charlie2 delta3 echo4 " +
+      "foxtrot5 golf6 hotel7 india8 juliet9 kilo10 lima11 mike12 " +
+      "november13 oscar14 papa15 quebec16 romeo17 sierra18 tango19 end"
+
+  /** The fixture corpus: every 5th doc IS the hot span, the rest are
+    * fingerprint-free stubs. Shared by the query and (shape-wise) the
+    * oracle's planted count.
+    */
+  private def winnowAuditFixture(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, lit(WinnowHotSpan))
+        .otherwise(concat(lit("u"), col("doc_id").cast(StringType)))
+        .as("text"))
+
   // ---- the declared queries --------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -640,6 +668,28 @@ object SparkEntry {
         col("text"), minLen = 32, k = 16)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the CAPPED winnowed pair path: selected-hash buckets above
+    // maxBucket are excluded from the seed self-join (candidate mass
+    // bounded, the hammingPairs cap discipline); 1000 ≫ the corpus's
+    // hottest natural bucket (278 at sf0.1), so nothing caps here and
+    // the oracle is the same exhaustive pair truth — REAL capping +
+    // the first-surviving-seed exception are exercised by the
+    // planted-hot-span spec
+    "q_winnow_pairs_capped" -> ((s, dir) =>
+      SubstringDedup.verbatimDupPairsCapped(documents(s, dir), col("doc_id"),
+        col("text"), minLen = 32, k = 16, maxBucket = 1000L)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // the winnowed pair join's skew AUDIT on a planted hot-span
+    // fixture (every 5th doc is one constant boilerplate run): the
+    // hot buckets' literal grams with their selected-position/doc
+    // counts — the quadratic-join early warning, oracle-backed
+    // because the planted selection is content-determined
+    "q_winnow_cap_audit" -> ((s, dir) =>
+      SubstringDedup.winnowBucketAuditGrams(winnowAuditFixture(s, dir),
+        col("doc_id"), col("text"), minLen = 32, k = 16, minBucket = 10L)
+        .orderBy(col("gram"))),
+
     // E1 depth: EXACT suffix-array machinery (prefix doubling — the
     // Lee et al. suffix-array form next to the rolling-hash windows
     // above). q_sa_ranks = lexicographic suffix dense ranks at
@@ -1118,6 +1168,19 @@ object SparkEntry {
       val pairs = Similarity.nearDupPairs(emb, col("label"),
         threshold = 0.30)
       Sampling.leakageSafeSplit(emb, col("vec_id"), pairs, valBp = 2000)
+        .orderBy(col("id"))
+    }),
+
+    // E5∘E1, verbatim evidence: the SAME split policy keyed on EXACT
+    // substring-copy pairs (verbatimDupPairs → CC clusters → cluster-
+    // keyed Knuth bucket) — documents sharing any ≥ 32-char verbatim
+    // run never straddle the train/val boundary, the leakage class
+    // token-set and embedding detectors blur
+    "q_leakage_split_verbatim" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val pairs = SubstringDedup.verbatimDupPairs(d, col("doc_id"),
+        col("text"), minLen = 32, k = 16)
+      Sampling.leakageSafeSplit(d, col("doc_id"), pairs, valBp = 2000)
         .orderBy(col("id"))
     }),
 
@@ -2899,6 +2962,19 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
     * transitive reach) — shared by the `q_dup_clusters` and
     * `q_leakage_split` oracles.
     */
+  /** Pair truth of the winnowed probe family: two docs share a
+    * verbatim ≥ 32-char run iff they share a literal 32-gram — one
+    * oracle serves the exhaustive and capped physical paths (the cap
+    * sits above every natural bucket at the tested SFs).
+    */
+  private lazy val winnowPairsOracle: String =
+    "WITH g AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
+      "FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
+      "FROM documents)) " +
+      "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+      "FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id " +
+      "ORDER BY id_a, id_b"
+
   private lazy val dupReachCte: String =
     "e AS (SELECT vec_id, label, embedding, " +
       "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm " +
@@ -4388,13 +4464,50 @@ FROM v$it ORDER BY token_id"""
 
     // pair semantics: two docs share a verbatim >= 32-char run iff
     // they share a literal 32-gram — the oracle enumerates grams
-    "q_winnow_pairs" ->
-      ("WITH g AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
+    "q_winnow_pairs" -> winnowPairsOracle,
+
+    // the cap (1000) sits far above the corpus's hottest natural
+    // bucket, so the capped path must reproduce the exhaustive pair
+    // truth exactly; real capping is spec-exercised
+    "q_winnow_pairs_capped" -> winnowPairsOracle,
+
+    // the planted span's winnowing selection is a pure function of
+    // the constant (inlined below — winnowedGramsOf replays public
+    // winnowing on the constant, not a second data path); the
+    // data-dependent bucket COUNTS come from the planted-doc count
+    "q_winnow_cap_audit" -> {
+      val grams = SubstringDedup.winnowedGramsOf(WinnowHotSpan, 32, 16)
+      require(grams.nonEmpty && grams.distinct.length == grams.length,
+        "hot-span fixture must select distinct grams (one bucket each)")
+      require(grams.forall(g => !g.contains("'")),
+        "hot-span grams must be SQL-literal-safe")
+      "WITH m AS (SELECT count(*) AS n FROM documents WHERE doc_id % 5 = 0) " +
+        "SELECT v.gram, m.n AS n_sel, m.n AS n_docs FROM (VALUES " +
+        grams.sorted.map(g => s"('$g')").mkString(", ") +
+        ") AS v(gram), m ORDER BY v.gram"
+    },
+
+    // same closure discipline as q_leakage_split, keyed on the
+    // verbatim-pair evidence: gram-share pairs -> recursive closure
+    // -> cluster min-label -> the Knuth bucket
+    "q_leakage_split_verbatim" ->
+      ("WITH RECURSIVE g AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
         "FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
-        "FROM documents)) " +
-        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
-        "FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id " +
-        "ORDER BY id_a, id_b"),
+        "FROM documents)), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (" +
+        "SELECT u, u FROM (SELECT DISTINCT u FROM edges) n " +
+        "UNION " +
+        "SELECT reach.id, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u), " +
+        "c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+        "SELECT d.doc_id AS id, " +
+        "CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS group_id, " +
+        "CASE WHEN (COALESCE(c.comp, d.doc_id) * 2654435761) % 10000 < 2000 " +
+        "THEN 'val' ELSE 'train' END AS split " +
+        "FROM documents d LEFT JOIN c ON d.doc_id = c.id " +
+        "ORDER BY id"),
 
     // same Java/RE2-shared patterns and injection arithmetic as the
     // Spark side; 'g' = replace-all (Spark's default)

@@ -427,7 +427,13 @@ object KnnGraph {
     * which is what lets a walk descend to the right region before
     * the dense layer-0 hops.
     */
-  final case class LayeredGraph(layers: Seq[DataFrame], entryStep: Long)
+  /** `k`/`nCentroids` ride along (the [[GraphArtifact]] convention):
+    * they are the BASE geometry [[extendLayered]] must maintain under
+    * — layer ℓ's own build bound derives from them
+    * (`nCentroids · entryStep^ℓ`), so the pair is the whole manifest.
+    */
+  final case class LayeredGraph(layers: Seq[DataFrame], entryStep: Long,
+                                k: Int, nCentroids: Int)
 
   /** Build the upper layers over an existing layer-0 graph (the
     * session-shared artifact — one base build serves flat AND layered
@@ -445,10 +451,7 @@ object KnnGraph {
     require(nLayers >= 1, s"nLayers must be >= 1, got $nLayers")
     require(entryStep >= 2, s"entryStep must be >= 2, got $entryStep")
     val uppers = (1 to nLayers).map { l =>
-      val stepL = lpow(entryStep, l)
-      val bound = math.min(nCentroids.toLong * stepL, Int.MaxValue.toLong).toInt
-      def mk = build(embeddings.filter(pmod(col("vec_id"), lit(stepL)) === 0),
-        k, nCentroids = bound)
+      def mk = buildUpperLayer(embeddings, k, nCentroids, entryStep, l)
       cacheKey match {
         // upper layers are write-once artifacts like the base edge
         // table — one build per (session, corpus, geometry, layer)
@@ -459,7 +462,79 @@ object KnnGraph {
         case None => mk
       }
     }
-    LayeredGraph(baseGraph +: uppers, entryStep)
+    LayeredGraph(baseGraph +: uppers, entryStep, k, nCentroids)
+  }
+
+  /** Layer ℓ ≥ 1 of the hierarchy: a k-NN graph over the nested
+    * deterministic sample, with the base geometry's cell POPULATION
+    * preserved (the seed-id bound scales by the sample spacing). The
+    * single definition [[buildLayered]] and [[extendLayered]] both
+    * call — extend-by-rebuild equals the full build by construction,
+    * and the spec pins it.
+    */
+  private def buildUpperLayer(embeddings: DataFrame, k: Int, nCentroids: Int,
+                              entryStep: Long, l: Int): DataFrame = {
+    val stepL = lpow(entryStep, l)
+    val bound = math.min(nCentroids.toLong * stepL, Int.MaxValue.toLong).toInt
+    build(embeddings.filter(pmod(col("vec_id"), lit(stepL)) === 0),
+      k, nCentroids = bound)
+  }
+
+  /** Persist a [[LayeredGraph]]: per-layer edge parquet + a geometry
+    * manifest (the [[saveGraph]] shape) — entryStep and layer count
+    * included, so a loaded hierarchy probes under exactly the
+    * geometry it was built with.
+    */
+  def saveLayered(lg: LayeredGraph, path: String): Unit = {
+    lg.layers.zipWithIndex.foreach { case (edges, l) =>
+      edges.write.mode("overwrite").parquet(s"$path/layer$l/edges")
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "params.json"),
+      (s"""{"k":${lg.k},"nCentroids":${lg.nCentroids},""" +
+        s""""entryStep":${lg.entryStep},"nLayers":${lg.layers.size - 1}}""")
+        .getBytes("UTF-8"))
+  }
+
+  /** Load a persisted [[LayeredGraph]]; refuses a manifest missing
+    * any geometry field (a hierarchy descended with the wrong
+    * entryStep would scan the wrong top sample and hand off between
+    * the wrong layers).
+    */
+  def loadLayered(spark: org.apache.spark.sql.SparkSession,
+                  path: String): LayeredGraph = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    def longOf(key: String): Long = {
+      val m = s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+      require(m.isDefined, s"params.json missing $key")
+      m.get.group(1).toLong
+    }
+    val nLayers = longOf("nLayers").toInt
+    LayeredGraph(
+      (0 to nLayers).map(l => spark.read.parquet(s"$path/layer$l/edges")),
+      longOf("entryStep"), longOf("k").toInt, longOf("nCentroids").toInt)
+  }
+
+  /** INDEX MAINTENANCE for the hierarchy — [[extend]] on layer 0 plus
+    * a REBUILD of the geometrically small upper layers over the grown
+    * corpus (new vec_ids satisfying `id % entryStep^ℓ == 0` join
+    * their layer, which a layer-0-only fold leaves stale). Provably
+    * == [[buildLayered]] over the union: layer 0 by [[extend]]'s
+    * spec-pinned `extend == build(union)` contract, layers ℓ ≥ 1 by
+    * being the same [[buildUpperLayer]] call on the same union —
+    * spec-pinned end to end. Cost: the layer-0 fold (O(batch · cell
+    * occupancy)) dominates; layer ℓ re-pairs corpus/entryStep^ℓ rows,
+    * a geometric tail of the base build. `oldEmb` must contain the
+    * base geometry's seed ids (the [[extend]] contract).
+    */
+  def extendLayered(oldEmb: DataFrame, newEmb: DataFrame,
+                    lg: LayeredGraph): LayeredGraph = {
+    val base = extend(oldEmb, newEmb, lg.layers(0), lg.k, lg.nCentroids)
+    val all = oldEmb.unionByName(newEmb)
+    val uppers = (1 until lg.layers.size).map(l =>
+      buildUpperLayer(all, lg.k, lg.nCentroids, lg.entryStep, l))
+    LayeredGraph(base +: uppers, lg.entryStep, lg.k, lg.nCentroids)
   }
 
   /** Beam search DOWN a [[LayeredGraph]] — the HNSW query loop: the

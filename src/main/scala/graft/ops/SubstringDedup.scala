@@ -182,31 +182,163 @@ object SubstringDedup {
     * volume tracks TRUE shared-run mass (+ collisions), never
     * corpus². The output itself is inherently quadratic in the
     * multiplicity of a hot span (10^6 copies of one boilerplate run
-    * = C(10^6, 2) pairs — that IS the answer); feed the pairs to
+    * = C(10^6, 2) pairs — that IS the answer); [[winnowBucketAudit]]
+    * is the standing monitor that says when that is happening, and
+    * the remedies are [[verbatimDupPairsCapped]] (bounded candidate
+    * mass, audited drops) or feeding the pairs to
     * [[ConnectedComponents]] (the `q_dup_clusters` policy) instead of
-    * materializing them when multiplicities run hot.
+    * materializing them. The seed→text verify stage ships each text
+    * once per (pair, 4096-char block) — [[groupedSeedPairs]] — never
+    * once per seed.
     */
   def verbatimDupPairs(docs: DataFrame, idCol: Column, textCol: Column,
                        minLen: Int = 32, k: Int = 16): DataFrame = {
     require(k >= 2 && k < minLen, s"need 2 <= k < minLen, got k=$k minLen=$minLen")
     val w = minLen - k + 1
     val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
-    val wfps = SuffixArray.winnowedFps(src, k, w)
-    val seeds = wfps.select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
-        col("h"))
+    pairsFromSeeds(seedPairs(SuffixArray.winnowedFps(src, k, w)), src,
+      minLen, k)
+  }
+
+  /** The winnowed pair probe's seed self-join: (id_a, pos_a, id_b,
+    * pos_b) rows where both documents selected the same k-gram hash
+    * (id_a < id_b). The 8-byte-key join whose candidate volume tracks
+    * true shared-run mass — and the one stage a hot boilerplate span
+    * detonates ([[winnowBucketAudit]] watches it; [[
+    * verbatimDupPairsCapped]] bounds it).
+    */
+  private[ops] def seedPairs(wfps: DataFrame): DataFrame =
+    wfps.select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("h"))
       .join(wfps.select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
         col("h")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"))
-    seeds
+
+  /** Seeds grouped per (pair, pos_a block) for the extension join —
+    * the [[SuffixArray.literalGrams]] block discipline: a heavily
+    * seeded document ships its text once per (pair, ≤4096-char
+    * block), never once per seed, and a pathological
+    * every-position-seeded pair becomes len/4096 bounded list rows
+    * instead of one unbounded aggregation buffer.
+    */
+  private[ops] def groupedSeedPairs(seeds: DataFrame): DataFrame =
+    seeds.groupBy(col("id_a"), col("id_b"),
+        (col("pos_a") / lit(SuffixArray.ScrubBlockChars)).cast("long")
+          .as("blk"))
+      .agg(collect_list(struct(col("pos_a"), col("pos_b"))).as("pp"))
+
+  /** Verify + emit: group seeds per (pair, block), join each text ONCE
+    * per group row, extend every seed in the block against the decoded
+    * pair ([[SuffixArray.extendRuns]]), and keep pairs with any
+    * verified run ≥ minLen.
+    */
+  private def pairsFromSeeds(seeds: DataFrame, src: DataFrame,
+                             minLen: Int, k: Int): DataFrame =
+    groupedSeedPairs(seeds)
       .join(src.select(col("doc_id").as("id_a"), col("t").as("ta")), Seq("id_a"))
       .join(src.select(col("doc_id").as("id_b"), col("t").as("tb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        SuffixArray.extendRunUdf(col("ta"), col("tb"), col("pos_a"),
-          col("pos_b"), lit(k)).as("run"))
-      .filter(col("run").isNotNull &&
-        col("run._2") - col("run._1") >= minLen)
+      .filter(size(SuffixArray.extendRunsUdf(col("ta"), col("tb"), col("pp"),
+        lit(k), lit(minLen))) > 0)
       .select(col("id_a"), col("id_b"))
       .distinct()
+
+  /** Bucket-skew audit for the winnowed pair join — the
+    * [[MinHash.bucketAudit]] shape on the selected-hash buckets: the
+    * (h, n_sel, n_docs) fingerprint buckets holding more than
+    * `minBucket` selected positions. [[verbatimDupPairs]] does not cap
+    * its buckets (completeness is the contract), so a boilerplate
+    * span selected by 10⁶ documents — C(10⁶,2) seed rows before the
+    * distinct — shows up here as the quadratic-join early warning
+    * rather than as silent skew. Bounded output: ≤ fps/minBucket
+    * rows.
+    */
+  def winnowBucketAudit(docs: DataFrame, idCol: Column, textCol: Column,
+                        minLen: Int = 32, k: Int = 16,
+                        minBucket: Long = 10000L): DataFrame = {
+    require(k >= 2 && k < minLen, s"need 2 <= k < minLen, got k=$k minLen=$minLen")
+    val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
+    bucketCounts(SuffixArray.winnowedFps(src, k, minLen - k + 1))
+      .filter(col("n_sel") > minBucket)
+  }
+
+  private def bucketCounts(wfps: DataFrame): DataFrame =
+    wfps.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_sel"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  /** [[winnowBucketAudit]] with the hot buckets' LITERAL k-grams
+    * fetched back — (gram, n_sel, n_docs), the human-readable (and
+    * oracle-checkable) monitor row: WHAT boilerplate is hot, not just
+    * that an 8-byte hash is. The fetch touches one representative
+    * (doc, pos) per hot bucket (min-struct canonical), so its cost is
+    * audit-bounded, never corpus-bounded.
+    */
+  def winnowBucketAuditGrams(docs: DataFrame, idCol: Column, textCol: Column,
+                             minLen: Int = 32, k: Int = 16,
+                             minBucket: Long = 10000L): DataFrame = {
+    require(k >= 2 && k < minLen, s"need 2 <= k < minLen, got k=$k minLen=$minLen")
+    val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
+    val wfps = SuffixArray.winnowedFps(src, k, minLen - k + 1)
+      .localCheckpoint(eager = false)
+    val hot = bucketCounts(wfps).filter(col("n_sel") > minBucket)
+    val rep = wfps.join(broadcast(hot.select(col("h"))), Seq("h"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("r"))
+      .select(col("h"), col("r.doc_id").as("doc_id"), col("r.pos").as("pos"))
+    SuffixArray.literalGrams(rep.select(col("doc_id"), col("pos")), src, k)
+      .join(rep, Seq("doc_id", "pos"))
+      .join(hot, Seq("h"))
+      .select(col("gram"), col("n_sel"), col("n_docs"))
+  }
+
+  /** [[verbatimDupPairs]] with the quadratic hazard BOUNDED — the
+    * opt-in capped path ([[graft.multimodal.PerceptualHash
+    * .hammingPairs]]'s cap discipline): selected-hash buckets holding
+    * more than `maxBucket` fingerprint rows are excluded from the
+    * seed self-join, so candidate mass is ≤ fps·maxBucket, never
+    * C(hot multiplicity, 2). The first-surviving-seed exception is
+    * INHERENT here: the cap drops seed ROWS, not pairs, and the
+    * terminal distinct means any pair whose shared run also selects a
+    * below-cap seed — every run longer than one winnow window does —
+    * still surfaces through that seed. What the cap can silence is
+    * exactly a pair whose ONLY shared seeds are hot, and
+    * [[winnowBucketAudit]] at the same threshold lists those buckets
+    * — capped is audited, never silent. Feed hot buckets to
+    * [[ConnectedComponents]]-based cluster policies instead of pair
+    * enumeration (one hot span shared by m docs IS one cluster, not
+    * C(m,2) pairs of interest).
+    */
+  def verbatimDupPairsCapped(docs: DataFrame, idCol: Column, textCol: Column,
+                             minLen: Int = 32, k: Int = 16,
+                             maxBucket: Long = 10000L): DataFrame = {
+    require(k >= 2 && k < minLen, s"need 2 <= k < minLen, got k=$k minLen=$minLen")
+    val w = minLen - k + 1
+    val src = docs.select(idCol.as("doc_id"), textCol.as("t"))
+    // the fps table feeds the bucket counts AND the (capped) self-join:
+    // one lazy localCheckpoint materializes the winnowing pass once
+    // (MEMORY_AND_DISK), the MinHash.nearDupPairs per-call scoping
+    val wfps = SuffixArray.winnowedFps(src, k, w)
+      .localCheckpoint(eager = false)
+    val ok = bucketCounts(wfps).filter(col("n_sel") <= maxBucket)
+      .select(col("h"))
+    pairsFromSeeds(seedPairs(wfps.join(ok, Seq("h"), "left_semi")), src,
+      minLen, k)
+  }
+
+  /** The winnowing selection of a CONSTANT string, pure JVM (no
+    * Spark): the selected k-gram literals a planted hot span
+    * contributes to every copy. A planted fixture's audit oracle
+    * inlines these — the selection of a constant is itself a
+    * constant, so inlining is a replay of public winnowing
+    * (Schleimer et al., SIGMOD'03), not a second data path; the
+    * data-dependent part of the oracle (the bucket COUNTS) stays
+    * independently computed.
+    */
+  def winnowedGramsOf(text: String, minLen: Int, k: Int): Seq[String] = {
+    require(k >= 2 && k < minLen, s"need 2 <= k < minLen, got k=$k minLen=$minLen")
+    val cps = text.codePoints.toArray
+    val hs = SuffixArray.gramHashes(text, k)
+    SuffixArray.winnowedPositions(hs, minLen - k + 1)
+      .map(p => new String(cps, p, k)).toSeq
   }
 }

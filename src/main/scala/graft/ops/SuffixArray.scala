@@ -506,6 +506,56 @@ object SuffixArray {
       }
   }
 
+  /** [[extendRunUdf]]'s kernel over a position-pair LIST — the
+    * block-bounded form of the seed→text extension join: the two
+    * codepoint arrays decode ONCE per (text-pair, block) group and
+    * every seed in the block extends against them, so a document with
+    * s seeds ships its text once per block instead of once per seed
+    * (the [[literalGrams]] block discipline applied to the extension
+    * stage). Per seed, the arithmetic is character-identical to
+    * [[extendRunUdf]]; runs shorter than `minLen` (and collision
+    * seeds, which fail the literal verify) are dropped here, and the
+    * surviving (runStart, runEndExcl) intervals — first-argument
+    * codepoint positions — are deduplicated per group (many seeds
+    * inside one long run extend identically).
+    */
+  private[ops] def extendRuns(ct: String, bt: String,
+                              pairs: Seq[(Long, Long)], k: Int,
+                              minLen: Int): Seq[(Long, Long)] = {
+    val c = ct.codePoints.toArray
+    val b = bt.codePoints.toArray
+    val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    pairs.foreach { case (cpos, bpos) =>
+      val cp = cpos.toInt; val bp = bpos.toInt
+      var i = 0
+      var ok = cp + k <= c.length && bp + k <= b.length
+      while (ok && i < k) { ok = c(cp + i) == b(bp + i); i += 1 }
+      if (ok) {
+        var lo = 0
+        while (cp - lo - 1 >= 0 && bp - lo - 1 >= 0 &&
+          c(cp - lo - 1) == b(bp - lo - 1)) lo += 1
+        var hi = k
+        while (cp + hi < c.length && bp + hi < b.length &&
+          c(cp + hi) == b(bp + hi)) hi += 1
+        if (lo + hi >= minLen) out += ((cpos - lo, cpos + hi))
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[extendRuns]] as a UDF: (text_a, text_b, array<struct<pos_a,
+    * pos_b>>, k, minLen) → array<struct<runStart, runEndExcl>>. The
+    * grouped-seed join stage of [[graft.ops.SubstringDedup
+    * .verbatimDupPairs]] and [[graft.ops.Decontaminate
+    * .verbatimContaminationSampled]].
+    */
+  private[ops] val extendRunsUdf = udf {
+    (ct: String, bt: String, pairs: Seq[org.apache.spark.sql.Row],
+     k: Int, minLen: Int) =>
+      extendRuns(ct, bt, pairs.map(r => (r.getLong(0), r.getLong(1))),
+        k, minLen)
+  }
+
   /** EXACT repeat classes from a fingerprint table: the Rabin–Karp
     * candidate pass + literal verify, the same classes as
     * [[repeatGroups]] without its log2(minLen) sorted doubling
@@ -522,14 +572,6 @@ object SuffixArray {
     */
   private[ops] def membersFromFps(fps: DataFrame, src: DataFrame,
                                   minLen: Int): DataFrame = {
-    val idBounds = src.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).collect()(0)
-    if (!idBounds.isNullAt(0)) {
-      val (lo, hi) = (idBounds.getLong(0), idBounds.getLong(1))
-      require(lo >= 0L && hi < (1L << 31),
-        s"repeat classes pack doc ids as did*2^32+pos: ids must be in " +
-          s"[0, 2^31), got [$lo, $hi]")
-    }
     // candidate pass as ONE h-shuffle: full-frame windows keep the
     // positions attached (a groupBy would need a second fps shuffle
     // to join them back); an h hot enough to skew a window partition
@@ -538,11 +580,23 @@ object SuffixArray {
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val whd = org.apache.spark.sql.expressions.Window.partitionBy("h")
       .orderBy("doc_id")
+    // packing-range guard IN the pipeline (the Sampling.hashBucket
+    // shape): repeat classes pack doc ids as did*2^32+pos, which
+    // preserves (did, pos) order only for did ∈ [0, 2^31). Every row
+    // that can reach the gkey pack descends from a candidate row, so
+    // guarding here fails loudly exactly where corruption could start
+    // — with no driver-side min/max job per call (this runs once per
+    // crawl batch inside extendRepeatGroups)
+    val guardedId = when(col("doc_id") >= 0 && col("doc_id") < lit(1L << 31),
+        col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("repeat classes pack doc ids as did*2^32+pos: ids must be in " +
+          "[0, 2^31), got "), col("doc_id").cast("string"))))
     val candPos = fps
       .withColumn("n_occ", count(lit(1)).over(wh))
       .withColumn("n_docs", max(dense_rank().over(whd)).over(wh))
       .filter(col("n_occ") >= 2 && col("n_docs") >= 2)
-      .select(col("doc_id"), col("pos"))
+      .select(guardedId.as("doc_id"), col("pos"))
     verifiedMembers(literalGrams(candPos, src, minLen), _ => Seq.empty,
       lit(true))
   }
@@ -828,6 +882,30 @@ object SuffixArray {
     * standing fps table shuffles only its h-matching rows (bucketed
     * at deployment).
     */
+  /** The extend probe's candidate stage, UN-checkpointed — exactly
+    * the frame [[extendRepeatGroups]] step (2) executes, factored out
+    * so plan specs assert on the REAL probe plan (the bloom prune
+    * below the standing side's exchange), not a synthetic replica the
+    * eager checkpoint would hide. Triggers one count job on `fpsNew`
+    * (the bloom sizing input).
+    */
+  private[graft] def extendCandidates(standingFps: DataFrame,
+                                      fpsNew: DataFrame): DataFrame = {
+    // bipartite probe as ONE h-shuffle of the tagged union; the
+    // STANDING side is bloom-pruned on the batch's hashes BEFORE its
+    // exchange (the [[BloomJoin]] discipline) — see the step (2)
+    // notes in [[extendRepeatGroups]]
+    val standingPruned = BloomJoin.prefilter(standingFps, col("h"),
+      fpsNew, col("h"), expectedItems = math.max(fpsNew.count(), 1L))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    standingPruned.withColumn("is_new", lit(false))
+      .unionByName(fpsNew.withColumn("is_new", lit(true)))
+      .withColumn("has_new", max(col("is_new")).over(wh))
+      .withColumn("has_old", max(!col("is_new")).over(wh))
+      .filter(col("has_new") && col("has_old"))
+      .select(col("doc_id"), col("pos"), col("is_new"))
+  }
+
   def extendRepeatGroups(standing: RepeatInventory, standingDocs: DataFrame,
                          batch: DataFrame, idCol: Column,
                          textCol: Column): RepeatInventory = {
@@ -855,17 +933,9 @@ object SuffixArray {
     // drops, so the answer is exact. Batches beyond ~1M gram
     // positions should raise the runtime bloomFilter maxNumItems/
     // maxNumBits confs (see [[BloomJoin.optimalNumBits]]).
-    val standingPruned = BloomJoin.prefilter(standing.fps, col("h"),
-      fpsNew, col("h"), expectedItems = math.max(fpsNew.count(), 1L))
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
     // pinned: consumed by the side map AND the literal verify — the
     // pin caps the corpus-sized h-window at ONE evaluation per batch
-    val cand = standingPruned.withColumn("is_new", lit(false))
-      .unionByName(fpsNew.withColumn("is_new", lit(true)))
-      .withColumn("has_new", max(col("is_new")).over(wh))
-      .withColumn("has_old", max(!col("is_new")).over(wh))
-      .filter(col("has_new") && col("has_old"))
-      .select(col("doc_id"), col("pos"), col("is_new"))
+    val cand = extendCandidates(standing.fps, fpsNew)
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // (3) literal verify over candidate docs only; is_new is a
     // function of doc_id (ids are disjoint), re-attached by max()

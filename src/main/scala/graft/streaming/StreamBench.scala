@@ -259,6 +259,38 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** Streaming VERBATIM decontamination twin
+    * ([[StreamingIngest.verbatimDecontamBatches]]'s shape): the bench
+    * slice's [[graft.ops.Decontaminate.VerbatimIndex]] (winnowed
+    * seeds + texts, broadcast-sized) is built untimed; each
+    * micro-batch pays one linear winnowing pass over the batch, the
+    * broadcast seed probe, and the seed-pair-bounded literal verify —
+    * never a corpus or bench re-fingerprint. Reads the docs replay
+    * the other text twins use.
+    */
+  def benchVerbatimDecontam(spark: SparkSession, sfDir: String,
+                            replayDir: String): StreamMetrics = {
+    val d = graft.Tables.documents(spark, sfDir)
+    val idx = graft.ops.Decontaminate.buildVerbatimIndex(
+      d.filter(col("doc_id") % 20 === 0), col("doc_id"), col("text"),
+      minLen = 32, k = 16)
+    idx.seeds.queryExecution.toRdd.count() // materialize untimed
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val t0 = System.nanoTime()
+    val q = docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Decontaminate.probeVerbatim(idx, b,
+          col("doc_id"), col("text")).queryExecution.toRdd.count()
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** Standing tf-idf scoring twin: [[graft.ops.Tfidf.DfStats]] trained
     * untimed (its df table is an eager checkpoint), each micro-batch
     * pays one explode + one vocab-keyed join
@@ -659,6 +691,7 @@ object StreamBench {
       line("unigram_tokenize", f, benchUnigramTokenize(spark, sfDir, docs))
       line("tfidf_score", f, benchTfidfScore(spark, sfDir, docs))
       line("substr_incr", f, benchSubstrIncr(spark, sfDir, docs))
+      line("verbatim_decontam", f, benchVerbatimDecontam(spark, sfDir, docs))
       cleanup(keep = before) // reclaim THIS factor's replays only
     }
     Runtime.getRuntime.halt(0)

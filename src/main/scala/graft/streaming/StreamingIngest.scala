@@ -363,6 +363,40 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming twin of the VERBATIM decontamination gate
+    * ([[graft.ops.Decontaminate.verbatimContaminationSampled]]) — the
+    * E7 family's third arm ON the stream, next to the token-set
+    * ([[decontaminatedBatches]]) and semantic ([[semDecontamBatches]])
+    * gates: every micro-batch of a document stream is winnow-
+    * fingerprinted (one linear pass over the batch), probed against
+    * the STANDING [[graft.ops.Decontaminate.VerbatimIndex]] (the
+    * bench's winnowed seeds + texts, built once before the stream
+    * starts — both broadcast-sized by construction), and each batch
+    * document's exact-overlap contamination row lands with the same
+    * exactly-once `ingest_batch=N` overwrite contract as
+    * [[nearDupBatches]] (retries replace, restarts resume from the
+    * checkpoint). Per-batch answer == the batch operator on that
+    * batch (spec-pinned); no cross-batch state — a document's
+    * contamination is wholly contained in its own row.
+    */
+  def verbatimDecontamBatches(docs: DataFrame,
+                              idx: graft.ops.Decontaminate.VerbatimIndex,
+                              outDir: String,
+                              checkpointDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Decontaminate
+          .probeVerbatim(idx, batch, col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("verbdec_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming twin of the graph-ANN query path
     * ([[graft.ops.KnnGraph.beamSearch]]): every micro-batch of query
     * vectors beam-searches a STANDING k-NN graph (embedding table +
@@ -601,11 +635,25 @@ object StreamingIngest {
     * only candidate documents of it are ever read). Same whole-body
     * retry guard and restart contract as the other self loops.
     * Returns the final (inventory, corpus) pair.
+    *
+    * `compactEvery` (0 = off) is the LONG-STREAM plan-compaction
+    * cadence: the additive artifacts — the corpus text and the
+    * inventory's fps table — grow one lazy union LEAF per batch
+    * (each leaf's BLOCKS are already checkpointed; only the PLAN
+    * grows), so after thousands of micro-batches plan
+    * analysis/build time itself creeps linearly. Every
+    * `compactEvery`-th batch the two unions are coalesced into a
+    * single checkpointed leaf (one block-copy pass, amortized
+    * O(corpus/compactEvery) per batch) — at deployment this is the
+    * periodic parquet compaction every append-log table schedules.
+    * Answers are unaffected (spec-pinned); measured at 64
+    * micro-batches, see BASELINE.md.
     */
   def selfSubstrBatches(docs: DataFrame, seedDocs: DataFrame,
                         seed: graft.ops.SuffixArray.RepeatInventory,
                         outDir: String,
-                        checkpointDir: Option[String] = None)
+                        checkpointDir: Option[String] = None,
+                        compactEvery: Int = 0)
       : (graft.ops.SuffixArray.RepeatInventory, DataFrame) = {
     import org.apache.spark.sql.functions.col
     var corpus = seedDocs.select(col("doc_id"), col("text"))
@@ -624,6 +672,14 @@ object StreamingIngest {
             .join(b.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
           corpus = corpus.unionByName(b)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            corpus = corpus.localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+            model = graft.ops.SuffixArray.RepeatInventory(model.members,
+              model.fps.localCheckpoint(true,
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
+              model.minLen)
+          }
           lastExtended = batchId
         }
         ()

@@ -459,21 +459,35 @@ class PlanHygieneSpec extends AnyFunSuite {
   test("inventory extend probe: standing fps is bloom-pruned below its exchange") {
     // the corpus-sized standing side must carry the batch-hash bloom
     // probe in its scan-side filter — without it every crawl batch
-    // re-shuffles the whole standing fingerprint table
+    // re-shuffles the whole standing fingerprint table. Assert on the
+    // candidate-stage plan extendRepeatGroups ACTUALLY executes
+    // (SuffixArray.extendCandidates — the factored step (2), shared
+    // code, exposed precisely so the eager checkpoint can't hide it),
+    // not a synthetic prefilter replica.
     import org.apache.spark.sql.functions.col
     val d = Tables.documents(spark, dir)
     val standing = graft.ops.SuffixArray.trainRepeatGroups(
       d.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), 32)
+    // the batch fps via the same public trainer (gramFps is ops-private)
+    val fpsNew = graft.ops.SuffixArray.trainRepeatGroups(
+      d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"), 32).fps
+    val cand = graft.ops.SuffixArray.extendCandidates(standing.fps, fpsNew)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"extend's candidate stage lost the bloom prune:\n$plan")
+    // the prune sits on the STANDING side BELOW its exchange: the
+    // might_contain filter appears after (deeper than) the last
+    // Exchange in the plan text — i.e. some Exchange has the filter
+    // in its subtree
+    val exIdx = plan.indexOf("Exchange")
+    val bloomIdx = plan.indexOf("might_contain")
+    assert(exIdx >= 0 && bloomIdx > exIdx,
+      s"bloom filter not below the exchange:\n$plan")
+    // and the real extend over the same inputs still folds members
     val ext = graft.ops.SuffixArray.extendRepeatGroups(standing,
       d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
       col("doc_id"), col("text"))
-    // the probe ran during extend (eager pins); assert on the
-    // members artifact having folded AND on a fresh probe plan shape
     assert(ext.members.count() > 0)
-    val probe = graft.ops.BloomJoin.prefilter(standing.fps, col("h"),
-      standing.fps, col("h"), expectedItems = 10L)
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
   }
 
   test("q_winnow_decontam and q_leakage_split never degenerate to a product") {

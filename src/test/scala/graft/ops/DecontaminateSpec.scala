@@ -164,6 +164,26 @@ class DecontaminateSpec extends AnyFunSuite {
         col("doc_id"), col("text"), minLen = 32)))
   }
 
+  test("probeVerbatim against a standing VerbatimIndex == the one-shot sampled operator") {
+    val d = graft.Tables.documents(spark, graft.SparkTestSession.Sf)
+    val corpus = d.filter(col("doc_id") % 20 =!= 0)
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    val idx = Decontaminate.buildVerbatimIndex(bench, col("doc_id"),
+      col("text"), minLen = 32, k = 16)
+    assert(idx.minLen == 32 && idx.k == 16)
+    def rows(got: org.apache.spark.sql.DataFrame) =
+      got.orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val probed = rows(Decontaminate.probeVerbatim(idx, corpus,
+      col("doc_id"), col("text")))
+    assert(probed == rows(Decontaminate.verbatimContaminationSampled(
+      corpus, bench, col("doc_id"), col("text"), minLen = 32, k = 16)))
+    // probing twice off the same artifact is stable (the index frames
+    // are checkpointed — nothing rebuilds or drifts between probes)
+    assert(probed == rows(Decontaminate.probeVerbatim(idx, corpus,
+      col("doc_id"), col("text"))))
+    assert(probed.exists(_._3 > 0L), "sf split should contaminate at least one doc")
+  }
+
   test("winnowed fingerprints are a small fraction of gram positions") {
     val d = graft.Tables.documents(spark, graft.SparkTestSession.Sf)
       .select(col("doc_id"), col("text").as("t"))

@@ -303,6 +303,65 @@ class KnnGraphSpec extends AnyFunSuite {
       rows(KnnGraph.build(emb, k = 5)))
   }
 
+  test("saveLayered/loadLayered round-trips; the loaded hierarchy probes identically") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+      .select(col("vec_id"), col("embedding"))
+    val lg = KnnGraph.buildLayered(emb, KnnGraph.build(emb, k = 5),
+      k = 5, nCentroids = 16, entryStep = 4L, nLayers = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_layered_art").toString
+    KnnGraph.saveLayered(lg, dir)
+    val loaded = KnnGraph.loadLayered(spark, dir)
+    assert(loaded.entryStep == 4L && loaded.k == 5 &&
+      loaded.nCentroids == 16 && loaded.layers.size == 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "score", "rank").orderBy("src", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    lg.layers.zip(loaded.layers).foreach { case (a, b) =>
+      assert(rows(a) == rows(b)) }
+    // the persisted hierarchy serves the descent bit-identically
+    val q = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def probe(g: KnnGraph.LayeredGraph) =
+      KnnGraph.beamSearchLayered(emb, g, q, k = 5, beam = 16, rounds = 3)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(probe(loaded) == probe(lg))
+    // manifest hygiene: a manifest missing its geometry refuses to load
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "params.json"), """{"k":5}""")
+    val e = intercept[IllegalArgumentException] {
+      KnnGraph.loadLayered(spark, dir) }
+    assert(e.getMessage.contains("params.json missing"))
+  }
+
+  test("extendLayered == buildLayered on the union at two split points (uppers never stale)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "score", "rank").orderBy("src", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    val full = KnnGraph.buildLayered(emb, KnnGraph.build(emb, k = 5),
+      k = 5, nCentroids = 16, entryStep = 4L, nLayers = 2)
+    for (cut <- Seq(250L, 400L)) {
+      val old = emb.filter(col("vec_id") < cut)
+      val batch = emb.filter(col("vec_id") >= cut)
+      val ext = KnnGraph.extendLayered(old, batch,
+        KnnGraph.buildLayered(old, KnnGraph.build(old, k = 5),
+          k = 5, nCentroids = 16, entryStep = 4L, nLayers = 2))
+      assert(ext.layers.size == full.layers.size &&
+        ext.entryStep == 4L && ext.k == 5 && ext.nCentroids == 16)
+      // layer 0 by extend == build(union); uppers by rebuild — in
+      // particular NEW ids divisible by 4^ℓ must be present in their
+      // layer (the staleness a layer-0-only fold would leave)
+      ext.layers.zip(full.layers).foreach { case (a, b) =>
+        assert(rows(a) == rows(b), s"cut $cut: layer mismatch") }
+      val newUpper = ext.layers(1).select("src").as[Long].collect().toSet
+      assert(batch.filter(col("vec_id") % 4 === 0)
+        .select("vec_id").as[Long].collect().toSet.subsetOf(newUpper),
+        s"cut $cut: batch ids missing from layer 1")
+    }
+  }
+
   test("beamSearch entries resolve through actual seed ids when a seed is missing") {
     // drop seed vec_id 3: the centroid array compacts to 15 entries,
     // so cell index i >= 3 names seed id i+1 — the cast-to-vec_id

@@ -197,4 +197,102 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got == brutePairs(rows, 32))
     assert(got.nonEmpty, "sf corpus has no verbatim pairs — fixture too weak")
   }
+
+  test("verbatimDupPairsCapped == verbatimDupPairs when no bucket caps") {
+    val d = graft.Tables.documents(spark, SparkTestSession.Sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs(SubstringDedup.verbatimDupPairsCapped(d, col("doc_id"),
+        col("text"), minLen = 32, k = 16, maxBucket = 100000L)) ==
+      pairs(SubstringDedup.verbatimDupPairs(d, col("doc_id"), col("text"),
+        minLen = 32, k = 16)))
+  }
+
+  // the planted hot-span fleet: 1000 documents that ARE one constant
+  // boilerplate run, two doc pairs sharing private cold runs (one
+  // also carrying the hot span), unique tails keeping non-identical
+  // rows distinct
+  private lazy val hotSpanFixture: (org.apache.spark.sql.DataFrame, String) = {
+    val hot = "All work and no play makes Jack a dull boy; every page of " +
+      "the winter manuscript repeats this exact boilerplate sentence again."
+    val cold0 = "a genuinely unique shared sentence number zero lives here"
+    val cold1 = "another private overlap that only the last pair carries on"
+    val rows =
+      (0L until 1000L).map(i => (i, hot)) ++
+        Seq(2000L -> s"$cold0 tail-2000", 2001L -> s"$cold0 tail-2001",
+          3000L -> s"$hot $cold1 tail-3000", 3001L -> s"$hot $cold1 tail-3001")
+    (rows.toDF("doc_id", "text").cache(), hot)
+  }
+
+  test("hot-span audit: the boilerplate buckets are flagged with their true multiplicity") {
+    val (df, hot) = hotSpanFixture
+    // pure-copy selections are fully content-determined: the audit's
+    // over-500 buckets are EXACTLY the hot span's winnowed grams, each
+    // selected by all 1000 copies (+ the two hot-carrying cold docs on
+    // interior grams)
+    val expected = SubstringDedup.winnowedGramsOf(hot, 32, 16)
+    assert(expected.distinct.length == expected.length)
+    val audit = SubstringDedup.winnowBucketAudit(df, col("doc_id"),
+      col("text"), minLen = 32, k = 16, minBucket = 500L)
+      .as[(Long, Long, Long)].collect()
+    assert(audit.length == expected.length,
+      s"audit buckets ${audit.length} != planted grams ${expected.length}")
+    assert(audit.forall(_._3 >= 1000L))
+    val grams = SubstringDedup.winnowBucketAuditGrams(df, col("doc_id"),
+      col("text"), minLen = 32, k = 16, minBucket = 500L)
+      .select("gram").as[String].collect().toSet
+    assert(grams == expected.toSet,
+      s"audit grams must name the boilerplate: $grams")
+  }
+
+  test("hot-span cap: candidate mass bounded, cold pairs survive, hot-only pairs silenced (audited)") {
+    val (df, _) = hotSpanFixture
+    val src = df.select(col("doc_id"), col("text").as("t"))
+    val wfps = SuffixArray.winnowedFps(src, 16, 17)
+    // uncapped seed mass is quadratic in the hot multiplicity
+    // (~C(1000,2) per hot gram); the cap removes the hot buckets from
+    // the self-join entirely
+    val uncappedSeeds = SubstringDedup.seedPairs(wfps).count()
+    val okBuckets = wfps.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 500L).select(col("h"))
+    val cappedSeeds = SubstringDedup.seedPairs(
+      wfps.join(okBuckets, Seq("h"), "left_semi")).count()
+    assert(uncappedSeeds > 1000000L, s"fixture too weak: $uncappedSeeds")
+    assert(cappedSeeds < uncappedSeeds / 1000L,
+      s"cap did not bound candidate mass: $cappedSeeds vs $uncappedSeeds")
+    // capped pairs: the two cold pairs exactly — (3000, 3001) still
+    // surfaces through its private cold run even though its hot seeds
+    // are capped (the first-surviving-seed exception, inherent: the
+    // cap drops seed rows, not pairs); all hot-only pairs are gone,
+    // and the audit above is precisely what says so
+    val capped = SubstringDedup.verbatimDupPairsCapped(df, col("doc_id"),
+        col("text"), minLen = 32, k = 16, maxBucket = 500L)
+      .orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(capped == Seq((2000L, 2001L), (3000L, 3001L)), s"got $capped")
+  }
+
+  test("seed→text extension is block-bounded: one text-join row per (pair, block)") {
+    // two docs sharing one LONG run (~3 ScrubBlockChars blocks of
+    // distinct content): hundreds of aligned seeds collapse to a
+    // handful of (pair, block) list rows before the text join
+    val run = (0 until 1500).map(i => s"w$i").mkString(" ") // ~10k chars
+    val df = Seq(11L -> run, 22L -> s"pre $run").toDF("doc_id", "text")
+    val seeds = SubstringDedup.seedPairs(SuffixArray.winnowedFps(
+      df.select(col("doc_id"), col("text").as("t")), 16, 17))
+    val grouped = SubstringDedup.groupedSeedPairs(seeds)
+    val nSeeds = seeds.count()
+    val nGroups = grouped.count()
+    val nDistinct = seeds.select(col("id_a"), col("id_b"),
+      (col("pos_a") / lit(4096L)).cast("long")).distinct().count()
+    assert(nGroups == nDistinct)
+    // every seed survives into exactly one block list
+    assert(grouped.select(sum(size(col("pp")))).as[Long].head() == nSeeds)
+    // and the text join pays per block, not per seed
+    assert(nGroups <= 4, s"expected ~3 blocks, got $nGroups")
+    assert(nSeeds > 100L, s"fixture too weak: $nSeeds seeds")
+    // the blocked path's answer is unchanged
+    assert(SubstringDedup.verbatimDupPairs(df, col("doc_id"), col("text"),
+        minLen = 32, k = 16).as[(Long, Long)].collect().toSeq ==
+      Seq((11L, 22L)))
+  }
 }

@@ -402,11 +402,24 @@ class SuffixArraySpec extends AnyFunSuite {
     val a = SuffixArray.winnowedPositions(run ++ Array.fill(13)(rnd.nextLong(1000)), w)
     val b0 = Array.fill(21)(rnd.nextLong(1000))
     val b = SuffixArray.winnowedPositions(b0 ++ run, w)
-    // interior windows of the shared run: selections at aligned offsets
-    val aIn = a.filter(p => p >= 0 && p + 0 < 40 - w + 1).map(_ + 0).toSet
-    val bIn = b.filter(p => p >= 21 && p - 21 < 40 - w + 1).map(_ - 21).toSet
-    // all interior-window selections agree (edge windows may differ)
-    assert((aIn intersect bIn).nonEmpty)
+    // DEEP-interior positions — those whose every containing window
+    // [i−w+1, i], i ∈ [p, p+w−1], lies fully inside the shared run —
+    // have content-determined selection: relative offsets in
+    // [w−1, |run|−w]. The selection sets restricted there must be
+    // EQUAL across the two copies (not merely overlap — a misaligned
+    // interior selection would break the same-relative-offset
+    // guarantee the sampled probes build on); positions nearer an
+    // edge may differ (straddling windows see surrounding content)
+    val deep = (w - 1) to (40 - w)
+    val aDeep = a.filter(deep.contains).toSet
+    val bDeep = b.filter(p => deep.contains(p - 21)).map(_ - 21).toSet
+    assert(aDeep == bDeep, s"deep-interior selections diverge: $aDeep vs $bDeep")
+    assert(aDeep.nonEmpty, "fixture too short to have deep-interior selections")
+    // and on a second offset pair (regression against off-by-ones)
+    val c = SuffixArray.winnowedPositions(
+      Array.fill(5)(rnd.nextLong(1000)) ++ run, w)
+    val cDeep = c.filter(p => deep.contains(p - 5)).map(_ - 5).toSet
+    assert(cDeep == aDeep)
     // empty and short-array guards
     assert(SuffixArray.winnowedPositions(Array.empty[Long], w).isEmpty)
     assert(SuffixArray.winnowedPositions(Array(1L, 2L), 3).isEmpty)

@@ -282,6 +282,64 @@ class StreamingSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("streaming verbatim decontamination equals the batch operator") {
+    import graft.ops.Decontaminate
+    val d = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    // natural corpus + one planted doc embedding a bench span: at
+    // least one guaranteed verbatim hit regardless of natural overlap
+    val benchText = bench.select("text").as[String].head()
+    val corpus = d.filter(col("doc_id") % 20 =!= 0)
+      .select("doc_id", "text")
+      .unionByName(Seq((9000001L, s"planted prefix $benchText"))
+        .toDF("doc_id", "text")).cache()
+    val idx = Decontaminate.buildVerbatimIndex(bench, col("doc_id"),
+      col("text"), minLen = 32, k = 16)
+    val inDir = java.nio.file.Files.createTempDirectory("vd_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vd_out").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    StreamingIngest.verbatimDecontamBatches(stream, idx, outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_grams", "n_hits", "contamination")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // == the standing-index probe == the one-shot batch operator
+    val probe = Decontaminate.probeVerbatim(idx, corpus,
+        col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val oneShot = Decontaminate.verbatimContaminationSampled(corpus, bench,
+        col("doc_id"), col("text"), minLen = 32, k = 16)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == probe)
+    assert(streamed == oneShot)
+    assert(streamed.exists(r => r._1 == 9000001L && r._3 > 0L),
+      "planted verbatim copy not flagged on the stream")
+    d.unpersist(); corpus.unpersist()
+  }
+
+  test("verbatimDecontamBatches restart: checkpoint resume is exactly-once") {
+    import graft.ops.Decontaminate
+    val d = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    val idx = Decontaminate.buildVerbatimIndex(bench, col("doc_id"),
+      col("text"), minLen = 32, k = 16)
+    // one bench span planted per wave: a guaranteed hit in both the
+    // pre- and post-restart halves
+    val benchTexts = bench.select("text").as[String].take(2)
+    def planted(t: String, id: Long) =
+      Seq((id, s"wave carrier $t")).toDF("doc_id", "text")
+    val wave1 = d.filter(col("doc_id") % 20 === 1).select("doc_id", "text")
+      .unionByName(planted(benchTexts(0), 5000001L)).cache()
+    val wave2 = d.filter(col("doc_id") % 20 === 2).select("doc_id", "text")
+      .unionByName(planted(benchTexts(1), 6000001L)).cache()
+    restartContract("vdr", wave1, wave2,
+      (st, out, ck) => StreamingIngest.verbatimDecontamBatches(st, idx, out, ck),
+      b => Decontaminate.probeVerbatim(idx, b, col("doc_id"), col("text")),
+      Seq("doc_id", "n_grams", "n_hits", "contamination"))
+    d.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("semDecontamBatches restart: checkpoint resume is exactly-once") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, SparkTestSession.Sf).cache()
@@ -537,6 +595,41 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     val waveIds = waves.select("doc_id").as[Long].collect().toSet
     assert(landed.subsetOf(waveIds))
+    seedDocs.unpersist(); waves.unpersist()
+  }
+
+  test("selfSubstrBatches compaction cadence: identical answer, collapsed artifact plans") {
+    import graft.ops.SuffixArray
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val seedDocs = docs.filter(col("doc_id") % 5 === 0).cache()
+    val waves = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text").cache()
+    def run(compactEvery: Int) = {
+      val inDir = java.nio.file.Files.createTempDirectory("ssubc_in").toString
+      val outDir = java.nio.file.Files.createTempDirectory("ssubc_out").toString
+      waves.repartition(4).write.mode("overwrite").parquet(inDir)
+      val stream = spark.readStream.schema(waves.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      StreamingIngest.selfSubstrBatches(stream, seedDocs,
+        SuffixArray.trainRepeatGroups(seedDocs, col("doc_id"), col("text"),
+          minLen = 32), outDir, compactEvery = compactEvery)
+    }
+    val (invPlain, corpusPlain) = run(0)
+    val (invComp, corpusComp) = run(2)
+    def members(inv: SuffixArray.RepeatInventory) =
+      inv.members.orderBy("doc_id", "pos")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    // the knob changes plan shape only, never the answer
+    assert(members(invComp) == members(invPlain))
+    assert(corpusComp.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      corpusPlain.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+    // 4 batches, compaction every 2: the growing unions collapse —
+    // plan leaves stay bounded by the cadence instead of one per batch
+    def leaves(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves(corpusPlain) == 5, s"plain: ${leaves(corpusPlain)}") // seed + 4 waves
+    assert(leaves(corpusComp) <= 3, s"compacted: ${leaves(corpusComp)}")
+    assert(leaves(invComp.fps) <= 3, s"compacted fps: ${leaves(invComp.fps)}")
     seedDocs.unpersist(); waves.unpersist()
   }
 

@@ -18,6 +18,16 @@ q_media_phash's corpus 375->875 rows, a 6x time delta that was not a
 plan regression). workload_changed entries carry old_rows/new_rows and
 do NOT trip the exit-1 gate; the artifact self-adjudicates without
 BASELINE.md prose.
+
+With --declared NAME=REASON (repeatable; or --declared-file
+DECLARED_CHANGES.json, a {"query": "reason"} map), the named queries
+are SHIPPED ALGORITHM CHANGES: a same-row-shape upgrade the --rows
+adjudication cannot see (r13: q_graph_ann_layered went from the
+aliased flat walk to the true 3-layer descent — same 40 rows, 2.89x
+time, a declared and recall-justified workload change). Declared
+entries land in workload_changed with the declaration echoed
+(kind=declared) and do not trip the gate; an UNUSED declaration is a
+hard error so a stale file can never pre-waive a future regression.
 """
 import sys, json
 
@@ -25,6 +35,19 @@ json_out = None
 if "--json" in sys.argv:
     i = sys.argv.index("--json")
     json_out = sys.argv[i + 1]
+    del sys.argv[i:i + 2]
+
+declared = {}
+while "--declared" in sys.argv:  # repeatable: one NAME=REASON each
+    i = sys.argv.index("--declared")
+    name, _, reason = sys.argv[i + 1].partition("=")
+    declared[name.strip()] = reason.strip() or "declared workload change"
+    del sys.argv[i:i + 2]
+if "--declared-file" in sys.argv:
+    i = sys.argv.index("--declared-file")
+    d = json.load(open(sys.argv[i + 1]))
+    declared.update(d if isinstance(d, dict)
+                    else {k: "declared workload change" for k in d})
     del sys.argv[i:i + 2]
 
 rows_old, rows_new = {}, {}
@@ -76,17 +99,25 @@ over_gate = [k for k in common
 # between the correctness records is grown/shrunk semantics, not a
 # plan regression — tag it, don't fail on it
 workload_changed = [k for k in over_gate
-                    if k in rows_old and k in rows_new
-                    and rows_old[k] != rows_new[k]]
+                    if (k in rows_old and k in rows_new
+                        and rows_old[k] != rows_new[k])
+                    or k in declared]
 bad = [k for k in over_gate if k not in workload_changed]
+# a declaration that adjudicated nothing is stale — fail loudly so the
+# file can never pre-waive a regression that hasn't happened yet
+unused_declared = [k for k in declared if k not in over_gate]
+if unused_declared:
+    raise SystemExit(f"declared changes not present as gate-tripping "
+                     f"deltas (stale declaration?): {unused_declared}")
 print(f"old total {old['value']:.1f}s/{len(oq)}q   "
       f"new total {new['value']:.1f}s/{len(nq)}q")
 for k in [k for k in common if k in over_gate] + \
          [k for k in common if k not in over_gate][:15]:
     r = nq[k] / oq[k] if oq[k] > 0 else float("inf")
     if k in workload_changed:
-        flag = (f"  <-- workload_changed"
-                f" (rows {rows_old[k]} -> {rows_new[k]})")
+        detail = (f"declared: {declared[k]}" if k in declared
+                  else f"rows {rows_old[k]} -> {rows_new[k]}")
+        flag = f"  <-- workload_changed ({detail})"
     elif k in bad:
         flag = "  <-- REGRESSION"
     else:
@@ -112,9 +143,12 @@ if json_out:
             {"query": k, "old_sec": oq[k], "new_sec": nq[k],
              "ratio": nq[k] / oq[k]} for k in bad],
         "workload_changed": [
-            {"query": k, "old_sec": oq[k], "new_sec": nq[k],
-             "ratio": nq[k] / oq[k],
-             "old_rows": rows_old[k], "new_rows": rows_new[k]}
+            dict({"query": k, "old_sec": oq[k], "new_sec": nq[k],
+                  "ratio": nq[k] / oq[k]},
+                 **({"kind": "declared", "declaration": declared[k]}
+                    if k in declared else
+                    {"kind": "rows", "old_rows": rows_old[k],
+                     "new_rows": rows_new[k]}))
             for k in workload_changed],
         "new_only": sorted(set(nq) - set(oq)),
         "removed": sorted(set(oq) - set(nq)),
