@@ -3067,6 +3067,10 @@ FROM gum ORDER BY key_fp DESC, doc_id LIMIT ${graft.ops.Lm.SampleK}"""
     * discipline), so the two sides cannot desync. The outer
     * composition folds over INDICES with a scalar accumulator
     * (DuckDB's list_reduce struct-accumulator bug never engages).
+    * Level-2 superblocks (r14) need no replay here: a key under
+    * blockEvents·blockBlocks = 16.7M events fits one superblock,
+    * whose fold is BIT-IDENTICAL to this single-level contract
+    * (EwmaSpec pins it); no testdata key comes near that.
     */
   private lazy val ewmaOracle: String = {
     val b = graft.ops.Ewma.BlockEvents

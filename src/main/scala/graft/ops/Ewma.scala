@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * key with millions of events became one multi-hundred-MB buffer.
   * Here events fold in `blockEvents`-wide blocks (the
   * [[SuffixArray.ScrubBlockChars]] reassembly discipline): per-block
-  * buffers hold ≤ blockEvents structs, and the per-key combine holds
-  * one (len, partial) pair PER BLOCK — a 10⁶-event key is ~244 block
-  * summaries, never 10⁶ structs.
+  * buffers hold ≤ blockEvents structs, blocks compose into
+  * `blockBlocks`-wide SUPERBLOCKS by the same affine algebra (one
+  * (Σm, fold) summary each), and the per-key combine holds one
+  * summary per superblock — a 10⁶-event key is ~244 block summaries
+  * in one superblock, and even a 2^48-event key caps the final
+  * buffer at `blockBlocks` structs (the r13 audit's last depth gap:
+  * the single-level combine was block-bounded, not log-bounded).
   *
   * Semantics (the defined, replayable contract): within a block the
   * fold is the plain sequential `(acc + x) / 2` in (order, id) order
@@ -45,6 +49,20 @@ object Ewma {
     */
   val BlockEvents = 4096L
 
+  /** Default SECOND-level width: blocks-of-blocks. The same affine
+    * algebra one level up — `blockBlocks` level-1 summaries compose
+    * into one (M = Σm, C = zero-seeded fold) superblock summary, so
+    * the per-key combine holds ≤ nEvents/(blockEvents·blockBlocks)
+    * structs: at the defaults a key needs 2^48 events (≈ 281 T) to
+    * put 4096 summaries in the final buffer — the log-bounded form
+    * of the r12 fix's linear 1/4096. For any key with ≤
+    * blockEvents·blockBlocks events (16.7 M at the defaults) there
+    * is ONE superblock and the two-level fold is BIT-IDENTICAL to
+    * the single-level contract (the superblock-0 fold IS the old
+    * per-key fold), so the shipped oracle replays unchanged.
+    */
+  val BlockBlocks = 4096L
+
   private val PowUnderflow = 1075L
 
   /** (key, n, ewma) per distinct `keyCol`, events ordered by
@@ -53,8 +71,10 @@ object Ewma {
     * blocked contract above.
     */
   def ewmaHalf(events: DataFrame, keyCol: Column, orderCols: Seq[Column],
-               valueCol: Column, blockEvents: Long = BlockEvents): DataFrame = {
+               valueCol: Column, blockEvents: Long = BlockEvents,
+               blockBlocks: Long = BlockBlocks): DataFrame = {
     require(blockEvents >= 1, s"blockEvents must be positive, got $blockEvents")
+    require(blockBlocks >= 1, s"blockBlocks must be positive, got $blockBlocks")
     val ordNames = orderCols.indices.map(i => s"__o$i")
     val base = events.select(
       keyCol.as("__k") +: valueCol.as("__v") +:
@@ -78,16 +98,35 @@ object Ewma {
             .otherwise(lit(0.0)),
           (acc, x) => when(acc.isNull, x.getField("__v"))
             .otherwise((acc + x.getField("__v")) / lit(2.0))).as("__c"))
-    blocks
-      .groupBy(col("__k"))
+    // SECOND composition level: blockBlocks level-1 summaries fold
+    // into one superblock (M = Σm, C = the zero-seeded affine fold —
+    // superblock 0 seeds null exactly like the old per-key fold, so
+    // one-superblock keys are bit-identical to the single-level
+    // contract). Buffers at this stage hold ≤ blockBlocks structs.
+    val supers = blocks
+      .groupBy(col("__k"),
+        (col("__blk") / lit(blockBlocks)).cast("long").as("__sb"))
       .agg(sort_array(collect_list(
-          struct(col("__blk"), col("__m"), col("__c")))).as("bs"),
-        sum(col("__m")).as("n"))
-      .select(col("__k").as("key"), col("n"),
-        aggregate(col("bs"), lit(null).cast("double"),
+        struct(col("__blk"), col("__m"), col("__c")))).as("bs"))
+      .select(col("__k"), col("__sb"),
+        aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + b.getField("__m")).as("__M"),
+        aggregate(col("bs"),
+          when(col("__sb") === 0L, lit(null).cast("double"))
+            .otherwise(lit(0.0)),
           (acc, b) => when(acc.isNull, b.getField("__c"))
             .otherwise(acc * scaleOf(b.getField("__m")) +
-              b.getField("__c"))).as("ewma"))
+              b.getField("__c"))).as("__C"))
+    supers
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(
+          struct(col("__sb"), col("__M"), col("__C")))).as("ss"),
+        sum(col("__M")).as("n"))
+      .select(col("__k").as("key"), col("n"),
+        aggregate(col("ss"), lit(null).cast("double"),
+          (acc, s) => when(acc.isNull, s.getField("__C"))
+            .otherwise(acc * scaleOf(s.getField("__M")) +
+              s.getField("__C"))).as("ewma"))
   }
 
   /** 2^{−m} with the explicit subnormal clamp. */
@@ -99,7 +138,8 @@ object Ewma {
     * spec-side witness (and the template the generated DuckDB oracle
     * mirrors).
     */
-  private[ops] def replay(values: Seq[Double], blockEvents: Int): Double = {
+  private[ops] def replay(values: Seq[Double], blockEvents: Int,
+                          blockBlocks: Int = Int.MaxValue): Double = {
     val partials = values.grouped(blockEvents).toSeq.zipWithIndex.map {
       case (b, i) =>
         // block 0 seeds with its first element; later blocks fold the
@@ -108,10 +148,22 @@ object Ewma {
         b.tail.foreach(x => acc = (acc + x) / 2.0)
         (b.length.toLong, acc)
     }
-    var acc = partials.head._2
-    partials.tail.foreach { case (m, c) =>
-      val scale = if (m >= PowUnderflow) 0.0 else math.pow(2.0, -m.toDouble)
-      acc = acc * scale + c
+    def scaleFor(m: Long): Double =
+      if (m >= PowUnderflow) 0.0 else math.pow(2.0, -m.toDouble)
+    // level 2: superblocks of blockBlocks level-1 summaries; the
+    // zero-seeded affine fold, superblock 0 seeding null (first
+    // block's partial becomes the acc — the old per-key fold)
+    val supers = partials.grouped(blockBlocks).toSeq.zipWithIndex.map {
+      case (bs, i) =>
+        var acc = if (i == 0) bs.head._2 else {
+          val (m0, c0) = bs.head; 0.0 * scaleFor(m0) + c0
+        }
+        bs.tail.foreach { case (m, c) => acc = acc * scaleFor(m) + c }
+        (bs.map(_._1).sum, acc)
+    }
+    var acc = supers.head._2
+    supers.tail.foreach { case (mm, cc) =>
+      acc = acc * scaleFor(mm) + cc
     }
     acc
   }

@@ -89,4 +89,37 @@ class EwmaSpec extends AnyFunSuite {
     val vs = (0L until n).map(i => (i % 997).toDouble)
     assert(got.head._3 == Ewma.replay(vs, Ewma.BlockEvents.toInt))
   }
+
+  test("two-level composition: superblock fold replays bit-for-bit; one superblock == single-level") {
+    def run2(rows: Seq[(Long, Long, Double)], b: Long, sb: Long) =
+      Ewma.ewmaHalf(rows.toDF("k", "o", "v"), col("k"), Seq(col("o")),
+          col("v"), b, sb)
+        .orderBy("key").as[(Long, Long, Double)].collect().toSeq
+    // tiny widths force MANY superblocks on the 37-event keys
+    for ((b, sb) <- Seq((3L, 2L), (4L, 3L), (5L, 4L))) {
+      val got = run2(fixture, b, sb)
+      val expected = fixture.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (k, rows) =>
+          val vs = rows.sortBy(_._2).map(_._3)
+          (k, vs.length.toLong, Ewma.replay(vs, b.toInt, sb.toInt))
+      }
+      assert(got == expected, s"($b, $sb) diverged from the 2-level replay")
+      // still the plain fold up to composition rounding
+      got.foreach { case (k, _, e) =>
+        val plain = plainFold(fixture.filter(_._1 == k).sortBy(_._2).map(_._3))
+        assert(math.abs(e - plain) <= math.max(math.ulp(plain) * 37, 1e-300))
+      }
+    }
+    // keys fitting one superblock are BIT-IDENTICAL to the
+    // single-level contract (the shipped q_ewma oracle's regime:
+    // blockBlocks superblock capacity is blockEvents·blockBlocks
+    // events — 16.7M at the defaults, far above any fixture key)
+    assert(run2(fixture, 5L, 1000L) == run(fixture, 5L))
+    // a genuinely multi-superblock key replays at width (4, 4):
+    // 2000 events → 500 blocks → 125 superblocks
+    val vs = (0L until 2000L).map(i => ((i * 31) % 101).toDouble)
+    val one = vs.zipWithIndex.map { case (v, i) => (9L, i.toLong, v) }
+    assert(run2(one, 4L, 4L) ==
+      Seq((9L, 2000L, Ewma.replay(vs, 4, 4))))
+  }
 }
