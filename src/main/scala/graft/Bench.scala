@@ -264,7 +264,7 @@ object Bench {
       "s_stream_audio", "s_stream_video", "s_stream_semdecontam",
       "s_stream_bpe", "s_stream_lm", "s_stream_unigram",
       "s_stream_graph", "s_stream_selfknn", "s_stream_tfidf",
-      "s_stream_substr", "s_stream_verbatim")
+      "s_stream_substr", "s_stream_verbatim", "s_stream_winnow")
     val streamResults: Map[String, Double] =
       if (remainingMs < 60000) streamNames.map(_ -> -1.0).toMap
       else try {
@@ -289,6 +289,7 @@ object Bench {
         val mt = graft.streaming.StreamBench.benchTfidfScore(spark, sfDir, docDir)
         val msu = graft.streaming.StreamBench.benchSubstrIncr(spark, sfDir, docDir)
         val mvd = graft.streaming.StreamBench.benchVerbatimDecontam(spark, sfDir, docDir)
+        val mw = graft.streaming.StreamBench.benchSelfWinnow(spark, sfDir, docDir)
         def det(m: graft.streaming.StreamBench.StreamMetrics): String =
           s"""{"rows":${m.rows},"rows_per_sec":${m.rowsPerSec.toLong},"avg_batch_ms":${m.avgBatchMs.toLong},"batches":${m.batches}}"""
         streamDetail =
@@ -299,7 +300,7 @@ object Bench {
           s""""lm_score":${det(ml)},"unigram_tokenize":${det(mu)},""" +
           s""""graph_ann":${det(mg)},"self_knn":${det(mk)},""" +
           s""""tfidf_score":${det(mt)},"substr_incr":${det(msu)},""" +
-          s""""verbatim_decontam":${det(mvd)}}"""
+          s""""verbatim_decontam":${det(mvd)},"self_winnow":${det(mw)}}"""
         Map("s_stream_dedup" -> md.elapsedSec, "s_stream_decontam" -> mdc.elapsedSec,
           "s_stream_sessionize" -> ms.elapsedSec, "s_stream_neardup" -> mn.elapsedSec,
           "s_stream_media" -> mm.elapsedSec, "s_stream_audio" -> ma.elapsedSec,
@@ -308,7 +309,8 @@ object Bench {
           "s_stream_unigram" -> mu.elapsedSec,
           "s_stream_graph" -> mg.elapsedSec, "s_stream_selfknn" -> mk.elapsedSec,
           "s_stream_tfidf" -> mt.elapsedSec, "s_stream_substr" -> msu.elapsedSec,
-          "s_stream_verbatim" -> mvd.elapsedSec)
+          "s_stream_verbatim" -> mvd.elapsedSec,
+          "s_stream_winnow" -> mw.elapsedSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming micro-bench failed: $e")
         streamNames.map(_ -> -1.0).toMap

@@ -680,6 +680,24 @@ object SparkEntry {
         col("text"), minLen = 32, k = 16, maxBucket = 1000L)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // E1 pair view, standing-index loop: incremental verbatim pairs —
+    // the crawl accounting for q_winnow_pairs: the standing half
+    // (even ids) is fingerprinted once (session-cached, the
+    // train-once / probe-per-batch charge split), the batch (odd ids)
+    // pair-probes against it (bloom-pruned standing side, batch +
+    // true-overlap cost, never a corpus re-pair); output = every pair
+    // touching the batch. Oracle: the gram-pair truth restricted to
+    // pairs with an odd member.
+    "q_incr_winnow_pairs" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val standing = d.filter(col("doc_id") % 2 === 0)
+      val idx = SubstringDedup.sharedWinnowIndex(standing, col("doc_id"),
+        col("text"), minLen = 32, k = 16, Some(s"even:$dir"))
+      SubstringDedup.dupPairsAgainst(idx, standing,
+          d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // the winnowed pair join's skew AUDIT on a planted hot-span
     // fixture (every 5th doc is one constant boilerplate run): the
     // hot buckets' literal grams with their selected-position/doc
@@ -4474,6 +4492,17 @@ FROM v$it ORDER BY token_id"""
     // bucket, so the capped path must reproduce the exhaustive pair
     // truth exactly; real capping is spec-exercised
     "q_winnow_pairs_capped" -> winnowPairsOracle,
+
+    // pairs touching the odd-id batch: the same gram-pair truth with
+    // at least one odd member (id_a < id_b as everywhere)
+    "q_incr_winnow_pairs" ->
+      ("WITH g AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
+        "FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
+        "FROM documents)) " +
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id " +
+        "WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1 " +
+        "ORDER BY id_a, id_b"),
 
     // the planted span's winnowing selection is a pure function of
     // the constant (inlined below — winnowedGramsOf replays public

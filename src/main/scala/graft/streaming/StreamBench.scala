@@ -291,6 +291,56 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** Self-maintaining winnowed PAIR gate
+    * ([[StreamingIngest.selfWinnowBatches]]'s shape): the seed
+    * corpus's [[graft.ops.SubstringDedup.WinnowIndex]] built untimed;
+    * each micro-batch pays one linear winnowing pass, the
+    * bloom-pruned standing probe, the pair extension, and the plain
+    * fps append. Reads the docs replay under OFFSET ids (the replay
+    * duplicates the corpus, and the standing loop's contract needs
+    * disjoint ids), so every batch doc is a guaranteed verbatim twin
+    * of its standing original — the 100%-duplicated worst case, like
+    * the substr twin.
+    */
+  def benchSelfWinnow(spark: SparkSession, sfDir: String,
+                      replayDir: String): StreamMetrics = {
+    val d = graft.Tables.documents(spark, sfDir)
+    val idx = graft.ops.SubstringDedup.buildWinnowIndex(d,
+      col("doc_id"), col("text"), minLen = 32, k = 16)
+    idx.fps.queryExecution.toRdd.count() // materialize untimed
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val outDir = tempDir("swinnow_out")
+    val t0 = System.nanoTime()
+    var cur = idx
+    var corpus = d.select(col("doc_id"), col("text"))
+    var lastExtended = -1L
+    val q = docs.writeStream
+      .foreachBatch { (b0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastExtended) {
+          // offset ids: replayed docs are NEW crawl arrivals; the
+          // per-batch multiplier sits above any stage-factor offset
+          // (stageDocs uses i·10⁹, i < factor), keeping batch ids
+          // disjoint from each other and from the standing corpus
+          val b = b0.select((col("doc_id") + lit(1000000000000L * (batchId + 1)))
+            .as("doc_id"), col("text")).localCheckpoint()
+          graft.ops.SubstringDedup
+            .dupPairsAgainst(cur, corpus, b, col("doc_id"), col("text"))
+            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+          cur = graft.ops.SubstringDedup.extendWinnowIndex(cur, b,
+            col("doc_id"), col("text"))
+          corpus = corpus.unionByName(b)
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** Standing tf-idf scoring twin: [[graft.ops.Tfidf.DfStats]] trained
     * untimed (its df table is an eager checkpoint), each micro-batch
     * pays one explode + one vocab-keyed join
@@ -692,6 +742,7 @@ object StreamBench {
       line("tfidf_score", f, benchTfidfScore(spark, sfDir, docs))
       line("substr_incr", f, benchSubstrIncr(spark, sfDir, docs))
       line("verbatim_decontam", f, benchVerbatimDecontam(spark, sfDir, docs))
+      line("self_winnow", f, benchSelfWinnow(spark, sfDir, docs))
       cleanup(keep = before) // reclaim THIS factor's replays only
     }
     Runtime.getRuntime.halt(0)

@@ -691,6 +691,64 @@ object StreamingIngest {
     (model, corpus)
   }
 
+  /** SELF-MAINTAINING winnowed PAIR gate —
+    * [[selfSubstrBatches]]'s shape for the verbatim dup-pair view
+    * ([[graft.ops.SubstringDedup.WinnowIndex]]): each micro-batch of
+    * NEW documents is pair-probed against everything the crawl has
+    * seen ([[graft.ops.SubstringDedup.dupPairsAgainst]] — the
+    * standing fps bloom-pruned on the batch's hashes, batch↔standing
+    * and batch↔batch pairs, O(batch + true overlap)), the pairs land
+    * exactly-once under `ingest_batch=N`, and the batch folds in by
+    * plain fps append (winnowing is per-document, so extend IS the
+    * rebuild — no completion pass). Union over all batches ==
+    * `verbatimDupPairs(everything seen)` minus seed-corpus-internal
+    * pairs (each pair lands exactly when its LATER document arrives)
+    * — spec-pinned. Same whole-body retry guard, restart contract,
+    * and `compactEvery` plan-compaction cadence as
+    * [[selfSubstrBatches]]. Returns the final (index, corpus) pair.
+    */
+  def selfWinnowBatches(docs: DataFrame, seedDocs: DataFrame,
+                        seed: graft.ops.SubstringDedup.WinnowIndex,
+                        outDir: String,
+                        checkpointDir: Option[String] = None,
+                        compactEvery: Int = 0)
+      : (graft.ops.SubstringDedup.WinnowIndex, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    var corpus = seedDocs.select(col("doc_id"), col("text"))
+    var idx = seed
+    var lastExtended = -1L
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // whole-body retry guard: a retried batch would re-probe
+        // against the already-extended index — batch docs would pair
+        // with their own fps rows and the overwrite would differ
+        if (batchId > lastExtended) {
+          val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          graft.ops.SubstringDedup
+            .dupPairsAgainst(idx, corpus, b, col("doc_id"), col("text"))
+            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+          idx = graft.ops.SubstringDedup.extendWinnowIndex(idx, b,
+            col("doc_id"), col("text"))
+          corpus = corpus.unionByName(b)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            corpus = corpus.localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+            idx = graft.ops.SubstringDedup.WinnowIndex(
+              idx.fps.localCheckpoint(true,
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
+              idx.minLen, idx.k)
+          }
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("selfwinnow_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (idx, corpus)
+  }
+
   /** Streaming twin of the PERCEPTUAL image near-dup gate: every
     * micro-batch of a media stream (a crawl's image payloads) is
     * decoded, aHashed, and Hamming-probed against a STANDING

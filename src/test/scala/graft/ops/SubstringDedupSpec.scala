@@ -271,6 +271,40 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(capped == Seq((2000L, 2001L), (3000L, 3001L)), s"got $capped")
   }
 
+  test("WinnowIndex: extend == rebuild; dupPairsAgainst == pairs touching the batch; save/load round-trips") {
+    val d = graft.Tables.documents(spark, SparkTestSession.Sf)
+    val standing = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    def fpsRows(idx: SubstringDedup.WinnowIndex) =
+      idx.fps.orderBy("doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    val idx = SubstringDedup.buildWinnowIndex(standing, col("doc_id"), col("text"))
+    // extend is a plain append == one-shot build over the union
+    // (winnowing is per-document)
+    val extended = SubstringDedup.extendWinnowIndex(idx, batch,
+      col("doc_id"), col("text"))
+    assert(fpsRows(extended) ==
+      fpsRows(SubstringDedup.buildWinnowIndex(d, col("doc_id"), col("text"))))
+    // the incremental probe == the full pair truth restricted to
+    // pairs with a batch member
+    val got = SubstringDedup.dupPairsAgainst(idx, standing, batch,
+        col("doc_id"), col("text"))
+      .orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val full = SubstringDedup.verbatimDupPairs(d, col("doc_id"), col("text"),
+        minLen = 32, k = 16)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+      .sorted)
+    assert(got.nonEmpty, "sf corpus has no cross-half pairs — fixture too weak")
+    // persistence round-trip probes identically
+    val dir = java.nio.file.Files.createTempDirectory("winnow_idx").toString
+    SubstringDedup.saveWinnowIndex(idx, dir)
+    val loaded = SubstringDedup.loadWinnowIndex(spark, dir)
+    assert(loaded.minLen == 32 && loaded.k == 16)
+    assert(SubstringDedup.dupPairsAgainst(loaded, standing, batch,
+        col("doc_id"), col("text"))
+      .orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq == got)
+  }
+
   test("seed→text extension is block-bounded: one text-join row per (pair, block)") {
     // two docs sharing one LONG run (~3 ScrubBlockChars blocks of
     // distinct content): hundreds of aligned seeds collapse to a

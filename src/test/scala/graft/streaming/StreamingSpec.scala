@@ -598,6 +598,41 @@ class StreamingSpec extends AnyFunSuite {
     seedDocs.unpersist(); waves.unpersist()
   }
 
+  test("selfWinnowBatches: landed pairs across all waves == the one-shot pair probe over everything") {
+    import graft.ops.SubstringDedup
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val seedDocs = docs.filter(col("doc_id") % 5 === 0).cache()
+    val waves = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text").cache()
+    val inDir = java.nio.file.Files.createTempDirectory("swin_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("swin_out").toString
+    waves.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(waves.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val (finalIdx, _) = StreamingIngest.selfWinnowBatches(stream, seedDocs,
+      SubstringDedup.buildWinnowIndex(seedDocs, col("doc_id"), col("text")),
+      outDir, compactEvery = 2)
+    // every pair lands exactly when its LATER document arrives, so the
+    // union over batches is the full pair set minus seed-internal pairs
+    val landed = spark.read.parquet(outDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(landed.distinct.length == landed.length,
+      "a pair landed in two batches — the retry/fold-in accounting leaked")
+    val full = SubstringDedup.verbatimDupPairs(docs, col("doc_id"),
+        col("text"), minLen = 32, k = 16)
+      .as[(Long, Long)].collect().toSeq
+    val expected = full.filter(p => p._1 % 5 != 0 || p._2 % 5 != 0).sorted
+    assert(landed.sorted == expected)
+    assert(expected.nonEmpty, "no cross-wave pairs — fixture too weak")
+    // the folded index == one-shot build over everything seen
+    assert(finalIdx.fps.orderBy("doc_id", "pos")
+      .as[(Long, Long, Long)].collect().toSeq ==
+      SubstringDedup.buildWinnowIndex(docs, col("doc_id"), col("text"))
+        .fps.orderBy("doc_id", "pos")
+        .as[(Long, Long, Long)].collect().toSeq)
+    seedDocs.unpersist(); waves.unpersist()
+  }
+
   test("selfSubstrBatches compaction cadence: identical answer, collapsed artifact plans") {
     import graft.ops.SuffixArray
     val docs = Tables.documents(spark, SparkTestSession.Sf)
