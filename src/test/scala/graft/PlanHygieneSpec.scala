@@ -498,4 +498,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental winnow probe: standing fps bloom-pruned; round-14 pair queries stay equi-join") {
+    // the standing side of dupPairsAgainst must carry the batch-hash
+    // bloom probe (without it every crawl batch re-shuffles the whole
+    // standing fingerprint table), and none of the round's pair paths
+    // may degenerate to a product
+    val plan = finalPlan(q("q_incr_winnow_pairs"))
+    assert(plan.contains("might_contain"),
+      s"incremental probe lost the bloom prune:\n$plan")
+    for (name <- Seq("q_incr_winnow_pairs", "q_winnow_pairs_capped",
+        "q_winnow_cap_audit", "q_leakage_split_verbatim")) {
+      val p = finalPlan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$p")
+    }
+  }
+
 }
