@@ -208,6 +208,17 @@ object ScaleSmoke {
         Bpe.train(inflateDocs(Tables.documents(spark, sfDir), f),
           col("text"), nMerges = 16).merges
       },
+      "winnow_pairs" -> { f =>
+        // winnowed verbatim pair probe under replication: replica
+        // token suffixes make vocabularies disjoint, so no ≥32-char
+        // run crosses replicas — true pairs replicate per replica
+        // (output ~×F while suffix digit lengths agree, the
+        // sa_repeats caveat) and the seed join's bucket sizes stay
+        // per-replica, never ×F² — the linearity under test
+        SubstringDedup.verbatimDupPairs(
+          inflateDocs(Tables.documents(spark, sfDir), f),
+          col("doc_id"), col("text"), minLen = 32, k = 16)
+      },
       "sa_repeats" -> { f =>
         // prefix-doubling repeat mining under replication: disjoint
         // replica vocabularies (every token carries the replica
