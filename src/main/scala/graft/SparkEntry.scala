@@ -698,6 +698,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the CAPPED incremental probe: same crawl accounting with the
+    // touched-bucket bound (probe-bounded counting — the pruned
+    // standing side holds only batch-touched hashes); 1000 sits above
+    // the natural ceiling, so the oracle is the same restricted pair
+    // truth; real capping is exercised by the incremental hot-span
+    // spec
+    "q_incr_winnow_capped" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val standing = d.filter(col("doc_id") % 2 === 0)
+      val idx = SubstringDedup.sharedWinnowIndex(standing, col("doc_id"),
+        col("text"), minLen = 32, k = 16, Some(s"even:$dir"))
+      SubstringDedup.dupPairsAgainstCapped(idx, standing,
+          d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+          maxBucket = 1000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // the winnowed pair join's skew AUDIT on a planted hot-span
     // fixture (every 5th doc is one constant boilerplate run): the
     // hot buckets' literal grams with their selected-position/doc
@@ -4492,6 +4509,17 @@ FROM v$it ORDER BY token_id"""
     // bucket, so the capped path must reproduce the exhaustive pair
     // truth exactly; real capping is spec-exercised
     "q_winnow_pairs_capped" -> winnowPairsOracle,
+
+    // capped at 1000 > the natural touched-bucket ceiling: must equal
+    // the uncapped incremental truth exactly
+    "q_incr_winnow_capped" ->
+      ("WITH g AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
+        "FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
+        "FROM documents)) " +
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id " +
+        "WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1 " +
+        "ORDER BY id_a, id_b"),
 
     // pairs touching the odd-id batch: the same gram-pair truth with
     // at least one odd member (id_a < id_b as everywhere)

@@ -422,19 +422,70 @@ object SubstringDedup {
     */
   def dupPairsAgainst(idx: WinnowIndex, standingDocs: DataFrame,
                       batch: DataFrame, idCol: Column,
-                      textCol: Column): DataFrame = {
+                      textCol: Column): DataFrame =
+    incrPairs(idx, standingDocs, batch, idCol, textCol, maxBucket = None)
+
+  /** [[dupPairsAgainst]] with the incremental form of
+    * [[verbatimDupPairsCapped]]'s bound: selected-hash buckets whose
+    * TOUCHED population (the bloom-pruned standing rows of that hash
+    * plus the batch's) exceeds `maxBucket` are excluded from the
+    * probe join — a hot boilerplate span arriving via the crawl is
+    * exactly as quadratic here as in the batch path (the batch copy
+    * meets EVERY standing copy), and exactly as cappable: seed rows
+    * drop, pairs with any below-cap shared seed survive, and
+    * [[probeBucketAudit]] at the same threshold lists what only hot
+    * seeds could witness. The cap accounting is PROBE-BOUNDED: the
+    * pruned standing side holds only the batch-touched hashes, so
+    * the bucket count costs candidate mass, never a corpus pass.
+    */
+  def dupPairsAgainstCapped(idx: WinnowIndex, standingDocs: DataFrame,
+                            batch: DataFrame, idCol: Column,
+                            textCol: Column,
+                            maxBucket: Long = 10000L): DataFrame =
+    incrPairs(idx, standingDocs, batch, idCol, textCol, Some(maxBucket))
+
+  /** Bucket-skew audit for the INCREMENTAL probe — what
+    * [[dupPairsAgainstCapped]] would silence at `minBucket`: the
+    * (h, n_sel, n_docs) TOUCHED buckets (pruned standing ∪ batch)
+    * above the bound. Probe-bounded like the cap itself.
+    */
+  def probeBucketAudit(idx: WinnowIndex, batch: DataFrame, idCol: Column,
+                       textCol: Column, minBucket: Long): DataFrame = {
+    val bfps = SuffixArray.winnowedFps(
+      batch.select(idCol.as("doc_id"), textCol.as("t")),
+      idx.k, idx.minLen - idx.k + 1).localCheckpoint(eager = false)
+    bucketCounts(BloomJoin.prefilter(idx.fps, col("h"), bfps, col("h"),
+        expectedItems = math.max(bfps.count(), 1L))
+      .unionByName(bfps))
+      .filter(col("n_sel") > minBucket)
+  }
+
+  private def incrPairs(idx: WinnowIndex, standingDocs: DataFrame,
+                        batch: DataFrame, idCol: Column, textCol: Column,
+                        maxBucket: Option[Long]): DataFrame = {
     val bSrc = batch.select(idCol.as("doc_id"), textCol.as("t"))
     val sSrc = standingDocs.select(idCol.as("doc_id"), textCol.as("t"))
     val bfps = SuffixArray.winnowedFps(bSrc, idx.k, idx.minLen - idx.k + 1)
       .localCheckpoint(eager = false)
     val standingPruned = BloomJoin.prefilter(idx.fps, col("h"),
       bfps, col("h"), expectedItems = math.max(bfps.count(), 1L))
+    // optional cap over the TOUCHED buckets (pruned standing ∪ batch)
+    // — both join sides filter to the same below-cap hash set
+    val (sSide, bSide) = maxBucket match {
+      case None => (standingPruned, bfps)
+      case Some(cap) =>
+        val ok = bucketCounts(standingPruned.unionByName(bfps))
+          .filter(col("n_sel") <= cap).select(col("h"))
+          .localCheckpoint(eager = false)
+        (standingPruned.join(ok, Seq("h"), "left_semi"),
+         bfps.join(ok, Seq("h"), "left_semi"))
+    }
     // candidates with >= 1 batch side: batch×(standing ∪ batch);
     // (min, max) id normalization keeps the id_a < id_b convention
     // and the terminal distinct collapses the batch-batch double count
-    val seeds = bfps.select(col("doc_id").as("bid"), col("pos").as("bpos"),
+    val seeds = bSide.select(col("doc_id").as("bid"), col("pos").as("bpos"),
         col("h"))
-      .join(standingPruned.unionByName(bfps)
+      .join(sSide.unionByName(bSide)
         .select(col("doc_id").as("oid"), col("pos").as("opos"), col("h")),
         Seq("h"))
       .filter(col("bid") =!= col("oid"))

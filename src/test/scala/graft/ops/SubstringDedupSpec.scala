@@ -305,6 +305,43 @@ class SubstringDedupSpec extends AnyFunSuite {
       .orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq == got)
   }
 
+  test("incremental hot-span cap: touched-bucket audit fires, hot batch↔standing pairs silenced, cold survive") {
+    // standing corpus: 1000 copies of one boilerplate span; batch: two
+    // docs carrying the hot span AND a private cold run, plus one pure
+    // hot carrier — the crawl arrival of a boilerplate page
+    val (df, hot) = hotSpanFixture
+    val standing = df.filter(col("doc_id") < 2000L) // the 1000 copies
+    val idx = SubstringDedup.buildWinnowIndex(standing, col("doc_id"), col("text"))
+    val cold = "a private overlap only the batch pair carries tonight ok"
+    val batch = Seq(
+      9001L -> s"$hot $cold tail-9001",
+      9002L -> s"$hot $cold tail-9002",
+      9003L -> s"$hot lone-carrier").toDF("doc_id", "text")
+    // the probe-side audit sees the standing multiplicity of the
+    // touched hot buckets (probe-bounded: only batch-touched hashes)
+    val audit = SubstringDedup.probeBucketAudit(idx, batch, col("doc_id"),
+        col("text"), minBucket = 500L)
+      .as[(Long, Long, Long)].collect()
+    assert(audit.nonEmpty && audit.forall(_._3 >= 1000L))
+    // uncapped: every batch doc pairs with all 1000 standing copies
+    val uncapped = SubstringDedup.dupPairsAgainst(idx, standing, batch,
+      col("doc_id"), col("text")).count()
+    assert(uncapped >= 3000L, s"got $uncapped")
+    // capped at 500: ALL batch↔standing pairs are silenced — standing
+    // docs are pure copies, so every seed they carry is in an over-cap
+    // bucket (exactly what the audit lists); the batch-internal cold
+    // pair survives via its below-cap seeds. (Batch-internal
+    // hot-carrier pairs may also survive through straddle-window
+    // selections — those seeds are genuinely below cap, so surviving
+    // is correct behavior, not asserted either way.)
+    val capped = SubstringDedup.dupPairsAgainstCapped(idx, standing, batch,
+        col("doc_id"), col("text"), maxBucket = 500L)
+      .orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(capped.contains((9001L, 9002L)), s"cold pair lost: $capped")
+    assert(capped.forall(p => p._1 >= 9000L && p._2 >= 9000L),
+      s"a hot-only batch↔standing pair leaked through the cap: $capped")
+  }
+
   test("seed→text extension is block-bounded: one text-join row per (pair, block)") {
     // two docs sharing one LONG run (~3 ScrubBlockChars blocks of
     // distinct content): hundreds of aligned seeds collapse to a
