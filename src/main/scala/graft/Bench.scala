@@ -263,7 +263,8 @@ object Bench {
       "s_stream_sessionize", "s_stream_neardup", "s_stream_media",
       "s_stream_audio", "s_stream_video", "s_stream_semdecontam",
       "s_stream_bpe", "s_stream_lm", "s_stream_unigram",
-      "s_stream_graph", "s_stream_selfknn", "s_stream_tfidf",
+      "s_stream_graph", "s_stream_selfknn", "s_stream_layered",
+      "s_stream_tfidf",
       "s_stream_substr", "s_stream_verbatim", "s_stream_winnow")
     val streamResults: Map[String, Double] =
       if (remainingMs < 60000) streamNames.map(_ -> -1.0).toMap
@@ -283,6 +284,7 @@ object Bench {
         val msd = graft.streaming.StreamBench.benchSemDecontam(spark, sfDir, embDir)
         val mg = graft.streaming.StreamBench.benchGraphAnn(spark, sfDir, embDir)
         val mk = graft.streaming.StreamBench.benchSelfKnn(spark, sfDir, embDir)
+        val mlg = graft.streaming.StreamBench.benchSelfLayered(spark, sfDir, embDir)
         val mb = graft.streaming.StreamBench.benchBpeTokenize(spark, sfDir, docDir)
         val ml = graft.streaming.StreamBench.benchLmScore(spark, sfDir, docDir)
         val mu = graft.streaming.StreamBench.benchUnigramTokenize(spark, sfDir, docDir)
@@ -299,6 +301,7 @@ object Bench {
           s""""sem_decontam":${det(msd)},"bpe_tokenize":${det(mb)},""" +
           s""""lm_score":${det(ml)},"unigram_tokenize":${det(mu)},""" +
           s""""graph_ann":${det(mg)},"self_knn":${det(mk)},""" +
+          s""""self_layered":${det(mlg)},""" +
           s""""tfidf_score":${det(mt)},"substr_incr":${det(msu)},""" +
           s""""verbatim_decontam":${det(mvd)},"self_winnow":${det(mw)}}"""
         Map("s_stream_dedup" -> md.elapsedSec, "s_stream_decontam" -> mdc.elapsedSec,
@@ -308,6 +311,7 @@ object Bench {
           "s_stream_bpe" -> mb.elapsedSec, "s_stream_lm" -> ml.elapsedSec,
           "s_stream_unigram" -> mu.elapsedSec,
           "s_stream_graph" -> mg.elapsedSec, "s_stream_selfknn" -> mk.elapsedSec,
+          "s_stream_layered" -> mlg.elapsedSec,
           "s_stream_tfidf" -> mt.elapsedSec, "s_stream_substr" -> msu.elapsedSec,
           "s_stream_verbatim" -> mvd.elapsedSec,
           "s_stream_winnow" -> mw.elapsedSec)

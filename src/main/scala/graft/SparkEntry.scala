@@ -664,8 +664,8 @@ object SparkEntry {
     // ~11% of gram positions, verified by maximal literal extension;
     // the input the canonical-copy/cluster policies key on
     "q_winnow_pairs" -> ((s, dir) =>
-      SubstringDedup.verbatimDupPairs(documents(s, dir), col("doc_id"),
-        col("text"), minLen = 32, k = 16)
+      SubstringDedup.sharedVerbatimDupPairs(documents(s, dir), col("doc_id"),
+        col("text"), minLen = 32, k = 16, cacheKey = Some(dir))
         .orderBy(col("id_a"), col("id_b"))),
 
     // the CAPPED winnowed pair path: selected-hash buckets above
@@ -1186,11 +1186,14 @@ object SparkEntry {
     }),
 
     // dup-cluster derivation: near-dup PAIRS -> connected components
-    // (min-label propagation; DuckDB oracle = recursive-CTE closure)
+    // (min-label propagation; DuckDB oracle = recursive-CTE closure).
+    // The cluster table is session-shared: q_leakage_split reads the
+    // SAME artifact (one propagation serves every pair-keyed policy)
     "q_dup_clusters" -> ((s, dir) => {
       val pairs = Similarity.nearDupPairs(Tables.embeddings(s, dir),
         col("label"), threshold = 0.30)
-      ConnectedComponents.components(pairs, "id_a", "id_b")
+      ConnectedComponents.sharedComponents(pairs, "id_a", "id_b",
+          cacheKey = Some(dir))
         .orderBy(col("id"))
     }),
 
@@ -1202,7 +1205,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val pairs = Similarity.nearDupPairs(emb, col("label"),
         threshold = 0.30)
-      Sampling.leakageSafeSplit(emb, col("vec_id"), pairs, valBp = 2000)
+      Sampling.leakageSafeSplit(emb, col("vec_id"), pairs, valBp = 2000,
+          cacheKey = Some(dir))
         .orderBy(col("id"))
     }),
 
@@ -1213,9 +1217,10 @@ object SparkEntry {
     // token-set and embedding detectors blur
     "q_leakage_split_verbatim" -> ((s, dir) => {
       val d = documents(s, dir)
-      val pairs = SubstringDedup.verbatimDupPairs(d, col("doc_id"),
-        col("text"), minLen = 32, k = 16)
-      Sampling.leakageSafeSplit(d, col("doc_id"), pairs, valBp = 2000)
+      val pairs = SubstringDedup.sharedVerbatimDupPairs(d, col("doc_id"),
+        col("text"), minLen = 32, k = 16, cacheKey = Some(dir))
+      Sampling.leakageSafeSplit(d, col("doc_id"), pairs, valBp = 2000,
+          cacheKey = Some(dir))
         .orderBy(col("id"))
     }),
 
@@ -1234,6 +1239,22 @@ object SparkEntry {
     // of the lowest id: the canonical-copy policy a production
     // pipeline wants. Oracle: minhash pairs + recursive closure +
     // the q_quality_score formula + the same window cut
+    // E1∘E11 on VERBATIM evidence: exact substring-copy clusters
+    // (sharedVerbatimDupPairs → session-shared CC closure) keep their
+    // highest-quality member — the same canonical-copy policy as
+    // q_dedup_keep_best keyed on the exact-copy detector instead of
+    // the token-set one; reads the SAME pair and cluster artifacts as
+    // q_winnow_pairs / q_leakage_split_verbatim
+    "q_keep_best_verbatim" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.keepBestByPairs(d, col("doc_id"), col("text"),
+          SubstringDedup.sharedVerbatimDupPairs(d, col("doc_id"),
+            col("text"), minLen = 32, k = 16, cacheKey = Some(dir)),
+          cacheKey = Some(dir))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.keepBestNearDup(documents(s, dir), col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
@@ -4982,6 +5003,31 @@ FROM v$it ORDER BY token_id"""
         "FROM qq q JOIN comp c USING (id)) t WHERE rn > 1) " +
         "SELECT id AS doc_id, quality FROM qq " +
         "WHERE id NOT IN (SELECT id FROM losers) ORDER BY doc_id"),
+    // the verbatim-evidence keep-best: exact 32-gram pair truth →
+    // recursive closure → the q_dedup_keep_best quality window
+    "q_keep_best_verbatim" ->
+      ("WITH RECURSIVE g AS (SELECT doc_id, substr(text, pos + 1, 32) AS g " +
+        "FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 31, 0))) AS pos " +
+        "FROM documents)), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        "ue AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ue) n " +
+        "UNION SELECT reach.id, e2.v FROM reach JOIN ue e2 ON reach.r = e2.u), " +
+        "comp AS (SELECT id, min(r) AS cmp FROM reach GROUP BY id), " +
+        "qq AS (SELECT doc_id AS id, " +
+        "least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4 + " +
+        "(1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / " +
+        "greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3 + " +
+        s"least(CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($EnMarkers, x))) AS DOUBLE) / " +
+        "greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3 AS quality " +
+        "FROM documents), " +
+        "losers AS (SELECT id FROM (SELECT q.id, " +
+        "row_number() OVER (PARTITION BY c.cmp ORDER BY q.quality DESC, q.id ASC) AS rn " +
+        "FROM qq q JOIN comp c USING (id)) t WHERE rn > 1) " +
+        "SELECT id AS doc_id, quality FROM qq " +
+        "WHERE id NOT IN (SELECT id FROM losers) ORDER BY doc_id"),
+
     "q_incr_neardup" -> incrNearDupOracle,
     "q_simhash_dedup" -> simhashOracle,
 

@@ -42,6 +42,27 @@ object ConnectedComponents {
                  maxIter: Int = 20): DataFrame =
     componentsWithRounds(pairs, aCol, bCol, maxIter)._1
 
+  /** [[components]] behind the session artifact cache — the cluster
+    * table is the write-once artifact EVERY pair-keyed policy reads
+    * (dup-cluster reporting, leakage-safe splitting, keep-best
+    * canonicalization), so one propagation per (session, pair-plan
+    * semantics) serves them all; the first toucher is charged the
+    * build (the `sharedGraph` accounting). Keyed on the pair table's
+    * SEMANTIC plan — two different pair tables (different detector,
+    * threshold, corpus) can never alias each other's clusters.
+    */
+  def sharedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                       cacheKey: Option[String] = None,
+                       maxIter: Int = 20): DataFrame =
+    cacheKey match {
+      case None => components(pairs, aCol, bCol, maxIter)
+      case Some(src) => SessionArtifactCache.getOrBuild(
+        pairs.select(col(aCol), col(bCol)),
+        tag = s"cc_components:$src", params = s"maxIter=$maxIter") {
+        components(pairs, aCol, bCol, maxIter)
+      }
+    }
+
   /** [[components]] plus the number of propagation rounds it took —
     * the observable the O(log diameter) claim rests on (the
     * convergence-shape spec pins it on a long path graph).

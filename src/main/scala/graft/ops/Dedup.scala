@@ -148,9 +148,28 @@ object Dedup {
     * members only (a vanishing fraction of the corpus), one anti-join.
     */
   def keepBestNearDup(docs: DataFrame, idCol: Column, textCol: Column,
-                      threshold: Double = 0.3): DataFrame = {
-    val pairs = MinHash.nearDupPairs(docs, idCol, textCol, threshold)
-    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+                      threshold: Double = 0.3): DataFrame =
+    keepBestByPairs(docs, idCol, textCol,
+      MinHash.nearDupPairs(docs, idCol, textCol, threshold))
+
+  /** The keep-best POLICY over ANY near-dup pair table — the second
+    * half of [[keepBestNearDup]], factored out so every E1 detector's
+    * evidence (MinHash, SimHash, embedding-cosine, verbatim
+    * substring) keys the same canonical-copy rule: [[
+    * ConnectedComponents]] closes `pairs` (id_a, id_b) into clusters,
+    * each cluster keeps its argmax-[[TextStats.qualityScore]] member
+    * under the (quality DESC, id ASC) total order, unpaired documents
+    * survive untouched. `cacheKey` routes the closure through the
+    * session-shared cluster artifact ([[ConnectedComponents
+    * .sharedComponents]]) — the SAME table the leakage-safe split and
+    * dup-cluster report read, one propagation per (session, pair
+    * table). Output: one row per SURVIVOR, (id, quality).
+    */
+  def keepBestByPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                      pairs: DataFrame,
+                      cacheKey: Option[String] = None): DataFrame = {
+    val comp = ConnectedComponents.sharedComponents(pairs, "id_a", "id_b",
+      cacheKey)
     val scored = docs.select(idCol.as("id"),
       TextStats.qualityScore(textCol).as("quality"))
     val byBest = Window.partitionBy(col("comp"))

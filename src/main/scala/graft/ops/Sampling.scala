@@ -194,9 +194,15 @@ object Sampling {
     * Output: the input row ids with (group_id, split).
     */
   def leakageSafeSplit(df: DataFrame, idCol: Column, pairs: DataFrame,
-                       valBp: Int): DataFrame = {
+                       valBp: Int,
+                       cacheKey: Option[String] = None): DataFrame = {
     require(valBp >= 0 && valBp <= 10000, "valBp is basis points in [0,10000]")
-    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+    // `cacheKey` routes the closure through the session-shared cluster
+    // artifact ([[ConnectedComponents.sharedComponents]]) — the split
+    // reads the SAME table the dup-cluster report and keep-best policy
+    // read, one propagation per (session, pair table)
+    val comp = ConnectedComponents
+      .sharedComponents(pairs, "id_a", "id_b", cacheKey)
       .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
     df.select(idCol.as("id"))
       .join(comp, col("id") === col("__cc_id"), "left")

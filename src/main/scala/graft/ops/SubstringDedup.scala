@@ -200,6 +200,25 @@ object SubstringDedup {
       minLen, k)
   }
 
+  /** [[verbatimDupPairs]] behind the session artifact cache — the
+    * verified pair table is the evidence input of every verbatim-copy
+    * policy (cluster derivation, leakage-safe splitting, keep-best),
+    * so one winnow-probe-extend pass per (session, corpus, geometry)
+    * serves them all; the first toucher is charged the build (the
+    * `sharedGraph` accounting).
+    */
+  def sharedVerbatimDupPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                             minLen: Int = 32, k: Int = 16,
+                             cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case None => verbatimDupPairs(docs, idCol, textCol, minLen, k)
+      case Some(src) => SessionArtifactCache.getOrBuild(
+        docs.select(idCol, textCol),
+        tag = s"verbatim_pairs:$src", params = s"minLen=$minLen,k=$k") {
+        verbatimDupPairs(docs, idCol, textCol, minLen, k)
+      }
+    }
+
   /** The winnowed pair probe's seed self-join: (id_a, pos_a, id_b,
     * pos_b) rows where both documents selected the same k-gram hash
     * (id_a < id_b). The 8-byte-key join whose candidate volume tracks

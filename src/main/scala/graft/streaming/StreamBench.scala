@@ -493,6 +493,55 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** SELF-MAINTAINING LAYERED twin ([[StreamingIngest
+    * .selfLayeredBatches]]'s loop, inlined so the replay drives it):
+    * the standing HIERARCHY is built untimed over the seed corpus
+    * (the `q_graph_ann_layered` geometry — entryStep 5, 2 upper
+    * layers); each micro-batch of NEW vectors (ids shifted out of the
+    * standing range) descends it via [[graft.ops.KnnGraph
+    * .beamSearchLayered]], then folds in via [[graft.ops.KnnGraph
+    * .extendLayered]] — layer 0 incremental, the geometrically small
+    * uppers rebuilt, so the hierarchy after every batch equals the
+    * one-shot `buildLayered` over everything seen. Per-batch cost =
+    * the flat twin's fold-in + a corpus/5 and corpus/25 re-pair tail.
+    */
+  def benchSelfLayered(spark: SparkSession, sfDir: String,
+                       replayDir: String, nCentroids: Int = 16): StreamMetrics = {
+    var emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    var lg = graft.ops.KnnGraph.buildLayered(emb,
+      graft.ops.KnnGraph.build(emb, k = 5, nCentroids),
+      k = 5, nCentroids = nCentroids, entryStep = 5L, nLayers = 2)
+    lg = lg.copy(layers = lg.layers.map(_.localCheckpoint()))
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val vs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    // the selfLayeredBatches whole-body retry guard: a retried batch
+    // would fold the same shifted vec_ids in twice, breaking extend's
+    // disjoint-id contract
+    var lastExtended = -1L
+    val t0 = System.nanoTime()
+    val q = vs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastExtended) {
+          val batch = b.select((col("vec_id") + lit(1000000000000L)).as("vec_id"),
+            col("embedding")).localCheckpoint()
+          graft.ops.KnnGraph.beamSearchLayered(emb, lg,
+            batch.select(col("vec_id").as("query_id"), col("embedding")),
+            k = 5, beam = 16, rounds = 3).count()
+          val ext = graft.ops.KnnGraph.extendLayered(emb, batch, lg)
+          lg = ext.copy(layers = ext.layers.map(_.localCheckpoint()))
+          emb = emb.unionByName(batch).localCheckpoint()
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
+  }
+
   /** BPE tokenize-the-crawl twin: the standing [[graft.ops.Bpe]] model
     * is trained once untimed; each micro-batch broadcast-joins the
     * vocabulary's end-state segmentation (OOV words segment on the
@@ -734,6 +783,7 @@ object StreamBench {
       line("sem_decontam", f, benchSemDecontam(spark, sfDir, embs))
       line("graph_ann", f, benchGraphAnn(spark, sfDir, embs))
       line("self_knn", f, benchSelfKnn(spark, sfDir, embs, nCentroids = 16 * f))
+      line("self_layered", f, benchSelfLayered(spark, sfDir, embs, nCentroids = 16 * f))
       line("sessionize", f, benchSessions(spark, ev))
       line("neardup", f, benchNearDup(spark, sfDir, docs))
       line("bpe_tokenize", f, benchBpeTokenize(spark, sfDir, docs))

@@ -469,6 +469,56 @@ object StreamingIngest {
     (emb, graph)
   }
 
+  /** SELF-MAINTAINING LAYERED graph — [[selfKnnBatches]]'s crawl loop
+    * for the multi-level hierarchy ([[graft.ops.KnnGraph
+    * .LayeredGraph]]): each micro-batch of new vectors descends the
+    * STANDING hierarchy ([[graft.ops.KnnGraph.beamSearchLayered]],
+    * hits land exactly-once), then folds in via [[graft.ops.KnnGraph
+    * .extendLayered]] — layer 0 by the spec-pinned `extend ==
+    * build(union)` contract, the geometrically small uppers by
+    * rebuild, so after any number of batches the standing hierarchy
+    * IS `buildLayered(everything seen)`: fold-in order invisible,
+    * upper layers never stale (new vec_ids satisfying
+    * `id % entryStep^ℓ == 0` join their layer the batch they arrive).
+    * Same whole-body retry guard and process-state restart contract
+    * as [[selfKnnBatches]]; `seedEmb` must carry the base geometry's
+    * seed ids (the extend contract). Returns the final
+    * (embeddings, hierarchy) pair.
+    */
+  def selfLayeredBatches(newVecs: DataFrame, seedEmb: DataFrame,
+                         seedLayered: graft.ops.KnnGraph.LayeredGraph,
+                         k: Int, beam: Int, rounds: Int,
+                         outDir: String,
+                         checkpointDir: Option[String] = None)
+      : (DataFrame, graft.ops.KnnGraph.LayeredGraph) = {
+    import org.apache.spark.sql.functions.col
+    var emb = seedEmb.select(col("vec_id"), col("embedding"))
+    var lg = seedLayered
+    var lastExtended = -1L
+    val q = newVecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastExtended) {
+          val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
+          graft.ops.KnnGraph.beamSearchLayered(emb, lg,
+              b.select(col("vec_id").as("query_id"), col("embedding")),
+              k, beam, rounds)
+            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+          // per-layer lineage cut: layer 0 grows by extend (the big
+          // table), uppers are rebuilt small — both re-read next batch
+          val ext = graft.ops.KnnGraph.extendLayered(emb, b, lg)
+          lg = ext.copy(layers = ext.layers.map(_.localCheckpoint()))
+          emb = emb.unionByName(b).localCheckpoint()
+          lastExtended = batchId
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("selflayered_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (emb, lg)
+  }
+
   /** Streaming twin of the BPE tokenizer ([[graft.ops.Bpe]]): every
     * micro-batch of a document stream is tokenized against a STANDING
     * [[graft.ops.Bpe.BpeModel]] trained once before the stream starts

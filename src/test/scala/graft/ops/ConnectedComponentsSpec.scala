@@ -53,4 +53,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L))
     assert(got.keySet == (0L to d.toLong).toSet)
   }
+
+  test("sharedComponents: same pair plan aliases, a different pair table never does") {
+    // the session-shared cluster artifact: two callers handing in
+    // semantically equal pair plans read ONE propagation result
+    // (object-identical cached frame), while a different pair table
+    // under the same cacheKey gets its own clusters — the plan-hash
+    // keying that makes sharing safe
+    def pairsA = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val r1 = ConnectedComponents.sharedComponents(pairsA, "id_a", "id_b",
+      cacheKey = Some("cc_spec"))
+    val r2 = ConnectedComponents.sharedComponents(pairsA, "id_a", "id_b",
+      cacheKey = Some("cc_spec"))
+    assert(r1 eq r2, "equal pair plans must read one cached artifact")
+    assert(r1.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val other = ConnectedComponents.sharedComponents(
+      Seq((5L, 6L)).toDF("id_a", "id_b"), "id_a", "id_b",
+      cacheKey = Some("cc_spec"))
+    assert(!(other eq r1), "different pair tables must never alias")
+    assert(other.as[(Long, Long)].collect().toMap == Map(5L -> 5L, 6L -> 5L))
+    // and the no-key path stays a plain compute
+    val plain = ConnectedComponents.sharedComponents(pairsA, "id_a", "id_b")
+    assert(plain.as[(Long, Long)].collect().toMap ==
+      r1.as[(Long, Long)].collect().toMap)
+  }
 }

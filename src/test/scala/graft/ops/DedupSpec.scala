@@ -121,4 +121,37 @@ class DedupSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(9L, 20L), s"keep-best picked $kept")
   }
+
+  test("keepBestByPairs applies the same policy to ANY injected pair table") {
+    // the factored policy half: evidence comes from the caller (here a
+    // hand pair table standing in for verbatim/SimHash/embedding
+    // detectors) — clusters keep their (quality DESC, id) best,
+    // unpaired rows survive, and a transitive chain is ONE cluster
+    val docs = Seq(
+      (1L, "a b"),                                  // low quality (short)
+      (2L, "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away to the hills where it rests for a while"),
+      (3L, "!!@@##$$"),                             // punctuation junk
+      (50L, "an unpaired survivor document about catalyst plans"))
+      .toDF("doc_id", "text")
+    // chain 1-2-3: one component though (1,3) never pair directly
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestByPairs(docs, col("doc_id"), col("text"), pairs)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 50L), s"keep-best-by-pairs picked $kept")
+    // and keepBestNearDup IS keepBestByPairs over the MinHash pairs
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to the hills where it rests for a while in peace"
+    val docs2 = Seq(
+      (7L, base + " ~~!!##$$%%^^&&**(())__++"),
+      (9L, base),
+      (20L, "completely unrelated text about spark physical planning"))
+      .toDF("doc_id", "text")
+    val viaPairs = Dedup.keepBestByPairs(docs2, col("doc_id"), col("text"),
+        MinHash.nearDupPairs(docs2, col("doc_id"), col("text"), 0.3))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    val direct = Dedup.keepBestNearDup(docs2, col("doc_id"), col("text"))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(viaPairs == direct)
+  }
 }

@@ -179,5 +179,11 @@ class SamplingSpec extends AnyFunSuite {
       (r._3 == "val") != own
     }
     assert(leaky, "fixture too weak: no row where cluster split != row split")
+    // the cacheKey path routes through the session-shared cluster
+    // artifact and answers identically (the q_leakage_split sharing)
+    val shared = Sampling.leakageSafeSplit(rows, col("id"), pairs,
+        valBp = 2000, cacheKey = Some("lss_spec"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(shared.sorted == got.sorted)
   }
 }

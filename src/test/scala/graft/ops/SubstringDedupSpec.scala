@@ -198,6 +198,27 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "sf corpus has no verbatim pairs — fixture too weak")
   }
 
+  test("sharedVerbatimDupPairs: equal corpus plans alias, results match the plain probe") {
+    // one winnow-probe-extend pass per (session, corpus, geometry):
+    // two callers with semantically equal inputs read the SAME cached
+    // pair table (the q_winnow_pairs / q_leakage_split_verbatim
+    // sharing), and the artifact equals the uncached operator
+    def d = graft.Tables.documents(spark, SparkTestSession.Sf)
+    val r1 = SubstringDedup.sharedVerbatimDupPairs(d, col("doc_id"),
+      col("text"), minLen = 32, k = 16, cacheKey = Some("svdp_spec"))
+    val r2 = SubstringDedup.sharedVerbatimDupPairs(d, col("doc_id"),
+      col("text"), minLen = 32, k = 16, cacheKey = Some("svdp_spec"))
+    assert(r1 eq r2, "equal corpus plans must read one cached artifact")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs(r1) == pairs(SubstringDedup.verbatimDupPairs(d,
+      col("doc_id"), col("text"), minLen = 32, k = 16)))
+    // a different geometry under the same key never aliases
+    val other = SubstringDedup.sharedVerbatimDupPairs(d, col("doc_id"),
+      col("text"), minLen = 48, k = 16, cacheKey = Some("svdp_spec"))
+    assert(!(other eq r1), "different params must never alias")
+  }
+
   test("verbatimDupPairsCapped == verbatimDupPairs when no bucket caps") {
     val d = graft.Tables.documents(spark, SparkTestSession.Sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =

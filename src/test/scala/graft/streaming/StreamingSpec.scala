@@ -424,6 +424,47 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("selfLayeredBatches: the standing hierarchy after every wave equals the one-shot buildLayered") {
+    import graft.ops.KnnGraph
+    val all = Tables.embeddings(spark, SparkTestSession.Sf)
+      .select("vec_id", "embedding").cache()
+    val seed = all.filter(col("vec_id") < 250)
+    val wave1 = all.filter(col("vec_id") >= 250 && col("vec_id") < 375).cache()
+    val wave2 = all.filter(col("vec_id") >= 375).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("slay_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("slay_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("slay_ck").toString
+    def stream() = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val lg0 = KnnGraph.buildLayered(seed, KnnGraph.build(seed, k = 5),
+      k = 5, nCentroids = 16, entryStep = 5L, nLayers = 2)
+    // run 1: wave 1 folds in batch by batch
+    wave1.repartition(2).write.mode("append").parquet(inDir)
+    val (emb1, lg1) = StreamingIngest.selfLayeredBatches(stream(), seed, lg0,
+      k = 5, beam = 16, rounds = 3, outDir, Some(ckptDir))
+    // run 2 (checkpoint resume): wave 2 probes the evolved hierarchy
+    wave2.repartition(2).write.mode("append").parquet(inDir)
+    val (_, lg2) = StreamingIngest.selfLayeredBatches(stream(), emb1, lg1,
+      k = 5, beam = 16, rounds = 3, outDir, Some(ckptDir))
+    // EVERY layer of the standing hierarchy is exactly the one-shot
+    // buildLayered over everything seen — layer 0 by extend's
+    // contract, the uppers never stale (fold-in order invisible)
+    val full = KnnGraph.buildLayered(all, KnnGraph.build(all, k = 5),
+      k = 5, nCentroids = 16, entryStep = 5L, nLayers = 2)
+    assert(lg2.layers.size == full.layers.size)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("src", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    lg2.layers.zip(full.layers).zipWithIndex.foreach { case ((got, want), l) =>
+      assert(rows(got) == rows(want),
+        s"layer $l diverged from the one-shot rebuild")
+    }
+    // every micro-batch wrote its probe output exactly once
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .count(_.getName.startsWith("ingest_batch="))
+    assert(batchDirs == 4, s"expected 4 batch outputs, got $batchDirs")
+    all.unpersist(); wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming BPE tokenization equals the batch operator (incl. OOV words)") {
     import graft.ops.Bpe
     val docs = Tables.documents(spark, SparkTestSession.Sf)
