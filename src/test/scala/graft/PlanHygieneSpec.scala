@@ -507,7 +507,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(plan.contains("might_contain"),
       s"incremental probe lost the bloom prune:\n$plan")
     for (name <- Seq("q_incr_winnow_pairs", "q_winnow_pairs_capped",
-        "q_winnow_cap_audit", "q_leakage_split_verbatim")) {
+        "q_winnow_cap_audit", "q_leakage_split_verbatim",
+        "q_keep_best_verbatim")) {
       val p = finalPlan(q(name))
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$p")
