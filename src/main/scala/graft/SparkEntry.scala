@@ -337,7 +337,9 @@ object SparkEntry {
       val edges = KnnGraph.sharedGraph(Tables.embeddings(s, dir), k = 5,
           cacheKey = Some(dir))
         .filter(col("score") >= 0.35)
-      ConnectedComponents.components(edges, "src", "dst")
+      // cluster table session-shared with curateSem's semantic stage
+      ConnectedComponents.sharedComponents(edges, "src", "dst",
+          cacheKey = Some(dir))
         .orderBy(col("id"))
     }),
 

@@ -86,7 +86,10 @@ object Curate {
                 graphCacheKey: Option[String] = None): DataFrame = {
     val edges = KnnGraph.sharedGraph(embeddings, k, cacheKey = graphCacheKey)
       .filter(col("score") >= semThreshold)
-    val nonCanonical = ConnectedComponents.components(edges, "src", "dst")
+    // the cluster table rides the same session artifact q_graph_clusters
+    // reads — one propagation over the qualifying edges per session
+    val nonCanonical = ConnectedComponents
+      .sharedComponents(edges, "src", "dst", graphCacheKey)
       .filter(col("id") =!= col("comp"))
       .select(col("id"))
     curate(corpus, bench, idCol, textCol, minQuality, maxTopGram,
