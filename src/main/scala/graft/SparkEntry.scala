@@ -1199,6 +1199,24 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // INCREMENTAL clusters — the standing ClusterIndex's crawl loop:
+    // train on the first half of the pair evidence (by endpoint id),
+    // fold the second half via extendIndex (O(batch + touched
+    // components): super-graph merge over standing labels + broadcast
+    // remap, the standing pairs never re-propagate). extend ==
+    // components(all pairs) by construction, so the oracle is the
+    // SAME full recursive-CTE closure q_dup_clusters replays
+    "q_incr_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.nearDupPairs(emb, col("label"), threshold = 0.30)
+      val cut = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+      val idx = ConnectedComponents.train(
+        pairs.filter(col("id_b") < cut), "id_a", "id_b")
+      ConnectedComponents.extendIndex(idx,
+          pairs.filter(col("id_b") >= cut), "id_a", "id_b")
+        .labels.orderBy(col("id"))
+    }),
+
     // E5∘E1: leakage-safe train/val split — the split key is the
     // near-dup CLUSTER (singletons are their own cluster), so
     // near-copies never straddle the boundary; the cluster label
@@ -4776,6 +4794,14 @@ FROM v$it ORDER BY token_id"""
         " AND qq.doc_id NOT IN (SELECT id FROM semdup) ORDER BY qq.doc_id"),
 
     "q_dup_clusters" ->
+      ("WITH RECURSIVE " + dupReachCte +
+        "SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"),
+
+    // extendIndex == components(all pairs) is the contract, so the
+    // incremental fold replays against the SAME full closure — any
+    // divergence in the super-graph merge or the broadcast remap
+    // hash-mismatches here
+    "q_incr_clusters" ->
       ("WITH RECURSIVE " + dupReachCte +
         "SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"),
 

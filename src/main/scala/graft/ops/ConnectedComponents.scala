@@ -58,7 +58,11 @@ object ConnectedComponents {
       case None => components(pairs, aCol, bCol, maxIter)
       case Some(src) => SessionArtifactCache.getOrBuild(
         pairs.select(col(aCol), col(bCol)),
-        tag = s"cc_components:$src", params = s"maxIter=$maxIter") {
+        tag = s"cc_components:$src", params = s"maxIter=$maxIter",
+        // the propagation's own final-round snapshot is redundant
+        // once the cache's checkpoint materializes — drop it, or two
+        // full copies of the cluster table outlive the build
+        onBuilt = unpersistCheckpoint) {
         components(pairs, aCol, bCol, maxIter)
       }
     }
@@ -124,12 +128,123 @@ object ConnectedComponents {
     (labels, i)
   }
 
+  /** The standing CLUSTER artifact — the one member of the
+    * standing-index family every E1 evidence stream terminates in
+    * (near-dup pairs → dup clusters → keep-best / leakage splits /
+    * reports), with the full train / extend / save / load loop the
+    * other indexes follow (MinHash, WinnowIndex, VerbatimIndex, the
+    * k-NN graph). `labels` is the (id, comp) table at [[components]]'
+    * fixpoint; `maxIter` rides along as the propagation bound new
+    * evidence folds under.
+    */
+  final case class ClusterIndex(labels: DataFrame, maxIter: Int)
+
+  /** Train the standing cluster table: one full [[components]]
+    * propagation over the corpus's pair evidence.
+    */
+  def train(pairs: DataFrame, aCol: String, bCol: String,
+            maxIter: Int = 20): ClusterIndex =
+    ClusterIndex(components(pairs, aCol, bCol, maxIter), maxIter)
+
+  /** INDEX MAINTENANCE for the cluster table — fold a batch of new
+    * pair evidence WITHOUT re-propagating the standing pairs, at
+    * O(batch + touched components):
+    *
+    *  - each batch endpoint resolves to its standing component label
+    *    (novel ids label themselves) — the standing table is probed
+    *    by a BROADCAST semi-join on the batch's ids, so the corpus
+    *    side never shuffles (the `dupPairsAgainst` accounting);
+    *  - a SUPER-GRAPH over those labels (O(batch) edges) runs the
+    *    same min-label propagation: a pair internal to one component
+    *    is a self-edge no-op, a bridging pair min-label-merges only
+    *    the touched labels, novel ids join or start components;
+    *  - the standing table is updated by a broadcast remap keyed on
+    *    the (≤ touched-labels-sized) label changes — a narrow
+    *    map-side decoration, no shuffle — plus the novel rows.
+    *
+    * Provably == [[components]] over (old pairs ∪ new pairs): a
+    * standing label is the MIN member id of its component, so the
+    * merged super-component's min over {standing labels, novel ids}
+    * IS the merged component's min over all member ids — spec-pinned
+    * at two split points. Unlike the other indexes' extends,
+    * RE-FOLDED evidence is harmless: a duplicate pair resolves to a
+    * self-edge and merges nothing (min-label merge is idempotent and
+    * commutative), so no disjoint-id precondition exists here —
+    * spec-pinned too.
+    *
+    * The returned labels view is LAZY (base scan + broadcast remap);
+    * callers that fold repeatedly (a crawl loop) should cut lineage
+    * per batch (`localCheckpoint`) — at 100 TB the standing table is
+    * a bucketed parquet table and the remap a metadata-sized rewrite.
+    */
+  def extendIndex(idx: ClusterIndex, newPairs: DataFrame,
+                  aCol: String, bCol: String): ClusterIndex = {
+    val e = newPairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val ids = e.select(col("u").as("pid"))
+      .unionByName(e.select(col("v").as("pid"))).distinct()
+    // standing labels of the batch's endpoints — batch-bounded rows,
+    // corpus side streamed once, never shuffled
+    val touched = idx.labels
+      .join(broadcast(ids), col("id") === col("pid"), "left_semi")
+    // resolve endpoints: standing comp, else the novel id itself.
+    // `touched` is batch-bounded, so both resolution joins broadcast.
+    val res = e
+      .join(broadcast(touched.select(col("id").as("u"), col("comp").as("cu0"))),
+        Seq("u"), "left")
+      .join(broadcast(touched.select(col("id").as("v"), col("comp").as("cv0"))),
+        Seq("v"), "left")
+      .select(coalesce(col("cu0"), col("u")).as("cu"), col("cu0").isNull.as("un"),
+        coalesce(col("cv0"), col("v")).as("cv"), col("cv0").isNull.as("vn"))
+    val superLab = components(res.select(col("cu"), col("cv")), "cu", "cv",
+      idx.maxIter)
+    // provenance of each super-node: a standing label or a novel id
+    // (no value can be both — every standing label is itself a row of
+    // the standing table, and novel means absent from it)
+    val nodeFlags = res.select(col("cu").as("n"), col("un").as("isNew"))
+      .unionByName(res.select(col("cv").as("n"), col("vn").as("isNew")))
+      .distinct()
+    val flagged = superLab.join(nodeFlags, col("id") === col("n"))
+    val remap = flagged.filter(!col("isNew") && col("comp") =!= col("id"))
+      .select(col("id").as("oldc"), col("comp").as("newc"))
+    val novel = flagged.filter(col("isNew"))
+      .select(col("id"), col("comp"))
+    val updated = idx.labels.as("l")
+      .join(broadcast(remap), col("l.comp") === col("oldc"), "left")
+      .select(col("l.id").as("id"),
+        coalesce(col("newc"), col("l.comp")).as("comp"))
+      .unionByName(novel)
+    ClusterIndex(updated, idx.maxIter)
+  }
+
+  /** Persist a [[ClusterIndex]]: label parquet + params manifest (the
+    * `saveGraph` shape) — at scale the write is bucketed by `id` so
+    * extend's semi-probe and the policy consumers' joins prune.
+    */
+  def saveComponents(idx: ClusterIndex, path: String): Unit = {
+    idx.labels.write.mode("overwrite").parquet(s"$path/labels")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "params.json"),
+      s"""{"maxIter":${idx.maxIter}}""".getBytes("UTF-8"))
+  }
+
+  /** Load a persisted [[ClusterIndex]]; refuses a manifest missing
+    * its propagation bound.
+    */
+  def loadComponents(spark: org.apache.spark.sql.SparkSession,
+                     path: String): ClusterIndex = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    val m = """"maxIter"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+    require(m.isDefined, "params.json missing maxIter")
+    ClusterIndex(spark.read.parquet(s"$path/labels"), m.get.group(1).toInt)
+  }
+
   /** Drop the MEMORY_AND_DISK blocks behind a `localCheckpoint`ed
     * DataFrame (or a projection over one). The checkpointed data is an
     * RDD persist, invisible to `Dataset.unpersist`/CacheManager; find
     * the `LogicalRDD` leaf and unpersist its RDD directly.
     */
-  private[ops] def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

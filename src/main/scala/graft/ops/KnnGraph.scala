@@ -516,24 +516,61 @@ object KnnGraph {
       longOf("entryStep"), longOf("k").toInt, longOf("nCentroids").toInt)
   }
 
-  /** INDEX MAINTENANCE for the hierarchy — [[extend]] on layer 0 plus
-    * a REBUILD of the geometrically small upper layers over the grown
-    * corpus (new vec_ids satisfying `id % entryStep^ℓ == 0` join
-    * their layer, which a layer-0-only fold leaves stale). Provably
-    * == [[buildLayered]] over the union: layer 0 by [[extend]]'s
-    * spec-pinned `extend == build(union)` contract, layers ℓ ≥ 1 by
-    * being the same [[buildUpperLayer]] call on the same union —
-    * spec-pinned end to end. Cost: the layer-0 fold (O(batch · cell
-    * occupancy)) dominates; layer ℓ re-pairs corpus/entryStep^ℓ rows,
-    * a geometric tail of the base build. `oldEmb` must contain the
-    * base geometry's seed ids (the [[extend]] contract).
+  /** INDEX MAINTENANCE for the hierarchy — [[extend]] applied PER
+    * LAYER: layer 0 folds the whole batch; layer ℓ ≥ 1 folds only the
+    * batch's nested sample (`vec_id % entryStep^ℓ == 0`) into the
+    * standing layer under that layer's own geometry (seed bound
+    * `nCentroids · entryStep^ℓ`, the [[buildUpperLayer]] contract).
+    * Provably == [[buildLayered]] over the union at EVERY layer: the
+    * layer-ℓ hierarchy member is by definition `build(sampledℓ(all))`,
+    * and `extend(sampledℓ(old), sampledℓ(new), buildℓ(old)) ==
+    * build(sampledℓ(all))` is exactly the flat spec-pinned
+    * `extend == build(union)` contract instantiated in the sampled id
+    * space — spec-pinned end to end at two split points.
+    *
+    * Cost — the crawl-loop accounting that makes the hierarchy's
+    * maintenance O(batch) like every other standing index: layer ℓ
+    * touches only batch/entryStep^ℓ new rows against its standing
+    * edges (a geometric tail of the layer-0 fold), and a batch whose
+    * sample at layer ℓ is EMPTY leaves that layer untouched — no job
+    * at all, the common case for small micro-batches. The previous
+    * shape (upper REBUILD over the full union) re-paired
+    * corpus/entryStep^ℓ rows per call — a corpus-proportional term
+    * this fold eliminates.
+    *
+    * Quantizer-motion guard: layer ℓ's coarse quantizer is the
+    * sampled ids below its seed bound, so a batch whose sample adds
+    * an id < `nCentroids · entryStep^ℓ` MOVES that layer's geometry —
+    * the one case the flat contract cannot fold (its "seeds don't
+    * move" precondition). Detected per layer with a limit-1 probe on
+    * the (tiny) batch sample; such a layer is REBUILT over the union
+    * (trivially == build). This is a warmup transient only: a crawl's
+    * monotone ids stop landing under the bound once the corpus
+    * outgrows `nCentroids · entryStep^nLayers` rows, after which
+    * every batch takes the incremental path — the steady state the
+    * cost claim above describes.
     */
   def extendLayered(oldEmb: DataFrame, newEmb: DataFrame,
                     lg: LayeredGraph): LayeredGraph = {
     val base = extend(oldEmb, newEmb, lg.layers(0), lg.k, lg.nCentroids)
-    val all = oldEmb.unionByName(newEmb)
-    val uppers = (1 until lg.layers.size).map(l =>
-      buildUpperLayer(all, lg.k, lg.nCentroids, lg.entryStep, l))
+    val uppers = (1 until lg.layers.size).map { l =>
+      val stepL = lpow(lg.entryStep, l)
+      val bound = math.min(lg.nCentroids.toLong * stepL, Int.MaxValue.toLong).toInt
+      def sampled(df: DataFrame) =
+        df.filter(pmod(col("vec_id"), lit(stepL)) === 0)
+      val newS = sampled(newEmb)
+      if (newS.limit(1).isEmpty) lg.layers(l) // batch adds no node here
+      else {
+        val oldS = sampled(oldEmb)
+        val seedMoves = !newS.filter(col("vec_id") < bound).limit(1).isEmpty
+        // first nodes of the layer, or a batch that moves its
+        // quantizer: rebuild (geometrically tiny, warmup-only)
+        if (seedMoves || oldS.limit(1).isEmpty)
+          buildUpperLayer(oldEmb.unionByName(newEmb), lg.k, lg.nCentroids,
+            lg.entryStep, l)
+        else extend(oldS, newS, lg.layers(l), lg.k, bound)
+      }
+    }
     LayeredGraph(base +: uppers, lg.entryStep, lg.k, lg.nCentroids)
   }
 

@@ -73,15 +73,27 @@ private[graft] object SessionArtifactCache {
     * request. `projectedInput` must be the caller's SEMANTIC input —
     * projected down to exactly the columns the artifact derives from —
     * so the plan hash distinguishes inputs without false aliasing.
+    *
+    * `onBuilt` (build path only, after the cache's checkpoint has
+    * materialized) receives the RAW built frame — the seam for a
+    * builder whose result is itself checkpoint-backed (iterative ops
+    * like ConnectedComponents) to drop its inner snapshot, so the
+    * session doesn't carry two full copies of the artifact.
     */
-  def getOrBuild(projectedInput: DataFrame, tag: String, params: String)
+  def getOrBuild(projectedInput: DataFrame, tag: String, params: String,
+                 onBuilt: DataFrame => Unit = _ => ())
                 (build: => DataFrame): DataFrame = {
     val key = makeKey(projectedInput, tag, params)
     cache.entrySet.removeIf(_.getValue.stale)
     valueCache.entrySet.removeIf(_.getValue.stale)
     val ctx = projectedInput.sparkSession.sparkContext
     cache.computeIfAbsent(key,
-      _ => new Memo(ctx, () => build.localCheckpoint())).value
+      _ => new Memo(ctx, () => {
+        val raw = build
+        val cut = raw.localCheckpoint() // eager: materialized here
+        onBuilt(raw)
+        cut
+      })).value
   }
 
   /** Like [[getOrBuild]] but for a DRIVER-SIDE value derived from the

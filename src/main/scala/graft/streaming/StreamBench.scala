@@ -500,10 +500,12 @@ object StreamBench {
     * layers); each micro-batch of NEW vectors (ids shifted out of the
     * standing range) descends it via [[graft.ops.KnnGraph
     * .beamSearchLayered]], then folds in via [[graft.ops.KnnGraph
-    * .extendLayered]] — layer 0 incremental, the geometrically small
-    * uppers rebuilt, so the hierarchy after every batch equals the
-    * one-shot `buildLayered` over everything seen. Per-batch cost =
-    * the flat twin's fold-in + a corpus/5 and corpus/25 re-pair tail.
+    * .extendLayered]] — EVERY layer incremental (the shifted ids land
+    * far past every layer's seed bound, so no batch ever moves a
+    * quantizer and the steady-state fold fires throughout), so the
+    * hierarchy after every batch equals the one-shot `buildLayered`
+    * over everything seen. Per-batch cost = the flat twin's fold-in +
+    * a batch/5 and batch/25 sampled-fold tail — no corpus term.
     */
   def benchSelfLayered(spark: SparkSession, sfDir: String,
                        replayDir: String, nCentroids: Int = 16): StreamMetrics = {

@@ -447,6 +447,12 @@ object StreamingIngest {
     var emb = seedEmb.select(col("vec_id"), col("embedding"))
     var graph = seedGraph
     var lastExtended = -1L
+    // snapshots created INSIDE the loop are ours to drop once the next
+    // batch's checkpoints materialize (block-manager usage would
+    // otherwise grow linearly with batch count over a long stream —
+    // layer-0-sized blocks per batch); the SEED frames are the
+    // caller's, never unpersisted
+    var owned = false
     val q = newVecs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastExtended) {
@@ -455,9 +461,16 @@ object StreamingIngest {
               b.select(col("vec_id").as("query_id"), col("embedding")),
               k, beam, rounds, nCentroids)
             .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+          val (prevEmb, prevGraph) = (emb, graph)
           graph = graft.ops.KnnGraph.extend(emb, b, graph, k, nCentroids)
             .localCheckpoint()
           emb = emb.unionByName(b).localCheckpoint()
+          if (owned) {
+            graft.ops.ConnectedComponents.unpersistCheckpoint(prevEmb)
+            graft.ops.ConnectedComponents.unpersistCheckpoint(prevGraph)
+          }
+          graft.ops.ConnectedComponents.unpersistCheckpoint(b)
+          owned = true
           lastExtended = batchId
         }
         ()
@@ -474,12 +487,15 @@ object StreamingIngest {
     * .LayeredGraph]]): each micro-batch of new vectors descends the
     * STANDING hierarchy ([[graft.ops.KnnGraph.beamSearchLayered]],
     * hits land exactly-once), then folds in via [[graft.ops.KnnGraph
-    * .extendLayered]] — layer 0 by the spec-pinned `extend ==
-    * build(union)` contract, the geometrically small uppers by
-    * rebuild, so after any number of batches the standing hierarchy
-    * IS `buildLayered(everything seen)`: fold-in order invisible,
-    * upper layers never stale (new vec_ids satisfying
-    * `id % entryStep^ℓ == 0` join their layer the batch they arrive).
+    * .extendLayered]] — EVERY layer by the spec-pinned `extend ==
+    * build(union)` contract (layer ℓ folds only the batch's nested
+    * sample, O(batch/entryStep^ℓ); a batch whose sample is empty
+    * leaves the layer untouched), so after any number of batches the
+    * standing hierarchy IS `buildLayered(everything seen)`: fold-in
+    * order invisible, upper layers never stale (new vec_ids
+    * satisfying `id % entryStep^ℓ == 0` join their layer the batch
+    * they arrive), and per-batch cost carries NO corpus-proportional
+    * term — the crawl loop is O(batch) like the flat index's.
     * Same whole-body retry guard and process-state restart contract
     * as [[selfKnnBatches]]; `seedEmb` must carry the base geometry's
     * seed ids (the extend contract). Returns the final
@@ -495,6 +511,12 @@ object StreamingIngest {
     var emb = seedEmb.select(col("vec_id"), col("embedding"))
     var lg = seedLayered
     var lastExtended = -1L
+    // ownership discipline of [[selfKnnBatches]]: snapshots the loop
+    // created are dropped once the next batch's materialize (layer 0
+    // is corpus-sized — without this, block-manager usage grows
+    // linearly with batch count); seed frames are the caller's
+    var ownedLayers = Set.empty[Int]
+    var ownedEmb = false
     val q = newVecs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastExtended) {
@@ -503,11 +525,30 @@ object StreamingIngest {
               b.select(col("vec_id").as("query_id"), col("embedding")),
               k, beam, rounds)
             .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
-          // per-layer lineage cut: layer 0 grows by extend (the big
-          // table), uppers are rebuilt small — both re-read next batch
+          // per-layer lineage cut — but ONLY for layers the fold
+          // touched: extendLayered returns the standing frame itself
+          // for a layer whose batch sample was empty (the common
+          // case for small batches), and re-checkpointing it would
+          // copy an untouched layer every batch
           val ext = graft.ops.KnnGraph.extendLayered(emb, b, lg)
-          lg = ext.copy(layers = ext.layers.map(_.localCheckpoint()))
+          val newLayers = ext.layers.zip(lg.layers).zipWithIndex.map {
+            case ((n, o), i) =>
+              if (n eq o) o
+              else {
+                val cut = n.localCheckpoint()
+                if (ownedLayers(i))
+                  graft.ops.ConnectedComponents.unpersistCheckpoint(o)
+                ownedLayers += i
+                cut
+              }
+          }
+          lg = ext.copy(layers = newLayers)
+          val prevEmb = emb
           emb = emb.unionByName(b).localCheckpoint()
+          if (ownedEmb)
+            graft.ops.ConnectedComponents.unpersistCheckpoint(prevEmb)
+          ownedEmb = true
+          graft.ops.ConnectedComponents.unpersistCheckpoint(b)
           lastExtended = batchId
         }
         ()

@@ -54,6 +54,64 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.keySet == (0L to d.toLong).toSet)
   }
 
+  private def labelsOf(idx: ConnectedComponents.ClusterIndex): Map[Long, Long] =
+    idx.labels.as[(Long, Long)].collect().toMap
+
+  test("ClusterIndex.extendIndex == components over all pairs at two split points") {
+    // evidence stream with every merge shape: internal no-op pairs,
+    // a bridging pair joining two standing components, novel ids
+    // joining a component, a novel id BELOW the standing minimum
+    // (the label itself must move), and a fresh novel component
+    val all = Seq(
+      (10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), // wave 0
+      (10L, 12L),                                      // internal no-op
+      (12L, 20L),                                      // bridge {10..12}+{20,21}
+      (21L, 40L),                                      // novel joins
+      (5L, 30L),                                       // novel NEW MIN for {30,31}
+      (50L, 51L))                                      // fresh novel component
+    def df(s: Seq[(Long, Long)]) = s.toDF("id_a", "id_b")
+    val truth = ConnectedComponents.components(df(all), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    for (cut <- Seq(4, 6)) {
+      val idx0 = ConnectedComponents.train(df(all.take(cut)), "id_a", "id_b")
+      val ext = ConnectedComponents.extendIndex(idx0, df(all.drop(cut)),
+        "id_a", "id_b")
+      assert(labelsOf(ext) == truth, s"cut $cut diverged from full propagation")
+    }
+    // no disjointness precondition: RE-FOLDING already-seen evidence
+    // (the re-crawled-duplicate case that corrupts the other indexes)
+    // resolves to self-edges and merges nothing
+    val idx = ConnectedComponents.train(df(all), "id_a", "id_b")
+    val refold = ConnectedComponents.extendIndex(idx, df(all), "id_a", "id_b")
+    assert(labelsOf(refold) == truth, "re-folded evidence must be a no-op")
+    // and an empty batch leaves the table unchanged
+    assert(labelsOf(ConnectedComponents.extendIndex(idx,
+      df(Seq.empty), "id_a", "id_b")) == truth)
+  }
+
+  test("saveComponents/loadComponents round-trips; a fresh session's extend continues the artifact") {
+    val w0 = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val w1 = Seq((12L, 20L), (5L, 10L)).toDF("id_a", "id_b")
+    val idx = ConnectedComponents.train(w0, "id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("cc_index_art").toString
+    ConnectedComponents.saveComponents(idx, dir)
+    val loaded = ConnectedComponents.loadComponents(spark, dir)
+    assert(loaded.maxIter == idx.maxIter)
+    assert(labelsOf(loaded) == labelsOf(idx))
+    // the persisted artifact serves the next crawl wave — extend on
+    // the LOADED table equals the full propagation over everything
+    val truth = ConnectedComponents.components(w0.unionByName(w1),
+      "id_a", "id_b").as[(Long, Long)].collect().toMap
+    assert(labelsOf(ConnectedComponents.extendIndex(loaded, w1,
+      "id_a", "id_b")) == truth)
+    // manifest hygiene: a manifest missing its bound refuses to load
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "params.json"), """{}""")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.loadComponents(spark, dir) }
+    assert(e.getMessage.contains("params.json missing maxIter"))
+  }
+
   test("sharedComponents: same pair plan aliases, a different pair table never does") {
     // the session-shared cluster artifact: two callers handing in
     // semantically equal pair plans read ONE propagation result

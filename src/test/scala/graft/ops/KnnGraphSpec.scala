@@ -342,7 +342,11 @@ class KnnGraphSpec extends AnyFunSuite {
         .as[(Long, Long, Double, Long)].collect().toSeq
     val full = KnnGraph.buildLayered(emb, KnnGraph.build(emb, k = 5),
       k = 5, nCentroids = 16, entryStep = 4L, nLayers = 2)
-    for (cut <- Seq(250L, 400L)) {
+    // cut 100 exercises the quantizer-motion REBUILD arm at layer 2
+    // (batch sampled ids 112..240 land under its seed bound 256) with
+    // layer 1 still incremental; cuts 250/400 are pure steady-state
+    // incremental folds at every layer
+    for (cut <- Seq(100L, 250L, 400L)) {
       val old = emb.filter(col("vec_id") < cut)
       val batch = emb.filter(col("vec_id") >= cut)
       val ext = KnnGraph.extendLayered(old, batch,
@@ -350,9 +354,10 @@ class KnnGraphSpec extends AnyFunSuite {
           k = 5, nCentroids = 16, entryStep = 4L, nLayers = 2))
       assert(ext.layers.size == full.layers.size &&
         ext.entryStep == 4L && ext.k == 5 && ext.nCentroids == 16)
-      // layer 0 by extend == build(union); uppers by rebuild — in
-      // particular NEW ids divisible by 4^ℓ must be present in their
-      // layer (the staleness a layer-0-only fold would leave)
+      // every layer by extend == build(union) (sampled-space fold, or
+      // the rebuild arm when the batch moves the layer's quantizer) —
+      // in particular NEW ids divisible by 4^ℓ must be present in
+      // their layer (the staleness a layer-0-only fold would leave)
       ext.layers.zip(full.layers).foreach { case (a, b) =>
         assert(rows(a) == rows(b), s"cut $cut: layer mismatch") }
       val newUpper = ext.layers(1).select("src").as[Long].collect().toSet
@@ -360,6 +365,19 @@ class KnnGraphSpec extends AnyFunSuite {
         .select("vec_id").as[Long].collect().toSet.subsetOf(newUpper),
         s"cut $cut: batch ids missing from layer 1")
     }
+    // a batch whose sample at a layer is EMPTY leaves the standing
+    // frame itself in place (reference identity — the no-job fast
+    // path the O(batch) crawl-loop claim rests on)
+    val old497 = emb.filter(col("vec_id") < 497)
+    val lg497 = KnnGraph.buildLayered(old497, KnnGraph.build(old497, k = 5),
+      k = 5, nCentroids = 16, entryStep = 4L, nLayers = 2)
+    val ext497 = KnnGraph.extendLayered(old497,
+      emb.filter(col("vec_id") >= 497), lg497)
+    assert((ext497.layers(1) eq lg497.layers(1)) &&
+      (ext497.layers(2) eq lg497.layers(2)),
+      "untouched layers must be returned by reference")
+    ext497.layers.zip(full.layers).foreach { case (a, b) =>
+      assert(rows(a) == rows(b), "cut 497: layer mismatch") }
   }
 
   test("beamSearch entries resolve through actual seed ids when a seed is missing") {
