@@ -365,7 +365,11 @@ object PerceptualHash {
     * checkpointed blocks — nothing is re-decoded). The input snapshot
     * stays valid, like [[graft.ops.MinHash.extend]].
     */
-  def extendHashIndex(cidx: HashIndex, batchHashTable: DataFrame): HashIndex = {
+  def extendHashIndex(cidx: HashIndex, batchHashTable: DataFrame,
+                      checkDisjoint: Boolean = true): HashIndex = {
+    if (checkDisjoint)
+      graft.ops.Guards.requireDisjointIds(cidx.hashes.select(col("pid")),
+        batchHashTable.select(col("pid")), "PerceptualHash.extendHashIndex")
     val bHashes = batchHashTable.select(col("pid"), col("ph")).localCheckpoint()
     val bIdx = bandIndex(bHashes, "pid", "ph").localCheckpoint()
     val counts = cidx.counts
@@ -577,7 +581,11 @@ object PerceptualHash {
     * [[extendHashIndex]] accounting).
     */
   def extendVideoIndex(fidx: FrameIndex, batch: DataFrame,
-                       everyN: Int = 2): FrameIndex = {
+                       everyN: Int = 2,
+                       checkDisjoint: Boolean = true): FrameIndex = {
+    if (checkDisjoint)
+      graft.ops.Guards.requireDisjointIds(fidx.frames.select(col("pid")),
+        batch.select(col("media_id")), "PerceptualHash.extendVideoIndex")
     val bFrames = videoFrameHashes(batch, everyN)
       .select(col("media_id").as("pid"), col("ahash").as("fh")).distinct()
       .localCheckpoint()

@@ -280,7 +280,11 @@ object KnnGraph {
     * accounting every monotone index follows.
     */
   def extend(oldEmb: DataFrame, newEmb: DataFrame, oldGraph: DataFrame,
-             k: Int, nCentroids: Int = 16): DataFrame = {
+             k: Int, nCentroids: Int = 16,
+             checkDisjoint: Boolean = true): DataFrame = {
+    if (checkDisjoint)
+      Guards.requireDisjointIds(oldEmb.select(col("vec_id")),
+        newEmb.select(col("vec_id")), "KnnGraph.extend")
     val cents = Similarity.ivfCentroids(oldEmb, nCentroids)
     val all = oldEmb.unionByName(newEmb)
     def probes(df: DataFrame) = df.select(col("vec_id"),
@@ -551,8 +555,10 @@ object KnnGraph {
     * cost claim above describes.
     */
   def extendLayered(oldEmb: DataFrame, newEmb: DataFrame,
-                    lg: LayeredGraph): LayeredGraph = {
-    val base = extend(oldEmb, newEmb, lg.layers(0), lg.k, lg.nCentroids)
+                    lg: LayeredGraph,
+                    checkDisjoint: Boolean = true): LayeredGraph = {
+    val base = extend(oldEmb, newEmb, lg.layers(0), lg.k, lg.nCentroids,
+      checkDisjoint)
     val uppers = (1 until lg.layers.size).map { l =>
       val stepL = lpow(lg.entryStep, l)
       val bound = math.min(lg.nCentroids.toLong * stepL, Int.MaxValue.toLong).toInt
@@ -568,7 +574,10 @@ object KnnGraph {
         if (seedMoves || oldS.limit(1).isEmpty)
           buildUpperLayer(oldEmb.unionByName(newEmb), lg.k, lg.nCentroids,
             lg.entryStep, l)
-        else extend(oldS, newS, lg.layers(l), lg.k, bound)
+        // the sampled fold inherits layer 0's disjointness verdict —
+        // its ids are a subset of the already-checked batch
+        else extend(oldS, newS, lg.layers(l), lg.k, bound,
+          checkDisjoint = false)
       }
     }
     LayeredGraph(base +: uppers, lg.entryStep, lg.k, lg.nCentroids)

@@ -266,7 +266,11 @@ object MinHash {
     * old snapshot are unaffected — the parquet-append semantics).
     */
   def extend(cidx: CorpusIndex, batch: DataFrame,
-             idCol: Column, textCol: Column): CorpusIndex = {
+             idCol: Column, textCol: Column,
+             checkDisjoint: Boolean = true): CorpusIndex = {
+    if (checkDisjoint)
+      Guards.requireDisjointIds(cidx.base.select(col("id")),
+        batch.select(idCol), "MinHash.extend")
     val bBase = prepared(batch, idCol, textCol, cidx.shingleN, cidx.k,
       cidx.seed).localCheckpoint()
     CorpusIndex(

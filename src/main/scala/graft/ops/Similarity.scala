@@ -410,7 +410,11 @@ object Similarity {
     * stays valid.
     */
   def extendSemIndex(idx: SemIndex, newBench: DataFrame,
-                     nProbe: Int = 4): SemIndex =
+                     nProbe: Int = 4,
+                     checkDisjoint: Boolean = true): SemIndex = {
+    if (checkDisjoint)
+      Guards.requireDisjointIds(idx.bench.select(col("bench_id")),
+        newBench.select(col("vec_id")), "Similarity.extendSemIndex")
     SemIndex(idx.cents,
       idx.bench.unionByName(
         newBench.select(col("vec_id").as("bench_id"),
@@ -418,6 +422,7 @@ object Similarity {
           explode(ivfProbeCells(col("embedding"), idx.cents, nProbe))
             .as("probe"))
           .localCheckpoint()))
+  }
 
   /** Probe an embedding batch against a standing [[SemIndex]]: rows of
     * the batch cosine-close (≥ threshold) to ANY benchmark member.

@@ -398,12 +398,17 @@ object SubstringDedup {
     * documents.
     */
   def extendWinnowIndex(idx: WinnowIndex, batch: DataFrame,
-                        idCol: Column, textCol: Column): WinnowIndex =
+                        idCol: Column, textCol: Column,
+                        checkDisjoint: Boolean = true): WinnowIndex = {
+    if (checkDisjoint)
+      Guards.requireDisjointIds(idx.fps.select(col("doc_id")),
+        batch.select(idCol), "SubstringDedup.extendWinnowIndex")
     WinnowIndex(
       idx.fps.unionByName(SuffixArray.winnowedFps(
         batch.select(idCol.as("doc_id"), textCol.as("t")),
         idx.k, idx.minLen - idx.k + 1).localCheckpoint()),
       idx.minLen, idx.k)
+  }
 
   /** Persist / load (the `saveGraph` manifest shape). */
   def saveWinnowIndex(idx: WinnowIndex, path: String): Unit = {
@@ -441,8 +446,10 @@ object SubstringDedup {
     */
   def dupPairsAgainst(idx: WinnowIndex, standingDocs: DataFrame,
                       batch: DataFrame, idCol: Column,
-                      textCol: Column): DataFrame =
-    incrPairs(idx, standingDocs, batch, idCol, textCol, maxBucket = None)
+                      textCol: Column,
+                      checkDisjoint: Boolean = true): DataFrame =
+    incrPairs(idx, standingDocs, batch, idCol, textCol, maxBucket = None,
+      checkDisjoint)
 
   /** [[dupPairsAgainst]] with the incremental form of
     * [[verbatimDupPairsCapped]]'s bound: selected-hash buckets whose
@@ -460,8 +467,10 @@ object SubstringDedup {
   def dupPairsAgainstCapped(idx: WinnowIndex, standingDocs: DataFrame,
                             batch: DataFrame, idCol: Column,
                             textCol: Column,
-                            maxBucket: Long = 10000L): DataFrame =
-    incrPairs(idx, standingDocs, batch, idCol, textCol, Some(maxBucket))
+                            maxBucket: Long = 10000L,
+                            checkDisjoint: Boolean = true): DataFrame =
+    incrPairs(idx, standingDocs, batch, idCol, textCol, Some(maxBucket),
+      checkDisjoint)
 
   /** Bucket-skew audit for the INCREMENTAL probe — what
     * [[dupPairsAgainstCapped]] would silence at `minBucket`: the
@@ -481,7 +490,11 @@ object SubstringDedup {
 
   private def incrPairs(idx: WinnowIndex, standingDocs: DataFrame,
                         batch: DataFrame, idCol: Column, textCol: Column,
-                        maxBucket: Option[Long]): DataFrame = {
+                        maxBucket: Option[Long],
+                        checkDisjoint: Boolean = true): DataFrame = {
+    if (checkDisjoint)
+      Guards.requireDisjointIds(idx.fps.select(col("doc_id")),
+        batch.select(idCol), "SubstringDedup.dupPairsAgainst")
     val bSrc = batch.select(idCol.as("doc_id"), textCol.as("t"))
     val sSrc = standingDocs.select(idCol.as("doc_id"), textCol.as("t"))
     val bfps = SuffixArray.winnowedFps(bSrc, idx.k, idx.minLen - idx.k + 1)

@@ -908,7 +908,11 @@ object SuffixArray {
 
   def extendRepeatGroups(standing: RepeatInventory, standingDocs: DataFrame,
                          batch: DataFrame, idCol: Column,
-                         textCol: Column): RepeatInventory = {
+                         textCol: Column,
+                         checkDisjoint: Boolean = true): RepeatInventory = {
+    if (checkDisjoint)
+      Guards.requireDisjointIds(standing.fps.select(col("doc_id")),
+        batch.select(idCol), "SuffixArray.extendRepeatGroups")
     val minLen = standing.minLen
     val oldSrc = standingDocs.select(idCol.as("doc_id"), textCol.as("t"))
     val newSrc = batch.select(idCol.as("doc_id"), textCol.as("t"))

@@ -238,6 +238,13 @@ object Tfidf {
     * cost: df adds by term, nDocs adds. Provably equal to retraining
     * on the union (document frequency is a per-document indicator
     * sum), spec-pinned.
+    *
+    * Unlike the id-bearing indexes (MinHash/Winnow/graph/hash — which
+    * runtime-enforce disjointness via [[Guards.requireDisjointIds]]),
+    * a COUNT-ONLY artifact retains no document ids, so the
+    * precondition is unverifiable from the model alone; callers that
+    * still hold the standing corpus can pre-check with the same
+    * guard before folding.
     */
   def extendDfStats(model: DfStats, batch: DataFrame, idCol: Column,
                     textCol: Column): DfStats = {
