@@ -237,10 +237,21 @@ object Bench {
     }
     val rerun = scala.collection.mutable.Set.empty[String]
     if (localRef.nonEmpty) {
+      // The most expensive entries are where an unexamined 2-3x swing
+      // costs the most (BENCH_r14: q_sa_shard_scrub rode a 2.8x
+      // driver observation — ~23% of the total — under the old
+      // uniform 3x trigger). Top-decile-by-time queries re-time at
+      // >2x their local median; the tail keeps the 3x trigger.
+      val byTime = ordered.map { case (name, _) => name -> median(runs(name)) }
+        .filter(_._2 >= 0)
+      val topDecile = byTime.sortBy(-_._2)
+        .take(math.max(1, byTime.size / 10)).map(_._1).toSet
       val suspects = ordered.flatMap { case (name, fn) =>
         val t = median(runs(name))
+        val trigger = if (topDecile(name)) 2.0 else 3.0
         localRef.get(name) match {
-          case Some(ref) if ref > 0 && t > 3 * ref => Some((name, fn, t / ref))
+          case Some(ref) if ref > 0 && t > trigger * ref =>
+            Some((name, fn, t / ref))
           case _ => None
         }
       }.sortBy(-_._3)
@@ -265,11 +276,21 @@ object Bench {
       "s_stream_bpe", "s_stream_lm", "s_stream_unigram",
       "s_stream_graph", "s_stream_selfknn", "s_stream_layered",
       "s_stream_tfidf",
-      "s_stream_substr", "s_stream_verbatim", "s_stream_winnow")
+      "s_stream_substr", "s_stream_verbatim", "s_stream_winnow",
+      "s_stream_curate")
     val streamResults: Map[String, Double] =
       if (remainingMs < 60000) streamNames.map(_ -> -1.0).toMap
       else try {
+        // SECTION BARRIER (BENCH_r14 adjudication: s_stream_dedup /
+        // s_stream_sessionize flap 2-8x purely from running first
+        // after the batch section — GC debt + cold streaming
+        // machinery charged to whichever twin goes first). Release
+        // the batch section's caches, collect, and drain ONE untimed
+        // throwaway stream so the first TIMED twin starts settled.
+        spark.catalog.clearCache()
+        System.gc()
         val evDir = graft.streaming.StreamBench.stageEvents(spark, sfDir, nFiles = 8)
+        graft.streaming.StreamBench.benchDedup(spark, evDir) // untimed settle
         val md = graft.streaming.StreamBench.benchDedup(spark, evDir)
         val docDir = graft.streaming.StreamBench.stageDocs(spark, sfDir, nFiles = 8)
         val mdc = graft.streaming.StreamBench.benchDecontam(spark, sfDir, docDir)
@@ -292,6 +313,7 @@ object Bench {
         val msu = graft.streaming.StreamBench.benchSubstrIncr(spark, sfDir, docDir)
         val mvd = graft.streaming.StreamBench.benchVerbatimDecontam(spark, sfDir, docDir)
         val mw = graft.streaming.StreamBench.benchSelfWinnow(spark, sfDir, docDir)
+        val mcu = graft.streaming.StreamBench.benchCurate(spark, sfDir, docDir)
         def det(m: graft.streaming.StreamBench.StreamMetrics): String =
           s"""{"rows":${m.rows},"rows_per_sec":${m.rowsPerSec.toLong},"avg_batch_ms":${m.avgBatchMs.toLong},"batches":${m.batches}}"""
         streamDetail =
@@ -303,7 +325,8 @@ object Bench {
           s""""graph_ann":${det(mg)},"self_knn":${det(mk)},""" +
           s""""self_layered":${det(mlg)},""" +
           s""""tfidf_score":${det(mt)},"substr_incr":${det(msu)},""" +
-          s""""verbatim_decontam":${det(mvd)},"self_winnow":${det(mw)}}"""
+          s""""verbatim_decontam":${det(mvd)},"self_winnow":${det(mw)},""" +
+          s""""curate":${det(mcu)}}"""
         Map("s_stream_dedup" -> md.elapsedSec, "s_stream_decontam" -> mdc.elapsedSec,
           "s_stream_sessionize" -> ms.elapsedSec, "s_stream_neardup" -> mn.elapsedSec,
           "s_stream_media" -> mm.elapsedSec, "s_stream_audio" -> ma.elapsedSec,
@@ -314,7 +337,8 @@ object Bench {
           "s_stream_layered" -> mlg.elapsedSec,
           "s_stream_tfidf" -> mt.elapsedSec, "s_stream_substr" -> msu.elapsedSec,
           "s_stream_verbatim" -> mvd.elapsedSec,
-          "s_stream_winnow" -> mw.elapsedSec)
+          "s_stream_winnow" -> mw.elapsedSec,
+          "s_stream_curate" -> mcu.elapsedSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming micro-bench failed: $e")
         streamNames.map(_ -> -1.0).toMap

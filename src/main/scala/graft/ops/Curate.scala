@@ -97,6 +97,47 @@ object Curate {
       .join(nonCanonical, Seq("id"), "left_anti")
   }
 
+  /** The FULL curation composition over STANDING decontamination
+    * artifacts — [[curate]]'s gates (quality, repetition, token-set
+    * contamination, first-wins exact dedup, Knuth subsample) plus the
+    * E7 family's other two arms: the SEMANTIC gate
+    * ([[Similarity.probeSemIndex]] against a standing
+    * [[Similarity.SemIndex]]) and the VERBATIM gate
+    * ([[Decontaminate.probeVerbatim]] against a standing
+    * [[Decontaminate.VerbatimIndex]]). Taking the indexes as
+    * parameters (rather than re-deriving them from the corpus) is
+    * what makes this the production shape: the bench artifacts are
+    * built once, and the batch pipeline and its streaming twin
+    * ([[graft.streaming.StreamingIngest.curateBatches]]) run the SAME
+    * gates against the SAME geometry — the spec pins their equality.
+    *
+    * `corpusEmb` is the corpus's embedding column (vec_id keys the
+    * same documents as `idCol` — the [[curateSem]] convention).
+    * Shuffle budget: [[curate]]'s plus two doc-keyed anti-joins; both
+    * probes broadcast the bench side, so the corpus never shuffles
+    * for them.
+    */
+  def curateFull(corpus: DataFrame, bench: DataFrame, corpusEmb: DataFrame,
+                 semIdx: Similarity.SemIndex,
+                 verbIdx: Decontaminate.VerbatimIndex,
+                 idCol: Column, textCol: Column,
+                 minQuality: Double = 0.45,
+                 maxTopGram: Double = 0.6,
+                 maxContamination: Double = 0.6,
+                 maxVerbatim: Double = 0.2,
+                 semThreshold: Double = 0.30,
+                 sampleBp: Int = 8000): DataFrame = {
+    val semHit = Similarity.probeSemIndex(semIdx, corpusEmb, semThreshold)
+      .select(col("vec_id").as("id")).distinct()
+    val verbHit = Decontaminate.probeVerbatim(verbIdx, corpus, idCol, textCol)
+      .filter(col("contamination") >= maxVerbatim)
+      .select(col("doc_id").as("id"))
+    curate(corpus, bench, idCol, textCol, minQuality, maxTopGram,
+        maxContamination, sampleBp)
+      .join(semHit, Seq("id"), "left_anti")
+      .join(verbHit, Seq("id"), "left_anti")
+  }
+
   /** Raw corpus → packed training sequences, one flow: [[curate]] the
     * survivors, [[Chunking]] them into context-window chunks, then
     * [[Packing]] the chunks into fixed token-budget packs. This is

@@ -219,6 +219,39 @@ object SubstringDedup {
       }
     }
 
+  /** PERSIST the verified verbatim pair table — the policy-layer
+    * artifact every verbatim-copy policy reads (cluster derivation,
+    * keep-best, leakage-safe splitting). The session cache
+    * ([[sharedVerbatimDupPairs]]) collapses re-derivation WITHIN a
+    * session; this is the across-session half: parquet + a manifest
+    * carrying the EVIDENCE GEOMETRY (minLen, k), so a loaded table
+    * can never silently mix with pairs derived under different
+    * winnowing (a pair verified at minLen 32 is not a pair at 64).
+    * The [[saveWinnowIndex]] shape.
+    */
+  def saveVerbatimPairs(pairs: DataFrame, minLen: Int, k: Int,
+                        path: String): Unit = {
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "params.json"),
+      s"""{"minLen":$minLen,"k":$k}""".getBytes("UTF-8"))
+  }
+
+  /** Load a persisted pair table with its evidence geometry; refuses
+    * a manifest missing either field.
+    */
+  def loadVerbatimPairs(spark: org.apache.spark.sql.SparkSession,
+                        path: String): (DataFrame, Int, Int) = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    def intOf(key: String): Int = {
+      val m = s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+      require(m.isDefined, s"params.json missing $key")
+      m.get.group(1).toInt
+    }
+    (spark.read.parquet(s"$path/pairs"), intOf("minLen"), intOf("k"))
+  }
+
   /** The winnowed pair probe's seed self-join: (id_a, pos_a, id_b,
     * pos_b) rows where both documents selected the same k-gram hash
     * (id_a < id_b). The 8-byte-key join whose candidate volume tracks

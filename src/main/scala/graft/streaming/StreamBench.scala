@@ -745,6 +745,49 @@ object StreamBench {
     metricsOf(q, (System.nanoTime() - t0) / 1e9, staged)
   }
 
+  /** CURATION CAPSTONE twin ([[StreamingIngest.curateBatches]]): the
+    * composed crawl pipeline — quality → repetition → token-set +
+    * semantic + verbatim decontamination (standing SemIndex /
+    * VerbatimIndex, built untimed) → incremental first-wins dedup
+    * (standing keep table) → Knuth subsample — per micro-batch of the
+    * docs replay, survivors landing exactly-once. The one twin that
+    * exercises every standing-artifact family in a single loop; at
+    * replay factors > 1 the replicated ids are exact duplicate texts,
+    * so the dedup stage's keep table absorbs them (no id shift — the
+    * fold is idempotent by design).
+    */
+  def benchCurate(spark: SparkSession, sfDir: String,
+                  replayDir: String): StreamMetrics = {
+    val d = graft.Tables.documents(spark, sfDir)
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val semIdx = graft.ops.Similarity.buildSemIndex(emb,
+      emb.filter(col("vec_id") % 20 === 0))
+    semIdx.bench.queryExecution.toRdd.count() // materialize untimed
+    val verbIdx = graft.ops.Decontaminate.buildVerbatimIndex(bench,
+      col("doc_id"), col("text"))
+    verbIdx.seeds.queryExecution.toRdd.count() // materialize untimed
+    val replay = spark.read.parquet(replayDir)
+    val staged = replay.count()
+    val docs = spark.readStream.schema(replay.schema)
+      .option("maxFilesPerTrigger", "2").parquet(replayDir)
+    val outDir = tempDir("curate_out")
+    val t0 = System.nanoTime()
+    StreamingIngest.curateBatches(
+      docs.filter(col("doc_id") % 20 =!= 0), bench, emb, semIdx, verbIdx,
+      outDir, Some(ckpt()))
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // metricsOf needs the query; curateBatches owns its own — derive
+    // batch stats from the landed partitions instead
+    val batches = Option(new java.io.File(outDir).listFiles())
+      .map(_.count(_.getName.startsWith("ingest_batch="))).getOrElse(0)
+    StreamMetrics(staged, elapsed,
+      if (elapsed > 0) staged / elapsed else -1.0,
+      if (batches > 0) elapsed * 1000.0 / batches else -1.0,
+      batches)
+  }
+
   /** Local scale-curve runner: rows/sec for the two twins at ×1/×4/×16
     * replay factors. Prints one JSON line per point (recorded in
     * BASELINE.md).
@@ -795,6 +838,7 @@ object StreamBench {
       line("substr_incr", f, benchSubstrIncr(spark, sfDir, docs))
       line("verbatim_decontam", f, benchVerbatimDecontam(spark, sfDir, docs))
       line("self_winnow", f, benchSelfWinnow(spark, sfDir, docs))
+      line("curate", f, benchCurate(spark, sfDir, docs))
       cleanup(keep = before) // reclaim THIS factor's replays only
     }
     Runtime.getRuntime.halt(0)

@@ -397,6 +397,123 @@ object StreamingIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** The CURATION CAPSTONE on the stream — the composed production
+    * crawl pipeline ([[graft.ops.Curate.curateFull]]) per micro-batch
+    * against the standing decontamination artifacts, exercising every
+    * gate family in one loop:
+    *
+    *   quality → repetition → token-set + SEMANTIC + VERBATIM
+    *   decontamination (standing [[graft.ops.Similarity.SemIndex]] /
+    *   [[graft.ops.Decontaminate.VerbatimIndex]]) → incremental
+    *   first-wins exact dedup (standing keep table) → Knuth subsample
+    *
+    * Survivors land exactly-once (`ingest_batch=N` overwrite). The
+    * only cross-batch state is the first-wins keep table
+    * (text → min id over everything seen, the [[graft.ops.Curate
+    * .curate]] dedup semantics): each batch FOLDS ITS ROWS IN FIRST —
+    * gates don't exempt a text from owning its keep id — then
+    * adjudicates against the folded table, so under the crawl's
+    * monotone-id arrival the landed union equals the one-shot
+    * `curateFull` over everything seen (spec-pinned).
+    *
+    * RESTART CONTRACT — the strongest of the self-maintaining family:
+    * the fold is IDEMPOTENT (min-merge of a batch already folded
+    * changes nothing), so a replayed micro-batch re-lands exactly its
+    * first attempt's rows with no whole-body retry guard needed; a
+    * process restart rebuilds the keep table from the replayed source
+    * (or resumes from a persisted `seedSeen` — the returned frame is
+    * the artifact to persist), and the checkpoint tracks consumption.
+    *
+    * Per-batch scale shape: every gate is batch-bounded (bench sides
+    * broadcast — the decontam twins' accounting); the keep-table
+    * maintenance scans the standing table ONCE, narrowly (broadcast
+    * batch-min decoration + broadcast semi/anti for novel texts — no
+    * corpus shuffle), and checkpoints the new state (the growing-
+    * state accounting of [[selfKnnBatches]]' embedding union), with
+    * the prior batch's snapshot dropped once the new one
+    * materializes. Returns the final keep table.
+    */
+  def curateBatches(docs: DataFrame, bench: DataFrame, embeddings: DataFrame,
+                    semIdx: graft.ops.Similarity.SemIndex,
+                    verbIdx: graft.ops.Decontaminate.VerbatimIndex,
+                    outDir: String,
+                    checkpointDir: Option[String] = None,
+                    seedSeen: Option[DataFrame] = None,
+                    minQuality: Double = 0.45, maxTopGram: Double = 0.6,
+                    maxContamination: Double = 0.6, maxVerbatim: Double = 0.2,
+                    semThreshold: Double = 0.30,
+                    sampleBp: Int = 8000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var seen: DataFrame = seedSeen.orNull // (text, keep_id)
+    var ownedSeen = false
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        // fold FIRST (idempotent min-merge): one narrow standing scan
+        val bMins = b.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+        val newSeen = (if (seen == null) bMins else {
+          val folded = seen.join(
+              broadcast(bMins.select(col("text"), col("keep_id").as("b_keep"))),
+              Seq("text"), "left")
+            .select(col("text"), least(col("keep_id"),
+              coalesce(col("b_keep"), col("keep_id"))).as("keep_id"))
+          val hitTexts = seen.join(broadcast(bMins.select(col("text"))),
+            Seq("text"), "left_semi").select(col("text"))
+          folded.unionByName(
+            bMins.join(broadcast(hitTexts), Seq("text"), "left_anti"))
+        }).localCheckpoint()
+        // batch-side gates — each one the batch operator on the batch
+        val scored = b.select(col("doc_id").as("id"), col("text"),
+          graft.ops.TextStats.qualityScore(col("text")).as("quality"))
+        val rep = graft.ops.TextStats
+          .repetitionSignals(b, col("doc_id"), col("text"))
+          .select(col("id"), col("top_gram_frac"))
+        val cont = graft.ops.Decontaminate
+          .contamination(b, bench, col("doc_id"), col("text"))
+          .select(col("id"), col("contamination"))
+        val bEmb = embeddings.join(
+          broadcast(b.select(col("doc_id").as("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        val semHit = graft.ops.Similarity
+          .probeSemIndex(semIdx, bEmb, semThreshold)
+          .select(col("vec_id").as("id")).distinct()
+        val verbHit = graft.ops.Decontaminate
+          .probeVerbatim(verbIdx, b, col("doc_id"), col("text"))
+          .filter(col("contamination") >= maxVerbatim)
+          .select(col("doc_id").as("id"))
+        // keep adjudication against the FOLDED table, probed narrowly:
+        // standing scanned once with the batch's ids broadcast
+        val batchKeep = newSeen.join(
+            broadcast(b.select(col("doc_id").as("keep_id"))),
+            Seq("keep_id"), "left_semi")
+          .select(col("keep_id").as("id"))
+        scored
+          .join(rep, Seq("id"))
+          .join(cont, Seq("id"))
+          .join(broadcast(batchKeep), Seq("id"), "left_semi")
+          .join(semHit, Seq("id"), "left_anti")
+          .join(verbHit, Seq("id"), "left_anti")
+          .filter(col("quality") >= minQuality &&
+            col("top_gram_frac") <= maxTopGram &&
+            col("contamination") < maxContamination &&
+            graft.ops.Sampling.hashBucket(col("id"), 10000) < sampleBp)
+          .select(col("id"), col("quality"), col("top_gram_frac"),
+            col("contamination"))
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        val prev = seen
+        seen = newSeen
+        if (ownedSeen) graft.ops.ConnectedComponents.unpersistCheckpoint(prev)
+        ownedSeen = true
+        graft.ops.ConnectedComponents.unpersistCheckpoint(b)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        StreamBench.tempDir("curate_ckpt"))) // tracked: removed at JVM exit
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    seen
+  }
+
   /** Streaming twin of the graph-ANN query path
     * ([[graft.ops.KnnGraph.beamSearch]]): every micro-batch of query
     * vectors beam-searches a STANDING k-NN graph (embedding table +

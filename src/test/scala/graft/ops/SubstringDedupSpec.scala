@@ -219,6 +219,33 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(!(other eq r1), "different params must never alias")
   }
 
+  test("saveVerbatimPairs/loadVerbatimPairs round-trips; policy reads the loaded artifact") {
+    val d = graft.Tables.documents(spark, SparkTestSession.Sf)
+    val pairs = SubstringDedup.verbatimDupPairs(d, col("doc_id"), col("text"),
+      minLen = 32, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("verb_pairs_art").toString
+    SubstringDedup.saveVerbatimPairs(pairs, minLen = 32, k = 16, dir)
+    val (loaded, minLen, k) = SubstringDedup.loadVerbatimPairs(spark, dir)
+    assert(minLen == 32 && k == 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(rows(loaded) == rows(pairs))
+    // a fresh session's policy layer runs off the loaded artifact:
+    // the cluster closure over the persisted table equals the one
+    // over the freshly derived pairs — no re-derivation pass
+    def comps(p: org.apache.spark.sql.DataFrame) =
+      ConnectedComponents.components(p, "id_a", "id_b")
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(comps(loaded) == comps(pairs))
+    // manifest hygiene: missing geometry refuses (a pair verified at
+    // one minLen is not a pair at another)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "params.json"), """{"minLen":32}""")
+    val e = intercept[IllegalArgumentException] {
+      SubstringDedup.loadVerbatimPairs(spark, dir) }
+    assert(e.getMessage.contains("params.json missing k"))
+  }
+
   test("verbatimDupPairsCapped == verbatimDupPairs when no bucket caps") {
     val d = graft.Tables.documents(spark, SparkTestSession.Sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =

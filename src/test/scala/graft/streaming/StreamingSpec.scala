@@ -465,6 +465,72 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist(); wave1.unpersist(); wave2.unpersist()
   }
 
+  test("curateBatches: landed survivors equal the one-shot curateFull; a retried batch re-lands identically") {
+    import graft.ops.{Curate, Decontaminate, Similarity}
+    val d = Tables.documents(spark, SparkTestSession.Sf).cache()
+    val corpus = d.filter(col("doc_id") % 20 =!= 0)
+    val bench = d.filter(col("doc_id") % 20 === 0).cache()
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf)
+      .select(col("vec_id"), col("embedding")).cache()
+    // standing bench artifacts, built once (the production shape)
+    val semIdx = Similarity.buildSemIndex(emb,
+      emb.filter(col("vec_id") % 20 === 0))
+    val verbIdx = Decontaminate.buildVerbatimIndex(bench,
+      col("doc_id"), col("text"))
+    // monotone-id waves (the crawl convention first-wins rests on):
+    // one id-ranged file per wave, consumed in write order
+    val cut = 250L
+    val wave1 = corpus.filter(col("doc_id") < cut).cache()
+    val wave2 = corpus.filter(col("doc_id") >= cut).cache()
+    val inDir = java.nio.file.Files.createTempDirectory("cur_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cur_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("cur_ck").toString
+    def stream() = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    wave1.coalesce(1).write.mode("append").parquet(inDir)
+    val seen1 = StreamingIngest.curateBatches(stream(), bench, emb,
+      semIdx, verbIdx, outDir, Some(ckptDir))
+    // checkpoint resume: wave 2 adjudicates against the standing keep
+    wave2.coalesce(1).write.mode("append").parquet(inDir)
+    val seen2 = StreamingIngest.curateBatches(stream(), bench, emb,
+      semIdx, verbIdx, outDir, Some(ckptDir), seedSeen = Some(seen1))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("quality"), col("top_gram_frac"),
+        col("contamination")).orderBy(col("id"))
+        .as[(Long, Double, Double, Double)].collect().toSeq
+    val landed = rows(spark.read.parquet(outDir))
+    val oneShot = rows(Curate.curateFull(corpus, bench, emb, semIdx,
+      verbIdx, col("doc_id"), col("text")))
+    assert(landed.nonEmpty, "the capstone must keep something")
+    assert(landed == oneShot,
+      "streamed survivors diverged from the one-shot curateFull")
+    // the keep table is exactly first-wins over everything seen
+    val keepGot = seen2.as[(String, Long)].collect().toMap
+    val keepWant = corpus.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("k")).as[(String, Long)].collect().toMap
+    assert(keepGot == keepWant, "keep table diverged from min-id-per-text")
+    // RETRY IDEMPOTENCE (the restart contract): replay the last wave
+    // against the ALREADY-FOLDED keep table — the min-merge fold is a
+    // no-op and the adjudication re-lands exactly the same survivors
+    val inDir2 = java.nio.file.Files.createTempDirectory("cur_in2").toString
+    val outDir2 = java.nio.file.Files.createTempDirectory("cur_out2").toString
+    wave2.coalesce(1).write.mode("append").parquet(inDir2)
+    val seen3 = StreamingIngest.curateBatches(
+      spark.readStream.schema(wave1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir2),
+      bench, emb, semIdx, verbIdx, outDir2,
+      Some(java.nio.file.Files.createTempDirectory("cur_ck2").toString),
+      seedSeen = Some(seen2))
+    val wave2Ids = wave2.select("doc_id").as[Long].collect().toSet
+    assert(rows(spark.read.parquet(outDir2)) ==
+      landed.filter(r => wave2Ids(r._1)),
+      "a retried batch must re-land exactly its first attempt's rows")
+    assert(seen3.as[(String, Long)].collect().toMap == keepWant,
+      "re-folding a seen batch must not move the keep table")
+    d.unpersist(); bench.unpersist(); emb.unpersist()
+    wave1.unpersist(); wave2.unpersist()
+  }
+
   test("streaming BPE tokenization equals the batch operator (incl. OOV words)") {
     import graft.ops.Bpe
     val docs = Tables.documents(spark, SparkTestSession.Sf)
