@@ -774,8 +774,16 @@ object StreamBench {
       .option("maxFilesPerTrigger", "2").parquet(replayDir)
     val outDir = tempDir("curate_out")
     val t0 = System.nanoTime()
+    // the shared replay shifts replica ids by i*1e9 — out of
+    // Sampling.hashBucket's [0, 2^31) id contract at factor >= 3;
+    // remap to a 50M step (distinct for factors <= 42, well inside
+    // the contract; the replicas stay exact duplicate texts, which is
+    // the point — the keep table absorbs them)
+    val safeId = (col("doc_id") % 1000000000L) +
+      (col("doc_id") / 1000000000L) * 50000000L
     StreamingIngest.curateBatches(
-      docs.filter(col("doc_id") % 20 =!= 0), bench, emb, semIdx, verbIdx,
+      docs.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("doc_id", safeId), bench, emb, semIdx, verbIdx,
       outDir, Some(ckpt()))
     val elapsed = (System.nanoTime() - t0) / 1e9
     // metricsOf needs the query; curateBatches owns its own — derive
