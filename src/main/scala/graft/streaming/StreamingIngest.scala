@@ -209,7 +209,13 @@ object StreamingIngest {
     * batches before resuming (at 100 TB the index is a parquet table
     * whose APPEND is the durable state — [[graft.ops.MinHash.extend]]'s
     * scaladoc; the checkpoint only tracks which source files are
-    * consumed).
+    * consumed). A restart that resumes with a standing state ALREADY
+    * containing a batch the checkpoint replays can no longer corrupt
+    * silently: the extend's disjoint-id guard
+    * ([[graft.ops.Guards.requireDisjointIds]]) rejects the re-fold
+    * loudly, naming the colliding id — the operator chooses between
+    * re-staging the standing state and skipping the replayed batch,
+    * instead of discovering doubled fingerprints downstream.
     */
   def selfNearDupBatches(docs: DataFrame,
                          seedIndex: graft.ops.MinHash.CorpusIndex,
