@@ -272,10 +272,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // E2: embedding near-dup pairs (label-blocked)
+    // E2: embedding near-dup pairs (label-blocked). Session-shared:
+    // the same pair table backs the cluster report, the ClusterIndex
+    // demo, and the leakage split — one blocked self-join per session
     "q_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, dir), col("label"),
-        threshold = 0.30)
+      Similarity.sharedNearDupPairs(Tables.embeddings(s, dir), col("label"),
+        threshold = 0.30, cacheKey = Some(dir))
         .orderBy(col("id_a"), col("id_b"))),
 
     // E14+E2: embedding-space drift — even vs odd vec_ids assigned to
@@ -1192,8 +1194,8 @@ object SparkEntry {
     // The cluster table is session-shared: q_leakage_split reads the
     // SAME artifact (one propagation serves every pair-keyed policy)
     "q_dup_clusters" -> ((s, dir) => {
-      val pairs = Similarity.nearDupPairs(Tables.embeddings(s, dir),
-        col("label"), threshold = 0.30)
+      val pairs = Similarity.sharedNearDupPairs(Tables.embeddings(s, dir),
+        col("label"), threshold = 0.30, cacheKey = Some(dir))
       ConnectedComponents.sharedComponents(pairs, "id_a", "id_b",
           cacheKey = Some(dir))
         .orderBy(col("id"))
@@ -1208,7 +1210,8 @@ object SparkEntry {
     // SAME full recursive-CTE closure q_dup_clusters replays
     "q_incr_clusters" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pairs = Similarity.nearDupPairs(emb, col("label"), threshold = 0.30)
+      val pairs = Similarity.sharedNearDupPairs(emb, col("label"),
+        threshold = 0.30, cacheKey = Some(dir))
       val cut = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
       val idx = ConnectedComponents.train(
         pairs.filter(col("id_b") < cut), "id_a", "id_b")
@@ -1223,8 +1226,8 @@ object SparkEntry {
     // rides the same layout-independent Knuth bucket as every sampler
     "q_leakage_split" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pairs = Similarity.nearDupPairs(emb, col("label"),
-        threshold = 0.30)
+      val pairs = Similarity.sharedNearDupPairs(emb, col("label"),
+        threshold = 0.30, cacheKey = Some(dir))
       Sampling.leakageSafeSplit(emb, col("vec_id"), pairs, valBp = 2000,
           cacheKey = Some(dir))
         .orderBy(col("id"))

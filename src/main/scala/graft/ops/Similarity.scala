@@ -471,4 +471,28 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
+
+  /** [[nearDupPairs]] behind the session artifact cache — the pair
+    * EVIDENCE every embedding-dup policy reads (the cluster report,
+    * the standing-ClusterIndex demo, leakage-safe splitting, the raw
+    * pair listing) materializes ONCE per (session, corpus, threshold)
+    * instead of re-running the blocked self-join per consuming query:
+    * the write-once pair-table accounting at 100 TB, and the same
+    * shape as [[SubstringDedup.sharedVerbatimDupPairs]] on the
+    * verbatim-evidence side. Keyed on the embedding table's semantic
+    * plan + (threshold, roundTo), so two different corpora or
+    * thresholds can never alias each other's pair table.
+    */
+  def sharedNearDupPairs(embeddings: DataFrame, blockCol: Column,
+                         threshold: Double, roundTo: Int = 6,
+                         cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case None => nearDupPairs(embeddings, blockCol, threshold, roundTo)
+      case Some(src) => SessionArtifactCache.getOrBuild(
+        embeddings.select(blockCol, col("vec_id"), col("embedding")),
+        tag = s"neardup_pairs:$src",
+        params = s"threshold=$threshold,roundTo=$roundTo") {
+        nearDupPairs(embeddings, blockCol, threshold, roundTo)
+      }
+    }
 }

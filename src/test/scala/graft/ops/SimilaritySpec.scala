@@ -52,6 +52,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.30))
   }
+  test("sharedNearDupPairs: equal corpus plans alias, results match the plain join") {
+    // one blocked self-join per (session, corpus, threshold): the
+    // q_embed_neardup / q_dup_clusters / q_incr_clusters /
+    // q_leakage_split sharing, and the artifact equals the uncached
+    // operator
+    def e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val r1 = Similarity.sharedNearDupPairs(e, col("label"), 0.30,
+      cacheKey = Some("sndp_spec"))
+    val r2 = Similarity.sharedNearDupPairs(e, col("label"), 0.30,
+      cacheKey = Some("sndp_spec"))
+    assert(r1 eq r2, "equal corpus plans must read one cached artifact")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs(r1) == pairs(Similarity.nearDupPairs(e, col("label"), 0.30)))
+    // a different threshold under the same key never aliases
+    val other = Similarity.sharedNearDupPairs(e, col("label"), 0.50,
+      cacheKey = Some("sndp_spec"))
+    assert(!(other eq r1), "different params must never alias")
+  }
   test("IVF cell kernel matches the unrolled cosine-argmax form") {
     val e = Tables.embeddings(spark, SparkTestSession.Sf)
     val cents = Similarity.ivfCentroids(e, 16)
