@@ -219,6 +219,26 @@ object ScaleSmoke {
           inflateDocs(Tables.documents(spark, sfDir), f),
           col("doc_id"), col("text"), minLen = 32, k = 16)
       },
+      "cluster_extend" -> { f =>
+        // standing-ClusterIndex maintenance under replication:
+        // disjoint replica vocabularies keep pair evidence
+        // per-replica (pairs ×F, components ×F, no cross-replica
+        // bridges), so the whole loop — candidate derivation, train
+        // on the standing slice, fold the batch slice — should grow
+        // linearly. The batch/standing split is on the ORIGINAL doc
+        // id (the cross_neardup rationale); the fold's own
+        // O(batch + touched components) contract is spec-pinned
+        // (extendIndex == components(all pairs)) and visible in the
+        // bench as q_incr_clusters vs q_dup_clusters: the fold never
+        // re-propagates the standing side.
+        val d = inflateDocs(Tables.documents(spark, sfDir), f)
+        val pairs = MinHash.candidatePairs(d, col("doc_id"), col("text"))
+        val batchSide = expr(s"(id_b div $f) % 10 = 0")
+        val idx = ConnectedComponents.train(
+          pairs.filter(!batchSide), "id_a", "id_b")
+        ConnectedComponents.extendIndex(idx, pairs.filter(batchSide),
+          "id_a", "id_b").labels
+      },
       "sa_repeats" -> { f =>
         // prefix-doubling repeat mining under replication: disjoint
         // replica vocabularies (every token carries the replica
