@@ -495,4 +495,36 @@ object Similarity {
         nearDupPairs(embeddings, blockCol, threshold, roundTo)
       }
     }
+
+  /** PERSIST the embedding near-dup pair table — the across-session
+    * half of [[sharedNearDupPairs]], completing the policy-artifact
+    * symmetry with [[SubstringDedup.saveVerbatimPairs]] on the
+    * verbatim-evidence side: parquet + a manifest carrying the
+    * EVIDENCE GEOMETRY (threshold, roundTo), so a loaded table can
+    * never silently mix with pairs scored under a different
+    * threshold (a pair at cosine ≥ 0.30 is not a pair at ≥ 0.50).
+    */
+  def saveNearDupPairs(pairs: DataFrame, threshold: Double, roundTo: Int,
+                       path: String): Unit = {
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "params.json"),
+      s"""{"threshold":$threshold,"roundTo":$roundTo}""".getBytes("UTF-8"))
+  }
+
+  /** Load a persisted near-dup pair table; returns (pairs, threshold,
+    * roundTo) and refuses a manifest missing either geometry field.
+    */
+  def loadNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (DataFrame, Double, Int) = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "params.json")), "UTF-8")
+    def numOf(key: String): String = {
+      val m = s""""$key"\\s*:\\s*(-?[\\d.]+)""".r.findFirstMatchIn(txt)
+      require(m.isDefined, s"params.json missing $key")
+      m.get.group(1)
+    }
+    (spark.read.parquet(s"$path/pairs"),
+      numOf("threshold").toDouble, numOf("roundTo").toInt)
+  }
 }

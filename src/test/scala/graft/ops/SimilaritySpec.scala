@@ -71,6 +71,30 @@ class SimilaritySpec extends AnyFunSuite {
       cacheKey = Some("sndp_spec"))
     assert(!(other eq r1), "different params must never alias")
   }
+  test("saveNearDupPairs/loadNearDupPairs round-trips; policy reads the loaded artifact") {
+    val e = Tables.embeddings(spark, SparkTestSession.Sf)
+    val pairs = Similarity.nearDupPairs(e, col("label"), 0.30)
+    val dir = java.nio.file.Files.createTempDirectory("ndp_art").toString
+    Similarity.saveNearDupPairs(pairs, threshold = 0.30, roundTo = 6, dir)
+    val (loaded, thr, rnd) = Similarity.loadNearDupPairs(spark, dir)
+    assert(thr == 0.30 && rnd == 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    assert(rows(loaded) == rows(pairs))
+    // a fresh session's policy layer runs off the loaded artifact: the
+    // cluster closure over the persisted table equals the one over the
+    // freshly derived pairs — no re-derivation pass
+    def comps(p: org.apache.spark.sql.DataFrame) =
+      ConnectedComponents.components(p, "id_a", "id_b")
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(comps(loaded) == comps(pairs))
+    // a manifest missing the geometry fails loudly
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "params.json"),
+      """{"threshold":0.3}""".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Similarity.loadNearDupPairs(spark, dir)
+    }
+  }
   test("IVF cell kernel matches the unrolled cosine-argmax form") {
     val e = Tables.embeddings(spark, SparkTestSession.Sf)
     val cents = Similarity.ivfCentroids(e, 16)
