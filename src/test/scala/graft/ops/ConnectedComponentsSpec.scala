@@ -89,6 +89,49 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       df(Seq.empty), "id_a", "id_b")) == truth)
   }
 
+  test("extendIndex == union-find truth over random graphs at random split points (seeded sweep)") {
+    // the hand-built split-point spec above pins the five merge
+    // shapes; this sweep pins the CONTRACT on arbitrary topology —
+    // random multigraphs (duplicate edges, both orientations, dense
+    // and sparse), a uniformly random standing/batch cut (including
+    // empty standing: train on nothing, fold everything), truth from
+    // an independent driver-side union-find, and a re-fold
+    // idempotence check per trial
+    val rnd = new scala.util.Random(20260817L)
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    for (trial <- 1 to 6) {
+      val nNodes = 6 + rnd.nextInt(30)
+      val pairs = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        val truth = unionFind(pairs)
+        val cut = rnd.nextInt(pairs.size + 1)
+        val (standing, batch) = pairs.splitAt(cut)
+        val idx = ConnectedComponents.train(
+          standing.toDF("id_a", "id_b"), "id_a", "id_b")
+        val ext = ConnectedComponents.extendIndex(idx,
+          batch.toDF("id_a", "id_b"), "id_a", "id_b")
+        assert(labelsOf(ext) == truth,
+          s"trial $trial (cut $cut of ${pairs.size}) diverged from union-find")
+        val refold = ConnectedComponents.extendIndex(ext,
+          batch.toDF("id_a", "id_b"), "id_a", "id_b")
+        assert(labelsOf(refold) == truth, s"trial $trial re-fold not a no-op")
+      }
+    }
+  }
+
   test("saveComponents/loadComponents round-trips; a fresh session's extend continues the artifact") {
     val w0 = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
     val w1 = Seq((12L, 20L), (5L, 10L)).toDF("id_a", "id_b")
