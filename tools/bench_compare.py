@@ -28,6 +28,18 @@ time, a declared and recall-justified workload change). Declared
 entries land in workload_changed with the declaration echoed
 (kind=declared) and do not trip the gate; an UNUSED declaration is a
 hard error so a stale file can never pre-waive a future regression.
+
+With --retimed RETIMED.json (a {"query": isolated_median_sec} map,
+authored from tools/ReTime receipts), a would-be regression whose
+ISOLATED re-measure is NOT itself gate-tripping vs the old record is
+session turbulence, not a plan regression: it lands in
+adjudicated_noise with both numbers echoed and does not trip the
+gate (r15: q_keep_best_verbatim recorded 2.07s in the full run but
+re-timed 0.77s isolated vs r14's 0.83 — the full-run observation was
+weather). A retimed entry that names a query which is NOT a
+gate-tripping delta is a hard error (the --declared staleness rule);
+one that names a real regression but does NOT clear it stays a
+regression — the file can only adjudicate with evidence, never waive.
 """
 import sys, json
 
@@ -48,6 +60,12 @@ if "--declared-file" in sys.argv:
     d = json.load(open(sys.argv[i + 1]))
     declared.update(d if isinstance(d, dict)
                     else {k: "declared workload change" for k in d})
+    del sys.argv[i:i + 2]
+
+retimed = {}
+if "--retimed" in sys.argv:
+    i = sys.argv.index("--retimed")
+    retimed = {k: float(v) for k, v in json.load(open(sys.argv[i + 1])).items()}
     del sys.argv[i:i + 2]
 
 rows_old, rows_new = {}, {}
@@ -103,12 +121,25 @@ workload_changed = [k for k in over_gate
                         and rows_old[k] != rows_new[k])
                     or k in declared]
 bad = [k for k in over_gate if k not in workload_changed]
+# adjudicate by isolated re-measure: a would-be regression whose
+# clean-JVM median (ReTime) is NOT itself gate-tripping vs old is
+# session turbulence. The re-measure must carry the evidence — a
+# retimed value that still trips the gate clears nothing.
+adjudicated = [k for k in bad
+               if k in retimed
+               and (retimed[k] <= gate * oq[k]
+                    or retimed[k] - oq[k] <= 0.2)]
+bad = [k for k in bad if k not in adjudicated]
 # a declaration that adjudicated nothing is stale — fail loudly so the
 # file can never pre-waive a regression that hasn't happened yet
 unused_declared = [k for k in declared if k not in over_gate]
 if unused_declared:
     raise SystemExit(f"declared changes not present as gate-tripping "
                      f"deltas (stale declaration?): {unused_declared}")
+unused_retimed = [k for k in retimed if k not in over_gate]
+if unused_retimed:
+    raise SystemExit(f"retimed entries not present as gate-tripping "
+                     f"deltas (stale re-measure file?): {unused_retimed}")
 print(f"old total {old['value']:.1f}s/{len(oq)}q   "
       f"new total {new['value']:.1f}s/{len(nq)}q")
 for k in [k for k in common if k in over_gate] + \
@@ -118,6 +149,8 @@ for k in [k for k in common if k in over_gate] + \
         detail = (f"declared: {declared[k]}" if k in declared
                   else f"rows {rows_old[k]} -> {rows_new[k]}")
         flag = f"  <-- workload_changed ({detail})"
+    elif k in adjudicated:
+        flag = f"  <-- adjudicated_noise (isolated {retimed[k]:.2f}s)"
     elif k in bad:
         flag = "  <-- REGRESSION"
     else:
@@ -142,6 +175,10 @@ if json_out:
         "regressions": [
             {"query": k, "old_sec": oq[k], "new_sec": nq[k],
              "ratio": nq[k] / oq[k]} for k in bad],
+        "adjudicated_noise": [
+            {"query": k, "old_sec": oq[k], "new_sec": nq[k],
+             "ratio": nq[k] / oq[k], "retimed_sec": retimed[k]}
+            for k in adjudicated],
         "workload_changed": [
             dict({"query": k, "old_sec": oq[k], "new_sec": nq[k],
                   "ratio": nq[k] / oq[k]},
