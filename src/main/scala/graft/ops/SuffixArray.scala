@@ -154,31 +154,81 @@ object SuffixArray {
     val pos = positions(docs, idCol, textCol)
     // round 0: rank single characters. The window runs over the
     // ALPHABET (distinct chars — bounded by construction, the
-    // Bpe.tokenIds pattern), never the corpus.
+    // Bpe.tokenIds pattern), never the corpus. Eagerly pinned
+    // (alphabet-sized) so the packing-width probe below and the
+    // broadcast join share one distinct pass.
     val charRanks = pos.select(col("ch")).distinct()
       .withColumn("r", dense_rank()
         .over(org.apache.spark.sql.expressions.Window.orderBy("ch"))
         .cast("long"))
-    var cur = pos.join(broadcast(charRanks), Seq("ch"))
+      .localCheckpoint()
+    val charRanked = pos.join(broadcast(charRanks), Seq("ch"))
       .select(col("did"), col("pos"), col("slen"), col("r"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // PACKED INITIAL RANK (guide §1.2 step 1 — remove whole passes):
+    // instead of starting the doubling at depth 1, pack the first c
+    // char-ranks into ONE long (b bits each, exhausted-suffix
+    // sentinel 0 packs as zero bits) and dense-rank the packed key —
+    // depth c after a single ranked round. The packed long orders
+    // exactly as the (r_0..r_{c-1}) tuple, and the tuple orders
+    // exactly as the first c characters with exhaustion-first — the
+    // invariant the doubling rounds maintain — so the dense ranks are
+    // VALUE-identical to log2(c) doubling rounds (dense ranks over
+    // the same total order are equal), and every later round is
+    // untouched. c is a power of two so the realized depths stay the
+    // 2^k grid the rankLast contract needs; it adapts to the
+    // alphabet: ≤127 distinct chars → 8 chars × 7 bits, ≤32767 → 4 ×
+    // 15, else 2 × 31 (56/60/62 bits — no sign-bit overflow). At
+    // minLen = 32 this cuts the per-shard mining from 4 ranked
+    // rounds + final pair to 2 + final; suffixRanks at depth 64 runs
+    // 4 ranked rounds instead of 6 — each saved round is a full
+    // corpus-sized range sort + scan.
+    val alpha = charRanks.count()
+    val targetDepth = 1L << doublings
+    val cMax = if (alpha <= 127L) 8L else if (alpha <= 32767L) 4L else 2L
+    val c = math.min(cMax, targetDepth).toInt
+    val packBits = if (alpha <= 127L) 7 else if (alpha <= 32767L) 15 else 31
     // each round pins a corpus-sized sort; once the NEXT round's pin
     // is materialized the previous one is dead weight — drop it (the
     // ConnectedComponents loop discipline; without this, O(log depth)
     // corpus-sized snapshots pile up in the block manager — ~20 GB of
     // pinned state at the ×64 curve point)
-    var prevPin: DataFrame = cur
-    val n = if (stopWhenUnique) cur.count() else -1L
+    var cur: DataFrame = null
+    var prevPin: DataFrame = null
+    // position count == Σ length (one row per character) — the agg
+    // above already paid for it, so the early-unique reference needs
+    // no extra count job
+    val n = totalPos
     var width = 1
-    var k = 0
     // an empty position table (all-NULL text) is vacuously unique —
-    // skip the loop rather than NPE on the max-rank probe
+    // skip the rounds rather than NPE on the max-rank probe
     var done = stopWhenUnique && n == 0L
-    while (k < doublings && !done) {
+    if (done || c <= 1 || doublings < 1) {
+      cur = charRanked.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      prevPin = cur
+    } else {
+      val packed = (0 until c).map { i =>
+        val ri = if (i == 0) col("r") else lead(col("r"), i, 0L).over(byDoc)
+        ri * lit(1L << (packBits * (c - 1 - i)))
+      }.reduce(_ + _)
+      val paired = charRanked.select(col("did"), col("pos"), col("slen"),
+        packed.as("r1"), lit(0L).as("r2"))
+      // the packing round IS the last round: its pair partitions
+      // positions exactly as the depth-c dense rank would
+      if (c.toLong == targetDepth && !rankLast)
+        return paired.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      val (ranked, pin) = scanRanks(paired, nPart)
+      cur = ranked
+      prevPin = pin
+      ConnectedComponents.unpersistCheckpoint(charRanks)
+      if (stopWhenUnique &&
+        cur.agg(max(col("r"))).collect()(0).getLong(0) == n) done = true
+      width = c
+    }
+    while (width < targetDepth && !done) {
       val paired = cur.select(col("did"), col("pos"), col("slen"),
         col("r").as("r1"),
         lead(col("r"), width, 0L).over(byDoc).as("r2"))
-      if (k == doublings - 1 && !rankLast) {
+      if (2L * width == targetDepth && !rankLast) {
         val out = paired.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         ConnectedComponents.unpersistCheckpoint(prevPin)
         return out
@@ -192,7 +242,6 @@ object SuffixArray {
       if (stopWhenUnique &&
         cur.agg(max(col("r"))).collect()(0).getLong(0) == n) done = true
       width *= 2
-      k += 1
     }
     cur
   }
@@ -761,8 +810,26 @@ object SuffixArray {
     // a spanning class supersedes any within-shard fragment of itself
     // that shard-local mining emitted (with a shard-local label)
     membersB.unionByName(
-      membersA.join(membersB.select(col("doc_id"), col("pos")).hint("merge"),
-        Seq("doc_id", "pos"), "left_anti"))
+      membersA.join(supersessionProbe(membersB), Seq("doc_id", "pos"),
+        "left_anti"))
+  }
+
+  /** Supersession anti-join probe side, sized ADAPTIVELY (guide §3.1:
+    * pick the strategy deliberately): the superseding member set is
+    * usually candidate-bounded (a crawl batch's crossing classes, a
+    * shard completion pass's spanning classes), so BROADCAST it and
+    * leave the corpus-sized member table un-shuffled and un-sorted —
+    * the forced merge hint paid a full sort of the standing inventory
+    * per call. Above the row bound (the honest flood case, where the
+    * superseding set is itself corpus-scale) fall back to the
+    * merge-join shape. The count is one map pass over an
+    * already-materialized checkpoint.
+    */
+  private val SupersedeBroadcastMaxRows = 1000000L
+  private def supersessionProbe(members: DataFrame): DataFrame = {
+    val probe = members.select(col("doc_id"), col("pos"))
+    if (members.count() <= SupersedeBroadcastMaxRows) broadcast(probe)
+    else probe.hint("merge")
   }
 
   /** [[scrubRepeats]] at corpus scale: the sharded miner's exact
@@ -770,9 +837,11 @@ object SuffixArray {
     * answer for every shard count) feeding the block-segmented scrub.
     */
   def shardedScrub(docs: DataFrame, idCol: Column, textCol: Column,
-                   minLen: Int, nShards: Int): DataFrame =
+                   minLen: Int, nShards: Int,
+                   maxConcurrentShards: Int = 1): DataFrame =
     scrubFromMembers(docs, idCol, textCol, minLen,
-      shardedRepeatGroups(docs, idCol, textCol, minLen, nShards))
+      shardedRepeatGroups(docs, idCol, textCol, minLen, nShards,
+        maxConcurrentShards))
 
   // ---- standing exact-substring inventory (index maintenance) ------
 
@@ -910,8 +979,14 @@ object SuffixArray {
                          batch: DataFrame, idCol: Column,
                          textCol: Column,
                          checkDisjoint: Boolean = true): RepeatInventory = {
+    // the guard probes the standing DOC table, not the per-gram-
+    // position fps table: same verdict for every id the inventory has
+    // seen (the inventory is trained over standingDocs), three orders
+    // of magnitude fewer rows scanned per fold — and it additionally
+    // catches a re-crawled id whose standing text was too short to
+    // fingerprint
     if (checkDisjoint)
-      Guards.requireDisjointIds(standing.fps.select(col("doc_id")),
+      Guards.requireDisjointIds(standingDocs.select(idCol),
         batch.select(idCol), "SuffixArray.extendRepeatGroups")
     val minLen = standing.minLen
     val oldSrc = standingDocs.select(idCol.as("doc_id"), textCol.as("t"))
@@ -958,12 +1033,11 @@ object SuffixArray {
         "has_old" -> max(!col("is_new")).over(w)),
       col("has_new") && col("has_old"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val xProbe = supersessionProbe(membersX)
     val members = membersX
-      .unionByName(standing.members.join(
-        membersX.select(col("doc_id"), col("pos")).hint("merge"),
+      .unionByName(standing.members.join(xProbe,
         Seq("doc_id", "pos"), "left_anti"))
-      .unionByName(membersNew.join(
-        membersX.select(col("doc_id"), col("pos")).hint("merge"),
+      .unionByName(membersNew.join(xProbe,
         Seq("doc_id", "pos"), "left_anti"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // fps folds additively; the union stays LAZY over the pinned
