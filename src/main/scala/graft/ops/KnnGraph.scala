@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -291,11 +291,17 @@ object KnnGraph {
       explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("cell"))
     val pAll = probes(all)
     val pNew = probes(newEmb)
-    val newPairs = pNew.select(col("cell"), col("vec_id").as("src"))
-      .join(pAll.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
-      .unionByName(
-        pAll.select(col("cell"), col("vec_id").as("src"))
-          .join(pNew.select(col("cell"), col("vec_id").as("dst")), Seq("cell")))
+    // ONE corpus-probe pass, not two: the (any→new) direction is
+    // exactly the transpose of the (new→any) direction ({(a,b): a∈new,
+    // b∈all, shared cell, a≠b} swapped), so computing the half once
+    // and unioning its swap halves the fold's dominant term — the
+    // per-batch scan of the corpus probe set (guide §1.2 step 1:
+    // don't compute things twice). The BATCH side broadcasts into the
+    // cell join: the corpus probes are scanned map-side, never
+    // shuffled for the batch (guide §3.1).
+    val newHalf = pAll.select(col("cell"), col("vec_id").as("dst"))
+      .join(broadcast(pNew.select(col("cell"), col("vec_id").as("src"))),
+        Seq("cell"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
     // Re-rank ONLY batch-touched sources. A source with no new
@@ -311,7 +317,9 @@ object KnnGraph {
     // touched-source split and the re-rank candidates (one compute),
     // and a lazy checkpoint here NPEs Spark 4.1's AQE resetMetrics
     // when the standing side is a fresh parquet read
-    val newPairsP = newPairs.localCheckpoint()
+    val halfP = newHalf.localCheckpoint()
+    val newPairsP = halfP.unionByName(
+      halfP.select(col("dst").as("src"), col("src").as("dst")))
     val touched = newPairsP.select(col("src")).distinct()
     val standingTouched = oldGraph
       .join(broadcast(touched), Seq("src"), "left_semi")
@@ -376,13 +384,17 @@ object KnnGraph {
     // entries: the query's top-2 centroid nodes (the IVF probe kernel,
     // so the oracle's cscore CTE replays the choice) — two entries so
     // a query that IS a centroid node still has one after the
-    // self-exclusion in beamLoop
+    // self-exclusion below
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
     val entries = queries
       .select(col("query_id"),
         explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("ent"))
       .select(col("query_id"),
         element_at(typedLit(seedIds), col("ent") + 1).as("vec_id"))
-    beamLoop(embeddings, graph, queries, entries, k, beam, rounds)
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(q), Seq("query_id"))
+    topRanked(beamFrontier(embeddings, graph, scoreWithQ(embeddings, entries),
+      beam, rounds), k)
   }
 
   /** [[beamSearch]] with a SAMPLED-ENTRY upper layer — the HNSW
@@ -409,8 +421,8 @@ object KnnGraph {
                         rounds: Int = 3, entryStep: Long = 16L): DataFrame = {
     require(k <= beam, s"k ($k) must not exceed the beam width ($beam)")
     require(entryStep >= 1, s"entryStep must be positive, got $entryStep")
-    beamLoop(embeddings, graph, queries,
-      sampledEntries(embeddings, queries, entryStep), k, beam, rounds)
+    topRanked(beamFrontier(embeddings, graph,
+      sampledEntries(embeddings, queries, entryStep), beam, rounds), k)
   }
 
   /** Exact integer power (layer step spacing). */
@@ -424,6 +436,11 @@ object KnnGraph {
     * shared entry scan of [[beamSearchSampled]] (step = entryStep)
     * and [[beamSearchLayered]] (step = entryStep^nLayers, where the
     * hierarchy makes the scanned sample geometrically smaller).
+    * Output is a SCORED frontier (query_id, vec_id, score, q_emb):
+    * the entry scores are already exact, so the walk never re-scores
+    * them, and q_emb riding along means the whole descent makes no
+    * further query-set join (guide §2.4 — the scan's join IS the one
+    * exchange-free attach point).
     */
   private def sampledEntries(embeddings: DataFrame, queries: DataFrame,
                              step: Long): DataFrame =
@@ -433,11 +450,12 @@ object KnnGraph {
       .join(broadcast(queries.select(col("query_id"),
         col("embedding").as("q_emb"))), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"),
+        col("q_emb"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id").asc)))
       .filter(col("rn") <= 2)
-      .select(col("query_id"), col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("score"), col("q_emb"))
 
   /** The MULTI-LEVEL graph artifact — HNSW's log-n hierarchy
     * (Malkov & Yashunin 2016) in the repo's deterministic sampling
@@ -580,16 +598,30 @@ object KnnGraph {
                     checkDisjoint: Boolean = true): LayeredGraph = {
     val base = extend(oldEmb, newEmb, lg.layers(0), lg.k, lg.nCentroids,
       checkDisjoint)
-    val uppers = (1 until lg.layers.size).map { l =>
+    // ONE batch-side stats pass for every layer's routing decision
+    // (sampled-count + min sampled id per layer), replacing the former
+    // per-layer limit(1) probes — 2·nLayers tiny jobs collapsed into
+    // one batch-bounded aggregation (guide §1.2: fewer passes; the
+    // batch is micro-batch-sized, so a full agg over it is cheaper
+    // than several scan-until-found jobs' fixed overhead).
+    val nLayers = lg.layers.size - 1
+    val statAggs = (1 to nLayers).flatMap { l =>
+      val stepL = lpow(lg.entryStep, l)
+      val in = pmod(col("vec_id"), lit(stepL)) === 0
+      Seq(count(when(in, 1)).as(s"n$l"),
+        min(when(in, col("vec_id"))).as(s"m$l"))
+    }
+    val stats = newEmb.agg(statAggs.head, statAggs.tail: _*).head()
+    val uppers = (1 to nLayers).map { l =>
       val stepL = lpow(lg.entryStep, l)
       val bound = math.min(lg.nCentroids.toLong * stepL, Int.MaxValue.toLong).toInt
       def sampled(df: DataFrame) =
         df.filter(pmod(col("vec_id"), lit(stepL)) === 0)
-      val newS = sampled(newEmb)
-      if (newS.limit(1).isEmpty) lg.layers(l) // batch adds no node here
+      val nNew = stats.getLong(2 * (l - 1))
+      if (nNew == 0L) lg.layers(l) // batch adds no node here
       else {
         val oldS = sampled(oldEmb)
-        val seedMoves = !newS.filter(col("vec_id") < bound).limit(1).isEmpty
+        val seedMoves = stats.getLong(2 * (l - 1) + 1) < bound
         // first nodes of the layer, or a batch that moves its
         // quantizer: rebuild (geometrically tiny, warmup-only)
         if (seedMoves || oldS.limit(1).isEmpty)
@@ -597,8 +629,8 @@ object KnnGraph {
             lg.entryStep, l)
         // the sampled fold inherits layer 0's disjointness verdict —
         // its ids are a subset of the already-checked batch
-        else extend(oldS, newS, lg.layers(l), lg.k, bound,
-          checkDisjoint = false)
+        else extend(sampled(oldEmb), sampled(newEmb), lg.layers(l), lg.k,
+          bound, checkDisjoint = false)
       }
     }
     LayeredGraph(base +: uppers, lg.entryStep, lg.k, lg.nCentroids)
@@ -633,21 +665,85 @@ object KnnGraph {
     require(handoff >= 1 && handoff <= beam,
       s"handoff ($handoff) must be in [1, beam=$beam]")
     val nLayers = lg.layers.size - 1
-    var entries = sampledEntries(embeddings, queries,
-      lpow(lg.entryStep, nLayers))
-    var l = nLayers
-    while (l >= 1) {
-      entries = beamLoop(embeddings, lg.layers(l), queries, entries,
-          k = handoff, beam, rounds)
-        .select(col("query_id"), col("vec_id"))
+    // the handoff carries its SCORES down (they are the same exact
+    // round-6 cosines the next layer's entry scoring would recompute —
+    // one embedding join + one query-set broadcast per LAYER removed)
+    var frontier = beamFrontier(embeddings, lg.layers(nLayers),
+      sampledEntries(embeddings, queries, lpow(lg.entryStep, nLayers)),
+      beam, rounds)
+    var l = nLayers - 1
+    while (l >= 0) {
+      val byQ = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val entries = frontier
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= handoff)
+        .select(col("query_id"), col("vec_id"), col("score"), col("q_emb"))
+      frontier = beamFrontier(embeddings, lg.layers(l), entries, beam, rounds)
       l -= 1
     }
-    beamLoop(embeddings, lg.layers(0), queries, entries, k, beam, rounds)
+    topRanked(frontier, k)
   }
 
-  /** The shared layer-0 loop: from `entries` (query_id, vec_id),
-    * `rounds` broadcast-frontier expansions, keep-best-beam, final
-    * top-k. The corpus-sized edge table never shuffles; per-round
+  /** Score a bounded (query_id, vec_id, …, q_emb) row set: ONE join to
+    * the embedding table by vec_id (bucket-friendly at scale; the
+    * planner picks the strategy — locally the small embedding table
+    * broadcasts). No query-set join: q_emb already rides the rows.
+    */
+  private def scoreWithQ(embeddings: DataFrame, rows: DataFrame): DataFrame =
+    rows
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"),
+        col("q_emb"))
+
+  /** Final ranked top-k of a scored frontier — the one window of the
+    * whole walk (the per-round keep-best is the single-exchange agg in
+    * [[keepBestBeam]]).
+    */
+  private def topRanked(frontier: DataFrame, k: Int): DataFrame = {
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    frontier
+      .withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /** Keep-best-beam in ONE exchange: group by query, sort the
+    * (score, vec_id) structs by the walk's total order (score DESC,
+    * vec_id ASC — the comparator mirrors the window ordering exactly,
+    * including Spark's NaN-greatest and -0.0 < 0.0 double order),
+    * dedup (scores are functional of (query_id, vec_id), so duplicate
+    * candidates collapse on exact struct equality) and slice the top
+    * `beam`. Replaces the former groupBy(query, vec) + window pair —
+    * two exchanges and a per-round sort — with one hash aggregation
+    * (guide §2.4: two operations keyed the same way share one
+    * exchange; here they fuse into one operator outright).
+    */
+  private def keepBestBeam(rows: DataFrame, beam: Int): DataFrame = {
+    def cmp(l: Column, r: Column): Column =
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("vec_id") < r.getField("vec_id"), -1)
+        .when(l.getField("vec_id") > r.getField("vec_id"), 1)
+        .otherwise(0)
+    rows
+      .groupBy(col("query_id"))
+      .agg(slice(array_distinct(array_sort(
+          collect_list(struct(col("score"), col("vec_id"))), cmp)),
+          1, beam).as("top"),
+        // functional of query_id — every collected value is identical
+        first(col("q_emb")).as("q_emb"))
+      .select(col("query_id"), explode(col("top")).as("c"), col("q_emb"))
+      .select(col("query_id"), col("c").getField("vec_id").as("vec_id"),
+        col("c").getField("score").as("score"), col("q_emb"))
+  }
+
+  /** The shared walk loop over a SCORED entry frontier
+    * (query_id, vec_id, score, q_emb): `rounds` broadcast-frontier
+    * expansions with keep-best-beam; returns the final frontier (same
+    * shape). The corpus-sized edge table never shuffles; per-round
     * scoring joins |frontier|·k candidate ids back to the embedding
     * table by vec_id (bucket-friendly). Query nodes are excluded from
     * candidacy (the ANN-query convention of the other E2 paths).
@@ -661,19 +757,9 @@ object KnnGraph {
     * deduplicated by reuse). With the cut, the edge table is scanned
     * exactly once per round — the cost model the scaladoc states.
     */
-  private def beamLoop(embeddings: DataFrame, graph: DataFrame,
-                       queries: DataFrame, entries: DataFrame, k: Int,
-                       beam: Int, rounds: Int): DataFrame = {
-    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
-    val byQ = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    // score a (query_id, vec_id) frontier/candidate set: one vec_id
-    // join to the embedding table + the broadcast query set
-    def scored(cand: DataFrame): DataFrame = cand
-      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+  private def beamFrontier(embeddings: DataFrame, graph: DataFrame,
+                           entries: DataFrame, beam: Int,
+                           rounds: Int): DataFrame = {
     // checkpoint + CONSTRAINT SCRUB for every keep-best union child:
     // localCheckpoint's LogicalRDD snapshots the origin plan's
     // constraints, and a snapshot can reference attributes the plan
@@ -687,8 +773,7 @@ object KnnGraph {
       val ck = df.localCheckpoint()
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
-    var frontier = pinned(
-      scored(entries.filter(col("vec_id") =!= col("query_id"))))
+    var frontier = pinned(entries)
     var i = 0
     while (i < rounds) {
       // the candidate expansion+scoring (the broadcast joins — see
@@ -698,46 +783,34 @@ object KnnGraph {
       // away references), it is consumed exactly once, and skipping
       // the eager pin halves the round's checkpoint jobs — measured
       // 1.25x on the layered descent at sf0.1
-      val cand = beamCandidates(embeddings, graph, q, frontier)
-      frontier = cand
-        .unionByName(frontier)
-        .groupBy(col("query_id"), col("vec_id")) // dedup: scores are functional
-        .agg(max(col("score")).as("score"))
-        .withColumn("rn", row_number().over(byQ))
-        .filter(col("rn") <= beam)
-        .drop("rn")
-      frontier = pinned(frontier)
+      val cand = beamCandidates(embeddings, graph, frontier)
+      frontier = pinned(keepBestBeam(cand.unionByName(frontier), beam))
       i += 1
     }
     frontier
-      .withColumn("rank", row_number().over(byQ).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }
 
   /** ONE round's candidate expansion + scoring, un-checkpointed — the
-    * per-round plan [[beamLoop]] pins its cost model on: the frontier
-    * (|queries|·beam rows) BROADCASTS into the edge join, so the
-    * corpus-sized edge table never shuffles; candidate scoring joins
-    * frontier·k candidate ids back to the embedding table by vec_id.
-    * Package-private so the broadcast shape is plan-pinnable in specs
-    * (the checkpointed loop's final plan is just a checkpoint read
-    * and can't carry the assertion). `q` is (query_id, q_emb).
+    * per-round plan [[beamFrontier]] pins its cost model on: the
+    * frontier (|queries|·beam rows, carrying q_emb) BROADCASTS into
+    * the edge join, so the corpus-sized edge table never shuffles;
+    * candidate scoring joins frontier·k candidate ids back to the
+    * embedding table by vec_id. Candidates are NOT deduplicated here —
+    * scores are functional, so [[keepBestBeam]]'s exact-struct dedup
+    * absorbs the ≤ beam·k-per-query duplicates without the extra
+    * exchange a distinct would cost. Package-private so the broadcast
+    * shape is plan-pinnable in specs (the checkpointed loop's final
+    * plan is just a checkpoint read and can't carry the assertion).
     */
   private[ops] def beamCandidates(embeddings: DataFrame, graph: DataFrame,
-                                  q: DataFrame, frontier: DataFrame): DataFrame = {
+                                  frontier: DataFrame): DataFrame = {
     // the frontier (|queries|·beam rows) broadcasts; the corpus-
     // sized edge table stays put — one map-side join per round
     val neighbors = graph.select(col("src").as("vec_id"), col("dst"))
-      .join(broadcast(frontier.select(col("query_id"), col("vec_id"))),
-        Seq("vec_id"))
-      .select(col("query_id"), col("dst").as("vec_id"))
+      .join(broadcast(frontier.select(col("query_id"), col("vec_id"),
+        col("q_emb"))), Seq("vec_id"))
+      .select(col("query_id"), col("dst").as("vec_id"), col("q_emb"))
       .filter(col("vec_id") =!= col("query_id"))
-      .distinct()
-    neighbors
-      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+    scoreWithQ(embeddings, neighbors)
   }
 }

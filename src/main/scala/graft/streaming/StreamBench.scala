@@ -481,9 +481,19 @@ object StreamBench {
           graft.ops.KnnGraph.beamSearch(emb, graph,
             batch.select(col("vec_id").as("query_id"), col("embedding")),
             k = 5, beam = 16, rounds = 4, nCentroids).count()
+          val (prevEmb, prevGraph) = (emb, graph)
           graph = graft.ops.KnnGraph.extend(emb, batch, graph, k = 5, nCentroids)
             .localCheckpoint()
           emb = emb.unionByName(batch).localCheckpoint()
+          // drop the superseded snapshots (layer-0 state is corpus-
+          // sized: without this the block manager grows linearly with
+          // batch count — the selfKnnBatches hygiene, applied to the
+          // measured twin)
+          if (batchId > 0) {
+            graft.ops.ConnectedComponents.unpersistCheckpoint(prevEmb)
+            graft.ops.ConnectedComponents.unpersistCheckpoint(prevGraph)
+          }
+          graft.ops.ConnectedComponents.unpersistCheckpoint(batch)
           lastExtended = batchId
         }
         ()
@@ -533,8 +543,27 @@ object StreamBench {
             batch.select(col("vec_id").as("query_id"), col("embedding")),
             k = 5, beam = 16, rounds = 3).count()
           val ext = graft.ops.KnnGraph.extendLayered(emb, batch, lg)
-          lg = ext.copy(layers = ext.layers.map(_.localCheckpoint()))
+          val (prevEmb, prevLg) = (emb, lg)
+          // an untouched layer passes through extendLayered by
+          // REFERENCE — keep its standing snapshot instead of paying
+          // a re-checkpoint copy job for identical data
+          lg = ext.copy(layers = ext.layers.zip(prevLg.layers).map {
+            case (n, o) => if (n eq o) o else n.localCheckpoint()
+          })
           emb = emb.unionByName(batch).localCheckpoint()
+          // drop the superseded snapshots (the selfLayeredBatches
+          // hygiene, applied to the measured twin): an untouched
+          // upper layer passes through extendLayered by REFERENCE, so
+          // only snapshots the new hierarchy no longer aliases are
+          // dropped
+          if (batchId > 0) {
+            graft.ops.ConnectedComponents.unpersistCheckpoint(prevEmb)
+            prevLg.layers.zip(lg.layers).foreach { case (o, n) =>
+              if (!(o eq n))
+                graft.ops.ConnectedComponents.unpersistCheckpoint(o)
+            }
+          }
+          graft.ops.ConnectedComponents.unpersistCheckpoint(batch)
           lastExtended = batchId
         }
         ()

@@ -554,13 +554,11 @@ class KnnGraphSpec extends AnyFunSuite {
     // frontier)
     val emb = Tables.embeddings(spark, SparkTestSession.Sf)
     val graph = KnnGraph.build(emb, k = 5).localCheckpoint()
-    val q = emb.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val frontier = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("query_id"), (col("vec_id") + 16).as("vec_id"),
-        lit(0.5).as("score"))
+        lit(0.5).as("score"), col("embedding").as("q_emb"))
       .localCheckpoint()
-    val cand = KnnGraph.beamCandidates(emb, graph, q, frontier)
+    val cand = KnnGraph.beamCandidates(emb, graph, frontier)
     val plan = cand.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"beam round lost its broadcast joins:\n$plan")
@@ -568,7 +566,8 @@ class KnnGraphSpec extends AnyFunSuite {
       s"beam round shuffles or crosses a corpus-sized side:\n$plan")
     // and the expansion behaves: candidates are the frontier nodes'
     // scored out-neighbors, never the query itself
-    val got = cand.as[(Long, Long, Double)].collect().toSeq
+    val got = cand.select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSeq
     assert(got.nonEmpty)
     assert(got.forall { case (q0, v, _) => q0 != v })
   }
