@@ -177,10 +177,18 @@ object SuffixArray {
     // untouched. c is a power of two so the realized depths stay the
     // 2^k grid the rankLast contract needs; it adapts to the
     // alphabet: ≤127 distinct chars → 8 chars × 7 bits, ≤32767 → 4 ×
-    // 15, else 2 × 31 (56/60/62 bits — no sign-bit overflow). At
-    // minLen = 32 this cuts the per-shard mining from 4 ranked
-    // rounds + final pair to 2 + final; suffixRanks at depth 64 runs
-    // 4 ranked rounds instead of 6 — each saved round is a full
+    // 15, else 2 × 31 (56/60/62 bits — no sign-bit overflow).
+    //
+    // PAIR packing doubles the free depth again: the doubling
+    // machinery ranks (r1, r2) PAIRS, and a second packed long over
+    // chars c..2c−1 is value-order-identical to a width-c rank of
+    // pos+c (same total order, same equivalence classes, exhaustion
+    // packing as zero bits == the lead()'s 0 sentinel) — so
+    // (pack(pos), pack(pos+c)) IS the width-c pair at depth 2c, one
+    // ranked round for free whenever the target depth allows it. At
+    // minLen = 32 the per-shard mining is 1 ranked round + final
+    // pair (was 2 + final); suffixRanks at depth 64 runs 3 ranked
+    // rounds (was 4, originally 6) — each saved round is a full
     // corpus-sized range sort + scan.
     val alpha = charRanks.count()
     val targetDepth = 1L << doublings
@@ -206,15 +214,19 @@ object SuffixArray {
       cur = charRanked.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       prevPin = cur
     } else {
-      val packed = (0 until c).map { i =>
-        val ri = if (i == 0) col("r") else lead(col("r"), i, 0L).over(byDoc)
+      def packFrom(off: Int) = (0 until c).map { i =>
+        val ri = if (off + i == 0) col("r")
+                 else lead(col("r"), off + i, 0L).over(byDoc)
         ri * lit(1L << (packBits * (c - 1 - i)))
       }.reduce(_ + _)
+      // pair-pack the second half whenever the target depth allows it
+      val realized = if (2L * c <= targetDepth) 2 * c else c
       val paired = charRanked.select(col("did"), col("pos"), col("slen"),
-        packed.as("r1"), lit(0L).as("r2"))
+        packFrom(0).as("r1"),
+        (if (realized == 2 * c) packFrom(c) else lit(0L)).as("r2"))
       // the packing round IS the last round: its pair partitions
-      // positions exactly as the depth-c dense rank would
-      if (c.toLong == targetDepth && !rankLast)
+      // positions exactly as the depth-`realized` dense rank would
+      if (realized.toLong == targetDepth && !rankLast)
         return paired.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val (ranked, pin) = scanRanks(paired, nPart)
       cur = ranked
@@ -222,7 +234,7 @@ object SuffixArray {
       ConnectedComponents.unpersistCheckpoint(charRanks)
       if (stopWhenUnique &&
         cur.agg(max(col("r"))).collect()(0).getLong(0) == n) done = true
-      width = c
+      width = realized
     }
     while (width < targetDepth && !done) {
       val paired = cur.select(col("did"), col("pos"), col("slen"),
@@ -361,56 +373,67 @@ object SuffixArray {
     scrubFromMembers(docs, idCol, textCol, minLen,
       sharedRepeatGroups(docs, idCol, textCol, minLen, cacheKey))
 
-  /** Reassembly block width (characters): bounds every per-group
-    * collect_list buffer in [[scrubFromMembers]] at one block of
-    * (pos, ch) structs instead of a whole document — a book-length
-    * document is thousands of block rows, never one million-struct
-    * aggregation buffer.
+  /** Block width (characters) shared by the candidate-buffer
+    * disciplines that group positions by `pos div ScrubBlockChars`
+    * ([[literalGrams]], the winnow/verbatim extension joins) — a
+    * repeat-heavy book-length document becomes len/4096 block rows,
+    * never one doc-length aggregation buffer.
     */
   private[ops] val ScrubBlockChars = 4096L
 
   /** Scrub `docs` against an explicit repeat-member inventory
     * (doc_id, pos, grp_did, grp_pos) — the shared tail of
-    * [[scrubRepeats]] and [[shardedScrub]]. Reassembly is TWO-LEVEL:
-    * chars fold into `blockChars`-wide blocks first (buffers bounded
-    * by the block width), then each document concatenates its
-    * (already-string) blocks — doc-length/blockChars rows per doc.
-    * Block order and in-block order compose to global position order,
-    * so the output is byte-identical to a single-level reassembly.
+    * [[scrubRepeats]] and [[shardedScrub]].
+    *
+    * INTERVAL reassembly (guide §2.3/§8 — shuffle metadata, slice the
+    * payload once): the non-canonical member STARTS are the only rows
+    * that move (one long per member through one doc-keyed exchange);
+    * the kept text is then sliced out of the original string in one
+    * narrow pass. Because every covered interval has the same length
+    * (minLen), interval ends are monotone in their starts, so a
+    * sorted start array yields the kept gaps directly: before start
+    * sᵢ the kept slice is [prev = sᵢ₋₁ + minLen, sᵢ) (empty when the
+    * intervals overlap or abut — `substr` of a non-positive length is
+    * ""), plus the tail [s_last + minLen, len). Slice concatenation in
+    * position order is byte-identical to the former per-character
+    * reassembly; the per-doc aggregation buffer holds one long per
+    * member start (the former design's final block-concat buffer
+    * already held the whole cleaned text, so peak per-doc memory only
+    * shrinks). The corpus-sized per-character explode, its distinct,
+    * the anti-join and the two block aggregations — four corpus-scale
+    * exchanges of (doc, pos, ch) rows — are gone entirely.
     */
   private[ops] def scrubFromMembers(docs: DataFrame, idCol: Column,
                                     textCol: Column, minLen: Int,
-                                    members: DataFrame,
-                                    blockChars: Long = ScrubBlockChars): DataFrame = {
-    require(blockChars >= 1, s"blockChars must be positive, got $blockChars")
-    val covered = members
+                                    members: DataFrame): DataFrame = {
+    val minL = lit(minLen.toLong)
+    val starts = members
       .filter(!(col("doc_id") === col("grp_did") &&
         col("pos") === col("grp_pos")))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(minLen - 1L)))
-          .as("pos"))
-      .distinct()
-    val blocks = positions(docs, idCol, textCol)
-      .withColumnRenamed("did", "doc_id")
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"), (col("pos") / blockChars).cast("long").as("blk"))
-      .agg(
-        concat_ws("", transform(
-          array_sort(collect_list(struct(col("pos"), col("ch")))),
-          x => x.getField("ch"))).as("btxt"),
-        count(lit(1)).as("n_kept"))
-    val kept = blocks
-      .groupBy("doc_id").agg(
-        concat_ws("", transform(
-          array_sort(collect_list(struct(col("blk"), col("btxt")))),
-          x => x.getField("btxt"))).as("clean_text"),
-        sum("n_kept").as("n_kept"))
-    docs.select(idCol.as("doc_id"),
+      .groupBy(col("doc_id"))
+      // collect_set: tolerant of duplicate member rows (the former
+      // covered-position path carried an explicit distinct)
+      .agg(array_sort(collect_set(col("pos"))).as("ss"))
+    val t = col("t")
+    // kept slice ahead of each start (1-based substr; non-positive
+    // length yields "")
+    val headSlices = transform(col("ss"), (s, i) => {
+      val prevEnd = when(i === 0, lit(0L))
+        .otherwise(element_at(col("ss"), i) + minL)
+      t.substr((prevEnd + 1L).cast("int"), (s - prevEnd).cast("int"))
+    })
+    val tailStart = element_at(col("ss"), -1) + minL
+    val cleanRaw = when(col("ss").isNull, t)
+      .otherwise(concat(concat_ws("", headSlices),
+        t.substr((tailStart + 1L).cast("int"),
+          (col("len") - tailStart).cast("int"))))
+    docs.select(idCol.as("doc_id"), textCol.as("t"),
         length(textCol).cast("long").as("len"))
-      .join(kept, Seq("doc_id"), "left")
+      .join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("len") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        coalesce(cleanRaw, lit("")).as("clean_text"),
+        (col("len") - coalesce(length(cleanRaw).cast("long"), lit(0L)))
+          .as("n_dropped"))
   }
 
   // ---- corpus-scale sharded mining --------------------------------
@@ -781,18 +804,25 @@ object SuffixArray {
       }.toSeq
     val membersA = perShard.reduce(_ unionByName _)
     if (nShards == 1) return membersA
-    // phase B: exact cross-shard completion. Pinned: `fps` (the
-    // corpus-wide rolling-fingerprint explode) is consumed twice
-    // below (spanning aggregate + left_semi) — without the cut the
-    // whole corpus pass would run twice.
+    // phase B: exact cross-shard completion. The fps explode is
+    // consumed exactly once (the spanning window below), so it flows
+    // straight into the exchange — no pin needed.
     val fps = gramFps(src, minLen)
       .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    val spanning = fps.groupBy("h")
-      .agg(countDistinct(col("shard")).as("n_shards"))
-      .filter(col("n_shards") >= 2)
-      .select("h")
-    val candPos = fps.join(spanning, Seq("h"), "left_semi")
+    // spans-2+-shards in ONE h-exchange: a full-frame window min/max
+    // (distinct-shard-count >= 2 ⟺ min != max) keeps the candidate
+    // rows attached — the former groupBy(countDistinct) + left_semi
+    // pair shuffled the corpus-wide fps table by h TWICE (and the
+    // count-distinct expanded every row) for the same candidate set
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange; the [[extendCandidates]] probe already uses this
+    // full-frame form)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val candPos = fps
+      .withColumn("mn", min(col("shard")).over(wh))
+      .withColumn("mx", max(col("shard")).over(wh))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
     val grams = literalGrams(candPos, src, minLen)
       .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
     // verified classes that REALLY span shards — disjoint from phase

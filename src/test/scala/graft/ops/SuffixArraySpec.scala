@@ -240,7 +240,7 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(blocks.size >= 4, s"expected multi-block candidates, got $blocks")
   }
 
-  test("shardedScrub == scrubRepeats; segmented reassembly == whole-doc reassembly") {
+  test("shardedScrub == scrubRepeats; interval reassembly == a per-character reference scrub") {
     val docsDf = Tables.documents(spark, SparkTestSession.Sf)
     val direct = SuffixArray.scrubRepeats(docsDf, col("doc_id"), col("text"),
         minLen = 32)
@@ -249,22 +249,28 @@ class SuffixArraySpec extends AnyFunSuite {
         minLen = 32, nShards = 3)
       .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
     assert(sharded == direct)
-    // block width must be invisible in the output: a 7-char block on a
-    // long planted doc exercises many blocks + dropped spans crossing
-    // block boundaries
+    // the interval slicing must agree with a brute-force per-character
+    // scrub on a long planted doc whose dropped spans overlap, abut,
+    // and cover the document head (the merge edge cases)
     val longDoc = ("abcdefgh" * 300) + ("x" * 40) // 2440 chars, repeats inside
-    val docs2 = Seq((1L, longDoc), (2L, "prefix " + longDoc.substring(0, 64)))
-      .toDF("doc_id", "text")
+    val texts = Seq(1L -> longDoc, 2L -> ("prefix " + longDoc.substring(0, 64)))
+    val docs2 = texts.toDF("doc_id", "text")
     val members = SuffixArray.repeatGroups(docs2, col("doc_id"), col("text"),
       minLen = 32)
-    val wide = SuffixArray.scrubFromMembers(docs2, col("doc_id"), col("text"),
-        32, members, blockChars = 1L << 30)
+    val got = SuffixArray.scrubFromMembers(docs2, col("doc_id"), col("text"),
+        32, members)
       .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
-    val narrow = SuffixArray.scrubFromMembers(docs2, col("doc_id"), col("text"),
-        32, members, blockChars = 7L)
-      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
-    assert(narrow == wide, "block-segmented reassembly diverged")
-    assert(wide.exists(_._3 > 0), "fixture must actually scrub something")
+    val mem = members.as[(Long, Long, Long, Long)].collect().toSeq
+    val expected = texts.map { case (id, t) =>
+      val covered = mem
+        .filter(m => m._1 == id && !(m._1 == m._3 && m._2 == m._4))
+        .flatMap(m => m._2 until (m._2 + 32L)).toSet
+      val clean = t.zipWithIndex
+        .collect { case (ch, i) if !covered(i.toLong) => ch }.mkString
+      (id, clean, (t.length - clean.length).toLong)
+    }
+    assert(got == expected, "interval reassembly diverged from the reference")
+    assert(got.exists(_._3 > 0), "fixture must actually scrub something")
   }
 
   test("shardedRepeatGroups: concurrency width never changes the answer (P in {1,2,4} at nShards 7)") {
