@@ -1070,6 +1070,13 @@ object SuffixArray {
       .unionByName(membersNew.join(xProbe,
         Seq("doc_id", "pos"), "left_anti"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // the eager members pin above fully consumed the cand and membersX
+    // snapshots — drop them so a long crawl's block-manager usage
+    // stays O(standing artifact), not O(batches seen) (the measured-
+    // twin hygiene; the fpsNew pin STAYS, it is part of the returned
+    // additive artifact)
+    ConnectedComponents.unpersistCheckpoint(cand)
+    ConnectedComponents.unpersistCheckpoint(membersX)
     // fps folds additively; the union stays LAZY over the pinned
     // pieces (materializing it would copy the corpus-sized table per
     // batch — the whole point of the additive artifact is not to)

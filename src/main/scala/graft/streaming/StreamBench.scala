@@ -395,14 +395,21 @@ object StreamBench {
     val docs = spark.readStream.schema(replay.schema)
       .option("maxFilesPerTrigger", "2").parquet(replayDir)
     var lastExtended = -1L
+    var ownedMembers = false // the seed inventory's members pin
     val t0 = System.nanoTime()
     val q = docs.writeStream
       .foreachBatch { (b0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastExtended) {
           val b = b0.select((col("doc_id") + lit(100000000L)).as("doc_id"),
             reverse(col("text")).as("text")).localCheckpoint()
+          val prevMembers = model.members
           model = graft.ops.SuffixArray.extendRepeatGroups(model, corpus, b,
             col("doc_id"), col("text"))
+          // the superseded members pin is dead once extend returns its
+          // eagerly-pinned replacement (the selfSubstrBatches hygiene)
+          if (ownedMembers)
+            graft.ops.ConnectedComponents.unpersistCheckpoint(prevMembers)
+          ownedMembers = true
           model.members
             .join(b.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .count()

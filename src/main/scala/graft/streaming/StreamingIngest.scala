@@ -873,6 +873,7 @@ object StreamingIngest {
     var corpus = seedDocs.select(col("doc_id"), col("text"))
     var model = seed
     var lastExtended = -1L
+    var ownedMembers = false // the seed's members pin is the caller's
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // whole-body retry guard: a retried batch would fold the same
@@ -880,8 +881,15 @@ object StreamingIngest {
         // disjoint-id contract
         if (batchId > lastExtended) {
           val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          val prevMembers = model.members
           model = graft.ops.SuffixArray.extendRepeatGroups(model, corpus, b,
             col("doc_id"), col("text"))
+          // extend returned an eagerly-pinned members table, so the
+          // superseded one is dead — drop it unless it is the caller's
+          // seed artifact (the self-twin hygiene)
+          if (ownedMembers)
+            graft.ops.ConnectedComponents.unpersistCheckpoint(prevMembers)
+          ownedMembers = true
           model.members
             .join(b.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
