@@ -760,7 +760,7 @@ object SparkEntry {
     // (peak memory = one shard's doubling rounds), a rolling-
     // fingerprint completion pass recovers the classes sharding
     // splits, and the union (exactly the global inventory, any shard
-    // count) feeds the block-segmented scrub. Deliberately NOT the
+    // count) feeds the interval scrub. Deliberately NOT the
     // session-cached path: this query exercises the sharded driver
     // end to end.
     // maxConcurrentShards = 2: overlap independent shard jobs (one
