@@ -38,4 +38,39 @@ private[graft] object Guards {
         "the artifact). Callers that can prove disjointness opt out via " +
         "checkDisjoint = false.")
   }
+
+  /** The guard folded INTO a scan the caller already pays for
+    * (guide §1.2 — the per-fold guard JOB was a measured cost of the
+    * crawl twins): decorate the standing side with a broadcast
+    * batch-id hit marker and wrap `wrapColName` (a payload column the
+    * surrounding query provably evaluates on EVERY standing row —
+    * e.g. the embedding feeding an unconditional explode) so that a
+    * colliding row's first payload evaluation raises instead. Zero
+    * extra jobs and no separate standing scan; the failure surfaces
+    * when the surrounding query first materializes the standing side
+    * (eager checkpoint → still at fold time), wrapped in Spark's job
+    * failure rather than an eager IllegalArgumentException — equally
+    * loud, same message.
+    *
+    * The wrap is load-bearing: a filter that merely tested the id
+    * could be pushed below or reordered away by the optimizer; a
+    * payload column REWRITTEN through the guard cannot be bypassed by
+    * any plan that consumes the payload.
+    */
+  def disjointIdsRide(standing: DataFrame, idColName: String,
+                      wrapColName: String, batchIds: DataFrame,
+                      what: String): DataFrame = {
+    val hits = batchIds.distinct().toDF("__gbid")
+    val msg = concat(
+      lit(s"$what: batch ids must be disjoint from standing ids (standing id "),
+      col(idColName).cast("string"),
+      lit(" reappears in the batch — folding a re-crawled duplicate would " +
+        "silently corrupt the artifact). Callers that can prove " +
+        "disjointness opt out via checkDisjoint = false."))
+    standing
+      .join(broadcast(hits), col(idColName) === col("__gbid"), "left_outer")
+      .withColumn(wrapColName,
+        when(col("__gbid").isNull, col(wrapColName)).otherwise(raise_error(msg)))
+      .drop("__gbid")
+  }
 }

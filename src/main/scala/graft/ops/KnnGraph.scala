@@ -282,14 +282,25 @@ object KnnGraph {
   def extend(oldEmb: DataFrame, newEmb: DataFrame, oldGraph: DataFrame,
              k: Int, nCentroids: Int = 16,
              checkDisjoint: Boolean = true): DataFrame = {
-    if (checkDisjoint)
-      Guards.requireDisjointIds(oldEmb.select(col("vec_id")),
-        newEmb.select(col("vec_id")), "KnnGraph.extend")
     val cents = Similarity.ivfCentroids(oldEmb, nCentroids)
     val all = oldEmb.unionByName(newEmb)
+    // the disjoint-id guard RIDES the probe scan instead of running
+    // its own standing-side job per fold (guide §1.2 — the r15 guard
+    // job was the measured cost of the crawl twins): every standing
+    // row's embedding evaluation first checks its id against the
+    // broadcast batch-id set, and the probe pass below scans every
+    // standing row eagerly (the half-pair checkpoint), so the guard
+    // still fires AT fold time, with zero extra passes
+    val oldGuarded =
+      if (checkDisjoint)
+        Guards.disjointIdsRide(oldEmb, "vec_id", "embedding",
+          newEmb.select(col("vec_id")), "KnnGraph.extend")
+      else oldEmb
     def probes(df: DataFrame) = df.select(col("vec_id"),
       explode(Similarity.ivfProbeCells(col("embedding"), cents, 2)).as("cell"))
-    val pAll = probes(all)
+    // probes(old) ∪ probes(new) == probes(old ∪ new): explode
+    // distributes over union, and only the old side carries the guard
+    val pAll = probes(oldGuarded).unionByName(probes(newEmb))
     val pNew = probes(newEmb)
     // ONE corpus-probe pass, not two: the (any→new) direction is
     // exactly the transpose of the (new→any) direction ({(a,b): a∈new,
@@ -321,13 +332,32 @@ object KnnGraph {
     val newPairsP = halfP.unionByName(
       halfP.select(col("dst").as("src"), col("src").as("dst")))
     val touched = newPairsP.select(col("src")).distinct()
+    // standing edges KEEP their scores through the re-rank: round-6
+    // cosine is deterministic, so re-joining the embedding table to
+    // recompute them is pure waste (guide §1.2 — don't compute things
+    // twice). Only the batch-bounded NEW pairs pay the two embedding
+    // joins; the union then takes one window per touched source. The
+    // two candidate sides are disjoint by construction (every new
+    // pair has a batch-id member; standing edges never do), so the
+    // per-side dedup equals the former union-then-distinct.
     val standingTouched = oldGraph
       .join(broadcast(touched), Seq("src"), "left_semi")
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst"), col("score"))
     val untouched = oldGraph
       .join(broadcast(touched), Seq("src"), "left_anti")
       .select(col("src"), col("dst"), col("score"), col("rank"))
-    rankTopK(all, standingTouched.unionByName(newPairsP).distinct(), k)
+    val newScored = newPairsP.distinct()
+      .join(all.select(col("vec_id").as("src"), col("embedding").as("se")),
+        Seq("src"))
+      .join(all.select(col("vec_id").as("dst"), col("embedding").as("de")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(Similarity.cosine(col("se"), col("de")), 6).as("score"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("score").desc, col("dst").asc)
+    standingTouched.unionByName(newScored)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
       .unionByName(untouched)
   }
 
@@ -393,8 +423,11 @@ object KnnGraph {
         element_at(typedLit(seedIds), col("ent") + 1).as("vec_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(q), Seq("query_id"))
+    // pinEntries: the centroid-entry lineage (element_at alias over
+    // non-nullable inputs) is exactly the constraint-snapshot case the
+    // scrub-pin exists for — see [[beamFrontier]]
     topRanked(beamFrontier(embeddings, graph, scoreWithQ(embeddings, entries),
-      beam, rounds), k)
+      beam, rounds, pinEntries = true), k)
   }
 
   /** [[beamSearch]] with a SAMPLED-ENTRY upper layer — the HNSW
@@ -422,7 +455,8 @@ object KnnGraph {
     require(k <= beam, s"k ($k) must not exceed the beam width ($beam)")
     require(entryStep >= 1, s"entryStep must be positive, got $entryStep")
     topRanked(beamFrontier(embeddings, graph,
-      sampledEntries(embeddings, queries, entryStep), beam, rounds), k)
+      sampledEntries(embeddings, queries, entryStep), beam, rounds,
+      pinEntries = false), k)
   }
 
   /** Exact integer power (layer step spacing). */
@@ -598,6 +632,11 @@ object KnnGraph {
                     checkDisjoint: Boolean = true): LayeredGraph = {
     val base = extend(oldEmb, newEmb, lg.layers(0), lg.k, lg.nCentroids,
       checkDisjoint)
+    // a hierarchy with no upper layers has nothing to route — return
+    // before the stats agg (whose head() on an empty aggregate list
+    // would throw; the r15 advisor's finding)
+    if (lg.layers.size == 1)
+      return lg.copy(layers = Seq(base))
     // ONE batch-side stats pass for every layer's routing decision
     // (sampled-count + min sampled id per layer), replacing the former
     // per-layer limit(1) probes — 2·nLayers tiny jobs collapsed into
@@ -670,16 +709,20 @@ object KnnGraph {
     // one embedding join + one query-set broadcast per LAYER removed)
     var frontier = beamFrontier(embeddings, lg.layers(nLayers),
       sampledEntries(embeddings, queries, lpow(lg.entryStep, nLayers)),
-      beam, rounds)
+      beam, rounds, pinEntries = false)
     var l = nLayers - 1
     while (l >= 0) {
       val byQ = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id").asc)
+      // the handoff window is a live plan over the (pinned) previous
+      // frontier — cheap to evaluate inside round 1, no scrub-pin
+      // needed (see [[beamFrontier]])
       val entries = frontier
         .withColumn("rn", row_number().over(byQ))
         .filter(col("rn") <= handoff)
         .select(col("query_id"), col("vec_id"), col("score"), col("q_emb"))
-      frontier = beamFrontier(embeddings, lg.layers(l), entries, beam, rounds)
+      frontier = beamFrontier(embeddings, lg.layers(l), entries, beam, rounds,
+        pinEntries = false)
       l -= 1
     }
     topRanked(frontier, k)
@@ -721,13 +764,23 @@ object KnnGraph {
     * (guide §2.4: two operations keyed the same way share one
     * exchange; here they fuse into one operator outright).
     */
-  private def keepBestBeam(rows: DataFrame, beam: Int): DataFrame = {
-    def cmp(l: Column, r: Column): Column =
-      when(l.getField("score") > r.getField("score"), -1)
-        .when(l.getField("score") < r.getField("score"), 1)
+  private[ops] def keepBestBeam(rows: DataFrame, beam: Int): DataFrame = {
+    // the NaN arms make the comparator total and mirror the window
+    // order exactly: Spark sorts NaN as GREATEST, so under score DESC
+    // a NaN score sorts first; without the arms a NaN pair fell
+    // through to the vec_id tiebreak (round-15 review finding — a
+    // zero-norm embedding's cosine is NaN, and the two orders
+    // diverged). NaN == NaN here, matching the ordering semantics.
+    def cmp(l: Column, r: Column): Column = {
+      val (ls, rs) = (l.getField("score"), r.getField("score"))
+      when(isnan(ls) && !isnan(rs), -1)
+        .when(!isnan(ls) && isnan(rs), 1)
+        .when(ls > rs, -1)
+        .when(ls < rs, 1)
         .when(l.getField("vec_id") < r.getField("vec_id"), -1)
         .when(l.getField("vec_id") > r.getField("vec_id"), 1)
         .otherwise(0)
+    }
     rows
       .groupBy(col("query_id"))
       .agg(slice(array_distinct(array_sort(
@@ -759,7 +812,7 @@ object KnnGraph {
     */
   private def beamFrontier(embeddings: DataFrame, graph: DataFrame,
                            entries: DataFrame, beam: Int,
-                           rounds: Int): DataFrame = {
+                           rounds: Int, pinEntries: Boolean): DataFrame = {
     // checkpoint + CONSTRAINT SCRUB for every keep-best union child:
     // localCheckpoint's LogicalRDD snapshots the origin plan's
     // constraints, and a snapshot can reference attributes the plan
@@ -769,11 +822,22 @@ object KnnGraph {
     // PruneFilters. Rebuilding the frame from the materialized RDD
     // yields a constraint-free leaf; the frames are |queries|·beam·k
     // rows, so the extra row round-trip is noise.
+    //
+    // pinEntries = false (the sampled/layered entry paths): the entry
+    // frame is a LIVE plan over pinned or source frames — no
+    // constraint snapshot to scrub, and skipping the eager entry pin
+    // drops one checkpoint job per beamFrontier call (three per
+    // layered descent; guide §1.2). Round 1 evaluates the entry
+    // subtree twice (candidate expansion + keep-best union) inside
+    // one job — the subtree is |queries|·handoff rows over a pinned
+    // frontier, or the top sample scan, and AQE reuses its identical
+    // exchange stages. The centroid-entry path (beamSearch) keeps the
+    // pin: its element_at lineage is the scrub's reason to exist.
     def pinned(df: DataFrame): DataFrame = {
       val ck = df.localCheckpoint()
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
-    var frontier = pinned(entries)
+    var frontier = if (pinEntries) pinned(entries) else entries
     var i = 0
     while (i < rounds) {
       // the candidate expansion+scoring (the broadcast joins — see

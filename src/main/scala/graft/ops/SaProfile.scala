@@ -32,9 +32,13 @@ object SaProfile {
       val (j0, s0) = (jobs.get(), stages.get())
       val t0 = System.nanoTime()
       val n = f
+      // capture elapsed BEFORE the listener drain — the sleep is not
+      // part of the phase (it inflated every reported phase by a
+      // fixed ~0.2 s, misreporting small phases; r15 advisor)
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // listener events are async; give the queue a beat
       Thread.sleep(200)
-      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+      println(f"$name%-34s $elapsed%8.2f s" +
         f"  jobs=${jobs.get() - j0}%-4d stages=${stages.get() - s0}%-4d rows=$n")
     }
     def drain(df: DataFrame): Long = {

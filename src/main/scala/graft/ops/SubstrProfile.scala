@@ -30,8 +30,11 @@ object SubstrProfile {
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       f
+      // elapsed captured BEFORE the listener drain (the sleep is not
+      // part of the phase; r15 advisor)
+      val elapsed = (System.nanoTime() - t0) / 1e9
       Thread.sleep(150)
-      println(f"$name%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s  jobs=${jobs.get() - j0}")
+      println(f"$name%-38s $elapsed%8.2f s  jobs=${jobs.get() - j0}")
     }
 
     val minLen = 32

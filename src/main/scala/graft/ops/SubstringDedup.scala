@@ -525,14 +525,25 @@ object SubstringDedup {
                         batch: DataFrame, idCol: Column, textCol: Column,
                         maxBucket: Option[Long],
                         checkDisjoint: Boolean = true): DataFrame = {
-    if (checkDisjoint)
-      Guards.requireDisjointIds(idx.fps.select(col("doc_id")),
-        batch.select(idCol), "SubstringDedup.dupPairsAgainst")
+    // the disjoint-id guard RIDES the bloom prefilter's standing scan
+    // instead of running its own job per probe (guide §1.2 — the r15
+    // guard job was the measured cost of the winnow crawl twin):
+    // every standing fps row's h evaluation first checks its doc_id
+    // against the broadcast batch-id set, and the prefilter evaluates
+    // h on every standing row, so the check cannot be bypassed. It
+    // fires at the probe's action rather than at call time — the
+    // probe's result is always consumed per batch, so the failure is
+    // exactly as loud, one standing pass cheaper.
+    val standingFps =
+      if (checkDisjoint)
+        Guards.disjointIdsRide(idx.fps, "doc_id", "h",
+          batch.select(idCol), "SubstringDedup.dupPairsAgainst")
+      else idx.fps
     val bSrc = batch.select(idCol.as("doc_id"), textCol.as("t"))
     val sSrc = standingDocs.select(idCol.as("doc_id"), textCol.as("t"))
     val bfps = SuffixArray.winnowedFps(bSrc, idx.k, idx.minLen - idx.k + 1)
       .localCheckpoint(eager = false)
-    val standingPruned = BloomJoin.prefilter(idx.fps, col("h"),
+    val standingPruned = BloomJoin.prefilter(standingFps, col("h"),
       bfps, col("h"), expectedItems = math.max(bfps.count(), 1L))
     // optional cap over the TOUCHED buckets (pruned standing ∪ batch)
     // — both join sides filter to the same below-cap hash set

@@ -117,9 +117,9 @@ object SuffixArray {
   /** Run `doublings` rounds (comparison depth 2^doublings), stopping
     * early once every suffix has a unique rank if `stopWhenUnique`.
     * Returns (did, pos, slen, r) — unless `rankLast` is false, in
-    * which case the LAST round's pair is returned un-renumbered as
-    * (did, pos, slen, r1, r2): the pair partitions positions exactly
-    * as its dense rank would, so equality consumers
+    * which case the LAST round's key tuple is returned un-renumbered
+    * as (did, pos, slen, ks: array<long>): the key partitions
+    * positions exactly as its dense rank would, so equality consumers
     * ([[repeatGroups]]) can skip a whole rank-and-join round.
     *
     * The 2^{k−1} shift is a per-document `lead()` — positions are
@@ -134,6 +134,13 @@ object SuffixArray {
     */
   private val PositionsPerPartition = 4000000L
 
+  /** Max packed key columns in the radix initial round: 8 longs of
+    * key per row (64 chars of depth at a 7-bit alphabet) — enough to
+    * cover the shipped depths in ONE ranked round while keeping the
+    * sort key bounded.
+    */
+  private val PackColsMax = 8L
+
   private def doublingRanks(docs: DataFrame, idCol: Column, textCol: Column,
                             doublings: Int, stopWhenUnique: Boolean,
                             rankLast: Boolean = true): DataFrame = {
@@ -143,12 +150,16 @@ object SuffixArray {
     // session's shuffle width (the cluster-parallelism knob — the old
     // hardcoded 32 capped a 1000-executor cluster at 32 tasks), and
     // grows with the corpus per the heap rule (one cheap narrow agg
-    // over the doc table, amortized across all log-depth rounds)
-    val totalPos = docs.agg(sum(length(textCol))).collect()(0) match {
+    // over the doc table, amortized across all log-depth rounds).
+    // LAZY: the fully-packed rankLast=false path returns before any
+    // ranked round, and then neither the position count nor the
+    // partition sizing is ever needed — skipping the agg job is one
+    // fewer pass per sharded-miner shard (guide §1.2).
+    lazy val totalPos = docs.agg(sum(length(textCol))).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    val nPart = math.max(
+    lazy val nPart = math.max(
       docs.sparkSession.sessionState.conf.numShufflePartitions.toLong,
       totalPos / PositionsPerPartition + 1L).toInt
     val pos = positions(docs, idCol, textCol)
@@ -164,32 +175,26 @@ object SuffixArray {
       .localCheckpoint()
     val charRanked = pos.join(broadcast(charRanks), Seq("ch"))
       .select(col("did"), col("pos"), col("slen"), col("r"))
-    // PACKED INITIAL RANK (guide §1.2 step 1 — remove whole passes):
-    // instead of starting the doubling at depth 1, pack the first c
-    // char-ranks into ONE long (b bits each, exhausted-suffix
-    // sentinel 0 packs as zero bits) and dense-rank the packed key —
-    // depth c after a single ranked round. The packed long orders
-    // exactly as the (r_0..r_{c-1}) tuple, and the tuple orders
-    // exactly as the first c characters with exhaustion-first — the
-    // invariant the doubling rounds maintain — so the dense ranks are
-    // VALUE-identical to log2(c) doubling rounds (dense ranks over
-    // the same total order are equal), and every later round is
-    // untouched. c is a power of two so the realized depths stay the
-    // 2^k grid the rankLast contract needs; it adapts to the
-    // alphabet: ≤127 distinct chars → 8 chars × 7 bits, ≤32767 → 4 ×
-    // 15, else 2 × 31 (56/60/62 bits — no sign-bit overflow).
-    //
-    // PAIR packing doubles the free depth again: the doubling
-    // machinery ranks (r1, r2) PAIRS, and a second packed long over
-    // chars c..2c−1 is value-order-identical to a width-c rank of
-    // pos+c (same total order, same equivalence classes, exhaustion
-    // packing as zero bits == the lead()'s 0 sentinel) — so
-    // (pack(pos), pack(pos+c)) IS the width-c pair at depth 2c, one
-    // ranked round for free whenever the target depth allows it. At
-    // minLen = 32 the per-shard mining is 1 ranked round + final
-    // pair (was 2 + final); suffixRanks at depth 64 runs 3 ranked
-    // rounds (was 4, originally 6) — each saved round is a full
-    // corpus-sized range sort + scan.
+    // RADIX-PACKED INITIAL ROUND (guide §1.2 step 1 — remove whole
+    // passes): instead of starting the doubling at depth 1, pack runs
+    // of c char-ranks into longs (b bits each, exhausted-suffix
+    // sentinel 0 packs as zero bits) and dense-rank the packed KEY
+    // TUPLE — depth c·nKeys after a single ranked round. Each packed
+    // long orders exactly as its (r_off..r_{off+c-1}) block, and the
+    // key tuple orders exactly as the first c·nKeys characters with
+    // exhaustion-first — the invariant the doubling rounds maintain —
+    // so the dense ranks are VALUE-identical to log2(c·nKeys)
+    // doubling rounds (dense ranks over the same total order are
+    // equal), and every later round is untouched. c is a power of two
+    // so the realized depths stay the 2^k grid the rankLast contract
+    // needs; it adapts to the alphabet: ≤127 distinct chars → 8 chars
+    // × 7 bits, ≤32767 → 4 × 15, else 2 × 31 (56/60/62 bits — no
+    // sign-bit overflow). Up to PackColsMax key longs cover depth 64
+    // (7-bit alphabet) in ONE ranked round — suffixRanks at depth 64
+    // runs 1 ranked round (was 3 with the pair pack, originally 6),
+    // and the minLen ≤ 64 class miners run ZERO ranked rounds: the
+    // packed tuple IS the class key (see rankLast below). Each saved
+    // round is a full corpus-sized range sort + scan.
     val alpha = charRanks.count()
     val targetDepth = 1L << doublings
     val cMax = if (alpha <= 127L) 8L else if (alpha <= 32767L) 4L else 2L
@@ -202,14 +207,13 @@ object SuffixArray {
     // pinned state at the ×64 curve point)
     var cur: DataFrame = null
     var prevPin: DataFrame = null
-    // position count == Σ length (one row per character) — the agg
-    // above already paid for it, so the early-unique reference needs
-    // no extra count job
-    val n = totalPos
-    var width = 1
     // an empty position table (all-NULL text) is vacuously unique —
-    // skip the rounds rather than NPE on the max-rank probe
-    var done = stopWhenUnique && n == 0L
+    // skip the rounds rather than NPE on the max-rank probe.
+    // position count == Σ length (one row per character) — the sizing
+    // agg already paid for it, so the early-unique reference needs no
+    // extra count job
+    var done = stopWhenUnique && totalPos == 0L
+    var width = 1L
     if (done || c <= 1 || doublings < 1) {
       cur = charRanked.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       prevPin = cur
@@ -219,29 +223,61 @@ object SuffixArray {
                  else lead(col("r"), off + i, 0L).over(byDoc)
         ri * lit(1L << (packBits * (c - 1 - i)))
       }.reduce(_ + _)
+      // ZERO-ROUND CLASS PATH: an equality consumer whose target
+      // depth fits the key-width bound needs NO ranked round at all —
+      // the packed key tuple IS the depth-`targetDepth` class key
+      // (it partitions positions exactly as the dense rank would),
+      // and the downstream groupBy/join on the array stays inside
+      // Tungsten. The ranked path below deliberately keeps 2-long
+      // keys: wide array keys through the RDD-based PrefixScan cost
+      // more in boxing and array ordering than the rounds they save
+      // (measured: q_sa_ranks 16 → 21 s isolated with 8-long keys).
+      if (!rankLast && targetDepth <= c.toLong * PackColsMax) {
+        val nKeys = math.max(1L, targetDepth / c).toInt
+        val keyed = charRanked.select(col("did"), col("pos"), col("slen"),
+          array((0 until nKeys).map(j => packFrom(j * c)): _*).as("ks"))
+        return keyed.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      }
       // pair-pack the second half whenever the target depth allows it
-      val realized = if (2L * c <= targetDepth) 2 * c else c
+      val realized = if (2L * c <= targetDepth) 2L * c else c.toLong
       val paired = charRanked.select(col("did"), col("pos"), col("slen"),
         packFrom(0).as("r1"),
-        (if (realized == 2 * c) packFrom(c) else lit(0L)).as("r2"))
-      // the packing round IS the last round: its pair partitions
-      // positions exactly as the depth-`realized` dense rank would
-      if (realized.toLong == targetDepth && !rankLast)
-        return paired.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        (if (realized == 2L * c) packFrom(c) else lit(0L)).as("r2"))
       val (ranked, pin) = scanRanks(paired, nPart)
       cur = ranked
       prevPin = pin
       ConnectedComponents.unpersistCheckpoint(charRanks)
       if (stopWhenUnique &&
-        cur.agg(max(col("r"))).collect()(0).getLong(0) == n) done = true
+        cur.agg(max(col("r"))).collect()(0).getLong(0) == totalPos) done = true
       width = realized
     }
+    // RANK-PAIR PACKING in the loop (the initial round's trick applied
+    // to the doubling itself): while every dense rank fits in 31 bits
+    // (r ≤ n < 2^31), pack two width-w ranks per long — the pair
+    // (pack(r_p, r_{p+w}), pack(r_{p+2w}, r_{p+3w})) orders exactly as
+    // the 4-tuple, which orders exactly as the first 4w characters —
+    // so one ranked round QUADRUPLES the depth instead of doubling it
+    // (the sentinel 0 packs as zero bits == the lead() default).
+    // Above 2^31 positions the classic pair round is used unchanged.
+    lazy val quadOk = totalPos < (1L << 31)
     while (width < targetDepth && !done) {
-      val paired = cur.select(col("did"), col("pos"), col("slen"),
-        col("r").as("r1"),
-        lead(col("r"), width, 0L).over(byDoc).as("r2"))
-      if (2L * width == targetDepth && !rankLast) {
-        val out = paired.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      val quad = quadOk && 4L * width <= targetDepth
+      val wi = width.toInt
+      val paired =
+        if (quad) cur.select(col("did"), col("pos"), col("slen"),
+          (col("r") * lit(1L << 31) +
+            lead(col("r"), wi, 0L).over(byDoc)).as("r1"),
+          (lead(col("r"), 2 * wi, 0L).over(byDoc) * lit(1L << 31) +
+            lead(col("r"), 3 * wi, 0L).over(byDoc)).as("r2"))
+        else cur.select(col("did"), col("pos"), col("slen"),
+          col("r").as("r1"),
+          lead(col("r"), wi, 0L).over(byDoc).as("r2"))
+      val newWidth = if (quad) 4L * width else 2L * width
+      if (newWidth == targetDepth && !rankLast) {
+        val out = paired
+          .select(col("did"), col("pos"), col("slen"),
+            array(col("r1"), col("r2")).as("ks"))
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         ConnectedComponents.unpersistCheckpoint(prevPin)
         return out
       }
@@ -249,11 +285,11 @@ object SuffixArray {
       cur = ranked
       ConnectedComponents.unpersistCheckpoint(prevPin)
       prevPin = pin
-      // distinct-pair count = the max dense rank — one map pass over
+      // distinct-key count = the max dense rank — one map pass over
       // the round's pinned sort, no extra shuffle
       if (stopWhenUnique &&
-        cur.agg(max(col("r"))).collect()(0).getLong(0) == n) done = true
-      width *= 2
+        cur.agg(max(col("r"))).collect()(0).getLong(0) == totalPos) done = true
+      width = newWidth
     }
     cur
   }
@@ -301,9 +337,10 @@ object SuffixArray {
     require(minLen >= 2 && (minLen & (minLen - 1)) == 0,
       s"minLen must be a power of two, got $minLen")
     val d = java.lang.Integer.numberOfTrailingZeros(minLen)
-    // the final round's (r1, r2) pair partitions eligible positions
+    // the final round's key tuple partitions eligible positions
     // exactly as its dense rank would — group on it directly and
-    // skip the last rank-and-join round
+    // skip the last rank-and-join round (at minLen ≤ 64 on a small
+    // alphabet the radix-packed tuple needs NO ranked round at all)
     val elig = doublingRanks(docs, idCol, textCol, d,
         stopWhenUnique = false, rankLast = false)
       .filter(col("slen") >= minLen)
@@ -322,14 +359,14 @@ object SuffixArray {
         s"repeatGroups packs doc ids as did*2^32+pos: ids must be in " +
           s"[0, 2^31), got [$lo, $hi]")
     }
-    val groups = elig.groupBy(col("r1"), col("r2")).agg(
+    val groups = elig.groupBy(col("ks")).agg(
         min(col("did") * lit(4294967296L) + col("pos")).as("gkey"),
         count(lit(1)).as("n_occ"),
         countDistinct(col("did")).as("n_docs"))
       .filter(col("n_occ") >= 2 && col("n_docs") >= 2)
     // groups can approach corpus size on repeat-heavy corpora — same
     // no-broadcast, spill-safe sort-merge discipline as the rank join
-    elig.join(groups.hint("merge"), Seq("r1", "r2"))
+    elig.join(groups.hint("merge"), Seq("ks"))
       .select(col("did").as("doc_id"), col("pos"),
         expr("gkey div 4294967296").as("grp_did"),
         expr("gkey % 4294967296").as("grp_pos"))

@@ -329,8 +329,12 @@ object StreamBench {
           graft.ops.SubstringDedup
             .dupPairsAgainst(cur, corpus, b, col("doc_id"), col("text"))
             .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+          // disjointness proven: the probe write above just ran its
+          // riding guard over the same (standing fps, batch) pair —
+          // the production loop's opt-out ([[StreamingIngest
+          // .selfWinnowBatches]]), mirrored in the measured twin
           cur = graft.ops.SubstringDedup.extendWinnowIndex(cur, b,
-            col("doc_id"), col("text"))
+            col("doc_id"), col("text"), checkDisjoint = false)
           corpus = corpus.unionByName(b)
           lastExtended = batchId
         }
@@ -477,6 +481,11 @@ object StreamBench {
     // would otherwise fold the same shifted vec_ids into the standing
     // graph/embeddings twice, breaking extend's disjoint-id contract
     var lastExtended = -1L
+    // owned-snapshot flag, NOT batchId > 0: a stream resumed from a
+    // checkpoint can deliver its first batch with batchId > 0, and the
+    // seed snapshots the loop does not own must never be unpersisted
+    // (r15 advisor; the selfKnnBatches `owned` pattern)
+    var owned = false
     val t0 = System.nanoTime()
     val q = vs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -496,11 +505,12 @@ object StreamBench {
           // sized: without this the block manager grows linearly with
           // batch count — the selfKnnBatches hygiene, applied to the
           // measured twin)
-          if (batchId > 0) {
+          if (owned) {
             graft.ops.ConnectedComponents.unpersistCheckpoint(prevEmb)
             graft.ops.ConnectedComponents.unpersistCheckpoint(prevGraph)
           }
           graft.ops.ConnectedComponents.unpersistCheckpoint(batch)
+          owned = true
           lastExtended = batchId
         }
         ()
@@ -540,6 +550,9 @@ object StreamBench {
     // would fold the same shifted vec_ids in twice, breaking extend's
     // disjoint-id contract
     var lastExtended = -1L
+    // owned-snapshot flag, NOT batchId > 0 (r15 advisor; see
+    // benchSelfKnn)
+    var owned = false
     val t0 = System.nanoTime()
     val q = vs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -563,7 +576,7 @@ object StreamBench {
           // upper layer passes through extendLayered by REFERENCE, so
           // only snapshots the new hierarchy no longer aliases are
           // dropped
-          if (batchId > 0) {
+          if (owned) {
             graft.ops.ConnectedComponents.unpersistCheckpoint(prevEmb)
             prevLg.layers.zip(lg.layers).foreach { case (o, n) =>
               if (!(o eq n))
@@ -571,6 +584,7 @@ object StreamBench {
             }
           }
           graft.ops.ConnectedComponents.unpersistCheckpoint(batch)
+          owned = true
           lastExtended = batchId
         }
         ()

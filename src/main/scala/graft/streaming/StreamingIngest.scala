@@ -949,8 +949,12 @@ object StreamingIngest {
           graft.ops.SubstringDedup
             .dupPairsAgainst(idx, corpus, b, col("doc_id"), col("text"))
             .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+          // disjointness is proven for this fold: the probe write
+          // above just ran its riding guard over the SAME (standing
+          // fps, batch) pair — the documented opt-out, one standing
+          // scan per batch instead of two
           idx = graft.ops.SubstringDedup.extendWinnowIndex(idx, b,
-            col("doc_id"), col("text"))
+            col("doc_id"), col("text"), checkDisjoint = false)
           corpus = corpus.unionByName(b)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
             corpus = corpus.localCheckpoint(true,

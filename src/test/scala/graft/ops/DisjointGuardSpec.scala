@@ -21,9 +21,17 @@ class DisjointGuardSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
 
   private def assertGuard(what: String)(f: => Any): Unit = {
-    val e = intercept[IllegalArgumentException](f)
-    assert(e.getMessage.contains("must be disjoint"), s"$what: $e")
-    assert(e.getMessage.contains(what), s"guard must name the operation: $e")
+    // eager guards throw IllegalArgumentException at call time; the
+    // scan-riding guards (KnnGraph.extend, dupPairsAgainst) surface as
+    // a raise_error inside the fold's job, wrapped by Spark — walk the
+    // cause chain, the loudness contract is the message
+    val e = intercept[Throwable](f)
+    def msgs(t: Throwable, depth: Int): List[String] =
+      if (t == null || depth > 8) Nil
+      else Option(t.getMessage).toList ::: msgs(t.getCause, depth + 1)
+    val all = msgs(e, 0).mkString("\n")
+    assert(all.contains("must be disjoint"), s"$what: $e")
+    assert(all.contains(what), s"guard must name the operation: $e")
   }
 
   test("MinHash.extend rejects a batch that re-uses a standing id") {

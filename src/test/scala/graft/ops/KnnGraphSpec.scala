@@ -626,4 +626,32 @@ class KnnGraphSpec extends AnyFunSuite {
       s"expected the sub-tolerance final iteration applied: " +
         s"rounds=$rounds, expected=$expectedRounds, trajectory=$updates, tol=$tol")
   }
+
+  test("keepBestBeam: NaN scores sort exactly as the window order (NaN greatest)") {
+    // a zero-norm embedding's cosine is NaN; the former comparator
+    // fell through to the vec_id tiebreak on NaN, diverging from the
+    // row_number ordering (score DESC, vec_id ASC — Spark sorts NaN
+    // as greatest) it claims to mirror. This frame would keep vec 7
+    // under the broken comparator; the window order keeps vec 9.
+    val rows = Seq(
+      (1L, 7L, 0.9, Seq(1.0f)),
+      (1L, 9L, Double.NaN, Seq(1.0f)),
+      (1L, 3L, 0.5, Seq(1.0f)))
+      .toDF("query_id", "vec_id", "score", "q_emb")
+    val kept = KnnGraph.keepBestBeam(rows, beam = 2)
+      .select(col("vec_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // window reference: NaN greatest → (9, NaN) then (7, 0.9)
+    assert(kept.map(_._1) == Seq(9L, 7L),
+      s"comparator diverged from the window's NaN order: $kept")
+    assert(kept.head._2.isNaN)
+    // both-NaN ties still break by vec_id, and equality stays total
+    val ties = Seq(
+      (1L, 5L, Double.NaN, Seq(1.0f)),
+      (1L, 2L, Double.NaN, Seq(1.0f)))
+      .toDF("query_id", "vec_id", "score", "q_emb")
+    val keptTies = KnnGraph.keepBestBeam(ties, beam = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(keptTies == Seq(2L, 5L), s"NaN-tie order broke: $keptTies")
+  }
 }
