@@ -423,11 +423,15 @@ object KnnGraph {
         element_at(typedLit(seedIds), col("ent") + 1).as("vec_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(q), Seq("query_id"))
-    // pinEntries: the centroid-entry lineage (element_at alias over
-    // non-nullable inputs) is exactly the constraint-snapshot case the
-    // scrub-pin exists for — see [[beamFrontier]]
+    // pinEntries = false: the constraint-scrub hazard was the
+    // SNAPSHOT of the centroid-entry lineage (element_at alias over
+    // non-nullable inputs) feeding a union — with the entry frame
+    // live, round 1's own pin is the first snapshot and [[pinned]]
+    // scrubs it immediately, so no stale-constraint leaf ever feeds a
+    // union (the rounds >= 2 non-nullable-input spec pins this); one
+    // checkpoint job per probe saved
     topRanked(beamFrontier(embeddings, graph, scoreWithQ(embeddings, entries),
-      beam, rounds, pinEntries = true), k)
+      beam, rounds, pinEntries = false), k)
   }
 
   /** [[beamSearch]] with a SAMPLED-ENTRY upper layer — the HNSW
@@ -730,8 +734,13 @@ object KnnGraph {
 
   /** Score a bounded (query_id, vec_id, …, q_emb) row set: ONE join to
     * the embedding table by vec_id (bucket-friendly at scale; the
-    * planner picks the strategy — locally the small embedding table
-    * broadcasts). No query-set join: q_emb already rides the rows.
+    * planner picks the strategy — locally AQE broadcasts the small
+    * embedding table, and because that broadcast subtree is IDENTICAL
+    * across the walk's rounds, exchange reuse builds it once per pin
+    * query; an explicit broadcast of the per-round candidate rows was
+    * measured WORSE for exactly that reason — it replaced one reused
+    * build with a distinct build per round). No query-set join: q_emb
+    * already rides the rows.
     */
   private def scoreWithQ(embeddings: DataFrame, rows: DataFrame): DataFrame =
     rows
@@ -846,7 +855,14 @@ object KnnGraph {
       // leaf (only LogicalRDD snapshots carried the stale projected-
       // away references), it is consumed exactly once, and skipping
       // the eager pin halves the round's checkpoint jobs — measured
-      // 1.25x on the layered descent at sf0.1
+      // 1.25x on the layered descent at sf0.1.
+      //
+      // Measured dead end, r16: folding ALL rounds into one pinned
+      // query per walk (relying on AQE exchange reuse for the
+      // per-round dedup) cut jobs 49 → 41 per layered probe batch but
+      // REGRESSED q_graph_ann_layered 3.9 → 5.2 s in-suite — the
+      // deeper adaptive query re-plans more per stage than the saved
+      // checkpoints cost. Per-round pins stay.
       val cand = beamCandidates(embeddings, graph, frontier)
       frontier = pinned(keepBestBeam(cand.unionByName(frontier), beam))
       i += 1

@@ -45,11 +45,24 @@ object Parse {
   /** SRC3: JSONL lines → envelope rows. Malformed/blank outer lines
     * yield NULL structs (PERMISSIVE mode ≙ the reference's
     * skip-and-warn, parse.py:58-69) and are dropped.
+    *
+    * GENERATOR BARRIER around the parse (the guide §4.4 duplication,
+    * JVM edition): a filter over a Project-computed `from_json` is
+    * pushed down BY SUBSTITUTION, so each referencing predicate
+    * re-evaluates the Jackson parse — the plan showed from_json
+    * evaluated four times per row in the envelope filter, and the
+    * pushdown additionally dragged all of it below the caller's
+    * fan-out exchange (undoing [[fanOut]]). `explode(array(...))`
+    * materializes the struct ONCE per input row (one-element array —
+    * row count unchanged), and predicates on generator output cannot
+    * be pushed below the Generate, so the downstream status/content
+    * filters read the materialized struct instead of re-parsing.
     */
   def parseEnvelope(lines: DataFrame, valueCol: String = "value"): DataFrame =
     lines
       .filter(trim(col(valueCol)) =!= "")
-      .withColumn("rec", from_json(col(valueCol), ResponseSchema))
+      .select(explode(array(from_json(col(valueCol), ResponseSchema)))
+        .as("rec"))
       .filter(col("rec").isNotNull && col("rec.custom_id").isNotNull)
       .select("rec.*")
 

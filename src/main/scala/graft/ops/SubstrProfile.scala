@@ -55,19 +55,24 @@ object SubstrProfile {
           reverse(col("text")).as("text"))
         .localCheckpoint()
       println(s"--- batch $i")
-      time("  guard requireDisjointIds")(
-        Guards.requireDisjointIds(corpus.select(col("doc_id")),
-          b.select(col("doc_id")), "profile"))
-      val oldSrc = corpus.select(col("doc_id"), col("text").as("t"))
+      // the guard rides the prefilter + verify scans now (and the
+      // verify src below) — no separate phase
+      val oldSrc = Guards.disjointIdsRide(
+        corpus.select(col("doc_id"), col("text").as("t")),
+        "doc_id", "doc_id", b.select(col("doc_id")), "profile")
       val newSrc = b.select(col("doc_id"), col("text").as("t"))
       var fpsNew: DataFrame = null
-      time("  gramFps(batch) + pin") {
+      var nFpsNew = 0L
+      time("  gramFps(batch) lazy pin + sizing count") {
         fpsNew = SuffixArray.gramFps(newSrc, minLen)
-          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+          .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+        nFpsNew = fpsNew.count()
       }
       var cand: DataFrame = null
-      time("  extendCandidates (bloom+window) + pin") {
-        cand = SuffixArray.extendCandidates(model.fps, fpsNew)
+      time("  extendCandidates (bloom+window, guarded) + pin") {
+        cand = SuffixArray.extendCandidates(
+            Guards.disjointIdsRide(model.fps, "doc_id", "h",
+              b.select(col("doc_id")), "profile"), fpsNew, nFpsNew)
           .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       }
       var membersX: DataFrame = null

@@ -1026,13 +1026,18 @@ object SuffixArray {
     * (the bloom sizing input).
     */
   private[graft] def extendCandidates(standingFps: DataFrame,
-                                      fpsNew: DataFrame): DataFrame = {
+                                      fpsNew: DataFrame): DataFrame =
+    extendCandidates(standingFps, fpsNew, fpsNew.count())
+
+  private[graft] def extendCandidates(standingFps: DataFrame,
+                                      fpsNew: DataFrame,
+                                      nFpsNew: Long): DataFrame = {
     // bipartite probe as ONE h-shuffle of the tagged union; the
     // STANDING side is bloom-pruned on the batch's hashes BEFORE its
     // exchange (the [[BloomJoin]] discipline) — see the step (2)
     // notes in [[extendRepeatGroups]]
     val standingPruned = BloomJoin.prefilter(standingFps, col("h"),
-      fpsNew, col("h"), expectedItems = math.max(fpsNew.count(), 1L))
+      fpsNew, col("h"), expectedItems = math.max(nFpsNew, 1L))
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
     standingPruned.withColumn("is_new", lit(false))
       .unionByName(fpsNew.withColumn("is_new", lit(true)))
@@ -1046,22 +1051,44 @@ object SuffixArray {
                          batch: DataFrame, idCol: Column,
                          textCol: Column,
                          checkDisjoint: Boolean = true): RepeatInventory = {
-    // the guard probes the standing DOC table, not the per-gram-
-    // position fps table: same verdict for every id the inventory has
-    // seen (the inventory is trained over standingDocs), three orders
-    // of magnitude fewer rows scanned per fold — and it additionally
-    // catches a re-crawled id whose standing text was too short to
-    // fingerprint
-    if (checkDisjoint)
+    val minLen = standing.minLen
+    // the disjoint-id guard RIDES scans the fold already pays (guide
+    // §1.2 — the r15 guard was a measured 4-job cost per crawl
+    // batch), on BOTH standing tables the fold touches: the bloom
+    // prefilter's standing-fps scan (every fingerprinted standing id,
+    // checked whenever the batch fingerprints anything) and the
+    // literal verify's standing-doc join (every standing id including
+    // sub-minLen docs, checked whenever candidates exist). A batch
+    // with NO fingerprints falls back to the explicit probe — its
+    // detection is free, the bloom-sizing count below already knows.
+    // Residual corner, accepted and bounded: a zero-CANDIDATE batch
+    // colliding with a sub-minLen standing doc id folds unchecked —
+    // but the collision lands that id in the standing fps, so the
+    // very next fold's prefilter ride raises on it (loud one fold
+    // late, never silent corruption that persists).
+    val oldSrc0 = standingDocs.select(idCol.as("doc_id"), textCol.as("t"))
+    val oldSrc =
+      if (checkDisjoint)
+        Guards.disjointIdsRide(oldSrc0, "doc_id", "doc_id",
+          batch.select(idCol), "SuffixArray.extendRepeatGroups")
+      else oldSrc0
+    val newSrc = batch.select(idCol.as("doc_id"), textCol.as("t"))
+    // LAZY pin: consumed by the batch miner, the probe, AND the folded
+    // fps artifact — ONE linear fingerprint pass serves all three, and
+    // the probe's bloom-sizing count below is the action that
+    // materializes it, so the former separate eager-pin job is folded
+    // into a pass the fold already pays (guide §1.2)
+    val fpsNew = gramFps(newSrc, minLen)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    val nFpsNew = fpsNew.count() // bloom sizing + materializes the pin
+    if (checkDisjoint && nFpsNew == 0L)
       Guards.requireDisjointIds(standingDocs.select(idCol),
         batch.select(idCol), "SuffixArray.extendRepeatGroups")
-    val minLen = standing.minLen
-    val oldSrc = standingDocs.select(idCol.as("doc_id"), textCol.as("t"))
-    val newSrc = batch.select(idCol.as("doc_id"), textCol.as("t"))
-    // pinned: consumed by the batch miner, the probe, AND the folded
-    // fps artifact — ONE linear fingerprint pass serves all three
-    val fpsNew = gramFps(newSrc, minLen)
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val standingFpsGuarded =
+      if (checkDisjoint)
+        Guards.disjointIdsRide(standing.fps, "doc_id", "h",
+          batch.select(idCol), "SuffixArray.extendRepeatGroups")
+      else standing.fps
     // (1) the batch's own classes — O(batch) mining on the
     // fingerprint path (the doubling rounds would re-sort the batch
     // log2(minLen) times for classes the pinned fps already indexes);
@@ -1081,7 +1108,7 @@ object SuffixArray {
     // maxNumBits confs (see [[BloomJoin.optimalNumBits]]).
     // pinned: consumed by the side map AND the literal verify — the
     // pin caps the corpus-sized h-window at ONE evaluation per batch
-    val cand = extendCandidates(standing.fps, fpsNew)
+    val cand = extendCandidates(standingFpsGuarded, fpsNew, nFpsNew)
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // (3) literal verify over candidate docs only; is_new is a
     // function of doc_id (ids are disjoint), re-attached by max()

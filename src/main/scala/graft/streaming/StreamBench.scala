@@ -868,9 +868,24 @@ object StreamBench {
     val only = sys.env.get("SPARK_GRAFT_STREAM_OPS")
       .map(_.split(",").map(_.trim).toSet)
     def want(name: String) = only.forall(_.contains(name))
+    // SPARK_GRAFT_STREAM_RUNS > 1: repeat each selected twin and print
+    // a median line — the streaming counterpart of tools/ReTime, so a
+    // >10% twin mover ships with an isolated-median receipt
+    // (RETIMED_rNN.json) the way batch movers do
+    val streamRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "1").toInt)
     def line(name: String, f: Int, m: => StreamMetrics): Unit =
-      if (want(name))
-        println(s"""{"stream":"$name","factor":$f,"rows":${m.rows},"sec":${m.elapsedSec},"rows_per_sec":${m.rowsPerSec.toLong},"avg_batch_ms":${m.avgBatchMs.toLong},"batches":${m.batches}}""")
+      if (want(name)) {
+        val ms = (1 to streamRuns).map { _ =>
+          val mm = m
+          println(s"""{"stream":"$name","factor":$f,"rows":${mm.rows},"sec":${mm.elapsedSec},"rows_per_sec":${mm.rowsPerSec.toLong},"avg_batch_ms":${mm.avgBatchMs.toLong},"batches":${mm.batches}}""")
+          mm
+        }
+        if (streamRuns > 1) {
+          val obs = ms.map(_.elapsedSec).sorted
+          println(s"""{"stream":"$name","factor":$f,"median_sec":${obs(obs.size / 2)},"runs":${ms.map(x => f"${x.elapsedSec}%.3f").mkString("[", ",", "]")}}""")
+        }
+      }
     factors.foreach { f =>
       // scope the end-of-factor drain to dirs THIS iteration stages
       val before = trackedDirs()
