@@ -218,11 +218,59 @@ object SuffixArray {
       cur = charRanked.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       prevPin = cur
     } else {
-      def packFrom(off: Int) = (0 until c).map { i =>
-        val ri = if (off + i == 0) col("r")
-                 else lead(col("r"), off + i, 0L).over(byDoc)
-        ri * lit(1L << (packBits * (c - 1 - i)))
-      }.reduce(_ + _)
+      // ONE LINEAR PASS for the packed keys (guide §1.2 — the former
+      // expression form exploded one row per character and paid a
+      // per-document window sort plus c·nKeys lead() frames just to
+      // line the char ranks up again; the chars of one document are
+      // already adjacent in its string). The alphabet rank map is
+      // collected once (alphabet-sized — the same frame the window
+      // form broadcast) and each document packs its whole key-tuple
+      // array in one string traversal, exactly the packFrom
+      // arithmetic: Horner base 2^packBits over the char ranks,
+      // out-of-range positions packing the exhaustion sentinel 0.
+      val rankMap = charRanks.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def packedKeyRows(nKeys: Int): DataFrame = {
+        val bc = docs.sparkSession.sparkContext.broadcast(rankMap)
+        val cc = c; val bits = packBits
+        val packUdf = udf { (t: String) =>
+          if (t == null) Array.empty[Array[Long]]
+          else {
+            // same segmentation as the expression path's
+            // split(t, '') + non-empty filter
+            val chars = t.split("").filter(_.nonEmpty)
+            val n = chars.length
+            val m = bc.value
+            val rs = new Array[Long](n)
+            var i = 0
+            while (i < n) { rs(i) = m(chars(i)); i += 1 }
+            Array.tabulate(n) { p =>
+              val ks = new Array[Long](nKeys)
+              var j = 0
+              while (j < nKeys) {
+                var acc = 0L
+                var i2 = 0
+                while (i2 < cc) {
+                  val q = p + j * cc + i2
+                  acc = (acc << bits) + (if (q < n) rs(q) else 0L)
+                  i2 += 1
+                }
+                ks(j) = acc
+                j += 1
+              }
+              ks
+            }
+          }
+        }
+        docs.select(idCol.as("did"), textCol.as("t"))
+          .repartition(col("did"))
+          .select(col("did"), length(col("t")).cast("long").as("len"),
+            packUdf(col("t")).as("arr"))
+          .select(col("did"), col("len"),
+            posexplode(col("arr")).as(Seq("pos", "ks")))
+          .select(col("did"), col("pos").cast("long").as("pos"),
+            (col("len") - col("pos")).as("slen"), col("ks"))
+      }
       // ZERO-ROUND CLASS PATH: an equality consumer whose target
       // depth fits the key-width bound needs NO ranked round at all —
       // the packed key tuple IS the depth-`targetDepth` class key
@@ -234,15 +282,16 @@ object SuffixArray {
       // (measured: q_sa_ranks 16 → 21 s isolated with 8-long keys).
       if (!rankLast && targetDepth <= c.toLong * PackColsMax) {
         val nKeys = math.max(1L, targetDepth / c).toInt
-        val keyed = charRanked.select(col("did"), col("pos"), col("slen"),
-          array((0 until nKeys).map(j => packFrom(j * c)): _*).as("ks"))
-        return keyed.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        return packedKeyRows(nKeys)
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       }
       // pair-pack the second half whenever the target depth allows it
       val realized = if (2L * c <= targetDepth) 2L * c else c.toLong
-      val paired = charRanked.select(col("did"), col("pos"), col("slen"),
-        packFrom(0).as("r1"),
-        (if (realized == 2L * c) packFrom(c) else lit(0L)).as("r2"))
+      val nKeysInit = (realized / c).toInt
+      val paired = packedKeyRows(nKeysInit).select(
+        col("did"), col("pos"), col("slen"),
+        element_at(col("ks"), 1).as("r1"),
+        (if (nKeysInit == 2) element_at(col("ks"), 2) else lit(0L)).as("r2"))
       val (ranked, pin) = scanRanks(paired, nPart)
       cur = ranked
       prevPin = pin
