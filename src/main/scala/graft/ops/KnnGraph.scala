@@ -423,15 +423,15 @@ object KnnGraph {
         element_at(typedLit(seedIds), col("ent") + 1).as("vec_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(q), Seq("query_id"))
-    // pinEntries = false: the constraint-scrub hazard was the
-    // SNAPSHOT of the centroid-entry lineage (element_at alias over
-    // non-nullable inputs) feeding a union — with the entry frame
-    // live, round 1's own pin is the first snapshot and [[pinned]]
-    // scrubs it immediately, so no stale-constraint leaf ever feeds a
-    // union (the rounds >= 2 non-nullable-input spec pins this); one
-    // checkpoint job per probe saved
+    // pinEntries = true: the centroid-entry lineage is BOTH the
+    // constraint-scrub case (element_at alias over non-nullable
+    // inputs) and expensive to re-evaluate — round 1 references the
+    // entry frame twice, and an unpinned centroid-entry subtree
+    // (typedLit seed array + probe kernel + scoring join) measured
+    // 2x on the graph-probe twin. The sampled/layered paths, whose
+    // entries are cheap live plans, skip the pin instead.
     topRanked(beamFrontier(embeddings, graph, scoreWithQ(embeddings, entries),
-      beam, rounds, pinEntries = false), k)
+      beam, rounds, pinEntries = true), k)
   }
 
   /** [[beamSearch]] with a SAMPLED-ENTRY upper layer — the HNSW
@@ -774,26 +774,27 @@ object KnnGraph {
     * exchange; here they fuse into one operator outright).
     */
   private[ops] def keepBestBeam(rows: DataFrame, beam: Int): DataFrame = {
-    // the NaN arms make the comparator total and mirror the window
-    // order exactly: Spark sorts NaN as GREATEST, so under score DESC
-    // a NaN score sorts first; without the arms a NaN pair fell
-    // through to the vec_id tiebreak (round-15 review finding — a
-    // zero-norm embedding's cosine is NaN, and the two orders
-    // diverged). NaN == NaN here, matching the ordering semantics.
-    def cmp(l: Column, r: Column): Column = {
-      val (ls, rs) = (l.getField("score"), r.getField("score"))
-      when(isnan(ls) && !isnan(rs), -1)
-        .when(!isnan(ls) && isnan(rs), 1)
-        .when(ls > rs, -1)
-        .when(ls < rs, 1)
-        .when(l.getField("vec_id") < r.getField("vec_id"), -1)
-        .when(l.getField("vec_id") > r.getField("vec_id"), 1)
-        .otherwise(0)
-    }
+    // The sort key is PRECOMPUTED once per row in codegen and
+    // array_sort runs its NATIVE struct ordering — a lambda
+    // comparator evaluates an interpreted expression tree per
+    // COMPARISON (O(m log m) per group per round; an isnan-armed
+    // lambda variant measured visibly slower on the graph-probe
+    // twin). Round-6 scores make the long mapping exact and
+    // order-preserving: skey = -round(score*1e6), so ascending skey
+    // IS score DESC, with ties falling to vec_id ASC — the window
+    // order. NaN maps below every real key (= sorts first, the
+    // window's NaN-greatest DESC order; the round-15 review finding —
+    // codegen'd IEEE comparisons in the old lambda treated NaN as
+    // unordered and fell through to the tiebreak). A +-0.0 score pair
+    // keys equally and falls to the deterministic vec_id tiebreak —
+    // exactly the old comparator's behavior (IEEE > and < are false
+    // across +-0), kept as is.
+    val skey = when(isnan(col("score")), lit(-2000001L))
+      .otherwise(-round(col("score") * 1e6).cast("long"))
     rows
       .groupBy(col("query_id"))
       .agg(slice(array_distinct(array_sort(
-          collect_list(struct(col("score"), col("vec_id"))), cmp)),
+          collect_list(struct(skey.as("k"), col("vec_id"), col("score"))))),
           1, beam).as("top"),
         // functional of query_id — every collected value is identical
         first(col("q_emb")).as("q_emb"))

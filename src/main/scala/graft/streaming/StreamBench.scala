@@ -326,15 +326,22 @@ object StreamBench {
           // disjoint from each other and from the standing corpus
           val b = b0.select((col("doc_id") + lit(1000000000000L * (batchId + 1)))
             .as("doc_id"), col("text")).localCheckpoint()
-          graft.ops.SubstringDedup
-            .dupPairsAgainst(cur, corpus, b, col("doc_id"), col("text"))
-            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
-          // disjointness proven: the probe write above just ran its
-          // riding guard over the same (standing fps, batch) pair —
-          // the production loop's opt-out ([[StreamingIngest
-          // .selfWinnowBatches]]), mirrored in the measured twin
-          cur = graft.ops.SubstringDedup.extendWinnowIndex(cur, b,
-            col("doc_id"), col("text"), checkDisjoint = false)
+          // OVERLAP probe write and fold (guide §2.6): the fold's
+          // batch fingerprint pass reads nothing from the probe's
+          // output. Disjointness stays proven-and-loud: the probe
+          // write runs its riding guard over the same (standing fps,
+          // batch) pair within this batch body — the production
+          // loop's opt-out ([[StreamingIngest.selfWinnowBatches]]),
+          // mirrored in the measured twin — and a collision fails the
+          // batch before the next one folds.
+          val prevIdx = cur
+          val (_, next) = graft.ops.Parallel.both(
+            graft.ops.SubstringDedup
+              .dupPairsAgainst(prevIdx, corpus, b, col("doc_id"), col("text"))
+              .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId"),
+            graft.ops.SubstringDedup.extendWinnowIndex(prevIdx, b,
+              col("doc_id"), col("text"), checkDisjoint = false))
+          cur = next
           corpus = corpus.unionByName(b)
           lastExtended = batchId
         }
@@ -494,13 +501,25 @@ object StreamBench {
           // stay < 16·replicas·1e9) so the fold-in never collides
           val batch = b.select((col("vec_id") + lit(1000000000000L)).as("vec_id"),
             col("embedding")).localCheckpoint()
-          graft.ops.KnnGraph.beamSearch(emb, graph,
-            batch.select(col("vec_id").as("query_id"), col("embedding")),
-            k = 5, beam = 16, rounds = 4, nCentroids).count()
           val (prevEmb, prevGraph) = (emb, graph)
-          graph = graft.ops.KnnGraph.extend(emb, batch, graph, k = 5, nCentroids)
-            .localCheckpoint()
-          emb = emb.unionByName(batch).localCheckpoint()
+          // OVERLAP probe and fold (guide §2.6): the probe reads only
+          // the PRE-fold standing state and the fold never consumes
+          // the probe's output — independent actions, scheduled
+          // concurrently so neither's straggler tail idles the
+          // cluster. Same answer, same per-batch work.
+          val (_, ge) = graft.ops.Parallel.both(
+            graft.ops.KnnGraph.beamSearch(prevEmb, prevGraph,
+              batch.select(col("vec_id").as("query_id"), col("embedding")),
+              k = 5, beam = 16, rounds = 4, nCentroids).count(),
+            {
+              val g = graft.ops.KnnGraph
+                .extend(prevEmb, batch, prevGraph, k = 5, nCentroids)
+                .localCheckpoint()
+              val e = prevEmb.unionByName(batch).localCheckpoint()
+              (g, e)
+            })
+          graph = ge._1
+          emb = ge._2
           // drop the superseded snapshots (layer-0 state is corpus-
           // sized: without this the block manager grows linearly with
           // batch count — the selfKnnBatches hygiene, applied to the
@@ -559,18 +578,28 @@ object StreamBench {
         if (batchId > lastExtended) {
           val batch = b.select((col("vec_id") + lit(1000000000000L)).as("vec_id"),
             col("embedding")).localCheckpoint()
-          graft.ops.KnnGraph.beamSearchLayered(emb, lg,
-            batch.select(col("vec_id").as("query_id"), col("embedding")),
-            k = 5, beam = 16, rounds = 3).count()
-          val ext = graft.ops.KnnGraph.extendLayered(emb, batch, lg)
           val (prevEmb, prevLg) = (emb, lg)
-          // an untouched layer passes through extendLayered by
-          // REFERENCE — keep its standing snapshot instead of paying
-          // a re-checkpoint copy job for identical data
-          lg = ext.copy(layers = ext.layers.zip(prevLg.layers).map {
-            case (n, o) => if (n eq o) o else n.localCheckpoint()
-          })
-          emb = emb.unionByName(batch).localCheckpoint()
+          // OVERLAP the descent with the fold (guide §2.6): the probe
+          // reads only the PRE-fold hierarchy; the fold never consumes
+          // its output. Within the fold, the changed layers' snapshot
+          // pins and the embedding union are themselves independent
+          // actions — pinned concurrently too (an untouched layer
+          // passes through extendLayered by REFERENCE and keeps its
+          // standing snapshot instead of paying a re-checkpoint copy).
+          val (_, le) = graft.ops.Parallel.both(
+            graft.ops.KnnGraph.beamSearchLayered(prevEmb, prevLg,
+              batch.select(col("vec_id").as("query_id"), col("embedding")),
+              k = 5, beam = 16, rounds = 3).count(),
+            {
+              val ext = graft.ops.KnnGraph.extendLayered(prevEmb, batch, prevLg)
+              val pins = graft.ops.Parallel.run[DataFrame](
+                ext.layers.zip(prevLg.layers).map { case (n, o) =>
+                  () => if (n eq o) o else n.localCheckpoint()
+                } :+ (() => prevEmb.unionByName(batch).localCheckpoint()))
+              (ext.copy(layers = pins.dropRight(1)), pins.last)
+            })
+          lg = le._1
+          emb = le._2
           // drop the superseded snapshots (the selfLayeredBatches
           // hygiene, applied to the measured twin): an untouched
           // upper layer passes through extendLayered by REFERENCE, so

@@ -580,14 +580,24 @@ object StreamingIngest {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastExtended) {
           val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
-          graft.ops.KnnGraph.beamSearch(emb, graph,
-              b.select(col("vec_id").as("query_id"), col("embedding")),
-              k, beam, rounds, nCentroids)
-            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
           val (prevEmb, prevGraph) = (emb, graph)
-          graph = graft.ops.KnnGraph.extend(emb, b, graph, k, nCentroids)
-            .localCheckpoint()
-          emb = emb.unionByName(b).localCheckpoint()
+          // OVERLAP probe and fold (guide §2.6): the probe reads only
+          // the PRE-fold standing state and the fold never consumes
+          // its output — independent actions, scheduled concurrently.
+          val (_, ge) = graft.ops.Parallel.both(
+            graft.ops.KnnGraph.beamSearch(prevEmb, prevGraph,
+                b.select(col("vec_id").as("query_id"), col("embedding")),
+                k, beam, rounds, nCentroids)
+              .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId"),
+            {
+              val g = graft.ops.KnnGraph
+                .extend(prevEmb, b, prevGraph, k, nCentroids)
+                .localCheckpoint()
+              val e = prevEmb.unionByName(b).localCheckpoint()
+              (g, e)
+            })
+          graph = ge._1
+          emb = ge._2
           if (owned) {
             graft.ops.ConnectedComponents.unpersistCheckpoint(prevEmb)
             graft.ops.ConnectedComponents.unpersistCheckpoint(prevGraph)
@@ -644,30 +654,40 @@ object StreamingIngest {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastExtended) {
           val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
-          graft.ops.KnnGraph.beamSearchLayered(emb, lg,
-              b.select(col("vec_id").as("query_id"), col("embedding")),
-              k, beam, rounds)
-            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
-          // per-layer lineage cut — but ONLY for layers the fold
-          // touched: extendLayered returns the standing frame itself
-          // for a layer whose batch sample was empty (the common
-          // case for small batches), and re-checkpointing it would
-          // copy an untouched layer every batch
-          val ext = graft.ops.KnnGraph.extendLayered(emb, b, lg)
-          val newLayers = ext.layers.zip(lg.layers).zipWithIndex.map {
-            case ((n, o), i) =>
-              if (n eq o) o
-              else {
-                val cut = n.localCheckpoint()
-                if (ownedLayers(i))
-                  graft.ops.ConnectedComponents.unpersistCheckpoint(o)
-                ownedLayers += i
-                cut
-              }
+          val (prevEmb, prevLg) = (emb, lg)
+          // OVERLAP the descent with the fold (guide §2.6): the probe
+          // reads only the PRE-fold hierarchy and the fold never
+          // consumes its output — independent actions, scheduled
+          // concurrently. Within the fold, the touched layers' pins
+          // and the embedding union are independent too (an untouched
+          // layer passes through extendLayered by REFERENCE and keeps
+          // its standing snapshot — the per-layer lineage cut touches
+          // only folded layers).
+          val (_, le) = graft.ops.Parallel.both(
+            graft.ops.KnnGraph.beamSearchLayered(prevEmb, prevLg,
+                b.select(col("vec_id").as("query_id"), col("embedding")),
+                k, beam, rounds)
+              .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId"),
+            {
+              val ext = graft.ops.KnnGraph.extendLayered(prevEmb, b, prevLg)
+              val pins = graft.ops.Parallel.run[DataFrame](
+                ext.layers.zip(prevLg.layers).map { case (n, o) =>
+                  () => if (n eq o) o else n.localCheckpoint()
+                } :+ (() => prevEmb.unionByName(b).localCheckpoint()))
+              (ext.copy(layers = pins.dropRight(1)), pins.last)
+            })
+          val newLayers = le._1.layers.zipWithIndex.map { case (n, i) =>
+            val o = prevLg.layers(i)
+            if (n eq o) o
+            else {
+              if (ownedLayers(i))
+                graft.ops.ConnectedComponents.unpersistCheckpoint(o)
+              ownedLayers += i
+              n
+            }
           }
-          lg = ext.copy(layers = newLayers)
-          val prevEmb = emb
-          emb = emb.unionByName(b).localCheckpoint()
+          lg = le._1.copy(layers = newLayers)
+          emb = le._2
           if (ownedEmb)
             graft.ops.ConnectedComponents.unpersistCheckpoint(prevEmb)
           ownedEmb = true
@@ -946,15 +966,21 @@ object StreamingIngest {
         // with their own fps rows and the overwrite would differ
         if (batchId > lastExtended) {
           val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
-          graft.ops.SubstringDedup
-            .dupPairsAgainst(idx, corpus, b, col("doc_id"), col("text"))
-            .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
-          // disjointness is proven for this fold: the probe write
-          // above just ran its riding guard over the SAME (standing
-          // fps, batch) pair — the documented opt-out, one standing
-          // scan per batch instead of two
-          idx = graft.ops.SubstringDedup.extendWinnowIndex(idx, b,
-            col("doc_id"), col("text"), checkDisjoint = false)
+          // OVERLAP probe write and fold (guide §2.6): the fold's
+          // batch fingerprint pass reads nothing from the probe's
+          // output. Disjointness stays proven-and-loud: the probe
+          // write runs its riding guard over the same (standing fps,
+          // batch) pair within this batch body — the documented
+          // opt-out — and a collision fails the batch before the next
+          // one folds.
+          val prevIdx = idx
+          val (_, next) = graft.ops.Parallel.both(
+            graft.ops.SubstringDedup
+              .dupPairsAgainst(prevIdx, corpus, b, col("doc_id"), col("text"))
+              .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId"),
+            graft.ops.SubstringDedup.extendWinnowIndex(prevIdx, b,
+              col("doc_id"), col("text"), checkDisjoint = false))
+          idx = next
           corpus = corpus.unionByName(b)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
             corpus = corpus.localCheckpoint(true,
